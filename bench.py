@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (collect) so the number reflects scan +
+shuffle + agg work, not lazy plan construction. A warmup query first touches
+every input file so JVM/classloader startup is not billed to q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from udlang_spark.queries import QUERIES
+from udlang_spark.session import get_spark
+from udlang_spark.sources.tables import TABLE_NAMES, load_table
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_forecast_revenue",
+    "q03_shipping_priority",
+    "q05_region_volume",
+    "q07_custdist",
+    "q08_topk_per_group",
+    "q09_running_totals",
+    "q13_events_tumbling",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("udlang_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: force one full pass over every table so first-query numbers
+    # don't include JVM/codegen warmup.
+    for name in TABLE_NAMES:
+        load_table(spark, name, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

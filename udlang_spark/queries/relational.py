@@ -1,0 +1,591 @@
+"""Relational operator coverage (SURVEY.md §2.5-2.7 engine extensions).
+
+The reference (uDLang) has no joins, aggregations, windows, sorts, or set
+operations (SURVEY.md §2.5-2.7: single `in` record, src/vm.rs:354); these are
+the north-star relational extensions, expressed as stock Spark DataFrame
+plans so Catalyst picks physical strategies (broadcast vs. sort-merge joins,
+partial aggregation, AQE skew handling).
+
+Every query here has a DuckDB oracle. Determinism notes:
+- Sums of money columns go through DECIMAL(18,2)-derived types: exact in both
+  engines regardless of partition/accumulation order, then cast to double.
+- Sums of arbitrary doubles go through DECIMAL(38,18): the cast is
+  correctly-rounded in both engines and the decimal sum is exact.
+- Top-k queries carry a unique-key tie-break so membership is total-ordered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udlang_spark.sources.tables import load_table
+
+MONEY = "decimal(18,2)"
+EXACT = "decimal(38,18)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+def dec(c: str | F.Column) -> F.Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(MONEY)
+
+
+# ---------------------------------------------------------------------------
+# q01 — TPC-H Q1 style pricing summary: filter + groupBy agg.
+# Scale: map-side partial aggregation on (returnflag, linestatus) — tiny key
+# cardinality, so the shuffle moves only |groups| x |partitions| rows.
+# ---------------------------------------------------------------------------
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * (F.lit(1).cast(MONEY) - dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast(MONEY) + dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_Q01 = """
+SELECT l_returnflag, l_linestatus,
+  sum(l_quantity) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q02 — TPC-H Q6 style: selective filter + single global agg.
+# Scale: all predicates push to the parquet scan (PushedFilters), only 3
+# columns read; partial agg means one double per partition crosses the wire.
+# ---------------------------------------------------------------------------
+def q02_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.09)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+ORACLE_Q02 = """
+SELECT
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.09 AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# q03 — TPC-H Q3 style shipping priority: 3-way join + agg + top-10.
+# Scale: customer filter first (pushdown), join keyed on custkey/orderkey
+# shuffles only surviving rows; top-10 via sort+limit (Spark TakeOrdered —
+# no global sort materialization).
+# ---------------------------------------------------------------------------
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")
+    )
+    revenue = dec("l_extendedprice") * (F.lit(1).cast(MONEY) - dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .withColumn("o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_Q03 = """
+SELECT l_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+  o_orderpriority,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1996-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q04 — TPC-H Q4 style: EXISTS → left-semi join, then count by priority.
+# Scale: semi join only needs the key column of the probe side; Spark builds
+# a hash set, no row duplication.
+# ---------------------------------------------------------------------------
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORACLE_Q04 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# q05 — TPC-H Q5 style: 6-way star join, dims broadcast.
+# Scale: nation/region/supplier are broadcast (no shuffle); the fact-fact
+# lineitem⋈orders join shuffles on orderkey; AQE converts to broadcast at
+# runtime when a filtered side is small.
+# ---------------------------------------------------------------------------
+def q05_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = dec("l_extendedprice") * (F.lit(1).cast(MONEY) - dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+ORACLE_Q05 = """
+SELECT n_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# q06 — anti join: customers with no orders.
+# ---------------------------------------------------------------------------
+def q06_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+ORACLE_Q06 = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q07 — TPC-H Q13 style: left outer join + two-level aggregation.
+# ---------------------------------------------------------------------------
+def q07_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+ORACLE_Q07 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# ---------------------------------------------------------------------------
+# q08 — window ranking: top-3 orders by totalprice per priority class.
+# Scale: single shuffle on the partition key; rank filter is applied
+# streaming per partition (WindowExec), no global sort.
+# ---------------------------------------------------------------------------
+def q08_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+    )
+
+
+ORACLE_Q08 = """
+SELECT o_orderpriority, rk, o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+)
+WHERE rk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# q09 — running window aggregates over the event stream: cumulative sum,
+# lag, and a row index per user. DECIMAL(38,18) keeps the cumulative sum
+# exact so the running values hash identically in both engines.
+# ---------------------------------------------------------------------------
+def q09_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("seq"),
+        F.sum(F.col("value").cast(MONEY)).over(cum).cast("double").alias("running_value"),
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+    )
+
+
+ORACLE_Q09 = """
+SELECT user_id, event_id,
+  row_number() OVER w AS seq,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+  lag(event_type, 1) OVER w AS prev_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q10 — set operations: UNION / INTERSECT / EXCEPT on key sets.
+# ---------------------------------------------------------------------------
+def q10_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    machinery = cust.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    with_open = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return building.union(machinery).distinct().intersect(with_open.distinct()).exceptAll(
+        cust.filter(F.col("c_acctbal") < 0).select(F.col("c_custkey").alias("custkey"))
+    )
+
+
+ORACLE_Q10 = """
+SELECT custkey FROM (
+  (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+   UNION
+   SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+)
+EXCEPT ALL
+SELECT c_custkey FROM customer WHERE c_acctbal < 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# q11 — distinct aggregation: exact count-distinct per group.
+# Scale: Spark expands distinct aggs into a two-phase plan automatically;
+# for 100 TB approx_count_distinct (HLL, no expansion) is the cheap variant —
+# exposed in operators/relational.py, not oracle-checked (approximate).
+# ---------------------------------------------------------------------------
+def q11_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+ORACLE_Q11 = """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# q12 — ROLLUP grouping sets over two dimensions.
+# ---------------------------------------------------------------------------
+def q12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+ORACLE_Q12 = """
+SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q13 — tumbling-window aggregation over the event stream (batch-equivalence
+# form of the streaming operator; same F.window runs under readStream with a
+# watermark — see udlang_spark/streaming/).
+# ---------------------------------------------------------------------------
+def q13_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(MONEY)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_Q13 = """
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS bucket,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q14 — semi-structured extraction: pull a field out of the JSON props
+# column and aggregate it.
+# ---------------------------------------------------------------------------
+def q14_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        (F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+ORACLE_Q14 = """
+SELECT event_type,
+  sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS sum_k,
+  CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS DOUBLE) / count(*) AS avg_k,
+  count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q15 — date functions: monthly order aggregation.
+# ---------------------------------------------------------------------------
+def q15_orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+            F.min(dec("o_totalprice")).cast("double").alias("min_price"),
+            F.max(dec("o_totalprice")).cast("double").alias("max_price"),
+        )
+    )
+
+
+ORACLE_Q15 = """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+  count(*) AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+FROM orders
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q16 — string predicates + functions over part.
+# ---------------------------------------------------------------------------
+def q16_part_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.filter(~F.col("p_type").startswith("PROMO"))
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_upper"),
+            F.length("p_name").alias("name_len"),
+            F.size(F.split("p_name", " ")).alias("name_words"),
+            F.substring("p_type", 1, 5).alias("type_prefix"),
+            F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        )
+    )
+
+
+ORACLE_Q16 = """
+SELECT p_partkey,
+  upper(p_brand) AS brand_upper,
+  length(p_name) AS name_len,
+  len(string_split(p_name, ' ')) AS name_words,
+  substr(p_type, 1, 5) AS type_prefix,
+  concat_ws('|', p_brand, p_type) AS brand_type
+FROM part
+WHERE p_type NOT LIKE 'PROMO%'
+"""
+
+
+# ---------------------------------------------------------------------------
+# q17 — broadcast star join over dimensions only.
+# ---------------------------------------------------------------------------
+def q17_supplier_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(dec("s_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+ORACLE_Q17 = """
+SELECT r_name, count(*) AS n_suppliers,
+  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_forecast_revenue": q02_forecast_revenue,
+    "q03_shipping_priority": q03_shipping_priority,
+    "q04_order_priority": q04_order_priority,
+    "q05_region_volume": q05_region_volume,
+    "q06_customers_without_orders": q06_customers_without_orders,
+    "q07_custdist": q07_custdist,
+    "q08_topk_per_group": q08_topk_per_group,
+    "q09_running_totals": q09_running_totals,
+    "q10_set_ops": q10_set_ops,
+    "q11_distinct_counts": q11_distinct_counts,
+    "q12_rollup": q12_rollup,
+    "q13_events_tumbling": q13_events_tumbling,
+    "q14_events_json": q14_events_json,
+    "q15_orders_monthly": q15_orders_monthly,
+    "q16_part_strings": q16_part_strings,
+    "q17_supplier_by_region": q17_supplier_by_region,
+}
+
+ORACLE = {
+    "q01_pricing_summary": ORACLE_Q01,
+    "q02_forecast_revenue": ORACLE_Q02,
+    "q03_shipping_priority": ORACLE_Q03,
+    "q04_order_priority": ORACLE_Q04,
+    "q05_region_volume": ORACLE_Q05,
+    "q06_customers_without_orders": ORACLE_Q06,
+    "q07_custdist": ORACLE_Q07,
+    "q08_topk_per_group": ORACLE_Q08,
+    "q09_running_totals": ORACLE_Q09,
+    "q10_set_ops": ORACLE_Q10,
+    "q11_distinct_counts": ORACLE_Q11,
+    "q12_rollup": ORACLE_Q12,
+    "q13_events_tumbling": ORACLE_Q13,
+    "q14_events_json": ORACLE_Q14,
+    "q15_orders_monthly": ORACLE_Q15,
+    "q16_part_strings": ORACLE_Q16,
+    "q17_supplier_by_region": ORACLE_Q17,
+}

@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]``; the same configuration
+keys are the ones that matter on a 1000-executor cluster — AQE (runtime
+re-planning, skew-join splitting, partition coalescing), a shuffle-partition
+count sized to the data, and Arrow for any Python-side exchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "udlang_spark", **extra_conf: str) -> SparkSession:
+    """Build (or return the active) SparkSession.
+
+    Scale notes: on a real cluster, ``spark.sql.shuffle.partitions`` should be
+    ~2-3x total cores (or left to AQE coalescing with a high initial value);
+    locally we match core count. AQE is always on: it converts sort-merge
+    joins to broadcast at runtime when a side turns out small, splits skewed
+    shuffle partitions, and coalesces tiny ones — all critical at 100 TB.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in extra_conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
