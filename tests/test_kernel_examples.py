@@ -1,0 +1,110 @@
+"""Golden end-to-end outputs for all nine reference example kernels
+(SURVEY.md §5: examples/*.us are the reference's e2e suite; expected values
+derive from the documented semantics — e.g. examples/scopes.us:21,28 state
+their expected outputs in comments)."""
+
+from __future__ import annotations
+
+import pytest
+
+from udlang_spark.kernel.api import compile_kernel_file
+
+EX = "/root/reference/examples"
+
+
+def run_scalar(spark, path: str, rows: list, schema: str, max_depth: int = 48):
+    k = compile_kernel_file(f"{EX}/{path}", max_depth=max_depth)
+    df = spark.createDataFrame([(r,) for r in rows], schema)
+    return [r[0] for r in k.apply(df, input_col="value").collect()]
+
+
+def per_record(spark, path: str, rows: list, schema: str, max_depth: int = 48):
+    """outputs grouped per input record (record id kept through explode)."""
+    k = compile_kernel_file(f"{EX}/{path}", max_depth=max_depth)
+    df = spark.createDataFrame(list(enumerate(rows)), f"rid long, value {schema.split()[-1]}")
+    got = k.apply(df, input_col="value", keep=("rid",), with_pos=True).collect()
+    by_rid: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r.rid, r.pos)):
+        by_rid.setdefault(r.rid, []).append(r.out)
+    return by_rid
+
+
+def test_hello(spark):
+    out = run_scalar(spark, "hello.us", ["world", ""], "value string")
+    assert out == ["Hello, world", "Hello, "]
+
+
+def test_simple(spark):
+    # foo(c) = 2.0 * bar(c); bar(c) = c - 1.0 — Int input promotes to Float
+    out = run_scalar(spark, "simple.us", [3], "value long")
+    assert out == [4]  # 2.0*(3-1.0)=4.0 then cast to declared output Int
+
+
+def test_function(spark):
+    out = run_scalar(spark, "function.us", [100, 0], "value long")
+    assert out == [212, 32]
+
+
+def test_fact(spark):
+    got = per_record(spark, "fact.us", [0, 1, 5, 7, -3], "value long", max_depth=25)
+    assert got[0] == [0]
+    assert got[1] == [1]
+    assert got[2] == [120]
+    assert got[3] == [5040]
+    assert got[4] == [-3]
+
+
+def test_count(spark):
+    # proc count: out n; recurse while n>0; then `out count(in);` outputs the
+    # proc's Void result — a NULL row, faithful to the VM pushing None
+    got = per_record(spark, "count.us", [3, 0], "value long", max_depth=25)
+    assert got[0] == [3, 2, 1, 0, None]
+    assert got[1] == [0, None]
+
+
+def test_lists(spark):
+    got = per_record(spark, "lists.us", [10, 0], "value long")
+    assert got[0] == [11, 14, 19, 26, 35]
+    assert got[1] == [1, 4, 9, 16, 25]
+
+
+def test_loop(spark):
+    # c2f over constant floats; declared output Int truncates (33.8, 35.6,
+    # 37.4) — declared types are authoritative in our engine
+    got = per_record(spark, "loop.us", [0], "value long")
+    assert got[0] == [33, 35, 37]
+
+
+def test_scopes(spark):
+    # expected outputs documented in the example (scopes.us:21,28)
+    got = per_record(spark, "scopes.us", [0, 99], "value long")
+    assert got[0] == [7, 11]
+    assert got[1] == [7, 11]
+
+
+def test_subjunctive(spark):
+    got = per_record(spark, "subjunctive.us", [True, False], "value boolean")
+    assert got[0] == ["She loves you, ", "Yeah! ", "Yeah! ", "Yeah! "]
+    assert got[1] == ["Yesterdayyyyyyyy"]
+
+
+def test_conditional_out_is_filter(spark):
+    src = (
+        'version 0.1-pre_mvp;\nscript "f";\ninput Int;\noutput Int;\n'
+        "if (in > 2) { out in * 10; }\n"
+    )
+    from udlang_spark.kernel.api import compile_kernel
+
+    k = compile_kernel(src)
+    df = spark.createDataFrame([(i,) for i in range(5)], "value long")
+    out = sorted(r[0] for r in k.apply(df, input_col="value").collect())
+    assert out == [30, 40]
+
+
+def test_recursion_depth_poison(spark):
+    from udlang_spark.kernel.api import compile_kernel_file
+
+    k = compile_kernel_file(f"{EX}/count.us", max_depth=5)
+    df = spark.createDataFrame([(10,)], "value long")
+    with pytest.raises(Exception, match="recursion depth"):
+        k.apply(df, input_col="value").collect()

@@ -1,0 +1,91 @@
+"""Public kernel API: compile uDLang source, apply it to DataFrames.
+
+The batch path is also the streaming path: kernels are stateless by
+construction (manual.md:21-24), so the same compiled Column expressions run
+unchanged on `spark.readStream` inputs (see udlang_spark/streaming/).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from udlang_spark.kernel import ast
+from udlang_spark.kernel.compiler import (
+    MAX_RECURSION_DEPTH,
+    Compiler,
+    SCol,
+    SVal,
+)
+from udlang_spark.kernel.parser import parse
+from udlang_spark.kernel.types import KernelTypeError, to_spark
+
+
+@dataclass
+class Kernel:
+    program: ast.Program
+    max_depth: int = MAX_RECURSION_DEPTH
+
+    @property
+    def input_type(self) -> ast.Type:
+        return self.program.input
+
+    @property
+    def output_type(self) -> ast.Type:
+        return self.program.output
+
+    def outputs_column(self, in_val: SVal) -> Column:
+        """array<output> Column for one input record symbol."""
+        return Compiler(self.program, self.max_depth).compile(in_val)
+
+    def _in_sval(self, df: DataFrame, input_col: str | None) -> SVal:
+        it = self.program.input
+        if isinstance(it, ast.TRecord):
+            struct = F.struct(
+                *[F.col(f.name).alias(f.name) for f in it.fields]
+            )
+            return SCol(struct, it)
+        if input_col is None:
+            if len(df.columns) != 1:
+                raise KernelTypeError(
+                    "scalar-input kernel on a multi-column DataFrame: pass input_col"
+                )
+            input_col = df.columns[0]
+        return SCol(F.col(input_col), it)
+
+    def apply(
+        self,
+        df: DataFrame,
+        input_col: str | None = None,
+        keep: tuple[str, ...] = (),
+        out_name: str = "out",
+        with_pos: bool = False,
+    ) -> DataFrame:
+        """Run the kernel over every row.
+
+        Multi-`out` records produce multiple rows (posexplode of the output
+        array — per-record output order is the `pos` column); records that
+        emit nothing produce no rows (posexplode drops empty arrays), which
+        is exactly the reference's conditional-`out` filter semantics.
+        """
+        outs = self.outputs_column(self._in_sval(df, input_col))
+        exploded = F.posexplode(outs)
+        cols = [F.col(c) for c in keep]
+        sel = df.select(*cols, exploded.alias("pos", out_name))
+        if not with_pos:
+            sel = sel.drop("pos")
+        return sel
+
+    def output_spark_type(self):
+        return to_spark(Compiler(self.program).resolve_type(self.program.output))
+
+
+def compile_kernel(source: str, max_depth: int = MAX_RECURSION_DEPTH) -> Kernel:
+    return Kernel(parse(source), max_depth=max_depth)
+
+
+def compile_kernel_file(path: str, max_depth: int = MAX_RECURSION_DEPTH) -> Kernel:
+    with open(path) as f:
+        return compile_kernel(f.read(), max_depth=max_depth)

@@ -1,0 +1,727 @@
+"""uDLang kernel → PySpark Column compiler.
+
+Strategy (SURVEY.md §7.1): symbolically evaluate the kernel over an
+environment of typed symbolic values, inlining every function/closure/partial
+at compile time (the reference's prototype optimizer strategy —
+scripts/stackfolder.py partial evaluation); the whole kernel lowers to pure
+Column expressions. Per-record multi-`out` semantics (src/vm.rs:583-600)
+lower to one array<output> column; `Kernel.apply` posexplodes it, so a record
+emitting zero outputs yields zero rows (conditional `out` ≡ relational
+filter) and intra-record output order is preserved by the explode position.
+
+Recursion cannot inline; it unrolls to a configurable depth with a
+raise_error poison beyond (fact/count examples), keeping everything inside
+whole-stage codegen instead of falling back to Python UDFs.
+
+Constants fold at compile time with the reference's Int semantics (i64
+truncating div/mod — src/ir.rs:622-630); `for` over a constant list unrolls
+(the loop body is re-inlined per element); `for` over a runtime list lowers
+to flatten(transform(...)), i.e. stays a vectorized higher-order function.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from udlang_spark.kernel import ast
+from udlang_spark.kernel.types import KernelTypeError, python_type_of, to_spark, unify
+
+MAX_RECURSION_DEPTH = 48
+
+
+class KernelCompileError(ValueError):
+    pass
+
+
+# --------------------------------------------------------------------------
+# Symbolic values
+# --------------------------------------------------------------------------
+@dataclass(frozen=True)
+class SVal:
+    """Base symbolic value."""
+
+
+@dataclass(frozen=True)
+class SCol(SVal):
+    col: Column
+    type: ast.Type
+
+
+@dataclass(frozen=True)
+class SConst(SVal):
+    value: object  # int | float | str | bool | list[SVal-able] | dict
+    type: ast.Type
+
+
+@dataclass(frozen=True)
+class SFunc(SVal):
+    params: tuple[tuple[str, ast.Type], ...]
+    ret: ast.Type
+    body: ast.Expr
+    env: dict
+    name: str = "<lambda>"
+
+
+def as_col(v: SVal) -> Column:
+    if isinstance(v, SCol):
+        return v.col
+    if isinstance(v, SConst):
+        if isinstance(v.value, list):
+            return F.array(*[as_col(x) for x in v.value])
+        if isinstance(v.value, dict):
+            pairs: list[Column] = []
+            for k, item in v.value.items():
+                pairs.append(F.lit(k))
+                pairs.append(as_col(item))
+            return F.create_map(*pairs)
+        return F.lit(v.value)
+    raise KernelCompileError(f"function value {v!r} escapes to runtime")
+
+
+def vtype(v: SVal) -> ast.Type:
+    if isinstance(v, (SCol, SConst)):
+        return v.type
+    raise KernelCompileError("function value has no data type")
+
+
+# --------------------------------------------------------------------------
+# Compiler
+# --------------------------------------------------------------------------
+@dataclass
+class Ctx:
+    """Compile context: output element type + recursion bookkeeping."""
+
+    out_spark_type: object
+    out_type: ast.Type
+    call_stack: tuple = ()
+    max_depth: int = MAX_RECURSION_DEPTH
+
+
+def empty_outs(ctx: Ctx) -> Column:
+    from pyspark.sql.types import ArrayType
+
+    return F.array().cast(ArrayType(ctx.out_spark_type))
+
+
+def concat_outs(ctx: Ctx, parts: list[Column | None]) -> Column | None:
+    real = [p for p in parts if p is not None]
+    if not real:
+        return None
+    if len(real) == 1:
+        return real[0]
+    return F.concat(*real)
+
+
+def outs_or_empty(ctx: Ctx, outs: Column | None) -> Column:
+    return outs if outs is not None else empty_outs(ctx)
+
+
+class Compiler:
+    def __init__(self, program: ast.Program, max_depth: int = MAX_RECURSION_DEPTH):
+        if program.kind != "script":
+            raise KernelCompileError("only scripts are executable (libs are linked)")
+        self.program = program
+        self.typedefs: dict[str, ast.Type] = {}
+        self.ctx = Ctx(
+            out_spark_type=None,
+            out_type=program.output,
+            max_depth=max_depth,
+        )
+        self.ctx.out_spark_type = to_spark(self.resolve_type(program.output))
+
+    # -- type aliases ----------------------------------------------------
+    def resolve_type(self, t: ast.Type) -> ast.Type:
+        if isinstance(t, ast.TName):
+            if t.name not in self.typedefs:
+                raise KernelTypeError(f"unknown type name {t.name}")
+            return self.resolve_type(self.typedefs[t.name])
+        if isinstance(t, ast.TOption):
+            return ast.TOption(self.resolve_type(t.inner))
+        if isinstance(t, ast.TList):
+            return ast.TList(self.resolve_type(t.item))
+        if isinstance(t, ast.TMap):
+            return ast.TMap(self.resolve_type(t.value))
+        if isinstance(t, ast.TTuple):
+            return ast.TTuple(tuple(self.resolve_type(i) for i in t.items))
+        if isinstance(t, ast.TUnion):
+            return ast.TUnion(tuple(self.resolve_type(v) for v in t.variants))
+        return t
+
+    # -- entry -----------------------------------------------------------
+    def compile(self, in_val: SVal) -> Column:
+        """Compile the whole script to one array<output> Column."""
+        env: dict[str, SVal] = {"in": in_val}
+        outs_parts: list[Column | None] = []
+        for decl in self.program.decls:
+            outs_parts.append(self.compile_stmt(decl, env))
+        for stmt in self.program.body:
+            outs_parts.append(self.compile_stmt(stmt, env))
+        return outs_or_empty(self.ctx, concat_outs(self.ctx, outs_parts))
+
+    # -- statements ------------------------------------------------------
+    def compile_stmt(self, stmt: ast.Stmt, env: dict) -> Column | None:
+        """Compile one statement; mutates env for bindings; returns the
+        outputs this statement contributes (array Column) or None."""
+        if isinstance(stmt, ast.Let):
+            val, outs = self.compile_expr(stmt.value, env)
+            if isinstance(val, SFunc):
+                val = replace(val, name=stmt.name)
+                # tie the knot: the closure can see itself (recursion —
+                # examples/fact.us, examples/count.us)
+                val.env[stmt.name] = val
+            env[stmt.name] = val
+            return outs
+        if isinstance(stmt, ast.TypeDef):
+            self.typedefs[stmt.name] = stmt.type
+            return None
+        if isinstance(stmt, ast.Out):
+            val, outs = self.compile_expr(stmt.value, env)
+            out_col = self.coerce_to(val, self.resolve_type(self.program.output))
+            return concat_outs(self.ctx, [outs, F.array(out_col)])
+        if isinstance(stmt, ast.ExprStmt):
+            _, outs = self.compile_expr(stmt.expr, env)
+            return outs
+        if isinstance(stmt, ast.ListIter):
+            return self.compile_list_iter(stmt, env)
+        if isinstance(stmt, ast.MapIter):
+            return self.compile_map_iter(stmt, env)
+        if isinstance(stmt, ast.Suppose):
+            return self.compile_suppose(stmt, env)
+        if isinstance(stmt, ast.EffectCapture):
+            if "..." not in env:
+                raise KernelCompileError("`...;` outside of suppose branch")
+            return env["..."]  # type: ignore[return-value]
+        if isinstance(stmt, ast.TemplateCall):
+            block_fn = ast.Lambda((), ast.T_VOID, stmt.block)
+            call = ast.Call(stmt.func, stmt.args + (block_fn,))
+            _, outs = self.compile_expr(call, env)
+            return outs
+        if isinstance(stmt, (ast.Import, ast.Export)):
+            raise KernelCompileError("module linking not available in a bare script")
+        raise KernelCompileError(f"unsupported statement {stmt!r}")
+
+    def compile_list_iter(self, stmt: ast.ListIter, env: dict) -> Column | None:
+        src, src_outs = self.compile_expr(stmt.source, env)
+        if isinstance(src, SConst) and isinstance(src.value, list):
+            # constant list: unroll — each element re-inlines the body
+            parts: list[Column | None] = [src_outs]
+            for item in src.value:
+                inner = dict(env)
+                inner[stmt.var] = item
+                parts.append(self.compile_block_for_effect(stmt.body, inner))
+            return concat_outs(self.ctx, parts)
+        if not isinstance(vtype(src), ast.TList):
+            raise KernelTypeError("for..in over a non-list")
+        item_t = self.resolve_type(vtype(src).item)
+
+        def body(x: Column) -> Column:
+            inner = dict(env)
+            inner[stmt.var] = SCol(x, item_t)
+            return outs_or_empty(
+                self.ctx, self.compile_block_for_effect(stmt.body, inner)
+            )
+
+        loop = F.flatten(F.transform(as_col(src), body))
+        return concat_outs(self.ctx, [src_outs, loop])
+
+    def compile_map_iter(self, stmt: ast.MapIter, env: dict) -> Column | None:
+        src, src_outs = self.compile_expr(stmt.source, env)
+        if isinstance(src, SConst) and isinstance(src.value, dict):
+            parts: list[Column | None] = [src_outs]
+            for k, item in src.value.items():
+                inner = dict(env)
+                inner[stmt.key_var] = SConst(k, ast.T_STR)
+                inner[stmt.val_var] = item
+                parts.append(self.compile_block_for_effect(stmt.body, inner))
+            return concat_outs(self.ctx, parts)
+        if not isinstance(vtype(src), ast.TMap):
+            raise KernelTypeError("for (k, v) over a non-map")
+        val_t = self.resolve_type(vtype(src).value)
+
+        def body(entry: Column) -> Column:
+            inner = dict(env)
+            inner[stmt.key_var] = SCol(entry.getField("key"), ast.T_STR)
+            inner[stmt.val_var] = SCol(entry.getField("value"), val_t)
+            return outs_or_empty(
+                self.ctx, self.compile_block_for_effect(stmt.body, inner)
+            )
+
+        loop = F.flatten(F.transform(F.map_entries(as_col(src)), body))
+        return concat_outs(self.ctx, [src_outs, loop])
+
+    def compile_suppose(self, stmt: ast.Suppose, env: dict) -> Column:
+        # Speculatively capture the delegate's outputs (src/vm.rs:603-638):
+        # if it produced any, run the branch with `...;` splicing them in;
+        # otherwise run the leaf. Pure expression-level — no custom operator.
+        _, candidates = self.compile_expr(stmt.delegate, env)
+        cand = outs_or_empty(self.ctx, candidates)
+        branch_env = dict(env)
+        branch_env["..."] = cand
+        branch = outs_or_empty(
+            self.ctx, self.compile_block_for_effect(stmt.branch, branch_env)
+        )
+        leaf = outs_or_empty(self.ctx, self.compile_block_for_effect(stmt.leaf, env))
+        return F.when(F.size(cand) > 0, branch).otherwise(leaf)
+
+    def compile_block_for_effect(self, block: ast.Expr, env: dict) -> Column | None:
+        if not isinstance(block, ast.Block):
+            _, outs = self.compile_expr(block, env)
+            return outs
+        inner = dict(env)
+        parts = [self.compile_stmt(s, inner) for s in block.stmts]
+        if block.ret is not None:
+            _, ret_outs = self.compile_expr(block.ret, inner)
+            parts.append(ret_outs)
+        return concat_outs(self.ctx, parts)
+
+    # -- expressions -----------------------------------------------------
+    def compile_expr(self, expr: ast.Expr, env: dict) -> tuple[SVal, Column | None]:
+        if isinstance(expr, ast.Lit):
+            return SConst(expr.value, python_type_of(expr.value)), None
+        if isinstance(expr, ast.In):
+            return env["in"], None
+        if isinstance(expr, ast.Id):
+            if expr.name not in env:
+                raise KernelCompileError(f"unbound identifier {expr.name!r}")
+            return env[expr.name], None
+        if isinstance(expr, ast.Lambda):
+            return SFunc(expr.params, expr.ret, expr.body, dict(env)), None
+        if isinstance(expr, ast.ListExpr):
+            return self.compile_list(expr, env)
+        if isinstance(expr, ast.MapExpr):
+            return self.compile_map(expr, env)
+        if isinstance(expr, ast.Bin):
+            return self.compile_bin(expr, env)
+        if isinstance(expr, ast.Un):
+            return self.compile_un(expr, env)
+        if isinstance(expr, ast.Call):
+            return self.compile_call(expr, env)
+        if isinstance(expr, ast.Dot):
+            return self.compile_dot(expr, env)
+        if isinstance(expr, ast.Has):
+            return self.compile_has(expr, env)
+        if isinstance(expr, ast.Index):
+            return self.compile_index(expr, env)
+        if isinstance(expr, ast.Cond):
+            return self.compile_cond(expr, env)
+        if isinstance(expr, ast.Block):
+            return self.compile_block_expr(expr, env)
+        raise KernelCompileError(f"unsupported expression {expr!r}")
+
+    def compile_list(self, expr: ast.ListExpr, env: dict):
+        items = [self.compile_expr(e, env) for e in expr.items]
+        outs = concat_outs(self.ctx, [o for _, o in items])
+        vals = [v for v, _ in items]
+        if all(isinstance(v, SConst) for v in vals):
+            item_t = ast.T_ANY
+            for v in vals:
+                item_t = unify(item_t, vtype(v))
+            return SConst(list(vals), ast.TList(item_t)), outs
+        item_t = ast.T_ANY
+        for v in vals:
+            item_t = unify(item_t, vtype(v))
+        cols = [self.coerce_to(v, item_t) for v in vals]
+        return SCol(F.array(*cols), ast.TList(item_t)), outs
+
+    def compile_map(self, expr: ast.MapExpr, env: dict):
+        items = [(k, self.compile_expr(e, env)) for k, e in expr.items]
+        outs = concat_outs(self.ctx, [o for _, (_, o) in items])
+        vals = [(k, v) for k, (v, _) in items]
+        if all(isinstance(v, SConst) for _, v in vals):
+            val_t = ast.T_ANY
+            for _, v in vals:
+                val_t = unify(val_t, vtype(v))
+            return SConst(dict(vals), ast.TMap(val_t)), outs
+        val_t = ast.T_ANY
+        for _, v in vals:
+            val_t = unify(val_t, vtype(v))
+        pairs: list[Column] = []
+        for k, v in vals:
+            pairs.append(F.lit(k))
+            pairs.append(self.coerce_to(v, val_t))
+        return SCol(F.create_map(*pairs), ast.TMap(val_t)), outs
+
+    # arithmetic with the reference's Int semantics (src/ir.rs:607-695)
+    @staticmethod
+    def _trunc_div(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    @staticmethod
+    def _trunc_mod(a: int, b: int) -> int:
+        return a - b * Compiler._trunc_div(a, b)
+
+    def compile_bin(self, expr: ast.Bin, env: dict):
+        a, outs_a = self.compile_expr(expr.a, env)
+        b, outs_b = self.compile_expr(expr.b, env)
+        outs = concat_outs(self.ctx, [outs_a, outs_b])
+        op = expr.op
+        ta, tb = vtype(a), vtype(b)
+
+        if isinstance(a, SConst) and isinstance(b, SConst) and not isinstance(
+            a.value, (list, dict)
+        ) and not isinstance(b.value, (list, dict)):
+            return SConst(*self.fold_bin(op, a, b)), outs
+
+        t = unify(ta, tb) if op not in ("==",) else None
+        ca, cb = as_col(a), as_col(b)
+        if op in ("+", "-", "*", "/", "^", "%") and t in (ast.T_INT, ast.T_FLOAT):
+            if t is ast.T_FLOAT:
+                ca, cb = ca.cast("double"), cb.cast("double")
+            if op == "+":
+                return SCol(ca + cb, t), outs
+            if op == "-":
+                return SCol(ca - cb, t), outs
+            if op == "*":
+                return SCol(ca * cb, t), outs
+            if op == "/":
+                if t is ast.T_INT:
+                    # i64 truncating division (src/ir.rs:622-625): Spark's
+                    # `div` function is integral divide, truncation toward 0
+                    return SCol(F.call_function("div", ca, cb), ast.T_INT), outs
+                return SCol(ca / cb, t), outs
+            if op == "%":
+                return SCol(ca % cb, t), outs  # Spark % == Rust % (sign of dividend)
+            if op == "^":
+                p = F.pow(ca, cb)
+                return SCol(p.cast("long") if t is ast.T_INT else p, t), outs
+        if op == "+" and t is ast.T_STR:
+            # intended string concat (README.md:120; arm missing in the
+            # reference op table — SURVEY.md §7.5 "reference bugs")
+            return SCol(F.concat(ca, cb), ast.T_STR), outs
+        if op in ("and", "or", "xor"):
+            if t is ast.T_BOOL:
+                # non-short-circuit logical ops (stack machine evaluates both)
+                if op == "and":
+                    return SCol(ca & cb, ast.T_BOOL), outs
+                if op == "or":
+                    return SCol(ca | cb, ast.T_BOOL), outs
+                return SCol(ca != cb, ast.T_BOOL), outs
+            if t is ast.T_INT:
+                if op == "and":
+                    return SCol(ca.bitwiseAND(cb), ast.T_INT), outs
+                if op == "or":
+                    return SCol(ca.bitwiseOR(cb), ast.T_INT), outs
+                return SCol(ca.bitwiseXOR(cb), ast.T_INT), outs
+        if op in ("<", ">", "<=", ">="):
+            if t not in (ast.T_INT, ast.T_FLOAT, ast.T_STR):
+                raise KernelTypeError(f"relational {op} on {t!r}")
+            if t is ast.T_FLOAT:
+                ca, cb = ca.cast("double"), cb.cast("double")
+            table = {"<": ca < cb, ">": ca > cb, "<=": ca <= cb, ">=": ca >= cb}
+            return SCol(table[op], ast.T_BOOL), outs
+        if op == "==":
+            try:
+                t_eq = unify(ta, tb)
+            except KernelTypeError:
+                # cross-type equality is `false`, never an error (src/ir.rs:679-695)
+                return SConst(False, ast.T_BOOL), outs
+            if t_eq is ast.T_FLOAT:
+                ca, cb = ca.cast("double"), cb.cast("double")
+            return SCol(ca == cb, ast.T_BOOL), outs
+        raise KernelTypeError(f"operator {op} not defined for {ta!r}, {tb!r}")
+
+    def fold_bin(self, op: str, a: SConst, b: SConst) -> tuple[object, ast.Type]:
+        x, y = a.value, b.value
+        ta, tb = vtype(a), vtype(b)
+        both_int = ta is ast.T_INT and tb is ast.T_INT
+        if op == "+":
+            if ta is ast.T_STR and tb is ast.T_STR:
+                return x + y, ast.T_STR
+            return x + y, (ast.T_INT if both_int else ast.T_FLOAT)
+        if op == "-":
+            return x - y, (ast.T_INT if both_int else ast.T_FLOAT)
+        if op == "*":
+            return x * y, (ast.T_INT if both_int else ast.T_FLOAT)
+        if op == "/":
+            if both_int:
+                return self._trunc_div(x, y), ast.T_INT
+            return x / y, ast.T_FLOAT
+        if op == "%":
+            if both_int:
+                return self._trunc_mod(x, y), ast.T_INT
+            import math
+
+            return math.fmod(x, y), ast.T_FLOAT
+        if op == "^":
+            return (x**y if not both_int else int(x**y)), (
+                ast.T_INT if both_int else ast.T_FLOAT
+            )
+        if op == "and":
+            return (x and y, ast.T_BOOL) if ta is ast.T_BOOL else (x & y, ast.T_INT)
+        if op == "or":
+            return (x or y, ast.T_BOOL) if ta is ast.T_BOOL else (x | y, ast.T_INT)
+        if op == "xor":
+            return (
+                (bool(x) != bool(y), ast.T_BOOL)
+                if ta is ast.T_BOOL
+                else (x ^ y, ast.T_INT)
+            )
+        if op in ("<", ">", "<=", ">=", "=="):
+            import operator
+
+            f = {
+                "<": operator.lt,
+                ">": operator.gt,
+                "<=": operator.le,
+                ">=": operator.ge,
+                "==": operator.eq,
+            }[op]
+            if op == "==" and type(x) is not type(y) and not (
+                isinstance(x, (int, float)) and isinstance(y, (int, float))
+            ):
+                return False, ast.T_BOOL
+            return f(x, y), ast.T_BOOL
+        raise KernelTypeError(f"cannot fold {op}")
+
+    def compile_un(self, expr: ast.Un, env: dict):
+        a, outs = self.compile_expr(expr.a, env)
+        t = vtype(a)
+        if isinstance(a, SConst) and not isinstance(a.value, (list, dict)):
+            if expr.op == "-":
+                return SConst(-a.value, t), outs
+            if expr.op == "not":
+                if t is ast.T_BOOL:
+                    return SConst(not a.value, ast.T_BOOL), outs
+                return SConst(~a.value, ast.T_INT), outs
+        ca = as_col(a)
+        if expr.op == "-":
+            return SCol(-ca, t), outs
+        if expr.op == "not":
+            if t is ast.T_BOOL:
+                return SCol(~ca, ast.T_BOOL), outs
+            if t is ast.T_INT:
+                return SCol(F.bitwise_not(ca), ast.T_INT), outs
+        raise KernelTypeError(f"unary {expr.op} on {t!r}")
+
+    def compile_call(self, expr: ast.Call, env: dict):
+        fn, outs_fn = self.compile_expr(expr.func, env)
+        if not isinstance(fn, SFunc):
+            raise KernelTypeError("calling a non-function value")
+        # partial application: `$` placeholders curry at compile time
+        # (reference src/ast.rs:231; VM never implemented it — src/vm.rs:433)
+        if any(isinstance(a, ast.Partial) for a in expr.args):
+            fresh: list[tuple[str, ast.Type]] = []
+            filled: list[ast.Expr] = []
+            for i, a in enumerate(expr.args):
+                if isinstance(a, ast.Partial):
+                    pname = f"__partial_{i}"
+                    ptype = fn.params[i][1] if i < len(fn.params) else ast.T_ANY
+                    fresh.append((pname, ptype))
+                    filled.append(ast.Id(pname))
+                else:
+                    filled.append(a)
+            curried = SFunc(
+                tuple(fresh), fn.ret, ast.Call(expr.func, tuple(filled)), dict(env)
+            )
+            return curried, outs_fn
+
+        if len(expr.args) != len(fn.params):
+            raise KernelTypeError(
+                f"{fn.name} expects {len(fn.params)} args, got {len(expr.args)}"
+            )
+        arg_parts: list[Column | None] = [outs_fn]
+        call_env = dict(fn.env)
+        for (pname, ptype), arg in zip(fn.params, expr.args):
+            aval, aouts = self.compile_expr(arg, env)
+            arg_parts.append(aouts)
+            rtype = self.resolve_type(ptype)
+            if isinstance(aval, (SCol, SConst)) and rtype in (
+                ast.T_FLOAT,
+            ) and vtype(aval) is ast.T_INT:
+                # numeric promotion at the call boundary (types.unify note)
+                if isinstance(aval, SConst):
+                    aval = SConst(float(aval.value), ast.T_FLOAT)
+                else:
+                    aval = SCol(aval.col.cast("double"), ast.T_FLOAT)
+            call_env[pname] = aval
+
+        key = id(fn.body)
+        depth = sum(1 for k in self.ctx.call_stack if k == key)
+        if depth >= self.ctx.max_depth:
+            # recursion unrolling limit: poison this branch — it only fires
+            # for rows that actually recurse deeper than max_depth
+            msg = f"recursion depth > {self.ctx.max_depth} in {fn.name}"
+            poison = F.assert_true(F.lit(False), F.lit(msg)).cast(
+                to_spark(self.resolve_type(fn.ret) if fn.ret is not ast.T_ANY else ast.T_INT)
+            )
+            # the poison must live in BOTH the value and the output stream:
+            # a proc's value is discarded, so an effect-only recursion would
+            # otherwise silently truncate instead of erroring
+            poison_out = F.array(
+                F.assert_true(F.lit(False), F.lit(msg)).cast(self.ctx.out_spark_type)
+            )
+            return SCol(poison, self.resolve_type(fn.ret)), concat_outs(
+                self.ctx, arg_parts + [poison_out]
+            )
+        self.ctx.call_stack = self.ctx.call_stack + (key,)
+        try:
+            val, body_outs = self.compile_expr(fn.body, call_env)
+        finally:
+            self.ctx.call_stack = self.ctx.call_stack[:-1]
+        return val, concat_outs(self.ctx, arg_parts + [body_outs])
+
+    def compile_dot(self, expr: ast.Dot, env: dict):
+        obj, outs = self.compile_expr(expr.obj, env)
+        t = vtype(obj)
+        if isinstance(obj, SConst) and isinstance(obj.value, dict):
+            if expr.name in obj.value:
+                return obj.value[expr.name], outs
+            raise KernelCompileError(f"no field {expr.name!r} in constant map")
+        if isinstance(t, ast.TRecord):
+            ft = next((f.type for f in t.fields if f.name == expr.name), None)
+            if ft is None:
+                raise KernelTypeError(f"record has no field {expr.name!r}")
+            return SCol(as_col(obj).getField(expr.name), self.resolve_type(ft)), outs
+        if isinstance(t, ast.TMap):
+            return (
+                SCol(F.element_at(as_col(obj), F.lit(expr.name)), self.resolve_type(t.value)),
+                outs,
+            )
+        if t is ast.T_POINT and expr.name in ("x", "y"):
+            return SCol(as_col(obj).getField(expr.name), ast.T_FLOAT), outs
+        raise KernelTypeError(f"dot access on {t!r}")
+
+    def compile_has(self, expr: ast.Has, env: dict):
+        obj, outs = self.compile_expr(expr.obj, env)
+        t = vtype(obj)
+        if isinstance(t, ast.TRecord):
+            return SCol(as_col(obj).getField(expr.name).isNotNull(), ast.T_BOOL), outs
+        if isinstance(t, ast.TMap):
+            return SCol(F.map_contains_key(as_col(obj), F.lit(expr.name)), ast.T_BOOL), outs
+        raise KernelTypeError(f".?. on {t!r}")
+
+    def compile_index(self, expr: ast.Index, env: dict):
+        obj, outs_o = self.compile_expr(expr.obj, env)
+        idx, outs_i = self.compile_expr(expr.index, env)
+        outs = concat_outs(self.ctx, [outs_o, outs_i])
+        t = vtype(obj)
+        if isinstance(obj, SConst) and isinstance(idx, SConst) and isinstance(
+            obj.value, list
+        ):
+            return obj.value[idx.value], outs
+        if isinstance(t, ast.TList):
+            # uDLang is 0-based; element_at is 1-based (SURVEY.md §2.2)
+            if isinstance(idx, SConst):
+                ix = F.lit(idx.value + 1)
+            else:
+                ix = as_col(idx) + 1
+            return SCol(F.element_at(as_col(obj), ix), self.resolve_type(t.item)), outs
+        if isinstance(t, ast.TMap):
+            return SCol(F.element_at(as_col(obj), as_col(idx)), self.resolve_type(t.value)), outs
+        if isinstance(t, ast.TTuple):
+            if not isinstance(idx, SConst):
+                raise KernelTypeError("tuple index must be constant")
+            return (
+                SCol(as_col(obj).getField(f"_{idx.value + 1}"), self.resolve_type(t.items[idx.value])),
+                outs,
+            )
+        raise KernelTypeError(f"indexing {t!r}")
+
+    def compile_cond(self, expr: ast.Cond, env: dict):
+        # values and outputs both lower to when-chains; constant predicates
+        # prune branches at compile time
+        clauses: list[tuple[SVal, SVal, Column | None, Column | None]] = []
+        compiled: list = []
+        for pred, body in expr.clauses:
+            pval, pouts = self.compile_expr(pred, env)
+            if vtype(pval) is not ast.T_BOOL:
+                raise KernelTypeError("condition must be Bool")
+            if isinstance(pval, SConst):
+                if pval.value:
+                    bval, bouts = self.compile_expr(body, env)
+                    compiled.append((None, pouts, bval, bouts))
+                    break
+                compiled.append((None, pouts, None, None))
+                continue
+            bval, bouts = self.compile_expr(body, env)
+            compiled.append((pval, pouts, bval, bouts))
+        else:
+            if expr.default is not None:
+                dval, douts = self.compile_expr(expr.default, env)
+            else:
+                dval, douts = None, None
+            compiled.append((None, None, dval, douts))
+
+        # assemble: iterate reversed, building value + outs when-chains
+        value_needed = any(
+            bval is not None and not (isinstance(bval, SConst) and bval.value is None)
+            for _, _, bval, _ in compiled
+        )
+        # result type
+        rtype: ast.Type | None = None
+        for _, _, bval, _ in compiled:
+            if isinstance(bval, (SCol, SConst)):
+                rtype = vtype(bval) if rtype is None else unify(rtype, vtype(bval))
+
+        val_col: Column | None = None
+        outs_col: Column | None = None
+        pred_outs_parts: list[Column | None] = []
+        for pval, pouts, bval, bouts in compiled:
+            pred_outs_parts.append(pouts)
+
+        # walk branches from last to first
+        tail_val: Column | None = None
+        tail_outs: Column | None = None
+        for pval, pouts, bval, bouts in reversed(compiled):
+            if pval is None:
+                # default (or constant-true clause)
+                tail_val = (
+                    self.coerce_to(bval, rtype) if (bval is not None and rtype) else tail_val
+                )
+                tail_outs = bouts if bouts is not None else tail_outs
+                continue
+            pcol = as_col(pval)
+            if rtype is not None:
+                branch_v = (
+                    self.coerce_to(bval, rtype) if bval is not None else F.lit(None).cast(to_spark(rtype))
+                )
+                base = tail_val if tail_val is not None else F.lit(None).cast(to_spark(rtype))
+                tail_val = F.when(pcol, branch_v).otherwise(base)
+            b_outs = outs_or_empty(self.ctx, bouts)
+            t_outs = outs_or_empty(self.ctx, tail_outs)
+            tail_outs = F.when(pcol, b_outs).otherwise(t_outs)
+
+        outs_all = concat_outs(self.ctx, pred_outs_parts + [tail_outs])
+        if rtype is None or tail_val is None:
+            return SConst(None, ast.T_VOID), outs_all
+        return SCol(tail_val, rtype), outs_all
+
+    def compile_block_expr(self, expr: ast.Block, env: dict):
+        inner = dict(env)
+        parts = [self.compile_stmt(s, inner) for s in expr.stmts]
+        if expr.ret is None:
+            return SConst(None, ast.T_VOID), concat_outs(self.ctx, parts)
+        val, routs = self.compile_expr(expr.ret, inner)
+        return val, concat_outs(self.ctx, parts + [routs])
+
+    # -- coercion ----------------------------------------------------------
+    def coerce_to(self, v: SVal, t: ast.Type) -> Column:
+        """Cast a value to a declared type. Coercion semantics follow the
+        reference's `as` table (src/ir.rs:510-529): Int↔Float (Float→Int
+        truncates — Spark cast("long") truncates too), Bool↔Int (we implement
+        the intended true→1, not the reference's inverted table — SURVEY.md
+        §7.5). The declared output/param type is authoritative."""
+        t = self.resolve_type(t)
+        vt = vtype(v)
+        if isinstance(v, SConst) and v.value is None:
+            return F.lit(None).cast(to_spark(t))
+        if vt == t or t is ast.T_ANY:
+            return as_col(v)
+        if isinstance(t, ast.TOption):
+            return self.coerce_to(v, t.inner)
+        if vt is ast.T_INT and t is ast.T_FLOAT:
+            return as_col(v).cast("double")
+        if vt is ast.T_FLOAT and t is ast.T_INT:
+            return as_col(v).cast("long")  # truncation, matches reference intent
+        if vt is ast.T_BOOL and t is ast.T_INT:
+            return as_col(v).cast("long")
+        if vt is ast.T_INT and t is ast.T_BOOL:
+            return as_col(v) != 0
+        spark_t = to_spark(t)
+        if to_spark(vt) == spark_t:
+            return as_col(v)
+        return as_col(v).cast(spark_t)

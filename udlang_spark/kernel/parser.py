@@ -1,0 +1,613 @@
+"""Recursive-descent parser for the uDLang kernel language.
+
+Production-for-production coverage of the reference grammar
+(reference src/grammar.lalrpop — program :18-21, decls :65-72, statements
+:79-92, expression ladder :400-448, call/term :466-489, types :101-145),
+implemented as a fresh recursive-descent design with token-index
+backtracking where the LR grammar relied on lookahead (lambda vs.
+parenthesized expr, map literal vs. block).
+"""
+
+from __future__ import annotations
+
+from udlang_spark.kernel import ast
+from udlang_spark.kernel.lexer import Token, tokenize
+
+
+class ParseError(ValueError):
+    pass
+
+
+class Parser:
+    def __init__(self, src: str) -> None:
+        self.toks: list[Token] = tokenize(src)
+        self.i = 0
+
+    # -- token helpers ---------------------------------------------------
+    def peek(self, k: int = 0) -> Token:
+        j = min(self.i + k, len(self.toks) - 1)
+        return self.toks[j]
+
+    def at(self, kind: str, k: int = 0) -> bool:
+        return self.peek(k).kind == kind
+
+    def take(self, kind: str) -> Token:
+        t = self.peek()
+        if t.kind != kind:
+            raise ParseError(f"line {t.line}: expected {kind!r}, got {t.kind!r} ({t.value!r})")
+        self.i += 1
+        return t
+
+    def accept(self, kind: str) -> Token | None:
+        if self.at(kind):
+            return self.take(kind)
+        return None
+
+    # -- program ---------------------------------------------------------
+    def parse_program(self) -> ast.Program:
+        self.take("version")
+        self.take("VERSION")
+        self.take(";")
+        if self.accept("script"):
+            desc = self.take("STR").value
+            self.take(";")
+            decls = []
+            while not self.at("input"):
+                decls.append(self.parse_decl())
+            self.take("input")
+            input_t = self.parse_type()
+            self.take(";")
+            self.take("output")
+            output_t = self.parse_type()
+            self.take(";")
+            body = []
+            while not self.at("EOF"):
+                body.append(self.parse_statement())
+            return ast.Program("script", desc, tuple(decls), input_t, output_t, tuple(body))
+        self.take("lib")
+        desc = self.take("STR").value
+        self.take(";")
+        decls = []
+        while not self.at("EOF"):
+            decls.append(self.parse_export() if self.at("export") else self.parse_decl())
+        return ast.Program("lib", desc, tuple(decls))
+
+    # -- declarations ----------------------------------------------------
+    def parse_decl(self) -> ast.Stmt:
+        t = self.peek()
+        if t.kind == "import":
+            return self.parse_import()
+        if t.kind == "func":
+            return self.parse_funcdef()
+        if t.kind == "proc":
+            return self.parse_procdef()
+        if t.kind == "template":
+            return self.parse_templatedef()
+        if t.kind == "type":
+            return self.parse_typedef()
+        if t.kind == "let":
+            return self.parse_let()
+        raise ParseError(f"line {t.line}: expected declaration, got {t.kind!r}")
+
+    def parse_import(self) -> ast.Stmt:
+        self.take("import")
+        module = self.take("ID").value
+        sel = None
+        if self.accept("."):
+            sel = self._import_selector()
+        self.take(";")
+        return ast.Import(module, sel)
+
+    def _import_selector(self):
+        if self.accept("_"):
+            return "_"
+        if self.accept("*"):
+            return "*"
+        if self.accept("{"):
+            items = []
+            while not self.at("}"):
+                items.append(self._import_selector())
+                if not self.accept(","):
+                    break
+            self.take("}")
+            return tuple(items)
+        name = self.take("ID").value
+        if self.accept("as"):
+            return (name, "as", self.take("ID").value)
+        if self.accept("."):
+            return (name, ".", self._import_selector())
+        return name
+
+    def parse_export(self) -> ast.Stmt:
+        self.take("export")
+        if self.at("func"):
+            return ast.Export(decl=self.parse_funcdef())
+        if self.at("proc"):
+            return ast.Export(decl=self.parse_procdef())
+        if self.at("type"):
+            return ast.Export(decl=self.parse_typedef())
+        if self.at("TYPENAME"):
+            name = self.take("TYPENAME").value
+            self.take(";")
+            return ast.Export(name=name)
+        name = self.take("ID").value
+        if self.accept("="):
+            val = self.parse_expr()
+            self.take(";")
+            return ast.Export(decl=ast.Let(name, val))
+        self.take(";")
+        return ast.Export(name=name)
+
+    def parse_funcdef(self) -> ast.Stmt:
+        self.take("func")
+        name = self.take("ID").value
+        args = self.parse_arglist()
+        self.take("->")
+        ret = self.parse_type()
+        body = self.parse_block_expr()
+        return ast.Let(name, ast.Lambda(tuple(args), ret, body))
+
+    def parse_procdef(self) -> ast.Stmt:
+        self.take("proc")
+        name = self.take("ID").value
+        args = self.parse_arglist()
+        body = self.parse_block_stmt()
+        return ast.Let(name, ast.Lambda(tuple(args), ast.T_VOID, body))
+
+    def parse_templatedef(self) -> ast.Stmt:
+        # template name(args) using delegate {body} — desugars to a function
+        # whose last parameter is the delegate (reference src/ast.rs:503-525).
+        self.take("template")
+        name = self.take("ID").value
+        args = self.parse_arglist()
+        self.take("using")
+        delegate = self.take("ID").value
+        body = self.parse_block_stmt()
+        params = tuple(args) + ((delegate, ast.T_ANY),)
+        return ast.Let(name, ast.Lambda(params, ast.T_VOID, body))
+
+    def parse_typedef(self) -> ast.Stmt:
+        self.take("type")
+        name = self.take("TYPENAME").value
+        self.take(":")
+        t = self.parse_type()
+        self.take(";")
+        return ast.TypeDef(name, t)
+
+    def parse_let(self) -> ast.Stmt:
+        self.take("let")
+        name = self.take("ID").value
+        self.take("=")
+        value = self.parse_expr()
+        self.take(";")
+        return ast.Let(name, value)
+
+    def parse_arglist(self) -> list[tuple[str, ast.Type]]:
+        self.take("(")
+        args: list[tuple[str, ast.Type]] = []
+        while not self.at(")"):
+            name = self.take("ID").value
+            self.take(":")
+            t = self.parse_type()
+            args.append((name, t))
+            if not self.accept(","):
+                break
+        self.take(")")
+        return args
+
+    # -- statements ------------------------------------------------------
+    def parse_statement(self) -> ast.Stmt:
+        t = self.peek()
+        if t.kind == "func":
+            return self.parse_funcdef()
+        if t.kind == "proc":
+            return self.parse_procdef()
+        if t.kind == "type":
+            return self.parse_typedef()
+        if t.kind == "let":
+            return self.parse_let()
+        if t.kind == "out":
+            self.take("out")
+            value = self.parse_expr()
+            self.take(";")
+            return ast.Out(value)
+        if t.kind == "if":
+            return ast.ExprStmt(self.parse_cond(stmt=True))
+        if t.kind == "for":
+            return self.parse_iteration()
+        if t.kind == "suppose":
+            return self.parse_suppose()
+        if t.kind == "...":
+            self.take("...")
+            self.take(";")
+            return ast.EffectCapture()
+        if t.kind == "{":
+            return ast.ExprStmt(self.parse_block_stmt())
+        # TemplateCall | bare call for effect (reference src/grammar.lalrpop:458-463)
+        expr = self.parse_call()
+        if isinstance(expr, ast.Call) and self.at("{"):
+            block = self.parse_block_stmt()
+            return ast.TemplateCall(expr.func, expr.args, block)
+        self.take(";")
+        return ast.ExprStmt(expr)
+
+    def parse_iteration(self) -> ast.Stmt:
+        self.take("for")
+        if self.accept("("):
+            k = self.take("ID").value
+            self.take(",")
+            v = self.take("ID").value
+            self.take(")")
+            self.take("in")
+            source = self.parse_expr()
+            body = self.parse_block_stmt()
+            return ast.MapIter(k, v, source, body)
+        var = self.take("ID").value
+        self.take("in")
+        source = self.parse_expr()
+        body = self.parse_block_stmt()
+        return ast.ListIter(var, source, body)
+
+    def parse_suppose(self) -> ast.Stmt:
+        self.take("suppose")
+        self.take("(")
+        delegate = self.parse_expr()
+        self.take(")")
+        branch = self.parse_block_stmt()
+        self.take("else")
+        leaf = self.parse_block_stmt()
+        return ast.Suppose(delegate, branch, leaf)
+
+    def parse_block_stmt(self) -> ast.Expr:
+        self.take("{")
+        stmts: list[ast.Stmt] = []
+        while not self.at("}"):
+            stmts.append(self.parse_statement())
+        self.take("}")
+        return ast.Block(tuple(stmts), None)
+
+    # -- expressions -----------------------------------------------------
+    def parse_expr(self) -> ast.Expr:
+        if self.at("{"):
+            save = self.i
+            try:
+                return self.parse_block_expr()
+            except ParseError:
+                self.i = save
+                return self.parse_simple_expr()
+        return self.parse_simple_expr()
+
+    def parse_block_expr(self) -> ast.Expr:
+        # { stmts... trailing-expr } — trailing expr mandatory, `done` = void
+        # (reference src/grammar.lalrpop:388-396, 312-315)
+        self.take("{")
+        stmts: list[ast.Stmt] = []
+        while True:
+            if self.accept("done"):
+                self.take("}")
+                return ast.Block(tuple(stmts), None)
+            save = self.i
+            try:
+                ret = self.parse_simple_expr()
+                if self.at("}"):
+                    self.take("}")
+                    return ast.Block(tuple(stmts), ret)
+                self.i = save
+            except ParseError:
+                self.i = save
+            if self.at("}"):
+                raise ParseError(
+                    f"line {self.peek().line}: block expression needs a trailing expression"
+                )
+            stmts.append(self.parse_statement())
+
+    def parse_simple_expr(self) -> ast.Expr:
+        # Lambda | CondExpr | Logic (reference src/grammar.lalrpop:318-323)
+        if self.at("("):
+            save = self.i
+            lam = self._try_lambda()
+            if lam is not None:
+                return lam
+            self.i = save
+        if self.at("if"):
+            return self.parse_cond(stmt=False)
+        return self.parse_logic()
+
+    def _try_lambda(self) -> ast.Expr | None:
+        try:
+            args = self.parse_arglist()
+        except ParseError:
+            return None
+        if self.accept("->"):
+            ret = self.parse_type()
+            if self.accept("="):
+                return ast.Lambda(tuple(args), ret, self.parse_simple_expr())
+            if self.at("{"):
+                return ast.Lambda(tuple(args), ret, self.parse_block_expr())
+            return None
+        if self.accept("="):
+            return ast.Lambda(tuple(args), ast.T_ANY, self.parse_simple_expr())
+        if self.at("{"):
+            return ast.Lambda(tuple(args), ast.T_VOID, self.parse_block_stmt())
+        return None
+
+    def parse_cond(self, stmt: bool) -> ast.Expr:
+        self.take("if")
+        clauses = []
+        clauses.append(self._cond_clause(stmt))
+        while self.accept("elif"):
+            clauses.append(self._cond_clause(stmt))
+        default = None
+        if self.accept("else"):
+            default = self.parse_block_stmt() if stmt else self.parse_block_expr()
+        return ast.Cond(tuple(clauses), default)
+
+    def _cond_clause(self, stmt: bool) -> tuple[ast.Expr, ast.Expr]:
+        self.take("(")
+        pred = self.parse_expr()
+        self.take(")")
+        body = self.parse_block_stmt() if stmt else self.parse_block_expr()
+        return (pred, body)
+
+    def parse_logic(self) -> ast.Expr:
+        a = self.parse_rel()
+        while self.peek().kind in ("and", "or", "xor"):
+            op = self.take(self.peek().kind).kind
+            a = ast.Bin(op, a, self.parse_rel())
+        return a
+
+    def parse_rel(self) -> ast.Expr:
+        a = self.parse_sum()
+        while self.peek().kind in ("<", ">", "<=", ">=", "==", "!="):
+            op = self.take(self.peek().kind).kind
+            b = self.parse_sum()
+            # != is ours (absent from the reference op set, SURVEY.md §2.3)
+            a = ast.Un("not", ast.Bin("==", a, b)) if op == "!=" else ast.Bin(op, a, b)
+        return a
+
+    def parse_sum(self) -> ast.Expr:
+        a = self.parse_factor()
+        while self.peek().kind in ("+", "-"):
+            op = self.take(self.peek().kind).kind
+            a = ast.Bin(op, a, self.parse_factor())
+        return a
+
+    def parse_factor(self) -> ast.Expr:
+        a = self.parse_exp()
+        while self.peek().kind in ("*", "/", "%"):
+            op = self.take(self.peek().kind).kind
+            a = ast.Bin(op, a, self.parse_exp())
+        return a
+
+    def parse_exp(self) -> ast.Expr:
+        a = self.parse_invterm()
+        while self.at("^"):
+            self.take("^")
+            a = ast.Bin("^", a, self.parse_invterm())
+        return a
+
+    def parse_invterm(self) -> ast.Expr:
+        if self.accept("-"):
+            return ast.Un("-", self.parse_invterm())
+        if self.accept("not"):
+            return ast.Un("not", self.parse_invterm())
+        return self.parse_call()
+
+    def parse_call(self) -> ast.Expr:
+        a = self.parse_term()
+        while True:
+            if self.accept("("):
+                args = []
+                while not self.at(")"):
+                    if self.accept("$"):
+                        args.append(ast.Partial())
+                    else:
+                        args.append(self.parse_expr())
+                    if not self.accept(","):
+                        break
+                self.take(")")
+                a = ast.Call(a, tuple(args))
+            elif self.at(".?."):
+                self.take(".?.")
+                a = ast.Has(a, self.take("ID").value)
+            elif self.accept("."):
+                a = ast.Dot(a, self.take("ID").value)
+            elif self.accept("["):
+                idx = self.parse_expr()
+                self.take("]")
+                a = ast.Index(a, idx)
+            else:
+                return a
+
+    def parse_term(self) -> ast.Expr:
+        t = self.peek()
+        if t.kind == "self":
+            self.take("self")
+            return ast.SelfExpr()
+        if t.kind == "in":
+            self.take("in")
+            return ast.In()
+        if t.kind == "ID":
+            return ast.Id(self.take("ID").value)
+        if t.kind == "INT":
+            return ast.Lit(int(self.take("INT").value))
+        if t.kind == "FLOAT":
+            return ast.Lit(float(self.take("FLOAT").value))
+        if t.kind == "STR":
+            return ast.Lit(self.take("STR").value)
+        if t.kind == "true":
+            self.take("true")
+            return ast.Lit(True)
+        if t.kind == "false":
+            self.take("false")
+            return ast.Lit(False)
+        if t.kind == "(":
+            self.take("(")
+            e = self.parse_expr()
+            self.take(")")
+            return e
+        if t.kind == "[":
+            self.take("[")
+            items = []
+            while not self.at("]"):
+                items.append(self.parse_expr())
+                if not self.accept(","):
+                    break
+            self.take("]")
+            return ast.ListExpr(tuple(items))
+        if t.kind == "{":
+            self.take("{")
+            items = []
+            while not self.at("}"):
+                if self.at("STR"):
+                    k = self.take("STR").value
+                else:
+                    k = self.take("ID").value
+                self.take(":")
+                items.append((k, self.parse_logic()))
+                if not self.accept(","):
+                    break
+            self.take("}")
+            return ast.MapExpr(tuple(items))
+        raise ParseError(f"line {t.line}: unexpected token {t.kind!r} in expression")
+
+    # -- types -----------------------------------------------------------
+    def parse_type(self) -> ast.Type:
+        t = self.parse_type_union()
+        if self.accept("?"):
+            return ast.TOption(t)
+        return t
+
+    def parse_type_union(self) -> ast.Type:
+        self.accept("|")  # leading | allowed (reference src/grammar.lalrpop:116)
+        a = self.parse_type_cons()
+        if self.at("|"):
+            variants = [a]
+            while self.accept("|"):
+                variants.append(self.parse_type_cons())
+            flat: list[ast.Type] = []
+            for v in variants:
+                if isinstance(v, ast.TUnion):
+                    flat.extend(v.variants)
+                else:
+                    flat.append(v)
+            return ast.TUnion(tuple(flat))
+        return a
+
+    def parse_type_cons(self) -> ast.Type:
+        t = self.parse_type_term()
+        while self.at("<"):
+            self.take("<")
+            args = []
+            while not self.at(">"):
+                args.append(self.parse_type())
+                if not self.accept(","):
+                    break
+            self.take(">")
+            t = ast.TCons(t, tuple(args))
+        return t
+
+    PRIMS = {
+        "Void": ast.T_VOID,
+        "Bool": ast.T_BOOL,
+        "Int": ast.T_INT,
+        "Float": ast.T_FLOAT,
+        "Str": ast.T_STR,
+        "Point": ast.T_POINT,
+        "Self": ast.T_SELF,
+        "Any": ast.T_ANY,
+    }
+
+    def parse_type_term(self) -> ast.Type:
+        t = self.peek()
+        if t.kind == "TYPENAME":
+            name = self.take("TYPENAME").value
+            if name in self.PRIMS:
+                return self.PRIMS[name]
+            return ast.TName(name)
+        if t.kind == "{":
+            # record (member keywords) or map type (reference src/grammar.lalrpop:140-149)
+            if self.peek(1).kind in ("field", "method", "const", "static", "}"):
+                return self.parse_record_type()
+            self.take("{")
+            inner = self.parse_type()
+            self.take("}")
+            return ast.TMap(inner)
+        if t.kind == "(":
+            # lambda type `(x: T) -> R` (used by examples/scopes.us:23 though
+            # the reference grammar never wired TypeTag::Lambda in) — or a
+            # parenthesized type.
+            save = self.i
+            try:
+                args = self.parse_arglist()
+                self.take("->")
+                ret = self.parse_type()
+                return ast.TLambda(tuple(t for _, t in args), ret)
+            except ParseError:
+                self.i = save
+            self.take("(")
+            inner = self.parse_type()
+            self.take(")")
+            return inner
+        if t.kind == "<":
+            self.take("<")
+            items = []
+            while not self.at(">"):
+                items.append(self.parse_type())
+                if not self.accept(","):
+                    break
+            self.take(">")
+            return ast.TTuple(tuple(items))
+        if t.kind == "[":
+            self.take("[")
+            item = self.parse_type()
+            self.take("]")
+            return ast.TList(item)
+        raise ParseError(f"line {t.line}: unexpected token {t.kind!r} in type")
+
+    def parse_record_type(self) -> ast.Type:
+        self.take("{")
+        fields: list[ast.TRecordField] = []
+        methods: list = []
+        while not self.at("}"):
+            kw = self.peek()
+            if kw.kind == "field":
+                self.take("field")
+                optional = bool(self.accept("?"))
+                name = self.take("ID").value
+                self.take(":")
+                ftype = self.parse_type()
+                fields.append(ast.TRecordField(name, ftype, optional))
+            elif kw.kind in ("method", "static"):
+                self.take(kw.kind)
+                name = self.take("ID").value
+                args = self.parse_arglist()
+                self.take("->")
+                ret = self.parse_type()
+                body = self.parse_expr()
+                methods.append((kw.kind, name, tuple(args), ret, body))
+            elif kw.kind == "const":
+                self.take("const")
+                name = self.take("ID").value
+                self.take(":")
+                ctype = self.parse_type()
+                self.take("=")
+                value = self.parse_expr()
+                methods.append(("const", name, ctype, value))
+            else:
+                raise ParseError(f"line {kw.line}: unexpected {kw.kind!r} in record type")
+            if not self.accept(";"):
+                break
+        self.take("}")
+        return ast.TRecord(tuple(fields), tuple(methods))
+
+
+def parse(src: str) -> ast.Program:
+    return Parser(src).parse_program()
+
+
+def parse_expr(src: str) -> ast.Expr:
+    p = Parser(src)
+    e = p.parse_expr()
+    p.take("EOF")
+    return e

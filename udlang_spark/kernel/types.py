@@ -1,0 +1,102 @@
+"""uDLang type → Spark SQL type mapping (SURVEY.md §1.2 table).
+
+The reference declares input/output shapes statically (src/grammar.lalrpop:
+41-47, 210-215) and intends runtime validation (manual.md:45-49); here every
+uDLang type lowers to an explicit Spark DataType, and the kernel compiler
+tracks uDLang types through expressions (the analysis pass the reference
+designed but never wired into execution — src/typechecker.rs vs main.rs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from udlang_spark.kernel import ast
+
+
+class KernelTypeError(TypeError):
+    pass
+
+
+def to_spark(t: ast.Type) -> T.DataType:
+    if t is ast.T_BOOL:
+        return T.BooleanType()
+    if t is ast.T_INT:
+        return T.LongType()
+    if t is ast.T_FLOAT:
+        return T.DoubleType()
+    if t is ast.T_STR:
+        return T.StringType()
+    if t is ast.T_POINT:
+        return T.StructType(
+            [T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())]
+        )
+    if t is ast.T_VOID:
+        return T.NullType()
+    if t is ast.T_ANY:
+        # escape hatch (SURVEY.md §7.5): JSON-encoded string
+        return T.StringType()
+    if isinstance(t, ast.TOption):
+        return to_spark(t.inner)  # nullability is carried by the field/column
+    if isinstance(t, ast.TList):
+        return T.ArrayType(to_spark(t.item))
+    if isinstance(t, ast.TMap):
+        return T.MapType(T.StringType(), to_spark(t.value))
+    if isinstance(t, ast.TTuple):
+        return T.StructType(
+            [
+                T.StructField(f"_{i + 1}", to_spark(item))
+                for i, item in enumerate(t.items)
+            ]
+        )
+    if isinstance(t, ast.TRecord):
+        return T.StructType(
+            [
+                T.StructField(f.name, to_spark(f.type), nullable=True)
+                for f in t.fields
+            ]
+        )
+    if isinstance(t, ast.TUnion):
+        # tagged-struct encoding (SURVEY.md §7.5): _tag + one nullable branch
+        # per variant
+        fields = [T.StructField("_tag", T.StringType(), nullable=False)]
+        for i, v in enumerate(t.variants):
+            fields.append(T.StructField(f"_{i}", to_spark(v), nullable=True))
+        return T.StructType(fields)
+    raise KernelTypeError(f"type {t!r} has no Spark data type")
+
+
+def unify(a: ast.Type, b: ast.Type) -> ast.Type:
+    """Least upper bound for mixed-type expressions. The reference's op
+    tables are monomorphic (src/ir.rs:429-696) but its examples pass Int
+    where Float is declared (examples/function.us: `celcius_to_farenheit(in)`
+    with `input Int`), so numeric promotion Int→Float is the intended
+    semantics we implement."""
+    if a == b:
+        return a
+    if isinstance(a, ast.TOption):
+        return ast.TOption(unify(a.inner, b))
+    if isinstance(b, ast.TOption):
+        return ast.TOption(unify(a, b.inner))
+    num = {ast.T_INT, ast.T_FLOAT}
+    if a in num and b in num:
+        return ast.T_FLOAT
+    if a is ast.T_ANY or a is ast.T_VOID:
+        return b
+    if b is ast.T_ANY or b is ast.T_VOID:
+        return a
+    if isinstance(a, ast.TList) and isinstance(b, ast.TList):
+        return ast.TList(unify(a.item, b.item))
+    raise KernelTypeError(f"cannot unify {a!r} with {b!r}")
+
+
+def python_type_of(value: object) -> ast.Type:
+    if isinstance(value, bool):
+        return ast.T_BOOL
+    if isinstance(value, int):
+        return ast.T_INT
+    if isinstance(value, float):
+        return ast.T_FLOAT
+    if isinstance(value, str):
+        return ast.T_STR
+    raise KernelTypeError(f"no uDLang type for literal {value!r}")

@@ -1,10 +1,203 @@
-"""uDLang kernel queries: reference example programs compiled by the kernel
-compiler (udlang_spark.kernel) and applied to testdata tables.
+"""uDLang kernel queries: the reference's example programs
+(/root/reference/examples/*.us) compiled by udlang_spark.kernel and applied
+to driver testdata tables, each with a DuckDB oracle expressing the same
+semantics in SQL.
 
-Registry filled in as the kernel compiler lands.
+These exercise the full frontend: parse → analysis → inline → Column
+compile → posexplode (multi-`out`), including recursion unrolling (fact,
+count), constant-list loop unrolling (lists, loop), closures (scopes), and
+the subjunctive effect-capture (suppose).
 """
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udlang_spark.kernel.api import compile_kernel, compile_kernel_file
+from udlang_spark.sources.tables import load_table
+
+EXAMPLES_DIR = "/root/reference/examples"
+
+
+def _example(name: str):
+    return compile_kernel_file(os.path.join(EXAMPLES_DIR, f"{name}.us"))
+
+
+def k_hello(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return _example("hello").apply(
+        docs, input_col="text", keep=("doc_id",)
+    ).select("doc_id", "out")
+
+
+ORACLE_HELLO = "SELECT doc_id, 'Hello, ' || text AS out FROM documents"
+
+
+def k_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return _example("function").apply(
+        li.select(F.col("l_linenumber").cast("long").alias("v")), input_col="v"
+    )
+
+
+# 9.0*n/5.0+32.0 in double, then declared `output Int` truncates toward zero
+ORACLE_FUNCTION = """
+SELECT CAST(trunc(9.0 * CAST(l_linenumber AS BIGINT) / 5.0 + 32.0) AS BIGINT) AS out
+FROM lineitem
+"""
+
+
+def k_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return _example("fact").apply(
+        li.select(F.col("l_linenumber").cast("long").alias("v")), input_col="v"
+    )
+
+
+ORACLE_FACT = """
+SELECT CASE l_linenumber
+  WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 6 WHEN 4 THEN 24
+  WHEN 5 THEN 120 WHEN 6 THEN 720 WHEN 7 THEN 5040
+END AS out
+FROM lineitem
+"""
+
+
+def k_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return _example("count").apply(
+        li.select(F.col("l_linenumber").cast("long").alias("v")), input_col="v"
+    )
+
+
+# count(n) emits n, n-1, …, 0 then the proc's Void result (NULL)
+ORACLE_COUNT = """
+SELECT u.out FROM lineitem, LATERAL (
+  SELECT unnest(generate_series(CAST(l_linenumber AS BIGINT), 0, -1)) AS out
+  UNION ALL SELECT NULL
+) u
+"""
+
+
+def k_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return _example("lists").apply(
+        li.select(F.col("l_linenumber").cast("long").alias("v")), input_col="v"
+    )
+
+
+ORACLE_LISTS = """
+SELECT sq + CAST(l_linenumber AS BIGINT) AS out
+FROM lineitem, LATERAL (SELECT unnest([1, 4, 9, 16, 25]) AS sq) s
+"""
+
+
+def k_scopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return _example("scopes").apply(
+        li.select(F.col("l_linenumber").cast("long").alias("v")), input_col="v"
+    )
+
+
+ORACLE_SCOPES = """
+SELECT u.out FROM lineitem, LATERAL (SELECT unnest([7, 11]) AS out) u
+"""
+
+
+def k_subjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return _example("subjunctive").apply(
+        ev.select((F.col("value") > 100.0).alias("v")), input_col="v"
+    )
+
+
+ORACLE_SUBJUNCTIVE = """
+SELECT u.out FROM events, LATERAL (
+  SELECT unnest(CASE WHEN value > 100.0
+    THEN ['She loves you, ', 'Yeah! ', 'Yeah! ', 'Yeah! ']
+    ELSE ['Yesterdayyyyyyyy'] END) AS out
+) u
+"""
+
+
+# A conditional-`out` kernel of our own: compiles to filter + project —
+# the relational σ the reference expresses as `if (p) { out x; }`
+# (SURVEY.md §2.2, examples/count.us:11-14 pattern).
+FILTER_KERNEL = """
+version 0.1-pre_mvp;
+script "conditional out = relational filter";
+input Float;
+output Float;
+if (in > 250.0) {
+  out in * 2.0;
+}
+"""
+
+
+def k_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return compile_kernel(FILTER_KERNEL).apply(
+        ev.select("event_id", "value"), input_col="value", keep=("event_id",)
+    ).select("event_id", "out")
+
+
+ORACLE_FILTER = """
+SELECT event_id, value * 2.0 AS out FROM events WHERE value > 250.0
+"""
+
+
+# Map iteration + map literal kernel (reference map surface: grammar {T},
+# for (k, v) — src/grammar.lalrpop:142, 278-279).
+MAP_KERNEL = """
+version 0.1-pre_mvp;
+script "map iteration";
+input {field a: Int; field b: Int;};
+output Int;
+let m = {x: 2, y: 3};
+for (k, v) in m {
+  out in.a * v + in.b;
+}
+"""
+
+
+def k_mapiter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    df = li.select(
+        F.col("l_linenumber").cast("long").alias("a"),
+        F.col("l_suppkey").cast("long").alias("b"),
+    )
+    return compile_kernel(MAP_KERNEL).apply(df)
+
+
+ORACLE_MAPITER = """
+SELECT CAST(l_linenumber AS BIGINT) * v + l_suppkey AS out
+FROM lineitem, LATERAL (SELECT unnest([2, 3]) AS v) u
+"""
+
+
+QUERIES = {
+    "k_hello": k_hello,
+    "k_function": k_function,
+    "k_fact": k_fact,
+    "k_count": k_count,
+    "k_lists": k_lists,
+    "k_scopes": k_scopes,
+    "k_subjunctive": k_subjunctive,
+    "k_filter": k_filter,
+    "k_mapiter": k_mapiter,
+}
+
+ORACLE = {
+    "k_hello": ORACLE_HELLO,
+    "k_function": ORACLE_FUNCTION,
+    "k_fact": ORACLE_FACT,
+    "k_count": ORACLE_COUNT,
+    "k_lists": ORACLE_LISTS,
+    "k_scopes": ORACLE_SCOPES,
+    "k_subjunctive": ORACLE_SUBJUNCTIVE,
+    "k_filter": ORACLE_FILTER,
+    "k_mapiter": ORACLE_MAPITER,
+}
