@@ -1,0 +1,147 @@
+"""Text-analysis column functions for LLM training-data pipelines.
+
+All pure Column expressions (JVM-side, whole-stage codegen — no Python in
+the hot path). The reference ships zero built-in functions (stdlib is
+roadmap 0.3 — reference roadmap.md:51), so this module is engine extension
+surface (SURVEY.md §2.3 "ext" row), designed for 100 TB: every function is
+row-local (no shuffle), so it scales linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# deterministic small stopword sets (shared with the DuckDB oracles)
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it", "on", "for")
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "que", "los", "y"),
+    "fr": ("le", "les", "et", "des", "une"),
+    "zh": ("de5", "shi4", "le5", "zai4", "wo3"),  # romanized markers
+}
+LANG_PRIORITY = ("en", "de", "es", "fr", "zh")
+
+
+def words(col: Column | str) -> Column:
+    """Whitespace tokenization, lowercased."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(words(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish regex token count: alphanumeric runs + isolated symbols."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"))
+
+
+def stopword_count(col: Column | str, stops: tuple[str, ...] = STOPWORDS) -> Column:
+    return F.size(F.filter(words(col), lambda w: w.isin(*stops)))
+
+
+def mean_token_len(col: Column | str) -> Column:
+    w = words(col)
+    total = F.aggregate(F.transform(w, F.length), F.lit(0), lambda acc, x: acc + x)
+    return total.cast("double") / F.size(w)
+
+
+def quality_features(col: Column | str) -> list[Column]:
+    """Length/stopword/char-class quality signals, one aliased column each."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    return [
+        F.length(c).alias("n_chars_calc"),
+        n_tok.alias("n_tokens"),
+        (stopword_count(c).cast("double") / n_tok).alias("stop_ratio"),
+        mean_token_len(c).alias("mean_token_len"),
+        (F.length(F.regexp_replace(c, r"[^0-9]", "")).cast("double") / F.length(c)).alias(
+            "digit_ratio"
+        ),
+        ((n_tok >= 10) & (n_tok <= 10000) & (stopword_count(c) > 0)).alias("quality_ok"),
+    ]
+
+
+def lang_scores(col: Column | str) -> list[Column]:
+    w = words(col)
+    return [
+        F.size(F.filter(w, lambda x: x.isin(*markers))).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+
+
+def lang_predict() -> Column:
+    """argmax over score_* columns with fixed priority tie-break: a language
+    wins only if it strictly beats every earlier-priority language."""
+    pred: Column = F.lit(LANG_PRIORITY[0])
+    for lang in reversed(LANG_PRIORITY[1:]):
+        earlier = LANG_PRIORITY[: LANG_PRIORITY.index(lang)]
+        cond = F.lit(True)
+        for e in earlier:
+            cond = cond & (F.col(f"score_{lang}") > F.col(f"score_{e}"))
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Exact-dup fingerprint: md5 of whitespace-normalized lowercase text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def rolling_fingerprint(col_name: str, k: int = 4, gram: int = 8) -> Column:
+    """Winnowing-style document fingerprint: md5 of the k smallest hashes of
+    all character `gram`-grams (rolling window). Robust to small edits —
+    shared fingerprints ⇒ likely near-dups. Row-local; SQL-expressible."""
+    # greatest(…, 1): Spark's sequence(1, 0) would run DESCENDING → [1, 0];
+    # clamping to 1 yields one whole-text gram for short docs, matching the
+    # oracle's generate_series(1, greatest(len-7, 1)).
+    return F.expr(
+        f"md5(array_join(slice(array_sort(transform("
+        f"  sequence(1, greatest(length({col_name}) - {gram - 1}, 1)),"
+        f"  i -> md5(substring({col_name}, i, {gram})))), 1, {k}), '|'))"
+    )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (default 3): the unit for jaccard /
+    MinHash dedup. Empty array for docs with fewer than n words."""
+    w = words(col)
+    sz = F.size(w)
+    grams = F.transform(
+        F.sequence(F.lit(1), sz - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
+    )
+    return F.when(sz >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def simhash16(col: Column | str) -> Column:
+    """16-bit SimHash over word tokens: bit p is the sign of the sum over
+    tokens of ±1 by the parity of hex digit p of md5(token). Row-local
+    (aggregate over the token array — no explode, no shuffle)."""
+    w = words(col)
+
+    # NB: higher-order-function lambdas must be single-arg — a two-arg lambda
+    # (even `lambda x, p=p`) makes Spark pass (element, index) and the loop
+    # variable silently binds to the index column. Use a closure factory.
+    def parity_term(p: int):
+        def term(x: Column) -> Column:
+            digit = F.conv(F.substring(F.md5(x), p, 1), 16, 10).cast("int")
+            return digit % 2 * 2 - 1
+
+        return term
+
+    bits = []
+    for p in range(1, 17):
+        total = F.aggregate(
+            F.transform(w, parity_term(p)), F.lit(0), lambda acc, x: acc + x
+        )
+        bits.append(F.when(total > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)

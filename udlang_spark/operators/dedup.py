@@ -1,0 +1,187 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram jaccard,
+embedding-cosine near-dup.
+
+Scale design (the reason these shapes were chosen for 100 TB):
+- exact dedup = hash-groupBy on a fingerprint — one shuffle keyed by md5,
+  uniformly distributed by construction (no skew).
+- MinHash+LSH NEVER compares all pairs: signatures are computed map-side
+  (row-local array ops), docs are exploded into B band keys (B rows/doc),
+  shuffled once on the band key, and only bucket-mates become candidate
+  pairs; verification joins candidates back to shingle sets. Cost is
+  O(docs·B + sum(bucket²)) instead of O(docs²).
+- SimHash is one row-local fingerprint; near-dup lookup is an equality
+  join on the fingerprint (optionally on rotated fingerprints).
+- n-gram jaccard uses a blocking key (lang) — exact pairwise within blocks
+  only; the unblocked variant is MinHash above.
+
+MinHash uses md5-derived hash families (min over lexicographic hex) so the
+DuckDB oracle can reproduce signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from udlang_spark.functions.text import fingerprint, shingles, simhash16
+
+N_HASHES = 8
+BAND_ROWS = 2  # rows per band → B = N_HASHES / BAND_ROWS bands
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group by normalized-text fingerprint; keep the smallest id."""
+    return (
+        df.withColumn("fp", fingerprint(text_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keeper"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """(id, shingles, sig_0..sig_{n-1}); docs with no shingles are dropped."""
+    sh = df.select(F.col(id_col).alias("doc"), shingles(text_col).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    # closure factory — a two-arg lambda would bind h to the element INDEX
+    # (Spark passes (element, index) to arity-2 HOF lambdas)
+    def hash_family(h: int):
+        def apply(s):
+            return F.md5(F.concat(F.lit(f"{h}:"), s))
+
+        return apply
+
+    sigs = [
+        F.array_min(F.transform(F.col("sh"), hash_family(h))).alias(f"sig_{h}")
+        for h in range(n_hashes)
+    ]
+    return sh.select("doc", "sh", *sigs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, n_hashes: int = N_HASHES, band_rows: int = BAND_ROWS
+) -> DataFrame:
+    """Explode each doc into its band keys; pairs sharing any band key are
+    candidates. One shuffle on (band, key)."""
+    n_bands = n_hashes // band_rows
+    bands = sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"sig_{b * band_rows + r}")
+                                    for r in range(band_rows)
+                                ],
+                            )
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "bk.band", "bk.key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def verified_jaccard(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
+    """Join candidate pairs back to shingle sets; exact jaccard per pair."""
+    sa = sigs.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sigs.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.8
+) -> DataFrame:
+    sigs = minhash_signatures(df, text_col, id_col)
+    pairs = lsh_candidate_pairs(sigs)
+    return verified_jaccard(pairs, sigs).filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact jaccard within blocking-key groups (no LSH): quadratic only
+    inside each block, so the blocking key must bound group size at scale."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(block_col).alias("blk"),
+        shingles(text_col).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (
+        a.join(b, F.col("a.blk") == F.col("b.blk"))
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(F.col(id_col).alias("doc"), simhash16(text_col).alias("simhash"))
+
+
+def simhash_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Docs sharing a SimHash fingerprint (hamming distance 0 buckets)."""
+    return (
+        simhash_fingerprints(df, text_col, id_col)
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc").alias("keeper"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.45
+) -> DataFrame:
+    """Cosine-similarity near-dup pairs. Brute-force pairwise (correctness
+    baseline); the scale path is operators/similarity.py lsh_ann buckets."""
+    from udlang_spark.operators.similarity import cosine
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

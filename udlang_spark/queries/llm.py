@@ -1,10 +1,318 @@
-"""LLM-data-pipeline queries (dedup, similarity, text analysis, multimodal).
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis, and
+multimodal plumbing over the `documents` and `embeddings` tables.
 
-Populated by udlang_spark.operators.{dedup,similarity,multimodal} and
-udlang_spark.functions.text — registry filled in as operators land.
+All engine extensions (the reference processes one record at a time and has
+no whole-collection operators — SURVEY.md §2.6); each query is stock Spark
+underneath, shaped for 100 TB (see operator docstrings for shuffle budgets).
+
+Oracle SQL mirrors the Spark computation exactly — including md5-derived
+MinHash families, hex-digit SimHash parities, and double-precision cosine
+folds — so hash-equality is bit-for-bit, not approximate.
 """
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udlang_spark.functions import text as TXT
+from udlang_spark.operators import dedup, multimodal, similarity
+from udlang_spark.sources.tables import load_table
+
+_WL = "regexp_split_to_array(lower(text), '\\s+')"
+_STOPS = "['" + "','".join(TXT.STOPWORDS) + "']"
+
+# shared DuckDB CTE: distinct 3-word shingles per doc (docs with <3 words drop)
+_SHINGLES_CTE = f"""
+WITH w AS (SELECT doc_id, {_WL} AS wl FROM documents),
+sh AS (
+  SELECT doc_id, list(DISTINCT (wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])) AS sh
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(wl) - 2)) AS i) g
+  GROUP BY doc_id
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.exact_dedup(docs, "text", "doc_id")
+
+
+ORACLE_EXACT_DEDUP = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS keeper, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        TXT.fingerprint("text").alias("fp"),
+        TXT.rolling_fingerprint("text").alias("rolling_fp"),
+    )
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id,
+  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+  md5(array_to_string(
+    (list_sort(list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+                              i -> md5(substr(text, i, 8)))))[1:4], '|')) AS rolling_fp
+FROM documents
+"""
+
+
+def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.minhash_near_dups(docs, "text", "doc_id", threshold=0.8)
+
+
+ORACLE_MINHASH = (
+    _SHINGLES_CTE
+    + """,
+mh AS (
+  SELECT doc_id, h, min(md5(h::VARCHAR || ':' || s)) AS sig
+  FROM sh, LATERAL (SELECT unnest(sh.sh) AS s) u,
+       LATERAL (SELECT unnest(range(0, 8)) AS h) hh
+  GROUP BY doc_id, h
+),
+bands AS (
+  SELECT doc_id, h // 2 AS band, md5(string_agg(sig, '|' ORDER BY h)) AS key
+  FROM mh GROUP BY doc_id, h // 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+  len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))::DOUBLE /
+  len(list_distinct(list_cat(sa.sh, sb.sh)))::DOUBLE AS jaccard
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.doc_a
+JOIN sh sb ON sb.doc_id = c.doc_b
+WHERE jaccard >= 0.8
+"""
+)
+
+
+def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", "lang", threshold=0.5)
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH w AS (SELECT doc_id, lang, {_WL} AS wl FROM documents),
+sh AS (
+  SELECT doc_id, any_value(lang) AS lang,
+         list(DISTINCT (wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])) AS sh
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(wl) - 2)) AS i) g
+  GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  len(list_filter(a.sh, x -> list_contains(b.sh, x)))::DOUBLE /
+  len(list_distinct(list_cat(a.sh, b.sh)))::DOUBLE AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE jaccard >= 0.5
+"""
+
+
+def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.simhash_fingerprints(docs, "text", "doc_id")
+
+
+def _simhash_oracle() -> str:
+    bits = []
+    for p in range(1, 17):
+        bits.append(
+            "CASE WHEN list_sum(list_transform(wl, x -> "
+            f"(strpos('0123456789abcdef', substr(md5(x), {p}, 1)) - 1) % 2 * 2 - 1"
+            ")) > 0 THEN '1' ELSE '0' END"
+        )
+    return (
+        f"WITH w AS (SELECT doc_id, {_WL} AS wl FROM documents)\n"
+        "SELECT doc_id AS doc, " + " || ".join(bits) + " AS simhash FROM w"
+    )
+
+
+ORACLE_SIMHASH = _simhash_oracle()
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        TXT.token_count("text").alias("n_tokens"),
+        TXT.bpe_ish_token_count("text").alias("bpe_tokens"),
+        F.length("text").alias("n_chars_calc"),
+    )
+
+
+ORACLE_TOKEN_STATS = f"""
+SELECT doc_id,
+  len({_WL}) AS n_tokens,
+  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+  length(text) AS n_chars_calc
+FROM documents
+"""
+
+
+def t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", *TXT.quality_features("text"))
+
+
+ORACLE_QUALITY = f"""
+WITH w AS (SELECT doc_id, text, {_WL} AS wl FROM documents)
+SELECT doc_id,
+  length(text) AS n_chars_calc,
+  len(wl) AS n_tokens,
+  len(list_filter(wl, x -> list_contains({_STOPS}, x)))::DOUBLE / len(wl) AS stop_ratio,
+  list_sum(list_transform(wl, x -> length(x)))::DOUBLE / len(wl) AS mean_token_len,
+  length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text) AS digit_ratio,
+  (len(wl) >= 10 AND len(wl) <= 10000
+   AND len(list_filter(wl, x -> list_contains({_STOPS}, x))) > 0) AS quality_ok
+FROM w
+"""
+
+
+def t_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", "lang", *TXT.lang_scores("text")).withColumn(
+        "predicted", TXT.lang_predict()
+    )
+
+
+def _langid_oracle() -> str:
+    score_cols = []
+    for lang, markers in TXT.LANG_MARKERS.items():
+        lst = "['" + "','".join(markers) + "']"
+        score_cols.append(
+            f"len(list_filter(wl, x -> list_contains({lst}, x))) AS score_{lang}"
+        )
+    cases = []
+    prio = TXT.LANG_PRIORITY
+    for i, lang in enumerate(prio[1:], start=1):
+        conds = " AND ".join(f"score_{lang} > score_{e}" for e in prio[:i])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{prio[0]}' END"
+    return (
+        f"WITH w AS (SELECT doc_id, lang, {_WL} AS wl FROM documents),\n"
+        "s AS (SELECT doc_id, lang, " + ", ".join(score_cols) + " FROM w)\n"
+        f"SELECT doc_id, lang, score_en, score_de, score_es, score_fr, score_zh, "
+        f"{case_sql} AS predicted FROM s"
+    )
+
+
+ORACLE_LANGID = _langid_oracle()
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+def e_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.cosine_topk(emb, "embedding", "vec_id", k=5)
+
+
+ORACLE_COSINE_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+    round(list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+      AS cos_sim
+  FROM e a, e b WHERE a.vec_id <> b.vec_id
+)
+SELECT vec_id, nbr, cos_sim, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr) AS rnk
+  FROM p
+) WHERE rnk <= 5
+"""
+
+
+def e_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return dedup.embedding_near_dups(emb, "embedding", "vec_id", threshold=0.45)
+
+
+ORACLE_E_NEAR_DUPS = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  list_dot_product(a.v, b.v) /
+  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+FROM e a, e b
+WHERE a.vec_id < b.vec_id AND cos >= 0.45
+"""
+
+
+def e_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN — approximate by design, so no SQL oracle; the
+    driver records a rows-only check and tests/test_llm_ops.py measures
+    recall against the brute-force baseline."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.lsh_ann_topk(
+        emb, "embedding", "vec_id", k=5, n_planes=4, n_tables=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+def m_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = multimodal.attach_payload(load_table(spark, "documents", sf_dir))
+    return docs.select("doc_id", "payload_len", F.md5("text").alias("text_md5"))
+
+
+ORACLE_PAYLOAD_META = """
+SELECT doc_id, octet_length(encode(text)) AS payload_len, md5(text) AS text_md5
+FROM documents
+"""
+
+
+def m_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched fake decode via mapInPandas — Python stage, no SQL
+    oracle (rows-only check); decode determinism is pytest-verified."""
+    docs = multimodal.attach_payload(load_table(spark, "documents", sf_dir))
+    return multimodal.decode_images(docs)
+
+
+QUERIES = {
+    "d_exact_dedup": d_exact_dedup,
+    "d_fingerprint": d_fingerprint,
+    "d_minhash_lsh": d_minhash_lsh,
+    "d_ngram_jaccard": d_ngram_jaccard,
+    "d_simhash": d_simhash,
+    "t_token_stats": t_token_stats,
+    "t_quality": t_quality,
+    "t_langid": t_langid,
+    "e_cosine_topk": e_cosine_topk,
+    "e_near_dups": e_near_dups,
+    "e_ann_lsh": e_ann_lsh,
+    "m_payload_meta": m_payload_meta,
+    "m_image_meta": m_image_meta,
+}
+
+ORACLE = {
+    "d_exact_dedup": ORACLE_EXACT_DEDUP,
+    "d_fingerprint": ORACLE_FINGERPRINT,
+    "d_minhash_lsh": ORACLE_MINHASH,
+    "d_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "d_simhash": ORACLE_SIMHASH,
+    "t_token_stats": ORACLE_TOKEN_STATS,
+    "t_quality": ORACLE_QUALITY,
+    "t_langid": ORACLE_LANGID,
+    "e_cosine_topk": ORACLE_COSINE_TOPK,
+    "e_near_dups": ORACLE_E_NEAR_DUPS,
+    "m_payload_meta": ORACLE_PAYLOAD_META,
+    # e_ann_lsh, m_image_meta: rows-only (approximate / Python stage)
+}
