@@ -23,6 +23,7 @@ from udlang_spark.session import get_spark
 from udlang_spark.sources.tables import TABLE_NAMES, load_table
 
 HEADLINE = [
+    # relational core
     "q01_pricing_summary",
     "q02_forecast_revenue",
     "q03_shipping_priority",
@@ -31,6 +32,14 @@ HEADLINE = [
     "q08_topk_per_group",
     "q09_running_totals",
     "q13_events_tumbling",
+    # uDLang kernels (compiled to Column expressions)
+    "k_filter",
+    "k_count",
+    # LLM-pipeline operators
+    "d_minhash_lsh",
+    "d_simhash",
+    "t_quality",
+    "e_cosine_topk",
 ]
 
 

@@ -1,0 +1,57 @@
+"""Physical-plan audit (SURVEY.md §4, the 100 TB checklist): predicates and
+projections reach the parquet scan, dimension joins broadcast, aggregations
+have map-side partial phases, and kernels stay inside WholeStageCodegen."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR_CORRECTNESS
+from udlang_spark.queries import kernels, relational
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q02_pushdown_and_pruning(spark):
+    df = relational.QUERIES["q02_forecast_revenue"](spark, SF_DIR_CORRECTNESS)
+    plan = plan_of(df)
+    assert "PushedFilters:" in plan
+    assert "GreaterThanOrEqual(l_discount,0.02)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    # column pruning: only the 5 needed columns are read
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_extendedprice" in read_schema and "l_returnflag" not in read_schema
+
+
+def test_q05_broadcasts_dimensions(spark):
+    plan = plan_of(relational.QUERIES["q05_region_volume"](spark, SF_DIR_CORRECTNESS))
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+
+
+def test_q01_partial_aggregation(spark):
+    plan = plan_of(relational.QUERIES["q01_pricing_summary"](spark, SF_DIR_CORRECTNESS))
+    # two-phase agg: partial before the exchange, final after
+    assert "HashAggregate" in plan
+    assert plan.index("HashAggregate") < plan.index("Exchange") or plan.count(
+        "HashAggregate"
+    ) >= 2
+
+
+def test_kernel_filter_pushdown(spark):
+    plan = plan_of(kernels.QUERIES["k_filter"](spark, SF_DIR_CORRECTNESS))
+    assert "GreaterThan(value,250.0)" in plan
+    assert "Generate" not in plan  # fast path: no posexplode for if+out
+
+
+def test_kernel_hello_column_pruning(spark):
+    plan = plan_of(kernels.QUERIES["k_hello"](spark, SF_DIR_CORRECTNESS))
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_kernel_multi_out_single_generate(spark):
+    plan = plan_of(kernels.QUERIES["k_count"](spark, SF_DIR_CORRECTNESS))
+    assert plan.count("Generate (") == 1  # one posexplode tree node
+    assert "Exchange" not in plan  # row-local: zero shuffle

@@ -1,0 +1,142 @@
+"""Streaming: kernels and windowed aggs on readStream, checked for
+batch-equivalence (same Column expressions, same results)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from tests.conftest import SF_DIR_SMOKE
+from udlang_spark.kernel import ast
+from udlang_spark.kernel.api import compile_kernel
+from udlang_spark.sources import json_lift
+from udlang_spark.sources.tables import load_table
+from udlang_spark.streaming import runner
+
+DOUBLER = """
+version 0.1-pre_mvp;
+script "doubler";
+input Float;
+output Float;
+if (in > 100.0) {
+  out in * 2.0;
+}
+"""
+
+
+@pytest.fixture(scope="module")
+def events_json_dir(spark):
+    """events rows as JSON files — a replayable file stream."""
+    tmp = tempfile.mkdtemp(prefix="udlang_stream_")
+    ev = load_table(spark, "events", SF_DIR_SMOKE)
+    json_lift.lower_json(
+        ev.select("event_id", "event_type", "value"),
+        ("event_id", "event_type", "value"),
+    ).select("json").coalesce(2).write.mode("overwrite").text(tmp)
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_kernel_stream_equals_batch(spark, events_json_dir):
+    input_t = ast.TRecord(
+        (
+            ast.TRecordField("event_id", ast.T_INT),
+            ast.TRecordField("event_type", ast.T_STR),
+            ast.TRecordField("value", ast.T_FLOAT),
+        )
+    )
+    schema = json_lift.input_schema(input_t)
+    stream = (
+        spark.readStream.schema(schema).option("mode", "FAILFAST").json(events_json_dir)
+    )
+    k = compile_kernel(DOUBLER)
+    out = runner.kernel_stream(k, stream, input_col="value")
+    got = runner.run_stream_to_memory(out, "t_kernel_stream", spark)
+    stream_vals = sorted(r.out for r in got.collect())
+
+    batch = load_table(spark, "events", SF_DIR_SMOKE)
+    batch_vals = sorted(
+        r.out for r in k.apply(batch, input_col="value").collect()
+    )
+    assert stream_vals == batch_vals
+    assert len(stream_vals) > 0
+
+
+def test_windowed_stream_equals_batch(spark, events_json_dir):
+    input_t = ast.TRecord(
+        (
+            ast.TRecordField("event_id", ast.T_INT),
+            ast.TRecordField("event_type", ast.T_STR),
+            ast.TRecordField("value", ast.T_FLOAT),
+        )
+    )
+    # synthesize a timestamp from event_id so the JSON replay has event-time
+    from pyspark.sql import functions as F
+
+    def with_ts(df):
+        return df.withColumn(
+            "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("event_id") * 60)
+        )
+
+    schema = json_lift.input_schema(input_t)
+    stream = with_ts(
+        spark.readStream.schema(schema).option("mode", "FAILFAST").json(events_json_dir)
+    )
+    res = runner.windowed_agg_stream(
+        stream, "ts", window="1 hour", watermark="2 hours",
+        group_cols=("event_type",), aggs={"value": "sum"},
+    )
+    got = runner.run_windowed_stream_to_memory(res, "t_win_stream", spark)
+    stream_rows = {
+        (r.w.start, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in got.collect()
+    }
+
+    batch = with_ts(load_table(spark, "events", SF_DIR_SMOKE))
+    batch_res = runner.windowed_agg_stream(
+        batch, "ts", window="1 hour", group_cols=("event_type",), aggs={"value": "sum"}
+    )
+    batch_rows = {
+        (r.w.start, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in batch_res.collect()
+    }
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 10
+
+
+def test_lift_json_policies(spark):
+    rows = [
+        ('{"value": 1}',),
+        ('{"value": 2}',),
+        ("{not json",),
+    ]
+    df = spark.createDataFrame(rows, "j string")
+
+    ok = json_lift.lift_json(df, "j", ast.T_INT, policy="ignore")
+    assert sorted(r.value for r in ok.collect()) == [1, 2]
+
+    warn = json_lift.lift_json(df, "j", ast.T_INT, policy="warn")
+    got = warn.collect()
+    assert len(got) == 3
+    corrupt = [r for r in got if r._corrupt is not None]
+    assert len(corrupt) == 1 and r"{not json" in corrupt[0]._corrupt
+
+    with pytest.raises(Exception, match="Malformed|FAILFAST"):
+        json_lift.lift_json(df, "j", ast.T_INT, policy="abort").collect()
+
+
+def test_lower_then_lift_roundtrip(spark):
+    ev = load_table(spark, "events", SF_DIR_SMOKE).select("event_id", "value")
+    input_t = ast.TRecord(
+        (
+            ast.TRecordField("event_id", ast.T_INT),
+            ast.TRecordField("value", ast.T_FLOAT),
+        )
+    )
+    lowered = json_lift.lower_json(ev, ("event_id", "value")).select("json")
+    lifted = json_lift.lift_json(lowered, "json", input_t, policy="abort")
+    orig = {(r.event_id, r.value) for r in ev.collect()}
+    back = {(r.event_id, r.value) for r in lifted.collect()}
+    assert orig == back

@@ -55,6 +55,61 @@ class Kernel:
             input_col = df.columns[0]
         return SCol(F.col(input_col), it)
 
+    def _filter_select_fastpath(
+        self, df: DataFrame, input_col: str | None, keep: tuple[str, ...],
+        out_name: str,
+    ) -> DataFrame | None:
+        """Peephole (SURVEY.md §2.2): a kernel whose whole body is
+        `if (p) { out e; }` (or a bare `out e;`) lowers to filter+select
+        instead of posexplode(when(...)). This keeps the predicate a plain
+        Filter node, so Catalyst pushes it into the parquet scan — at scale
+        the difference between reading a partition and skipping it."""
+        body = [s for s in self.program.body]
+        decls = self.program.decls
+        # declarations must be pure (no `out` at init time) — funcs/lets are;
+        # conservative: allow any decls, they contribute no rows unless they
+        # contain Out/iteration statements
+        if any(isinstance(s, (ast.Out, ast.ListIter, ast.MapIter, ast.Suppose)) for s in decls):
+            return None
+        if len(body) != 1:
+            return None
+        comp = Compiler(self.program, self.max_depth)
+        env: dict = {"in": self._in_sval(df, input_col)}
+        for d in decls:
+            comp.compile_stmt(d, env)
+        stmt = body[0]
+        if isinstance(stmt, ast.Out):
+            val, outs = comp.compile_expr(stmt.value, env)
+            if outs is not None:
+                return None
+            out_col = comp.coerce_to(val, comp.resolve_type(self.program.output))
+            return df.select(*[F.col(c) for c in keep], out_col.alias(out_name))
+        if (
+            isinstance(stmt, ast.ExprStmt)
+            and isinstance(stmt.expr, ast.Cond)
+            and len(stmt.expr.clauses) == 1
+            and stmt.expr.default is None
+        ):
+            pred_ast, block = stmt.expr.clauses[0]
+            if not (
+                isinstance(block, ast.Block)
+                and block.ret is None
+                and len(block.stmts) == 1
+                and isinstance(block.stmts[0], ast.Out)
+            ):
+                return None
+            pval, pouts = comp.compile_expr(pred_ast, env)
+            oval, oouts = comp.compile_expr(block.stmts[0].value, env)
+            if pouts is not None or oouts is not None:
+                return None
+            out_col = comp.coerce_to(oval, comp.resolve_type(self.program.output))
+            from udlang_spark.kernel.compiler import as_col
+
+            return df.filter(as_col(pval)).select(
+                *[F.col(c) for c in keep], out_col.alias(out_name)
+            )
+        return None
+
     def apply(
         self,
         df: DataFrame,
@@ -69,7 +124,15 @@ class Kernel:
         array — per-record output order is the `pos` column); records that
         emit nothing produce no rows (posexplode drops empty arrays), which
         is exactly the reference's conditional-`out` filter semantics.
+
+        Single-`out` and conditional-single-`out` kernels take a
+        filter+select fast path so predicates and projections push down to
+        the scan (see _filter_select_fastpath).
         """
+        if not with_pos:
+            fast = self._filter_select_fastpath(df, input_col, keep, out_name)
+            if fast is not None:
+                return fast
         outs = self.outputs_column(self._in_sval(df, input_col))
         exploded = F.posexplode(outs)
         cols = [F.col(c) for c in keep]
