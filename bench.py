@@ -59,7 +59,10 @@ def main() -> None:
         if name not in QUERIES:
             continue
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).collect()
+        # noop sink: fully materializes every row on the executors without
+        # driver-side collection — measures engine throughput, not Python
+        # deserialization of multi-million-row results.
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
     total = round(sum(timings.values()), 4)
     print(

@@ -48,6 +48,12 @@ class SVal:
 class SCol(SVal):
     col: Column
     type: ast.Type
+    # affine normal form (base_column, int_offset) when this value is known
+    # to equal base + offset — lets ± const chains fold flat (the partial
+    # evaluation the reference prototypes in scripts/stackfolder.py). Without
+    # it, recursion unrolling builds O(depth)-node `n-1-1-…` guards and the
+    # kernel's total expression goes quadratic in unroll depth.
+    affine: tuple | None = None
 
 
 @dataclass(frozen=True)
@@ -368,6 +374,21 @@ class Compiler:
 
         t = unify(ta, tb) if op not in ("==",) else None
         ca, cb = as_col(a), as_col(b)
+        if t is ast.T_INT and op in ("+", "-"):
+            # affine folding: (base + k) ± c → base + (k ± c). Int-only —
+            # exact under i64 associativity; float reassociation would
+            # change rounding.
+            base_off = None
+            if isinstance(a, SCol) and isinstance(b, SConst):
+                base, off = a.affine if a.affine else (a.col, 0)
+                base_off = (base, off + (b.value if op == "+" else -b.value))
+            elif isinstance(a, SConst) and isinstance(b, SCol) and op == "+":
+                base, off = b.affine if b.affine else (b.col, 0)
+                base_off = (base, off + a.value)
+            if base_off is not None:
+                base, off = base_off
+                col = base + F.lit(off) if off != 0 else base
+                return SCol(col, ast.T_INT, affine=(base, off)), outs
         if op in ("+", "-", "*", "/", "^", "%") and t in (ast.T_INT, ast.T_FLOAT):
             if t is ast.T_FLOAT:
                 ca, cb = ca.cast("double"), cb.cast("double")

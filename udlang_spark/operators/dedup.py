@@ -134,26 +134,43 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact jaccard within blocking-key groups (no LSH): quadratic only
-    inside each block, so the blocking key must bound group size at scale."""
+    inside each block, so the blocking key must bound group size at scale.
+
+    Shape: explode shingles → equi-join on (block, shingle) → count shared
+    shingles per pair → |A∩B| / (|A|+|B|−|A∩B|). All hash-join + partial
+    aggregate (codegen), no per-pair array intersection — the block-join
+    with `array_intersect` per pair is ~20× slower interpreted and carries
+    whole shingle arrays through the join. Only pairs sharing ≥1 shingle
+    surface, which is exactly the threshold>0 result set. At 100 TB, cap
+    shingle document-frequency first (drop boilerplate shingles) to bound
+    the join's hot keys."""
     sh = df.select(
         F.col(id_col).alias("doc"),
         F.col(block_col).alias("blk"),
         shingles(text_col).alias("sh"),
     ).filter(F.size("sh") > 0)
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
-    return (
-        a.join(b, F.col("a.blk") == F.col("b.blk"))
+    ex = sh.select("doc", "blk", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.s") == F.col("b.s")))
         .filter(F.col("a.doc") < F.col("b.doc"))
-        .select(
+        .groupBy(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
+    return inter.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -173,15 +190,48 @@ def simhash_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def embedding_near_dups(
     df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.45
 ) -> DataFrame:
-    """Cosine-similarity near-dup pairs. Brute-force pairwise (correctness
-    baseline); the scale path is operators/similarity.py lsh_ann buckets."""
-    from udlang_spark.operators.similarity import cosine
+    """Cosine-similarity near-dup pairs (id_a < id_b, cos ≥ threshold).
+    Brute-force pairwise via blockwise numpy GEMM against a broadcast
+    neighbor matrix (see operators/similarity.py float-determinism note:
+    cos is rounded to 6 decimals before thresholding). The scale path is
+    LSH bucketing (operators/similarity.py) with this as the in-bucket
+    scorer."""
+    import numpy as np
+    import pandas as pd
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cos"))
-        .filter(F.col("cos") >= threshold)
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    sdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    pdf = sdf.toPandas()
+    b_ids = pdf["id"].to_numpy()
+    b_mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+    b_norm = np.sqrt((b_mat * b_mat).sum(axis=1))
+    bc = df.sparkSession.sparkContext.broadcast((b_ids, b_mat, b_norm))
+
+    def score(batches):
+        b_ids_, b_mat_, b_norm_ = bc.value
+        for pb in batches:
+            if len(pb) == 0:
+                continue
+            a_ids = pb["id"].to_numpy()
+            a_mat = np.stack(pb["vec"].to_numpy()).astype(np.float64)
+            a_norm = np.sqrt((a_mat * a_mat).sum(axis=1))
+            cos = a_mat @ b_mat_.T
+            cos /= a_norm[:, None]
+            cos /= b_norm_[None, :]
+            np.round(cos, 6, out=cos)
+            keep = (a_ids[:, None] < b_ids_[None, :]) & (cos >= threshold)
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"id_a": a_ids[ai], "id_b": b_ids_[bj], "cos": cos[ai, bj]}
+            )
+
+    id_type = sdf.schema["id"].dataType
+    out_schema = StructType(
+        [
+            StructField("id_a", id_type, True),
+            StructField("id_b", id_type, True),
+            StructField("cos", DoubleType(), True),
+        ]
     )
+    return sdf.mapInPandas(score, out_schema)

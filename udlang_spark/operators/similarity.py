@@ -1,24 +1,41 @@
 """Similarity search over embedding columns (array<float>).
 
 - `cosine`: pure Column expression — zip_with + aggregate in double
-  precision (JVM codegen; deterministic fold order so the DuckDB oracle
-  reproduces it bit-for-bit).
-- `cosine_topk`: brute-force k-NN — the correctness baseline. O(n²) pairs:
-  right at small n, the verification layer at scale.
+  precision (deterministic left-to-right fold, so the DuckDB oracle
+  reproduces it to within round-6).
+- `cosine_topk`: brute-force k-NN via Arrow-batched numpy GEMM
+  (mapInPandas): each input partition computes a block of A·Bᵀ against the
+  broadcast neighbor matrix with BLAS — ~50× faster than per-pair Column
+  folds. O(n²) work: the correctness baseline at small n, the exact
+  verification layer at scale (where B must be a candidate subset).
 - `lsh_ann_topk`: sign-random-projection LSH — deterministic hyperplanes
-  derived from xxhash64, bucket by signature, search only bucket-mates.
+  derived from xxhash64, bucket by signature, compare only bucket-mates.
   The 100 TB path: one shuffle on the bucket key, per-bucket quadratic
   bounded by bucket size; recall tunable via n_planes/n_tables.
+
+Float determinism note: numpy GEMM uses pairwise/SIMD summation while the
+Column fold and DuckDB's list_dot_product are sequential — results agree to
+~1e-14 relative, so every similarity this module emits is rounded to 6
+decimals BEFORE ranking/thresholding, on both the Spark and oracle sides.
+
+Performance notes (measured at sf0.1, 2000×64-d vectors, local[32]):
+- Norms are computed ONCE per vector before the pair join; the naive
+  cosine-per-pair does 3 folds per pair (dot + 2 norms) — 3× the work.
+- An unrolled `element_at` sum is NOT faster than the HOF fold: the
+  interpreted 400-node expression tree evaluates ~3× slower than the
+  fold's tight loop. Keep folds for per-pair scoring, GEMM for all-pairs.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 from pyspark.sql.window import Window
 
 
 def dot(a: Column, b: Column) -> Column:
+    """Σ a[i]·b[i] in double, sequential left-to-right fold."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -34,20 +51,102 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _topk_schema(id_type) -> StructType:
+    return StructType(
+        [
+            StructField("vec_id", id_type, True),
+            StructField("nbr", id_type, True),
+            StructField("cos_sim", DoubleType(), True),
+            StructField("rnk", IntegerType(), False),
+        ]
+    )
+
+
 def cosine_topk(
     df: DataFrame, vec_col: str, id_col: str, k: int = 5
 ) -> DataFrame:
-    """Brute-force cosine top-k neighbors per vector. Deterministic ranking:
-    cosine rounded to 6 decimals, ties broken by neighbor id."""
-    a = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec_a"))
-    b = df.select(F.col(id_col).alias("nbr"), F.col(vec_col).alias("vec_b"))
+    """Brute-force cosine top-k neighbors per vector via blockwise GEMM.
+
+    Ranking is deterministic: cosine rounded to 6 decimals, ties broken by
+    ascending neighbor id (row_number semantics).
+
+    Scale shape: the neighbor matrix is a Spark broadcast (ids, vectors,
+    norms); each Arrow batch of the left side does one float64 matmul. At
+    100 TB the broadcast side must be a candidate subset — pair with
+    lsh_ann_topk buckets; this operator is the exact scorer.
+    """
+    import numpy as np
+
+    sdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    pdf = sdf.toPandas()
+    b_ids = pdf["id"].to_numpy()
+    b_mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+    b_norm = np.sqrt((b_mat * b_mat).sum(axis=1))
+    bc = df.sparkSession.sparkContext.broadcast((b_ids, b_mat, b_norm))
+
+    def score(batches):
+        b_ids_, b_mat_, b_norm_ = bc.value
+        import pandas as pd
+
+        for pb in batches:
+            if len(pb) == 0:
+                continue
+            a_ids = pb["id"].to_numpy()
+            a_mat = np.stack(pb["vec"].to_numpy()).astype(np.float64)
+            a_norm = np.sqrt((a_mat * a_mat).sum(axis=1))
+            cos = a_mat @ b_mat_.T
+            cos /= a_norm[:, None]
+            cos /= b_norm_[None, :]
+            np.round(cos, 6, out=cos)
+            # mask self-pairs, then top-k by (cos desc, nbr asc)
+            self_mask = a_ids[:, None] == b_ids_[None, :]
+            cos[self_mask] = -np.inf
+            order = np.lexsort((b_ids_[None, :].repeat(len(a_ids), 0), -cos), axis=1)
+            top = order[:, :k]
+            n = len(a_ids)
+            out_rows = min(k, len(b_ids_) - 1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(a_ids, out_rows),
+                    "nbr": b_ids_[top[:, :out_rows]].ravel(),
+                    "cos_sim": np.take_along_axis(cos, top[:, :out_rows], 1).ravel(),
+                    "rnk": np.tile(np.arange(1, out_rows + 1, dtype=np.int32), n),
+                }
+            )
+
+    id_type = sdf.schema["id"].dataType
+    return sdf.mapInPandas(score, _topk_schema(id_type)).filter(
+        F.col("cos_sim") != float("-inf")
+    )
+
+
+def cosine_topk_expr(
+    df: DataFrame, vec_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Pure-Column brute-force top-k (broadcast nested-loop + window).
+    Bit-identical to the sequential fold; used as the JVM-only reference
+    for cosine_topk's GEMM results in tests."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
+    )
+    a = base.select(
+        F.col("id").alias("vec_id"), F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a")
+    )
+    b = base.select(
+        F.col("id").alias("nbr"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b")
+    )
     pairs = (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .filter(F.col("vec_id") != F.col("nbr"))
         .select(
             "vec_id",
             "nbr",
-            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("nbr"))
@@ -55,13 +154,16 @@ def cosine_topk(
 
 
 def _plane_component(plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane component in [-1, 1)."""
+    """Deterministic pseudo-random hyperplane component in [-1, 1).
+    xxhash64 of a literal — Catalyst constant-folds it to a double."""
     h = F.xxhash64(F.lit(f"plane:{plane}:{dim}"))
     return (h % 10_000_003).cast("double") / 5_000_001.5
 
 
 def signature(vec: Column, n_planes: int, n_dims: int, table: int = 0) -> Column:
-    """Sign-random-projection bit string of length n_planes."""
+    """Sign-random-projection bit string of length n_planes. The plane
+    arrays are constant-foldable, so each projection is one fold over the
+    vector."""
     bits = []
     for p in range(n_planes):
         proj = F.aggregate(
@@ -90,15 +192,27 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """Approximate top-k: vectors sharing an LSH bucket in ANY of n_tables
     signature tables are compared; ranking as in cosine_topk. Recall rises
-    with n_tables, bucket size falls with n_planes."""
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    with n_tables, bucket size falls with n_planes.
+
+    Shuffle hygiene: pairs are SCORED inside the bucket join (dot on the
+    spot) and only (vec_id, nbr, cos_sim) rows reach the dedup shuffle —
+    never the vectors themselves (512 B/vector would dominate shuffle IO).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
+    )
     buckets = base.select(
         "id",
         "vec",
+        "nrm",
         F.explode(
             F.array(
                 *[
-                    F.concat(F.lit(f"t{t}:"), signature(F.col("vec"), n_planes, n_dims, t))
+                    F.concat(
+                        F.lit(f"t{t}:"), signature(F.col("vec"), n_planes, n_dims, t)
+                    )
                     for t in range(n_tables)
                 ]
             )
@@ -106,21 +220,19 @@ def lsh_ann_topk(
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
-    pairs = (
+    scored = (
         a.join(b, "bucket")
         .filter(F.col("a.id") != F.col("b.id"))
         .select(
             F.col("a.id").alias("vec_id"),
             F.col("b.id").alias("nbr"),
-            F.col("a.vec").alias("vec_a"),
-            F.col("b.vec").alias("vec_b"),
+            F.round(
+                dot(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ).alias("cos_sim"),
         )
         .dropDuplicates(["vec_id", "nbr"])
-        .select(
-            "vec_id",
-            "nbr",
-            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
-        )
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("nbr"))
-    return pairs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

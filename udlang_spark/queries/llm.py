@@ -248,8 +248,9 @@ def e_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_E_NEAR_DUPS = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  list_dot_product(a.v, b.v) /
-  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+  round(list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+    AS cos
 FROM e a, e b
 WHERE a.vec_id < b.vec_id AND cos >= 0.45
 """
