@@ -148,3 +148,50 @@ def test_comments_and_shebang():
 def test_string_escapes():
     e = parse_expr('"a\\nb\\"c"')
     assert e.value == 'a\nb"c'
+
+
+# -- match / patterns (reference manual.md:124-132, README.md:124-138) -----
+def test_match_literal_patterns():
+    prog = parse(
+        'version 0.1-pre_mvp;\nscript "m";\n'
+        'input "Hello" | "Goodnight";\noutput Str;\n'
+        'out match in { case "Hello": "hi"; case "Goodnight": "bye"; };\n'
+    )
+    m = prog.body[0].value
+    assert isinstance(m, ast.Match)
+    assert isinstance(m.arms[0].pattern, ast.PLit)
+    assert m.arms[0].pattern.value == "Hello"
+    # value-typed input parses as a union of TValue
+    assert isinstance(prog.input, ast.TUnion)
+    assert all(isinstance(v, ast.TValue) for v in prog.input.variants)
+
+
+def test_match_typed_and_bare_binds():
+    e = parse_expr("match in { case s:Float: s; case p: p; case None: in; }")
+    assert isinstance(e, ast.Match)
+    p0, p1, p2 = (a.pattern for a in e.arms)
+    assert isinstance(p0, ast.PBind) and p0.type is ast.T_FLOAT
+    assert isinstance(p1, ast.PBind) and p1.type is None
+    assert isinstance(p2, ast.PNone)
+
+
+def test_comprehension_forms():
+    # `$`-partial, arrow lambda, bound function name (README.md:171-177)
+    e1 = parse_expr("[in | $ * 2]")
+    assert isinstance(e1, ast.Comprehension)
+    e2 = parse_expr("[in | (item) => item + 1]")
+    assert isinstance(e2.fn, ast.Lambda)
+    e3 = parse_expr("[in | helper]")
+    assert isinstance(e3.fn, ast.Id)
+
+
+def test_as_cast_precedence():
+    # `x as F32 + y` is `(x as F32) + y` (manual.md:118)
+    e = parse_expr("x as F32 + y")
+    assert isinstance(e, ast.Bin) and e.op == "+"
+    assert isinstance(e.a, ast.Cast)
+
+
+def test_list_literal_still_parses():
+    e = parse_expr("[1, 2, 3]")
+    assert isinstance(e, ast.ListExpr) and len(e.items) == 3

@@ -41,7 +41,10 @@ class Kernel:
         return Compiler(self.program, self.max_depth).compile(in_val)
 
     def _in_sval(self, df: DataFrame, input_col: str | None) -> SVal:
-        it = self.program.input
+        # resolve aliases/value-types so `in` carries a structural type
+        # (e.g. `input "Hello" | "Goodnight"` is Str; unions are tagged
+        # structs)
+        it = Compiler(self.program, self.max_depth).resolve_type(self.program.input)
         if isinstance(it, ast.TRecord):
             struct = F.struct(
                 *[F.col(f.name).alias(f.name) for f in it.fields]

@@ -96,6 +96,15 @@ class TCons(Type):
     args: tuple[Type, ...]  # parse-only in reference (src/ast.rs:203-205)
 
 
+@dataclass(frozen=True)
+class TValue(Type):
+    """Literal/value type, e.g. `input "Hello" | "Goodnight"`
+    (reference manual.md:97, README.md:129). Lowers to the underlying
+    primitive; the value constraint is a match/validation concern."""
+
+    value: object  # str | int | float | bool
+
+
 # --------------------------------------------------------------------------
 # Expressions (reference src/ast.rs:226-240)
 # --------------------------------------------------------------------------
@@ -196,6 +205,66 @@ class Lambda(Expr):
     params: tuple[tuple[str, Type], ...]
     ret: Type
     body: Expr
+
+
+@dataclass(frozen=True)
+class Cast(Expr):
+    """`expr as Type` (reference manual.md:121; IR Coerce src/ir.rs:205)."""
+
+    expr: Expr
+    type: Type
+
+
+class Pattern:
+    pass
+
+
+@dataclass(frozen=True)
+class PLit(Pattern):
+    """`case "Hello":` — literal equality pattern."""
+
+    value: object
+
+
+@dataclass(frozen=True)
+class PNone(Pattern):
+    """`case None:` — null/absent option pattern (reference README.md:236)."""
+
+
+@dataclass(frozen=True)
+class PBind(Pattern):
+    """`case s:Float:` (typed narrowing bind) or bare `case p:` catch-all
+    bind (reference manual.md:124-132)."""
+
+    name: str
+    type: Type | None
+
+
+@dataclass(frozen=True)
+class MatchArm:
+    pattern: Pattern
+    body: Expr
+
+
+@dataclass(frozen=True)
+class Match(Expr):
+    """`match subject { case pat: expr; ... }` (reference manual.md:124-132,
+    README.md:124-138 — documented, no grammar rule in the reference;
+    SURVEY.md §2.11 puts it in our target surface). Lowers to a when-chain
+    over literal equality / union-tag tests."""
+
+    subject: Expr
+    arms: tuple[MatchArm, ...]
+
+
+@dataclass(frozen=True)
+class Comprehension(Expr):
+    """`[xs | f]` — map f over xs (reference README.md:171-177). f is a
+    lambda, a `$`-partial expression, or a bound function value; lowers to
+    `transform(xs, λ)`."""
+
+    seq: Expr
+    fn: Expr
 
 
 # --------------------------------------------------------------------------

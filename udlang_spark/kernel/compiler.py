@@ -27,7 +27,13 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from udlang_spark.kernel import ast
-from udlang_spark.kernel.types import KernelTypeError, python_type_of, to_spark, unify
+from udlang_spark.kernel.types import (
+    KernelTypeError,
+    python_type_of,
+    to_spark,
+    type_tag,
+    unify,
+)
 
 MAX_RECURSION_DEPTH = 48
 
@@ -130,7 +136,12 @@ class Compiler:
         if program.kind != "script":
             raise KernelCompileError("only scripts are executable (libs are linked)")
         self.program = program
-        self.typedefs: dict[str, ast.Type] = {}
+        # pre-scan type aliases so input/output decls may reference them
+        self.typedefs: dict[str, ast.Type] = {
+            d.name: d.type
+            for d in list(program.decls) + list(program.body)
+            if isinstance(d, ast.TypeDef)
+        }
         self.ctx = Ctx(
             out_spark_type=None,
             out_type=program.output,
@@ -139,11 +150,25 @@ class Compiler:
         self.ctx.out_spark_type = to_spark(self.resolve_type(program.output))
 
     # -- type aliases ----------------------------------------------------
+    # documented numeric tower (manual.md:85-97) → our two numeric types;
+    # unsigned types have no Spark equivalent (SURVEY.md §1.2)
+    NUMERIC_ALIASES = {
+        "F32": ast.T_FLOAT, "F64": ast.T_FLOAT, "Number": ast.T_FLOAT,
+        "I8": ast.T_INT, "I16": ast.T_INT, "I32": ast.T_INT, "I64": ast.T_INT,
+        "U8": ast.T_INT, "U16": ast.T_INT, "U32": ast.T_INT, "U64": ast.T_INT,
+        "Nat": ast.T_INT,
+    }
+
     def resolve_type(self, t: ast.Type) -> ast.Type:
         if isinstance(t, ast.TName):
-            if t.name not in self.typedefs:
-                raise KernelTypeError(f"unknown type name {t.name}")
-            return self.resolve_type(self.typedefs[t.name])
+            if t.name in self.typedefs:
+                return self.resolve_type(self.typedefs[t.name])
+            if t.name in self.NUMERIC_ALIASES:
+                return self.NUMERIC_ALIASES[t.name]
+            raise KernelTypeError(f"unknown type name {t.name}")
+        if isinstance(t, ast.TValue):
+            # value types constrain the domain, not the representation
+            return python_type_of(t.value)
         if isinstance(t, ast.TOption):
             return ast.TOption(self.resolve_type(t.inner))
         if isinstance(t, ast.TList):
@@ -153,7 +178,16 @@ class Compiler:
         if isinstance(t, ast.TTuple):
             return ast.TTuple(tuple(self.resolve_type(i) for i in t.items))
         if isinstance(t, ast.TUnion):
-            return ast.TUnion(tuple(self.resolve_type(v) for v in t.variants))
+            # `"Hello" | "Goodnight"` collapses to Str — only unions with
+            # genuinely distinct representations need the tagged struct
+            variants: list[ast.Type] = []
+            for v in t.variants:
+                rv = self.resolve_type(v)
+                if rv not in variants:
+                    variants.append(rv)
+            if len(variants) == 1:
+                return variants[0]
+            return ast.TUnion(tuple(variants))
         return t
 
     # -- entry -----------------------------------------------------------
@@ -293,6 +327,12 @@ class Compiler:
             if expr.name not in env:
                 raise KernelCompileError(f"unbound identifier {expr.name!r}")
             return env[expr.name], None
+        if isinstance(expr, ast.Partial):
+            # `$` as a term: the comprehension/partial-expression element
+            # (call-argument `$` placeholders are handled by compile_call)
+            if "$" in env:
+                return env["$"], None
+            raise KernelCompileError("`$` used outside a partial context")
         if isinstance(expr, ast.Lambda):
             return SFunc(expr.params, expr.ret, expr.body, dict(env)), None
         if isinstance(expr, ast.ListExpr):
@@ -315,6 +355,12 @@ class Compiler:
             return self.compile_cond(expr, env)
         if isinstance(expr, ast.Block):
             return self.compile_block_expr(expr, env)
+        if isinstance(expr, ast.Cast):
+            return self.compile_cast(expr, env)
+        if isinstance(expr, ast.Match):
+            return self.compile_match(expr, env)
+        if isinstance(expr, ast.Comprehension):
+            return self.compile_comprehension(expr, env)
         raise KernelCompileError(f"unsupported expression {expr!r}")
 
     def compile_list(self, expr: ast.ListExpr, env: dict):
@@ -711,6 +757,198 @@ class Compiler:
             return SConst(None, ast.T_VOID), outs_all
         return SCol(tail_val, rtype), outs_all
 
+    def compile_cast(self, expr: ast.Cast, env: dict):
+        """`as` coercion (reference src/ir.rs:510-529 table + manual.md:121):
+        Int↔Float (Float→Int truncates), Bool↔Int (intended true→1, not the
+        reference's inverted table — SURVEY.md §7.5), Str→Bool (non-empty),
+        List/Map→Bool (non-empty)."""
+        v, outs = self.compile_expr(expr.expr, env)
+        t = self.resolve_type(expr.type)
+        vt = vtype(v)
+        if vt == t:
+            return v, outs
+        if isinstance(v, SConst) and not isinstance(v.value, (list, dict)):
+            x = v.value
+            if t is ast.T_INT:
+                return SConst(int(x), ast.T_INT), outs
+            if t is ast.T_FLOAT:
+                return SConst(float(x), ast.T_FLOAT), outs
+            if t is ast.T_BOOL:
+                return SConst(bool(x), ast.T_BOOL), outs
+        if t is ast.T_BOOL:
+            if vt is ast.T_STR:
+                return SCol(F.length(as_col(v)) > 0, ast.T_BOOL), outs
+            if isinstance(vt, (ast.TList, ast.TMap)):
+                return SCol(F.size(as_col(v)) > 0, ast.T_BOOL), outs
+            if vt is ast.T_INT:
+                return SCol(as_col(v) != 0, ast.T_BOOL), outs
+        if vt is ast.T_BOOL and t is ast.T_INT:
+            return SCol(as_col(v).cast("long"), ast.T_INT), outs
+        if vt is ast.T_INT and t is ast.T_FLOAT:
+            return SCol(as_col(v).cast("double"), ast.T_FLOAT), outs
+        if vt is ast.T_FLOAT and t is ast.T_INT:
+            # truncation toward zero (reference src/ir.rs:523 `as i64`)
+            return SCol(as_col(v).cast("long"), ast.T_INT), outs
+        if isinstance(t, ast.TUnion):
+            return SCol(self.coerce_to(v, t), t), outs
+        raise KernelTypeError(f"cannot cast {vt!r} as {t!r}")
+
+    def compile_match(self, expr: ast.Match, env: dict):
+        """match → when-chain (SURVEY.md §2.2 `match` row): literal patterns
+        are equality tests, `None` is a null test, typed binds on a union
+        subject are `_tag` tests that bind the narrowed variant branch.
+        Unmatched rows poison (runtime error), mirroring the reference VM's
+        would-be no-match panic. The subject expression is referenced once
+        per arm — keep subjects simple or bind them with `let` first."""
+        sval, souts = self.compile_expr(expr.subject, env)
+        st = vtype(sval)
+        arms: list[tuple[SVal | None, SVal, Column | None]] = []
+        matched_always = False
+        for arm in expr.arms:
+            pat = arm.pattern
+            bind_env = dict(env)
+            cond: SVal | None
+            if isinstance(pat, ast.PLit):
+                pt = python_type_of(pat.value)
+                try:
+                    unify(st, pt)
+                except KernelTypeError:
+                    # cross-type equality is false, never an error
+                    cond = SConst(False, ast.T_BOOL)
+                else:
+                    if isinstance(sval, SConst):
+                        cond = SConst(sval.value == pat.value, ast.T_BOOL)
+                    else:
+                        cond = SCol(as_col(sval) == F.lit(pat.value), ast.T_BOOL)
+            elif isinstance(pat, ast.PNone):
+                if isinstance(sval, SConst):
+                    cond = SConst(sval.value is None, ast.T_BOOL)
+                else:
+                    cond = SCol(as_col(sval).isNull(), ast.T_BOOL)
+            elif isinstance(pat, ast.PBind):
+                if pat.type is None:
+                    cond = None
+                    bind_env[pat.name] = sval
+                else:
+                    pt = self.resolve_type(pat.type)
+                    if isinstance(st, ast.TUnion):
+                        idx = next(
+                            (i for i, v in enumerate(st.variants) if v == pt), None
+                        )
+                        if idx is None:
+                            cond = SConst(False, ast.T_BOOL)
+                        else:
+                            scol = as_col(sval)
+                            cond = SCol(
+                                scol.getField("_tag") == F.lit(type_tag(pt)),
+                                ast.T_BOOL,
+                            )
+                            bind_env[pat.name] = SCol(scol.getField(f"_{idx}"), pt)
+                    else:
+                        inner = st.inner if isinstance(st, ast.TOption) else st
+                        if inner == pt:
+                            if isinstance(st, ast.TOption) and isinstance(sval, SCol):
+                                cond = SCol(as_col(sval).isNotNull(), ast.T_BOOL)
+                                bind_env[pat.name] = SCol(as_col(sval), pt)
+                            else:
+                                cond = None
+                                bind_env[pat.name] = sval
+                        else:
+                            cond = SConst(False, ast.T_BOOL)
+            else:
+                raise KernelCompileError(f"unsupported pattern {pat!r}")
+            if isinstance(cond, SConst):
+                if not cond.value:
+                    continue  # statically never matches
+                cond = None  # statically always matches
+            bval, bouts = self.compile_expr(arm.body, bind_env)
+            arms.append((cond, bval, bouts))
+            if cond is None:
+                matched_always = True
+                break
+
+        rtype: ast.Type | None = None
+        for _, bval, _ in arms:
+            if isinstance(bval, (SCol, SConst)) and vtype(bval) is not ast.T_VOID:
+                rtype = vtype(bval) if rtype is None else unify(rtype, vtype(bval))
+        spark_rt = to_spark(rtype) if rtype is not None else None
+
+        tail_val: Column | None = None
+        tail_outs: Column | None = None
+        if not matched_always:
+            msg = "match: no case matched"
+            if spark_rt is not None:
+                tail_val = F.assert_true(F.lit(False), F.lit(msg)).cast(spark_rt)
+            tail_outs = F.array(
+                F.assert_true(F.lit(False), F.lit(msg)).cast(self.ctx.out_spark_type)
+            )
+        for cond, bval, bouts in reversed(arms):
+            if cond is None:
+                tail_val = (
+                    self.coerce_to(bval, rtype)
+                    if (bval is not None and rtype is not None)
+                    else tail_val
+                )
+                tail_outs = bouts
+                continue
+            ccol = as_col(cond)
+            if rtype is not None:
+                bv = (
+                    self.coerce_to(bval, rtype)
+                    if bval is not None
+                    else F.lit(None).cast(spark_rt)
+                )
+                base = tail_val if tail_val is not None else F.lit(None).cast(spark_rt)
+                tail_val = F.when(ccol, bv).otherwise(base)
+            b_outs = outs_or_empty(self.ctx, bouts)
+            t_outs = outs_or_empty(self.ctx, tail_outs)
+            tail_outs = F.when(ccol, b_outs).otherwise(t_outs)
+
+        outs_all = concat_outs(self.ctx, [souts, tail_outs])
+        if rtype is None or tail_val is None:
+            return SConst(None, ast.T_VOID), outs_all
+        return SCol(tail_val, rtype), outs_all
+
+    def compile_comprehension(self, expr: ast.Comprehension, env: dict):
+        """`[xs | f]` → transform(xs, λ) (SURVEY.md §2.4 comprehension row).
+        The body is inlined per element; it must be pure (no `out`)."""
+        seq, souts = self.compile_expr(expr.seq, env)
+        st = vtype(seq)
+        if isinstance(st, ast.TOption):
+            st = st.inner
+        if not isinstance(st, ast.TList):
+            raise KernelTypeError(f"comprehension over non-list {st!r}")
+        item_t = st.item
+
+        fnexpr = expr.fn
+        if isinstance(fnexpr, ast.Lambda):
+            fn = SFunc(fnexpr.params, fnexpr.ret, fnexpr.body, dict(env))
+        elif isinstance(fnexpr, ast.Id) and isinstance(env.get(fnexpr.name), SFunc):
+            fn = env[fnexpr.name]
+        else:
+            # `$`-partial expression — implicit one-param lambda
+            fn = SFunc((("$", item_t),), ast.T_ANY, fnexpr, dict(env))
+        if len(fn.params) != 1:
+            raise KernelTypeError("comprehension function must take exactly 1 argument")
+        pname, ptype_decl = fn.params[0]
+        ptype = (
+            self.resolve_type(ptype_decl) if ptype_decl is not ast.T_ANY else item_t
+        )
+
+        result_t: list[ast.Type] = []
+
+        def body_fn(el: Column) -> Column:
+            benv = dict(fn.env)
+            benv[pname] = SCol(el, ptype)
+            bval, bouts = self.compile_expr(fn.body, benv)
+            if bouts is not None:
+                raise KernelCompileError("comprehension body cannot emit (`out`)")
+            result_t.append(vtype(bval))
+            return as_col(bval)
+
+        col = F.transform(as_col(seq), body_fn)
+        return SCol(col, ast.TList(result_t[0])), souts
+
     def compile_block_expr(self, expr: ast.Block, env: dict):
         inner = dict(env)
         parts = [self.compile_stmt(s, inner) for s in expr.stmts]
@@ -742,6 +980,24 @@ class Compiler:
             return as_col(v).cast("long")
         if vt is ast.T_INT and t is ast.T_BOOL:
             return as_col(v) != 0
+        if isinstance(t, ast.TUnion):
+            # wrap into the tagged struct (SURVEY.md §7.5): _tag names the
+            # variant, the matching branch holds the value, others are null
+            variants = t.variants
+            idx = next((i for i, var in enumerate(variants) if var == vt), None)
+            if idx is None and vt is ast.T_INT and ast.T_FLOAT in variants:
+                idx = variants.index(ast.T_FLOAT)
+                v = SCol(as_col(v).cast("double"), ast.T_FLOAT)
+                vt = ast.T_FLOAT
+            if idx is None:
+                raise KernelTypeError(f"{vt!r} is not a variant of {t!r}")
+            fields = [F.lit(type_tag(variants[idx])).alias("_tag")]
+            for i, var in enumerate(variants):
+                if i == idx:
+                    fields.append(self.coerce_to(v, var).alias(f"_{i}"))
+                else:
+                    fields.append(F.lit(None).cast(to_spark(var)).alias(f"_{i}"))
+            return F.struct(*fields)
         spark_t = to_spark(t)
         if to_spark(vt) == spark_t:
             return as_col(v)

@@ -33,11 +33,12 @@ KEYWORDS = {
     "type", "if", "elif", "else", "for", "in", "out", "suppose", "done",
     "and", "or", "xor", "not", "true", "false", "import", "export", "as",
     "template", "using", "self", "field", "static", "const", "method",
+    "match", "case",
 }
 
 # Order matters: longest first.
 PUNCT = [
-    ".?.", "...", "->", "<=", ">=", "==", "!=",
+    ".?.", "...", "->", "=>", "<=", ">=", "==", "!=",
     "(", ")", "[", "]", "{", "}", "<", ">", ",", ";", ":", "=",
     "+", "-", "*", "/", "^", "%", ".", "|", "?", "$", "_", "!",
 ]
@@ -52,7 +53,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>"(?:[^\\"]|\\.)*")
   | (?P<id>[a-z_][A-Za-z0-9_]*)
   | (?P<typename>[A-Z][A-Za-z0-9_]*)
-  | (?P<punct>\.\?\.|\.\.\.|->|<=|>=|==|!=|[()\[\]{}<>,;:=+\-*/^%.|?$!])
+  | (?P<punct>\.\?\.|\.\.\.|->|=>|<=|>=|==|!=|[()\[\]{}<>,;:=+\-*/^%.|?$!])
     """,
     re.VERBOSE,
 )

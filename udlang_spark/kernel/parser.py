@@ -248,6 +248,63 @@ class Parser:
         body = self.parse_block_stmt()
         return ast.ListIter(var, source, body)
 
+    def parse_match(self) -> ast.Expr:
+        """`match subject { case pat: expr; ... }` (reference manual.md:
+        124-132; documented only — no grammar rule in the reference)."""
+        self.take("match")
+        subject = self.parse_logic()
+        self.take("{")
+        arms: list[ast.MatchArm] = []
+        while self.accept("case"):
+            pat = self.parse_pattern()
+            self.take(":")
+            body = self.parse_expr()
+            self.take(";")
+            arms.append(ast.MatchArm(pat, body))
+        self.take("}")
+        if not arms:
+            raise ParseError("match with no case arms")
+        return ast.Match(subject, tuple(arms))
+
+    def parse_pattern(self) -> ast.Pattern:
+        t = self.peek()
+        if t.kind == "STR":
+            return ast.PLit(self.take("STR").value)
+        if t.kind == "INT":
+            return ast.PLit(int(self.take("INT").value))
+        if t.kind == "FLOAT":
+            return ast.PLit(float(self.take("FLOAT").value))
+        if t.kind == "-" and self.peek(1).kind in ("INT", "FLOAT"):
+            self.take("-")
+            n = self.peek()
+            if n.kind == "INT":
+                return ast.PLit(-int(self.take("INT").value))
+            return ast.PLit(-float(self.take("FLOAT").value))
+        if t.kind == "true":
+            self.take("true")
+            return ast.PLit(True)
+        if t.kind == "false":
+            self.take("false")
+            return ast.PLit(False)
+        if t.kind == "TYPENAME" and t.value == "None":
+            self.take("TYPENAME")
+            return ast.PNone()
+        if t.kind == "ID":
+            name = self.take("ID").value
+            # `s:Float:` is a typed bind; `p:` alone is a bare bind whose `:`
+            # separates pattern from body — disambiguate by backtracking
+            save = self.i
+            if self.accept(":"):
+                try:
+                    ty = self.parse_type()
+                    if self.at(":"):
+                        return ast.PBind(name, ty)
+                except ParseError:
+                    pass
+                self.i = save
+            return ast.PBind(name, None)
+        raise ParseError(f"line {t.line}: unexpected token {t.kind!r} in pattern")
+
     def parse_suppose(self) -> ast.Stmt:
         self.take("suppose")
         self.take("(")
@@ -391,7 +448,13 @@ class Parser:
             return ast.Un("-", self.parse_invterm())
         if self.accept("not"):
             return ast.Un("not", self.parse_invterm())
-        return self.parse_call()
+        a = self.parse_call()
+        # `as` cast binds tighter than arithmetic: `x as F32 + y` is
+        # `(x as F32) + y` (reference manual.md:118-121). parse_type_cons
+        # (not parse_type) so a following `|` stays with the expression.
+        while self.accept("as"):
+            a = ast.Cast(a, self.parse_type_cons())
+        return a
 
     def parse_call(self) -> ast.Expr:
         a = self.parse_term()
@@ -427,6 +490,11 @@ class Parser:
         if t.kind == "in":
             self.take("in")
             return ast.In()
+        if t.kind == "match":
+            return self.parse_match()
+        if t.kind == "$":
+            self.take("$")
+            return ast.Partial()
         if t.kind == "ID":
             return ast.Id(self.take("ID").value)
         if t.kind == "INT":
@@ -442,6 +510,29 @@ class Parser:
             self.take("false")
             return ast.Lit(False)
         if t.kind == "(":
+            # arrow lambda `(item) => expr` (reference README.md:172) or
+            # parenthesized expression — backtrack on mismatch
+            save = self.i
+            self.take("(")
+            params: list[tuple[str, ast.Type]] = []
+            ok = True
+            while self.at("ID") and ok:
+                name = self.take("ID").value
+                ptype: ast.Type = ast.T_ANY
+                if self.accept(":"):
+                    try:
+                        ptype = self.parse_type()
+                    except ParseError:
+                        ok = False
+                        break
+                params.append((name, ptype))
+                if not self.accept(","):
+                    break
+            if ok and params and self.at(")") and self.at("=>", 1):
+                self.take(")")
+                self.take("=>")
+                return ast.Lambda(tuple(params), ast.T_ANY, self.parse_expr())
+            self.i = save
             self.take("(")
             e = self.parse_expr()
             self.take(")")
@@ -449,8 +540,16 @@ class Parser:
         if t.kind == "[":
             self.take("[")
             items = []
+            first = True
             while not self.at("]"):
-                items.append(self.parse_expr())
+                e = self.parse_expr()
+                if first and self.accept("|"):
+                    # comprehension `[xs | f]` (reference README.md:171-177)
+                    fn = self.parse_expr()
+                    self.take("]")
+                    return ast.Comprehension(e, fn)
+                first = False
+                items.append(e)
                 if not self.accept(","):
                     break
             self.take("]")
@@ -520,6 +619,19 @@ class Parser:
 
     def parse_type_term(self) -> ast.Type:
         t = self.peek()
+        # literal/value types: `input "Hello" | "Goodnight"` (manual.md:97)
+        if t.kind == "STR":
+            return ast.TValue(self.take("STR").value)
+        if t.kind == "INT":
+            return ast.TValue(int(self.take("INT").value))
+        if t.kind == "FLOAT":
+            return ast.TValue(float(self.take("FLOAT").value))
+        if t.kind == "true":
+            self.take("true")
+            return ast.TValue(True)
+        if t.kind == "false":
+            self.take("false")
+            return ast.TValue(False)
         if t.kind == "TYPENAME":
             name = self.take("TYPENAME").value
             if name in self.PRIMS:

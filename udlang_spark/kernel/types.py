@@ -66,6 +66,33 @@ def to_spark(t: ast.Type) -> T.DataType:
     raise KernelTypeError(f"type {t!r} has no Spark data type")
 
 
+def type_tag(t: ast.Type) -> str:
+    """Canonical tag string for a union variant (the `_tag` field of the
+    tagged-struct encoding — SURVEY.md §7.5). Fully qualified so [Int] and
+    [Str] variants stay distinct."""
+    if isinstance(t, ast.TPrim):
+        return t.name
+    if isinstance(t, ast.TOption):
+        return f"Option<{type_tag(t.inner)}>"
+    if isinstance(t, ast.TList):
+        return f"List<{type_tag(t.item)}>"
+    if isinstance(t, ast.TMap):
+        return f"Map<{type_tag(t.value)}>"
+    if isinstance(t, ast.TTuple):
+        return "Tuple<" + ",".join(type_tag(i) for i in t.items) + ">"
+    if isinstance(t, ast.TRecord):
+        return (
+            "Record{"
+            + ",".join(f"{f.name}:{type_tag(f.type)}" for f in t.fields)
+            + "}"
+        )
+    if isinstance(t, ast.TUnion):
+        return "|".join(type_tag(v) for v in t.variants)
+    if isinstance(t, ast.TValue):
+        return repr(t.value)
+    raise KernelTypeError(f"no tag for type {t!r}")
+
+
 def unify(a: ast.Type, b: ast.Type) -> ast.Type:
     """Least upper bound for mixed-type expressions. The reference's op
     tables are monomorphic (src/ir.rs:429-696) but its examples pass Int

@@ -178,6 +178,149 @@ FROM lineitem, LATERAL (SELECT unnest([2, 3]) AS v) u
 """
 
 
+# match on value-typed (string-literal union) input — the README's
+# pattern-matching example (reference README.md:124-138), input derived
+# from events.
+MATCH_LIT_KERNEL = """
+version 0.1-pre_mvp;
+script "pattern matching example";
+input  "Hello" | "Goodnight";
+output Str;
+out match in {
+  case "Hello":     "Hello, World!";
+  case "Goodnight": "Goodnight, Moon!";
+};
+"""
+
+
+def k_match_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    df = ev.select(
+        "event_id",
+        F.when(F.col("value") > 250.0, F.lit("Hello"))
+        .otherwise(F.lit("Goodnight"))
+        .alias("greeting"),
+    )
+    return compile_kernel(MATCH_LIT_KERNEL).apply(
+        df, input_col="greeting", keep=("event_id",)
+    ).select("event_id", "out")
+
+
+ORACLE_MATCH_LIT = """
+SELECT event_id,
+  CASE WHEN value > 250.0 THEN 'Hello, World!' ELSE 'Goodnight, Moon!' END AS out
+FROM events
+"""
+
+
+# match with typed binds over a true union (Float | Str) — tagged-struct
+# encoding (SURVEY.md §7.5); the union column is built from events.
+MATCH_UNION_KERNEL = """
+version 0.1-pre_mvp;
+script "union match";
+input Float | Str;
+output Float;
+out match in {
+  case f:Float: f * 2.0;
+  case s:Str:   0.0 - (s as Bool as Int as Float);
+};
+"""
+
+
+def k_match_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    union_col = F.when(
+        F.col("event_id") % 2 == 0,
+        F.struct(
+            F.lit("Float").alias("_tag"),
+            F.col("value").alias("_0"),
+            F.lit(None).cast("string").alias("_1"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.lit("Str").alias("_tag"),
+            F.lit(None).cast("double").alias("_0"),
+            F.col("event_type").alias("_1"),
+        )
+    )
+    df = ev.select("event_id", union_col.alias("u"))
+    return compile_kernel(MATCH_UNION_KERNEL).apply(
+        df, input_col="u", keep=("event_id",)
+    ).select("event_id", "out")
+
+
+ORACLE_MATCH_UNION = """
+SELECT event_id,
+  CASE WHEN event_id % 2 = 0 THEN value * 2.0
+       ELSE 0.0 - (CASE WHEN length(event_type) > 0 THEN 1.0 ELSE 0.0 END)
+  END AS out
+FROM events
+"""
+
+
+# comprehension over a list column, `$`-partial + arrow-lambda forms
+# (reference README.md:171-177), plus `as` numeric-tower casts
+COMPREHENSION_KERNEL = """
+version 0.1-pre_mvp;
+script "comprehension + cast";
+input {field xs: [Int]; field k: Int;};
+output [Int];
+let doubled = [in.xs | $ * 2 + in.k];
+out [doubled | (item) => item + 1];
+"""
+
+
+def k_comprehension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    df = li.select(
+        F.array(
+            F.col("l_linenumber").cast("long"),
+            F.col("l_suppkey").cast("long"),
+            F.col("l_partkey").cast("long"),
+        ).alias("xs"),
+        F.col("l_orderkey").cast("long").alias("k"),
+    )
+    return compile_kernel(COMPREHENSION_KERNEL).apply(df)
+
+
+ORACLE_COMPREHENSION = """
+SELECT list_transform(
+  [CAST(l_linenumber AS BIGINT), CAST(l_suppkey AS BIGINT), CAST(l_partkey AS BIGINT)],
+  x -> x * 2 + l_orderkey + 1) AS out
+FROM lineitem
+"""
+
+
+CAST_KERNEL = """
+version 0.1-pre_mvp;
+script "as casts";
+input {field f: Float; field s: Str;};
+output Int;
+out (in.f as I64) + ((in.s as Bool) as Int);
+"""
+
+
+def k_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    df = ev.select(
+        "event_id",
+        F.col("value").alias("f"),
+        F.col("event_type").alias("s"),
+    )
+    return compile_kernel(CAST_KERNEL).apply(
+        df, keep=("event_id",)
+    ).select("event_id", "out")
+
+
+# Float→Int truncates toward zero; Str→Bool is non-emptiness; Bool→Int 1/0
+ORACLE_CAST = """
+SELECT event_id,
+  CAST(trunc(value) AS BIGINT)
+    + (CASE WHEN length(event_type) > 0 THEN 1 ELSE 0 END) AS out
+FROM events
+"""
+
+
 QUERIES = {
     "k_hello": k_hello,
     "k_function": k_function,
@@ -188,6 +331,10 @@ QUERIES = {
     "k_subjunctive": k_subjunctive,
     "k_filter": k_filter,
     "k_mapiter": k_mapiter,
+    "k_match_lit": k_match_lit,
+    "k_match_union": k_match_union,
+    "k_comprehension": k_comprehension,
+    "k_cast": k_cast,
 }
 
 ORACLE = {
@@ -200,4 +347,8 @@ ORACLE = {
     "k_subjunctive": ORACLE_SUBJUNCTIVE,
     "k_filter": ORACLE_FILTER,
     "k_mapiter": ORACLE_MAPITER,
+    "k_match_lit": ORACLE_MATCH_LIT,
+    "k_match_union": ORACLE_MATCH_UNION,
+    "k_comprehension": ORACLE_COMPREHENSION,
+    "k_cast": ORACLE_CAST,
 }
