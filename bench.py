@@ -32,6 +32,8 @@ HEADLINE = [
     "q08_topk_per_group",
     "q09_running_totals",
     "q13_events_tumbling",
+    "q18_asof_join",
+    "q19_cube",
     # uDLang kernels (compiled to Column expressions)
     "k_filter",
     "k_count",

@@ -140,3 +140,86 @@ def test_lower_then_lift_roundtrip(spark):
     orig = {(r.event_id, r.value) for r in ev.collect()}
     back = {(r.event_id, r.value) for r in lifted.collect()}
     assert orig == back
+
+
+def test_session_window_stream_equals_batch(spark, events_json_dir):
+    from pyspark.sql import functions as F
+
+    input_t = ast.TRecord(
+        (
+            ast.TRecordField("event_id", ast.T_INT),
+            ast.TRecordField("event_type", ast.T_STR),
+            ast.TRecordField("value", ast.T_FLOAT),
+        )
+    )
+
+    def with_ts(df):
+        return df.withColumn(
+            "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("event_id") * 47)
+        )
+
+    schema = json_lift.input_schema(input_t)
+    stream = with_ts(
+        spark.readStream.schema(schema).option("mode", "FAILFAST").json(events_json_dir)
+    )
+    res = runner.session_window_stream(
+        stream, "ts", gap="2 minutes", watermark="1 hour",
+        group_cols=("event_type",), aggs={"value": "sum"},
+    )
+    got = runner.run_windowed_stream_to_memory(res, "t_sess_stream", spark)
+    stream_rows = {
+        (r.w.start, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in got.collect()
+    }
+
+    batch = with_ts(load_table(spark, "events", SF_DIR_SMOKE))
+    batch_res = runner.session_window_stream(
+        batch, "ts", gap="2 minutes", group_cols=("event_type",), aggs={"value": "sum"}
+    )
+    batch_rows = {
+        (r.w.start, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in batch_res.collect()
+    }
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 1
+
+
+def test_stateful_running_totals(spark, events_json_dir):
+    from pyspark.sql import functions as F
+
+    input_t = ast.TRecord(
+        (
+            ast.TRecordField("event_id", ast.T_INT),
+            ast.TRecordField("event_type", ast.T_STR),
+            ast.TRecordField("value", ast.T_FLOAT),
+        )
+    )
+    schema = json_lift.input_schema(input_t)
+    stream = spark.readStream.schema(schema).option("mode", "FAILFAST").json(
+        events_json_dir
+    ).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("event_id") * 60)
+    )
+    res = runner.stateful_running_totals(
+        stream.withColumn("bucket", F.col("event_id") % 7),
+        key_col="bucket", value_col="value", ts_col="ts",
+    )
+    got = runner.run_stream_to_memory(res, "t_stateful", spark, output_mode="update")
+    rows = got.collect()
+    # final state per key = row with the largest n (update mode emits one
+    # row per key per micro-batch)
+    final = {}
+    for r in rows:
+        if r.key not in final or r.n > final[r.key][0]:
+            final[r.key] = (r.n, round(r.total, 6))
+
+    batch = load_table(spark, "events", SF_DIR_SMOKE).withColumn(
+        "bucket", F.col("event_id") % 7
+    )
+    expect = {
+        r.bucket: (r.n, round(r.total, 6))
+        for r in batch.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert final == expect

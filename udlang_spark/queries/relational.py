@@ -16,6 +16,7 @@ Every query here has a DuckDB oracle. Determinism notes:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -550,6 +551,110 @@ GROUP BY r_name
 """
 
 
+# ---------------------------------------------------------------------------
+# q18 — as-of join: for each error event, the latest prior-or-equal click by
+# the same user. Union + partitioned window: ONE shuffle on user_id, linear
+# in |events| (operators/joins.py asof_join — SURVEY.md §2.5 interval/as-of
+# row). DuckDB's native ASOF JOIN is the oracle.
+# ---------------------------------------------------------------------------
+def q18_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udlang_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", F.col("value").alias("err_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        errors, clicks, by="user_id", value_cols=("value",), prefix="click_"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "err_value",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_time"),
+        "click_value",
+    )
+
+
+ORACLE_Q18 = """
+SELECT l.event_id, l.user_id, l.value AS err_value,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+       r.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'error') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# q19 — CUBE grouping: all aggregation lattices over (returnflag, linestatus)
+# in one pass (SURVEY.md §2.6: cube/rollup/grouping-sets engine extension).
+# Scale: Spark expands grouping sets map-side then partially aggregates —
+# shuffle volume is |groups| x |sets|, independent of row count.
+# ---------------------------------------------------------------------------
+def q19_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "revenue",
+        )
+    )
+
+
+ORACLE_Q19 = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q20 — custom aggregate (UDAF) via pandas_udf GROUPED_AGG (SURVEY.md §2.10
+# UDAF row): per-type median event value. Arrow-batched; Spark runs it as a
+# real aggregate (partial batches per group). Median of two middle values is
+# bit-deterministic: same two doubles → same midpoint in both engines.
+# ---------------------------------------------------------------------------
+def q20_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:
+        return float(v.median())
+
+    # Spark disallows mixing pandas and JVM aggregates in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the count is a pandas UDAF too
+    @pandas_udf("long")
+    def count_udaf(v: pd.Series) -> int:
+        return int(len(v))
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        median_udaf("value").alias("median_value"),
+        count_udaf("value").alias("n"),
+    )
+
+
+ORACLE_Q20 = """
+SELECT event_type, median(value) AS median_value, count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_forecast_revenue": q02_forecast_revenue,
@@ -568,6 +673,9 @@ QUERIES = {
     "q15_orders_monthly": q15_orders_monthly,
     "q16_part_strings": q16_part_strings,
     "q17_supplier_by_region": q17_supplier_by_region,
+    "q18_asof_join": q18_asof_join,
+    "q19_cube": q19_cube,
+    "q20_median_udaf": q20_median_udaf,
 }
 
 ORACLE = {
@@ -588,4 +696,7 @@ ORACLE = {
     "q15_orders_monthly": ORACLE_Q15,
     "q16_part_strings": ORACLE_Q16,
     "q17_supplier_by_region": ORACLE_Q17,
+    "q18_asof_join": ORACLE_Q18,
+    "q19_cube": ORACLE_Q19,
+    "q20_median_udaf": ORACLE_Q20,
 }

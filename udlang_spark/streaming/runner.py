@@ -57,15 +57,85 @@ def windowed_agg_stream(
     return src.groupBy(F.window(ts_col, window).alias("w"), *group_cols).agg(*exprs)
 
 
+def session_window_stream(
+    stream: DataFrame,
+    ts_col: str,
+    gap: str = "10 minutes",
+    watermark: str = "2 hours",
+    group_cols: tuple[str, ...] = (),
+    aggs: dict[str, str] | None = None,
+) -> DataFrame:
+    """Session-window aggregation: events within `gap` of each other merge
+    into one session per group key (SURVEY.md §2.8 windows row). State per
+    open session only; the watermark closes sessions and bounds state."""
+    exprs = [F.count(F.lit(1)).alias("n_events")]
+    for col, fn in (aggs or {}).items():
+        exprs.append(getattr(F, fn)(col).alias(f"{fn}_{col}"))
+    src = stream
+    if stream.isStreaming:
+        src = stream.withWatermark(ts_col, watermark)
+    return src.groupBy(
+        F.session_window(ts_col, gap).alias("w"), *group_cols
+    ).agg(*exprs)
+
+
+def stateful_running_totals(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (SURVEY.md §2.8
+    stateful row — the reference delegates statefulness to a planned
+    `udmonad` driver; this is the Spark-native form): per-key running count
+    and sum that persist across micro-batches in the state store.
+
+    Emits one row per key per micro-batch with the post-batch totals. At
+    scale, state is partitioned by key across executors (RocksDB state
+    store in production), so memory is O(distinct keys / executor).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "key long, n long, total double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"key": [key[0]], "n": [n], "total": [total]})
+
+    src = stream
+    if stream.isStreaming:
+        src = stream.withWatermark(ts_col, watermark)
+    return src.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(
-    result: DataFrame, query_name: str, spark: SparkSession, timeout_s: int = 60
+    result: DataFrame,
+    query_name: str,
+    spark: SparkSession,
+    timeout_s: int = 60,
+    output_mode: str = "append",
 ) -> DataFrame:
     """Drain a (bounded) stream into an in-memory table; returns the table.
-    Test/debug harness — production sinks are writeStream.format(...)."""
+    Test/debug harness — production sinks are writeStream.format(...).
+    Stateful update-mode operators need output_mode="update"."""
     q = (
         result.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("append" if not result.isStreaming or True else "complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
