@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from udlang_spark.kernel import ast
 from udlang_spark.kernel.compiler import (
+    BUILTINS,
     MAX_RECURSION_DEPTH,
     Compiler,
     SCol,
@@ -27,6 +28,8 @@ from udlang_spark.kernel.types import KernelTypeError, to_spark
 class Kernel:
     program: ast.Program
     max_depth: int = MAX_RECURSION_DEPTH
+    # pre-parsed lib programs for `import` linking (name -> lib AST)
+    libs: dict[str, ast.Program] | None = None
 
     @property
     def input_type(self) -> ast.Type:
@@ -38,13 +41,13 @@ class Kernel:
 
     def outputs_column(self, in_val: SVal) -> Column:
         """array<output> Column for one input record symbol."""
-        return Compiler(self.program, self.max_depth).compile(in_val)
+        return Compiler(self.program, self.max_depth, self.libs).compile(in_val)
 
     def _in_sval(self, df: DataFrame, input_col: str | None) -> SVal:
         # resolve aliases/value-types so `in` carries a structural type
         # (e.g. `input "Hello" | "Goodnight"` is Str; unions are tagged
         # structs)
-        it = Compiler(self.program, self.max_depth).resolve_type(self.program.input)
+        it = Compiler(self.program, self.max_depth, self.libs).resolve_type(self.program.input)
         if isinstance(it, ast.TRecord):
             struct = F.struct(
                 *[F.col(f.name).alias(f.name) for f in it.fields]
@@ -76,8 +79,8 @@ class Kernel:
             return None
         if len(body) != 1:
             return None
-        comp = Compiler(self.program, self.max_depth)
-        env: dict = {"in": self._in_sval(df, input_col)}
+        comp = Compiler(self.program, self.max_depth, self.libs)
+        env: dict = {**BUILTINS, "in": self._in_sval(df, input_col)}
         for d in decls:
             comp.compile_stmt(d, env)
         stmt = body[0]
@@ -145,13 +148,24 @@ class Kernel:
         return sel
 
     def output_spark_type(self):
-        return to_spark(Compiler(self.program).resolve_type(self.program.output))
+        return to_spark(Compiler(self.program, libs=self.libs).resolve_type(self.program.output))
 
 
-def compile_kernel(source: str, max_depth: int = MAX_RECURSION_DEPTH) -> Kernel:
-    return Kernel(parse(source), max_depth=max_depth)
+def compile_kernel(
+    source: str,
+    max_depth: int = MAX_RECURSION_DEPTH,
+    libs: dict[str, str] | None = None,
+) -> Kernel:
+    """Compile kernel source; `libs` maps importable module names to lib
+    source text (compile-time linking — SURVEY.md §2.10 modules row)."""
+    parsed_libs = {name: parse(src) for name, src in (libs or {}).items()}
+    return Kernel(parse(source), max_depth=max_depth, libs=parsed_libs or None)
 
 
-def compile_kernel_file(path: str, max_depth: int = MAX_RECURSION_DEPTH) -> Kernel:
+def compile_kernel_file(
+    path: str,
+    max_depth: int = MAX_RECURSION_DEPTH,
+    libs: dict[str, str] | None = None,
+) -> Kernel:
     with open(path) as f:
-        return compile_kernel(f.read(), max_depth=max_depth)
+        return compile_kernel(f.read(), max_depth=max_depth, libs=libs)

@@ -77,6 +77,34 @@ class SFunc(SVal):
     name: str = "<lambda>"
 
 
+@dataclass(frozen=True)
+class SNative(SVal):
+    """Built-in function: compile-time Python that maps arg SVals to a
+    result SVal. The reference ships zero named built-ins (stdlib is
+    roadmap 0.3 — roadmap.md:51) but its docs/IR use several (`min`/`max`/
+    `abs`/shifts in the op table src/ir.rs:576-653 with no grammar surface;
+    `.join`, `sqrt`, `cos`, `sin`, `length` in doc examples README.md:235,
+    352-353; `Reduce`/`Map` planned at src/ir.rs:222-223) — exposed here as
+    the engine's function library (SURVEY.md §2.3 ext row)."""
+
+    name: str
+    arity: int
+    fn: object  # Callable[[Compiler, list[SVal], dict], tuple[SVal, None]]
+    bound: tuple = ()  # method-style receiver, e.g. `xs.join(", ")`
+
+
+@dataclass(frozen=True)
+class SModule(SVal):
+    """Compile-time module value (`import m;` → `m.member`). No runtime
+    artifact — members inline like any other binding (SURVEY.md §2.10
+    modules row; the reference parses but never lowers these,
+    src/ir.rs:802-803)."""
+
+    name: str
+    members: dict
+    typedefs: dict
+
+
 def as_col(v: SVal) -> Column:
     if isinstance(v, SCol):
         return v.col
@@ -132,10 +160,17 @@ def outs_or_empty(ctx: Ctx, outs: Column | None) -> Column:
 
 
 class Compiler:
-    def __init__(self, program: ast.Program, max_depth: int = MAX_RECURSION_DEPTH):
+    def __init__(
+        self,
+        program: ast.Program,
+        max_depth: int = MAX_RECURSION_DEPTH,
+        libs: dict[str, ast.Program] | None = None,
+    ):
         if program.kind != "script":
             raise KernelCompileError("only scripts are executable (libs are linked)")
         self.program = program
+        self.libs = libs or {}
+        self._module_cache: dict[str, tuple[dict, dict]] = {}
         # pre-scan type aliases so input/output decls may reference them
         self.typedefs: dict[str, ast.Type] = {
             d.name: d.type
@@ -193,7 +228,7 @@ class Compiler:
     # -- entry -----------------------------------------------------------
     def compile(self, in_val: SVal) -> Column:
         """Compile the whole script to one array<output> Column."""
-        env: dict[str, SVal] = {"in": in_val}
+        env: dict[str, SVal] = {**BUILTINS, "in": in_val}
         outs_parts: list[Column | None] = []
         for decl in self.program.decls:
             outs_parts.append(self.compile_stmt(decl, env))
@@ -239,9 +274,93 @@ class Compiler:
             call = ast.Call(stmt.func, stmt.args + (block_fn,))
             _, outs = self.compile_expr(call, env)
             return outs
-        if isinstance(stmt, (ast.Import, ast.Export)):
-            raise KernelCompileError("module linking not available in a bare script")
+        if isinstance(stmt, ast.Import):
+            return self.compile_import(stmt, env)
+        if isinstance(stmt, ast.Export):
+            raise KernelCompileError("`export` is only valid in a lib")
         raise KernelCompileError(f"unsupported statement {stmt!r}")
+
+    # -- module linking (SURVEY.md §2.10 modules row; §7.2 step 10) --------
+    def compile_import(self, stmt: ast.Import, env: dict) -> None:
+        """Compile-time linking: the lib's exported bindings become env
+        entries (values inline like any local binding — no runtime module).
+        `import m;` binds `m` for dotted access; `import m._;`/`.*` splats;
+        `import m.{a, b as c};` selects."""
+        exports, tdefs = self._link_module(stmt.module)
+        sel = stmt.selector
+
+        def is_rename(s) -> bool:
+            return (
+                isinstance(s, tuple)
+                and len(s) == 3
+                and s[1] == "as"
+                and all(isinstance(x, str) for x in s)
+            )
+
+        if sel is None:
+            env[stmt.module] = SModule(stmt.module, exports, tdefs)
+            return None
+        if sel in ("_", "*"):
+            env.update(exports)
+            self.typedefs.update(tdefs)
+            return None
+        items = (sel,) if (isinstance(sel, str) or is_rename(sel)) else sel
+        for item in items:
+            if is_rename(item):
+                src, _, dst = item
+            elif isinstance(item, str):
+                src = dst = item
+            else:
+                raise KernelCompileError(f"unsupported import selector {item!r}")
+            if src in exports:
+                env[dst] = exports[src]
+            elif src in tdefs:
+                self.typedefs[dst] = tdefs[src]
+            else:
+                raise KernelCompileError(
+                    f"module {stmt.module!r} exports no {src!r}"
+                )
+        return None
+
+    def _link_module(self, name: str) -> tuple[dict, dict]:
+        if name in self._module_cache:
+            return self._module_cache[name]
+        if name not in self.libs:
+            raise KernelCompileError(f"unknown module {name!r} (no lib provided)")
+        prog = self.libs[name]
+        if prog.kind != "lib":
+            raise KernelCompileError(f"module {name!r} is not a lib")
+        lenv: dict[str, SVal] = dict(BUILTINS)
+        exports: dict[str, SVal] = {}
+        tdefs: dict[str, ast.Type] = {}
+        outer_tdefs = self.typedefs
+        self.typedefs = dict(outer_tdefs)
+        try:
+            for d in prog.decls:
+                decl = d.decl if isinstance(d, ast.Export) else d
+                if isinstance(d, ast.Export) and decl is None:
+                    nm = d.name
+                    if nm in lenv:
+                        exports[nm] = lenv[nm]
+                    elif nm in self.typedefs:
+                        tdefs[nm] = self.typedefs[nm]
+                    else:
+                        raise KernelCompileError(
+                            f"lib {name!r} exports unknown name {nm!r}"
+                        )
+                    continue
+                outs = self.compile_stmt(decl, lenv)
+                if outs is not None:
+                    raise KernelCompileError("lib declarations cannot `out`")
+                if isinstance(d, ast.Export):
+                    if isinstance(decl, ast.TypeDef):
+                        tdefs[decl.name] = decl.type
+                    elif isinstance(decl, ast.Let):
+                        exports[decl.name] = lenv[decl.name]
+        finally:
+            self.typedefs = outer_tdefs
+        self._module_cache[name] = (exports, tdefs)
+        return exports, tdefs
 
     def compile_list_iter(self, stmt: ast.ListIter, env: dict) -> Column | None:
         src, src_outs = self.compile_expr(stmt.source, env)
@@ -566,6 +685,20 @@ class Compiler:
 
     def compile_call(self, expr: ast.Call, env: dict):
         fn, outs_fn = self.compile_expr(expr.func, env)
+        if isinstance(fn, SNative):
+            arg_parts: list[Column | None] = [outs_fn]
+            args: list[SVal] = list(fn.bound)
+            for a in expr.args:
+                av, ao = self.compile_expr(a, env)
+                arg_parts.append(ao)
+                args.append(av)
+            if len(args) != fn.arity:
+                raise KernelTypeError(
+                    f"{fn.name} expects {fn.arity - len(fn.bound)} args, "
+                    f"got {len(args) - len(fn.bound)}"
+                )
+            res = fn.fn(self, args)
+            return res, concat_outs(self.ctx, arg_parts)
         if not isinstance(fn, SFunc):
             raise KernelTypeError("calling a non-function value")
         # partial application: `$` placeholders curry at compile time
@@ -633,6 +766,12 @@ class Compiler:
 
     def compile_dot(self, expr: ast.Dot, env: dict):
         obj, outs = self.compile_expr(expr.obj, env)
+        if isinstance(obj, SModule):
+            if expr.name in obj.members:
+                return obj.members[expr.name], outs
+            raise KernelCompileError(
+                f"module {obj.name!r} has no exported member {expr.name!r}"
+            )
         t = vtype(obj)
         if isinstance(obj, SConst) and isinstance(obj.value, dict):
             if expr.name in obj.value:
@@ -650,6 +789,12 @@ class Compiler:
             )
         if t is ast.T_POINT and expr.name in ("x", "y"):
             return SCol(as_col(obj).getField(expr.name), ast.T_FLOAT), outs
+        if expr.name in METHOD_BUILTINS and isinstance(
+            t, (ast.TList, ast.TMap)
+        ) or (t is ast.T_STR and expr.name in METHOD_BUILTINS):
+            # method-style builtin: `xs.join(", ")`, `s.upper()` — binds the
+            # receiver as the first argument (README.md:235 `.join` usage)
+            return replace(BUILTINS[expr.name], bound=(obj,)), outs
         raise KernelTypeError(f"dot access on {t!r}")
 
     def compile_has(self, expr: ast.Has, env: dict):
@@ -1002,3 +1147,264 @@ class Compiler:
         if to_spark(vt) == spark_t:
             return as_col(v)
         return as_col(v).cast(spark_t)
+
+
+# --------------------------------------------------------------------------
+# Built-in function library (SURVEY.md §2.3 "ext" row). All compile-time:
+# each native maps arg SVals to a result SVal (Column expression or folded
+# constant) — nothing exists at runtime but the Catalyst expression.
+# --------------------------------------------------------------------------
+def _num2(comp, args, py, flt, name):
+    a, b = args
+    t = unify(vtype(a), vtype(b))
+    if t not in (ast.T_INT, ast.T_FLOAT):
+        raise KernelTypeError(f"{name} on {t!r}")
+    if isinstance(a, SConst) and isinstance(b, SConst):
+        return SConst(py(a.value, b.value), t)
+    ca, cb = as_col(a), as_col(b)
+    if t is ast.T_FLOAT:
+        ca, cb = ca.cast("double"), cb.cast("double")
+    return SCol(flt(ca, cb), t)
+
+
+def _math1(fname, pyf):
+    def apply(comp, args):
+        (a,) = args
+        if vtype(a) not in (ast.T_INT, ast.T_FLOAT):
+            raise KernelTypeError(f"{fname} on {vtype(a)!r}")
+        if isinstance(a, SConst):
+            return SConst(float(pyf(a.value)), ast.T_FLOAT)
+        return SCol(getattr(F, fname)(as_col(a).cast("double")), ast.T_FLOAT)
+
+    return apply
+
+
+def _n_min(comp, args):
+    return _num2(comp, args, min, F.least, "min")
+
+
+def _n_max(comp, args):
+    return _num2(comp, args, max, F.greatest, "max")
+
+
+def _n_abs(comp, args):
+    (a,) = args
+    t = vtype(a)
+    if t not in (ast.T_INT, ast.T_FLOAT):
+        raise KernelTypeError(f"abs on {t!r}")
+    if isinstance(a, SConst):
+        return SConst(abs(a.value), t)
+    return SCol(F.abs(as_col(a)), t)
+
+
+def _shift(direction):
+    def apply(comp, args):
+        a, b = args
+        if vtype(a) is not ast.T_INT or vtype(b) is not ast.T_INT:
+            raise KernelTypeError("shift on non-Int")
+        if isinstance(a, SConst) and isinstance(b, SConst):
+            v = a.value << b.value if direction == "shiftleft" else a.value >> b.value
+            return SConst(v, ast.T_INT)
+        # SQL shiftleft/shiftright operate on INT/BIGINT; both args as cols
+        return SCol(
+            F.call_function(direction, as_col(a), as_col(b).cast("int")), ast.T_INT
+        )
+
+    return apply
+
+
+def _floorceil(fname, pyf):
+    def apply(comp, args):
+        (a,) = args
+        if vtype(a) not in (ast.T_INT, ast.T_FLOAT):
+            raise KernelTypeError(f"{fname} on {vtype(a)!r}")
+        if isinstance(a, SConst):
+            return SConst(int(pyf(a.value)), ast.T_INT)
+        return SCol(getattr(F, fname)(as_col(a)).cast("long"), ast.T_INT)
+
+    return apply
+
+
+def _n_length(comp, args):
+    (a,) = args
+    t = vtype(a)
+    if isinstance(a, SConst) and isinstance(a.value, (str, list, dict)):
+        return SConst(len(a.value), ast.T_INT)
+    if t is ast.T_STR:
+        return SCol(F.length(as_col(a)).cast("long"), ast.T_INT)
+    if isinstance(t, (ast.TList, ast.TMap)):
+        return SCol(F.size(as_col(a)).cast("long"), ast.T_INT)
+    raise KernelTypeError(f"length on {t!r}")
+
+
+def _n_join(comp, args):
+    xs, sep = args
+    t = vtype(xs)
+    if not (isinstance(t, ast.TList) and t.item in (ast.T_STR, ast.T_ANY)):
+        raise KernelTypeError(f"join on {t!r}")
+    if vtype(sep) is not ast.T_STR:
+        raise KernelTypeError("join separator must be Str")
+    # F.array_join only takes a Python-string delimiter; the SQL function
+    # accepts an expression
+    return SCol(F.call_function("array_join", as_col(xs), as_col(sep)), ast.T_STR)
+
+
+def _str1(fname):
+    def apply(comp, args):
+        (a,) = args
+        if vtype(a) is not ast.T_STR:
+            raise KernelTypeError(f"{fname} on {vtype(a)!r}")
+        return SCol(getattr(F, fname)(as_col(a)), ast.T_STR)
+
+    return apply
+
+
+def _n_split(comp, args):
+    import re as _re
+
+    s, sep = args
+    if vtype(s) is not ast.T_STR or not isinstance(sep, SConst):
+        raise KernelTypeError("split(s, sep) needs a Str and a constant separator")
+    return SCol(F.split(as_col(s), _re.escape(sep.value)), ast.TList(ast.T_STR))
+
+
+def _n_replace(comp, args):
+    s, old, new = args
+    if vtype(s) is not ast.T_STR:
+        raise KernelTypeError("replace on non-Str")
+    return SCol(F.replace(as_col(s), as_col(old), as_col(new)), ast.T_STR)
+
+
+def _n_substr(comp, args):
+    s, start, length = args
+    if vtype(s) is not ast.T_STR:
+        raise KernelTypeError("substr on non-Str")
+    # 0-based (matching the reference's 0-based indexing — SURVEY.md §2.2)
+    return SCol(
+        F.substring(as_col(s), as_col(start).cast("int") + 1, as_col(length).cast("int")),
+        ast.T_STR,
+    )
+
+
+def _n_contains(comp, args):
+    hay, needle = args
+    t = vtype(hay)
+    if t is ast.T_STR:
+        return SCol(F.contains(as_col(hay), as_col(needle)), ast.T_BOOL)
+    if isinstance(t, ast.TList):
+        return SCol(F.array_contains(as_col(hay), as_col(needle)), ast.T_BOOL)
+    raise KernelTypeError(f"contains on {t!r}")
+
+
+def _inline1(comp, fn, item_t):
+    """One-arg SFunc → Column-lambda, enforcing purity."""
+    if not isinstance(fn, SFunc) or len(fn.params) != 1:
+        raise KernelTypeError("expected a 1-argument function")
+    pname, ptype = fn.params[0]
+    et = comp.resolve_type(ptype) if ptype is not ast.T_ANY else item_t
+    rtypes: list[ast.Type] = []
+
+    def body(x: Column) -> Column:
+        benv = dict(fn.env)
+        benv[pname] = SCol(x, et)
+        bval, bouts = comp.compile_expr(fn.body, benv)
+        if bouts is not None:
+            raise KernelCompileError("higher-order function body cannot `out`")
+        rtypes.append(vtype(bval))
+        return as_col(bval)
+
+    return body, rtypes
+
+
+def _n_map(comp, args):
+    xs, fn = args
+    t = vtype(xs)
+    if not isinstance(t, ast.TList):
+        raise KernelTypeError(f"map on {t!r}")
+    body, rtypes = _inline1(comp, fn, t.item)
+    col = F.transform(as_col(xs), body)
+    return SCol(col, ast.TList(rtypes[0]))
+
+
+def _n_filter(comp, args):
+    xs, fn = args
+    t = vtype(xs)
+    if not isinstance(t, ast.TList):
+        raise KernelTypeError(f"filter on {t!r}")
+    body, rtypes = _inline1(comp, fn, t.item)
+    col = F.filter(as_col(xs), body)
+    if rtypes[0] is not ast.T_BOOL:
+        raise KernelTypeError("filter predicate must return Bool")
+    return SCol(col, t)
+
+
+def _n_reduce(comp, args):
+    """reduce(xs, init, fn(acc, x)) → aggregate(xs, init, λ) — the Reduce
+    the reference planned at src/ir.rs:222."""
+    xs, init, fn = args
+    t = vtype(xs)
+    if not isinstance(t, ast.TList):
+        raise KernelTypeError(f"reduce on {t!r}")
+    if not isinstance(fn, SFunc) or len(fn.params) != 2:
+        raise KernelTypeError("reduce needs a 2-argument function")
+    (aname, atype), (xname, xtype) = fn.params
+    acc_t = vtype(init)
+    item_t = comp.resolve_type(xtype) if xtype is not ast.T_ANY else t.item
+
+    def merge(acc: Column, x: Column) -> Column:
+        benv = dict(fn.env)
+        benv[aname] = SCol(acc, acc_t)
+        benv[xname] = SCol(x, item_t)
+        bval, bouts = comp.compile_expr(fn.body, benv)
+        if bouts is not None:
+            raise KernelCompileError("reduce body cannot `out`")
+        return comp.coerce_to(bval, acc_t)
+
+    col = F.aggregate(as_col(xs), as_col(init).cast(to_spark(acc_t)), merge)
+    return SCol(col, acc_t)
+
+
+def _make_builtins() -> dict:
+    import math
+
+    specs = {
+        "min": (2, _n_min),
+        "max": (2, _n_max),
+        "abs": (1, _n_abs),
+        "shl": (2, _shift("shiftleft")),
+        "shr": (2, _shift("shiftright")),
+        "sqrt": (1, _math1("sqrt", math.sqrt)),
+        "cos": (1, _math1("cos", math.cos)),
+        "sin": (1, _math1("sin", math.sin)),
+        "tan": (1, _math1("tan", math.tan)),
+        "log": (1, _math1("log", math.log)),
+        "exp": (1, _math1("exp", math.exp)),
+        "floor": (1, _floorceil("floor", math.floor)),
+        "ceil": (1, _floorceil("ceil", math.ceil)),
+        "length": (1, _n_length),
+        "join": (2, _n_join),
+        "split": (2, _n_split),
+        "upper": (1, _str1("upper")),
+        "lower": (1, _str1("lower")),
+        "trim": (1, _str1("trim")),
+        "replace": (3, _n_replace),
+        "substr": (3, _n_substr),
+        "contains": (2, _n_contains),
+        "map": (2, _n_map),
+        "filter": (2, _n_filter),
+        "reduce": (3, _n_reduce),
+    }
+    return {
+        name: SNative(name=name, arity=arity, fn=fn)
+        for name, (arity, fn) in specs.items()
+    }
+
+
+BUILTINS = _make_builtins()
+
+# builtins also reachable method-style via dot on a fitting receiver:
+# `xs.join(", ")`, `s.upper()`, `xs.map(f)` (README.md:235 `.join` usage)
+METHOD_BUILTINS = {
+    "join", "length", "map", "filter", "reduce", "contains",
+    "upper", "lower", "trim", "split", "replace", "substr",
+}

@@ -126,6 +126,10 @@ class Parser:
             return ast.Export(decl=self.parse_procdef())
         if self.at("type"):
             return ast.Export(decl=self.parse_typedef())
+        if self.at("let"):
+            return ast.Export(decl=self.parse_let())
+        if self.at("template"):
+            return ast.Export(decl=self.parse_templatedef())
         if self.at("TYPENAME"):
             name = self.take("TYPENAME").value
             self.take(";")

@@ -321,6 +321,85 @@ FROM events
 """
 
 
+# builtin function library: reduce/map/filter + scalar/string builtins
+# (SURVEY.md §2.3 ext row — the reference's stdlib is roadmap 0.3; these are
+# the named functions its docs/IR reference: min/max/abs/shifts
+# src/ir.rs:576-653, .join/sqrt/length README.md:235, 352-353, Reduce/Map
+# planned src/ir.rs:222-223)
+BUILTINS_KERNEL = """
+version 0.1-pre_mvp;
+script "builtin function library";
+input {field xs: [Int]; field s: Str;};
+output Int;
+let total = reduce(in.xs, 0, (acc: Int, x: Int) => acc + x);
+let big = filter(in.xs, (x: Int) => x * 2 > 5);
+let grown = map(in.xs, (x: Int) => x + 100);
+out total * 1000 + length(big) * 100 + grown[0] - 100
+    + min(max(abs(0 - in.s.length()), 1), 9) + shl(1, 2) + floor(sqrt(in.xs[0] as Float));
+"""
+
+
+def k_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    df = li.select(
+        F.array(
+            F.col("l_linenumber").cast("long"),
+            F.col("l_suppkey").cast("long"),
+        ).alias("xs"),
+        F.col("l_returnflag").alias("s"),
+    )
+    return compile_kernel(BUILTINS_KERNEL).apply(df)
+
+
+ORACLE_BUILTINS = """
+WITH t AS (
+  SELECT [CAST(l_linenumber AS BIGINT), CAST(l_suppkey AS BIGINT)] AS xs,
+         l_returnflag AS s
+  FROM lineitem
+)
+SELECT CAST(list_sum(xs) AS BIGINT) * 1000
+  + len(list_filter(xs, x -> x * 2 > 5)) * 100
+  + list_transform(xs, x -> x + 100)[1] - 100
+  + least(greatest(abs(0 - length(s)), 1), 9) + (1 << 2)
+  + CAST(floor(sqrt(xs[1]::DOUBLE)) AS BIGINT) AS out
+FROM t
+"""
+
+
+# module linking: import a lib, call exported funcs/consts (SURVEY.md §2.10
+# modules row — the reference parses but never lowers imports,
+# src/ir.rs:802-803; our linker inlines exports at compile time)
+MODULE_LIB = """
+version 0.1-pre_mvp;
+lib "pricing helpers";
+export func discounted(price: Float, disc: Float) -> Float { price * (1.0 - disc) }
+export let surcharge = 2.5;
+func internal(x: Float) -> Float { x }
+"""
+
+MODULE_KERNEL = """
+version 0.1-pre_mvp;
+script "module linking";
+import pricing._;
+input {field price: Float; field disc: Float;};
+output Float;
+out discounted(in.price, in.disc) + surcharge;
+"""
+
+
+def k_modules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    df = li.select(
+        F.col("l_extendedprice").alias("price"), F.col("l_discount").alias("disc")
+    )
+    return compile_kernel(MODULE_KERNEL, libs={"pricing": MODULE_LIB}).apply(df)
+
+
+ORACLE_MODULES = """
+SELECT l_extendedprice * (1.0 - l_discount) + 2.5 AS out FROM lineitem
+"""
+
+
 QUERIES = {
     "k_hello": k_hello,
     "k_function": k_function,
@@ -335,6 +414,8 @@ QUERIES = {
     "k_match_union": k_match_union,
     "k_comprehension": k_comprehension,
     "k_cast": k_cast,
+    "k_builtins": k_builtins,
+    "k_modules": k_modules,
 }
 
 ORACLE = {
@@ -351,4 +432,6 @@ ORACLE = {
     "k_match_union": ORACLE_MATCH_UNION,
     "k_comprehension": ORACLE_COMPREHENSION,
     "k_cast": ORACLE_CAST,
+    "k_builtins": ORACLE_BUILTINS,
+    "k_modules": ORACLE_MODULES,
 }
