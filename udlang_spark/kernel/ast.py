@@ -148,6 +148,14 @@ class MapExpr(Expr):
 
 
 @dataclass(frozen=True)
+class TupleExpr(Expr):
+    """`(a, b, …)` — fixed-length heterogeneous tuple literal (the form the
+    reference's match example returns, manual.md:128-130)."""
+
+    items: tuple[Expr, ...]
+
+
+@dataclass(frozen=True)
 class Bin(Expr):
     op: str  # + - * / ^ and or xor < > <= >= ==
     a: Expr

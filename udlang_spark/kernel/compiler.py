@@ -458,6 +458,8 @@ class Compiler:
             return self.compile_list(expr, env)
         if isinstance(expr, ast.MapExpr):
             return self.compile_map(expr, env)
+        if isinstance(expr, ast.TupleExpr):
+            return self.compile_tuple(expr, env)
         if isinstance(expr, ast.Bin):
             return self.compile_bin(expr, env)
         if isinstance(expr, ast.Un):
@@ -496,6 +498,16 @@ class Compiler:
             item_t = unify(item_t, vtype(v))
         cols = [self.coerce_to(v, item_t) for v in vals]
         return SCol(F.array(*cols), ast.TList(item_t)), outs
+
+    def compile_tuple(self, expr: ast.TupleExpr, env: dict):
+        items = [self.compile_expr(e, env) for e in expr.items]
+        outs = concat_outs(self.ctx, [o for _, o in items])
+        vals = [v for v, _ in items]
+        t = ast.TTuple(tuple(vtype(v) for v in vals))
+        col = F.struct(
+            *[as_col(v).alias(f"_{i + 1}") for i, v in enumerate(vals)]
+        )
+        return SCol(col, t), outs
 
     def compile_map(self, expr: ast.MapExpr, env: dict):
         items = [(k, self.compile_expr(e, env)) for k, e in expr.items]
@@ -665,6 +677,10 @@ class Compiler:
 
     def compile_un(self, expr: ast.Un, env: dict):
         a, outs = self.compile_expr(expr.a, env)
+        if expr.op == "!":
+            # debug operator: pass-through (SURVEY.md §2.1 — no-op wrapper;
+            # the stderr trace is a driver concern, not a plan concern)
+            return a, outs
         t = vtype(a)
         if isinstance(a, SConst) and not isinstance(a.value, (list, dict)):
             if expr.op == "-":

@@ -452,6 +452,10 @@ class Parser:
             return ast.Un("-", self.parse_invterm())
         if self.accept("not"):
             return ast.Un("not", self.parse_invterm())
+        if self.accept("!"):
+            # `!` debug: trace to stderr, value unchanged (manual.md:54-62;
+            # IR Debug src/ir.rs:201 — the reference grammar never wired it)
+            return ast.Un("!", self.parse_invterm())
         a = self.parse_call()
         # `as` cast binds tighter than arithmetic: `x as F32 + y` is
         # `(x as F32) + y` (reference manual.md:118-121). parse_type_cons
@@ -539,6 +543,12 @@ class Parser:
             self.i = save
             self.take("(")
             e = self.parse_expr()
+            if self.at(","):
+                items = [e]
+                while self.accept(","):
+                    items.append(self.parse_expr())
+                self.take(")")
+                return ast.TupleExpr(tuple(items))
             self.take(")")
             return e
         if t.kind == "[":

@@ -16,14 +16,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from udlang_spark.queries import kernels, llm, relational
+from udlang_spark.queries import kernels, llm, relational, streaming
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
-for mod in (relational, llm, kernels):
+for mod in (relational, llm, kernels, streaming):
     QUERIES.update(mod.QUERIES)
     ORACLE.update(mod.ORACLE)
 

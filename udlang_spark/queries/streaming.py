@@ -1,0 +1,105 @@
+"""Streaming queries for the driver contract (SURVEY.md §2.8). Structured
+Streaming results are not SQL-expressible for the DuckDB oracle, so these
+are rows-only checks — but each has a batch twin in the registry whose
+results they must equal (enforced by tests/test_streaming.py).
+
+Each query materializes a bounded file stream from the sf_dir events table
+(JSON replay), runs the streaming plan with availableNow, and returns the
+drained result as a (batch) DataFrame.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udlang_spark.kernel import ast
+from udlang_spark.kernel.api import compile_kernel
+from udlang_spark.sources import json_lift
+from udlang_spark.sources.tables import load_table
+from udlang_spark.streaming import runner
+
+_EVENT_T = ast.TRecord(
+    (
+        ast.TRecordField("event_id", ast.T_INT),
+        ast.TRecordField("event_type", ast.T_STR),
+        ast.TRecordField("value", ast.T_FLOAT),
+    )
+)
+
+_DOUBLER = """
+version 0.1-pre_mvp;
+script "stream doubler";
+input Float;
+output Float;
+if (in > 100.0) {
+  out in * 2.0;
+}
+"""
+
+
+def _replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write events rows as JSON files for a replayable file stream."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    tmp = os.path.join(tempfile.gettempdir(), f"udlang_stream_replay_{tag}")
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp, ignore_errors=True)
+    ev = load_table(spark, "events", sf_dir)
+    json_lift.lower_json(
+        ev.select("event_id", "event_type", "value"),
+        ("event_id", "event_type", "value"),
+    ).select("json").coalesce(4).write.mode("overwrite").text(tmp)
+    return tmp
+
+
+def _stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = json_lift.input_schema(_EVENT_T)
+    return (
+        spark.readStream.schema(schema)
+        .option("mode", "FAILFAST")
+        .json(_replay_dir(spark, sf_dir))
+    )
+
+
+def s_kernel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless kernel on a stream: same compiled Column expressions as the
+    batch path (kernels are stateless by construction — manual.md:21-24)."""
+    k = compile_kernel(_DOUBLER)
+    out = runner.kernel_stream(
+        k, _stream(spark, sf_dir), input_col="value", keep=("event_id",)
+    )
+    return runner.run_stream_to_memory(out, "q_s_kernel_stream", spark).select(
+        "event_id", "out"
+    )
+
+
+def s_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation on the replayed stream."""
+    src = _stream(spark, sf_dir).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("event_id") * 60)
+    )
+    res = runner.windowed_agg_stream(
+        src, "ts", window="1 hour", watermark="2 hours",
+        group_cols=("event_type",), aggs={"value": "sum"},
+    )
+    out = runner.run_windowed_stream_to_memory(res, "q_s_windowed_stream", spark)
+    return out.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+QUERIES = {
+    "s_kernel_stream": s_kernel_stream,
+    "s_windowed_stream": s_windowed_stream,
+}
+
+# not SQL-expressible (Structured Streaming execution) — rows-only checks;
+# batch equivalence is pytest-enforced instead (tests/test_streaming.py)
+ORACLE: dict[str, str] = {}
