@@ -41,26 +41,33 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def shingle_sets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, sh): distinct shingle arrays; docs with no shingles drop."""
+    return df.select(
+        F.col(id_col).alias("doc"), shingles(text_col).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n_hashes: int = N_HASHES
 ) -> DataFrame:
-    """(id, shingles, sig_0..sig_{n-1}); docs with no shingles are dropped."""
-    sh = df.select(F.col(id_col).alias("doc"), shingles(text_col).alias("sh")).filter(
-        F.size("sh") > 0
+    """(doc, sig_0..sig_{n-1}): min over shingles of md5(f"{h}:{shingle}").
+
+    Shape: explode shingles → n_hashes md5s per row → groupBy(doc) min.
+    Everything is codegen (Generate + HashAggregate); the min is combined
+    map-side, and exploded rows stay in their input partition, so the
+    shuffle carries ~one row per doc per partition. The HOF form
+    (array_min(transform(...)) per signature) evaluates the shingle array
+    expression once per signature, interpreted — ~3× slower end-to-end."""
+    ex = shingle_sets(df, text_col, id_col).select(
+        "doc", F.explode("sh").alias("s")
     )
-    # closure factory — a two-arg lambda would bind h to the element INDEX
-    # (Spark passes (element, index) to arity-2 HOF lambdas)
-    def hash_family(h: int):
-        def apply(s):
-            return F.md5(F.concat(F.lit(f"{h}:"), s))
-
-        return apply
-
-    sigs = [
-        F.array_min(F.transform(F.col("sh"), hash_family(h))).alias(f"sig_{h}")
-        for h in range(n_hashes)
-    ]
-    return sh.select("doc", "sh", *sigs)
+    return ex.groupBy("doc").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("s")))).alias(f"sig_{h}")
+            for h in range(n_hashes)
+        ]
+    )
 
 
 def lsh_candidate_pairs(
@@ -101,10 +108,10 @@ def lsh_candidate_pairs(
     )
 
 
-def verified_jaccard(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
+def verified_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     """Join candidate pairs back to shingle sets; exact jaccard per pair."""
-    sa = sigs.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sigs.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
@@ -121,9 +128,10 @@ def verified_jaccard(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
 def minhash_near_dups(
     df: DataFrame, text_col: str, id_col: str, threshold: float = 0.8
 ) -> DataFrame:
+    sh = shingle_sets(df, text_col, id_col)
     sigs = minhash_signatures(df, text_col, id_col)
     pairs = lsh_candidate_pairs(sigs)
-    return verified_jaccard(pairs, sigs).filter(F.col("jaccard") >= threshold)
+    return verified_jaccard(pairs, sh).filter(F.col("jaccard") >= threshold)
 
 
 def ngram_jaccard_pairs(

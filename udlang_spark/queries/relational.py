@@ -655,6 +655,39 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q21 — range (interval-containment) join: events bucketed into value bands
+# via operators/joins.py range_join with interval bucketing — the big-big
+# shape where both sides join on a discrete bucket id (equi-join, codegen)
+# and the range predicate re-filters, instead of a nested-loop.
+# ---------------------------------------------------------------------------
+def q21_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udlang_spark.operators.joins import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(f"band_{i}", float(i * 50), float((i + 1) * 50)) for i in range(10)],
+        "band string, lo double, hi double",
+    )
+    joined = range_join(
+        ev.select("event_id", "value"), "value", bands, "lo", "hi", bucket_width=50
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value")).cast("double").alias("sum_value"),
+    )
+
+
+ORACLE_Q21 = """
+SELECT 'band_' || CAST(b AS VARCHAR) AS band, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+JOIN (SELECT unnest(range(0, 10)) AS b) bands
+  ON value >= b * 50 AND value < (b + 1) * 50
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_forecast_revenue": q02_forecast_revenue,
@@ -676,6 +709,7 @@ QUERIES = {
     "q18_asof_join": q18_asof_join,
     "q19_cube": q19_cube,
     "q20_median_udaf": q20_median_udaf,
+    "q21_range_join": q21_range_join,
 }
 
 ORACLE = {
@@ -699,4 +733,5 @@ ORACLE = {
     "q18_asof_join": ORACLE_Q18,
     "q19_cube": ORACLE_Q19,
     "q20_median_udaf": ORACLE_Q20,
+    "q21_range_join": ORACLE_Q21,
 }
