@@ -1,0 +1,47 @@
+"""CLI entry points (SURVEY.md §3.2-3.3 parity: dump-ast / compile /
+dump-expr / run mirror the reference binary's modes)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+HELLO = "/root/reference/examples/hello.us"
+
+
+def _cli(*args: str, stdin: str | None = None) -> str:
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    out = subprocess.run(
+        [sys.executable, "-m", "udlang_spark", *args],
+        cwd=REPO,
+        input=stdin,
+        capture_output=True,
+        text=True,
+        timeout=180,
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout
+
+
+def test_dump_ast():
+    got = _cli("dump-ast", HELLO)
+    assert "kind='script'" in got and "Out(" in got
+
+
+def test_dump_expr_repl():
+    got = _cli("dump-expr", stdin="1 + 2 * 3\n[xs | $ * 2]\n")
+    assert "Bin(op='+'" in got
+    assert "Comprehension" in got
+
+
+def test_run_end_to_end(tmp_path):
+    frames = tmp_path / "in.json"
+    frames.write_text('{"value": "World"}\n{"value": "uDLang"}\n')
+    got = _cli("run", HELLO, "--input", str(frames))
+    lines = sorted(got.strip().splitlines())
+    assert lines == ['{"out":"Hello, World"}', '{"out":"Hello, uDLang"}'] or sorted(
+        lines
+    ) == sorted(['{"out":"Hello, World"}', '{"out":"Hello, uDLang"}'])

@@ -1,0 +1,123 @@
+"""CLI entry points mirroring the reference binary's modes
+(reference src/main.rs:51-62 — SURVEY.md §3.2-3.3):
+
+  python -m udlang_spark dump-ast  <script.us>   # parse → AST pretty-print
+  python -m udlang_spark compile   <script.us>   # parse+lower → Column expr
+  python -m udlang_spark dump-expr               # expression REPL (stdin)
+  python -m udlang_spark run <script.us> --input PATH [--format json|csv|parquet]
+                                          [--input-col NAME] [--output PATH]
+
+`compile` prints the Catalyst expression the kernel lowers to — the
+engine's analogue of `udlang --compile`'s IR dump; `run` executes the
+kernel over a file and emits JSON lines (the udlift | udlang | udlower
+pipeline collapsed into one process)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _dump_ast(path: str) -> int:
+    from udlang_spark.kernel.parser import parse
+
+    with open(path) as f:
+        prog = parse(f.read())
+    print(prog)
+    return 0
+
+
+def _compile(path: str) -> int:
+    from pyspark.sql import functions as F
+
+    from udlang_spark.kernel import ast
+    from udlang_spark.kernel.api import compile_kernel_file
+    from udlang_spark.kernel.compiler import Compiler, SCol
+    from udlang_spark.session import get_spark
+
+    spark = get_spark("udlang_compile")  # Column exprs live on the JVM
+    spark.sparkContext.setLogLevel("ERROR")
+    k = compile_kernel_file(path)
+    comp = Compiler(k.program, k.max_depth, k.libs)
+    it = comp.resolve_type(k.program.input)
+    if isinstance(it, ast.TRecord):
+        in_val = SCol(F.struct(*[F.col(f.name) for f in it.fields]), it)
+    else:
+        in_val = SCol(F.col("value"), it)
+    col = k.outputs_column(in_val)
+    try:
+        print(col._jc.expr().sql())
+    except Exception:
+        print(col)
+    return 0
+
+
+def _dump_expr() -> int:
+    from udlang_spark.kernel.parser import parse_expr
+
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            print(parse_expr(line))
+        except Exception as e:  # REPL: report, keep reading
+            print(f"error: {e}", file=sys.stderr)
+    return 0
+
+
+def _run(path: str, input_path: str, fmt: str, input_col: str | None,
+         output: str | None) -> int:
+    from udlang_spark.kernel import ast
+    from udlang_spark.kernel.api import compile_kernel_file
+    from udlang_spark.session import get_spark
+    from udlang_spark.sources import formats, json_lift
+
+    spark = get_spark("udlang_run")
+    spark.sparkContext.setLogLevel("ERROR")
+    k = compile_kernel_file(path)
+    it = k.program.input
+    if fmt == "json":
+        df = formats.read_json(spark, input_path, it)
+    elif fmt == "csv":
+        df = formats.read_csv(spark, input_path, it)
+    elif fmt == "parquet":
+        df = formats.read_parquet(spark, input_path, it)
+    else:
+        raise SystemExit(f"unknown format {fmt!r}")
+    if input_col is None and not isinstance(it, ast.TRecord):
+        input_col = df.columns[0]
+    result = k.apply(df, input_col=input_col)
+    lowered = json_lift.lower_json(result, tuple(result.columns))
+    if output:
+        lowered.select("json").write.mode("overwrite").text(output)
+    else:
+        for row in lowered.select("json").toLocalIterator():
+            print(row.json)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="udlang_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    d = sub.add_parser("dump-ast"); d.add_argument("script")
+    c = sub.add_parser("compile"); c.add_argument("script")
+    sub.add_parser("dump-expr")
+    r = sub.add_parser("run")
+    r.add_argument("script")
+    r.add_argument("--input", required=True)
+    r.add_argument("--format", default="json", choices=["json", "csv", "parquet"])
+    r.add_argument("--input-col", default=None)
+    r.add_argument("--output", default=None)
+    a = p.parse_args(argv)
+    if a.cmd == "dump-ast":
+        return _dump_ast(a.script)
+    if a.cmd == "compile":
+        return _compile(a.script)
+    if a.cmd == "dump-expr":
+        return _dump_expr()
+    return _run(a.script, a.input, a.format, a.input_col, a.output)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

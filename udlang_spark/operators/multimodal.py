@@ -23,7 +23,9 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -92,6 +94,91 @@ def decode_images(
             )
 
     return df.select(id_col, payload_col).mapInPandas(decode, IMAGE_META_SCHEMA)
+
+
+FEATURE_DIM = 16
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",
+    decode_mode: str = "fake",
+) -> DataFrame:
+    """payload → fixed-dim float feature vector via mapInPandas (the
+    embedding-model stage of a multimodal pipeline). Fake mode derives a
+    deterministic FEATURE_DIM-vector from the md5 digest bytes; real mode
+    is the plug-in point for a vision encoder."""
+
+    def extract(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if decode_mode == "real":
+                raise NotImplementedError(
+                    "real feature extraction needs a vision encoder — plug in here"
+                )
+            feats = []
+            for p in pdf[payload_col]:
+                d = hashlib.md5(bytes(p)).digest()
+                feats.append(
+                    np.array([b / 255.0 for b in d[:FEATURE_DIM]], dtype=np.float32)
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "features": feats})
+
+    return df.select(id_col, payload_col).mapInPandas(extract, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int,
+    payload_col: str = "payload", id_col: str = "doc_id",
+    decode_mode: str = "fake",
+) -> DataFrame:
+    """Resize stage: payload → payload' at (width, height). Fake mode
+    truncates/cycles the byte stream to width*height*3 deterministically;
+    real mode is the PIL/libvips plug-in point. Identical Spark plumbing
+    either way: binary in, binary out, metadata columns updated."""
+    target = width * height * 3
+
+    def resize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if decode_mode == "real":
+                raise NotImplementedError(
+                    "real resize needs PIL/libvips — plug in here"
+                )
+            outs = []
+            for p in pdf[payload_col]:
+                data = bytes(p)
+                reps = (target // max(len(data), 1)) + 1
+                outs.append((data * reps)[:target])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "payload": outs,
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(resize, RESIZE_SCHEMA)
 
 
 def sample_frames(

@@ -281,10 +281,58 @@ FROM documents
 
 
 def m_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched fake decode via mapInPandas — Python stage, no SQL
-    oracle (rows-only check); decode determinism is pytest-verified."""
+    """Arrow-batched fake decode via mapInPandas. The fake decoder derives
+    metadata from md5 digest bytes, so DuckDB CAN reproduce it — making the
+    Python mapInPandas stage itself oracle-checked."""
     docs = multimodal.attach_payload(load_table(spark, "documents", sf_dir))
     return multimodal.decode_images(docs)
+
+
+def _hexbyte(expr: str, pos: int) -> str:
+    """DuckDB expr for byte `pos` (0-based) of md5(expr)'s digest."""
+    c1 = f"substr(md5({expr}), {2 * pos + 1}, 1)"
+    c2 = f"substr(md5({expr}), {2 * pos + 2}, 1)"
+    hv = "strpos('0123456789abcdef', {c}) - 1"
+    return f"(({hv.format(c=c1)}) * 16 + ({hv.format(c=c2)}))"
+
+
+ORACLE_IMAGE_META = f"""
+SELECT doc_id,
+  CAST({_hexbyte('text', 0)} % 64 + 1 AS INTEGER) AS width,
+  CAST({_hexbyte('text', 1)} % 64 + 1 AS INTEGER) AS height,
+  3 AS channels,
+  'fake' AS format
+FROM documents
+"""
+
+
+def m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame sampling via mapInPandas (rows-only: binary frame payloads)."""
+    docs = multimodal.attach_payload(load_table(spark, "documents", sf_dir))
+    return multimodal.sample_frames(docs, n_frames=3).select(
+        "doc_id", "frame_idx", F.octet_length("frame").alias("frame_len")
+    )
+
+
+def m_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """payload → FEATURE_DIM float vector via mapInPandas; surfaced as the
+    vector norm + dim so the check is value-stable (rows-only)."""
+    docs = multimodal.attach_payload(load_table(spark, "documents", sf_dir))
+    feats = multimodal.extract_features(docs)
+    return feats.select(
+        "doc_id",
+        F.size("features").alias("dim"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "features",
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            ),
+            6,
+        ).alias("norm"),
+    )
 
 
 QUERIES = {
@@ -301,6 +349,8 @@ QUERIES = {
     "e_ann_lsh": e_ann_lsh,
     "m_payload_meta": m_payload_meta,
     "m_image_meta": m_image_meta,
+    "m_frames": m_frames,
+    "m_features": m_features,
 }
 
 ORACLE = {
@@ -315,5 +365,7 @@ ORACLE = {
     "e_cosine_topk": ORACLE_COSINE_TOPK,
     "e_near_dups": ORACLE_E_NEAR_DUPS,
     "m_payload_meta": ORACLE_PAYLOAD_META,
-    # e_ann_lsh, m_image_meta: rows-only (approximate / Python stage)
+    "m_image_meta": ORACLE_IMAGE_META,
+    # e_ann_lsh, m_frames, m_features: rows-only (approximate / binary /
+    # float-vector Python stages)
 }
