@@ -1,0 +1,142 @@
+"""Property-based tests (hypothesis) for the kernel frontend.
+
+Two invariants:
+1. Constant folding ≡ column evaluation: for random constant expressions,
+   the compiler's Python fold (`fold_bin`) and Spark's evaluation of the
+   same expression over a column must agree — i.e. compile-time partial
+   evaluation never changes semantics (the stackfolder property).
+2. Type mapping round-trip: every constructible uDLang type lowers to a
+   Spark DataType, and values of that type survive a Spark round-trip.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from udlang_spark.kernel import ast
+from udlang_spark.kernel.api import compile_kernel
+from udlang_spark.kernel.types import to_spark
+
+INTS = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+FLOATS = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+# (udlang op, python int semantics, python float semantics)
+def _trunc_div(a: int, b: int) -> int:
+    q = abs(a) // abs(b)
+    return q if (a < 0) == (b < 0) else -q
+
+
+def _trunc_mod(a: int, b: int) -> int:
+    return a - _trunc_div(a, b) * b
+
+
+INT_OPS = {
+    "+": lambda a, b: a + b,
+    "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b,
+    "/": _trunc_div,
+    "%": _trunc_mod,
+}
+
+
+@pytest.fixture(scope="module")
+def sdf(spark):
+    return spark.createDataFrame([(1,)], "v long")
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(a=INTS, b=INTS, op=st.sampled_from(sorted(INT_OPS)))
+def test_int_ops_fold_matches_spark(spark, sdf, a, b, op):
+    """Int arithmetic: reference semantics (truncating div/mod, i64) both
+    when constant-folded and when evaluated by Spark on columns."""
+    if op in ("/", "%") and b == 0:
+        return
+    src = f"""
+version 0.1-pre_mvp;
+script "p";
+input Int;
+output Int;
+out (in * 0) + ({a} {op} {b});
+"""
+    # (in * 0) + defeats constant folding for the Spark evaluation path
+    got_spark = compile_kernel(src).apply(sdf, input_col="v").collect()[0].out
+    src_folded = f"""
+version 0.1-pre_mvp;
+script "p";
+input Int;
+output Int;
+out {a} {op} {b};
+"""
+    got_folded = (
+        compile_kernel(src_folded).apply(sdf, input_col="v").collect()[0].out
+    )
+    want = INT_OPS[op](a, b)
+    assert got_spark == want == got_folded
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(a=FLOATS, b=FLOATS, op=st.sampled_from(["+", "-", "*"]))
+def test_float_ops_fold_matches_spark(spark, sdf, a, b, op):
+    # fixed-point literals: the grammar (like the reference's) has no
+    # scientific notation; negative values arrive via unary minus
+    def lit(x: float) -> str:
+        s = f"{abs(x):.10f}"
+        return f"(0.0 - {s})" if x < 0 else s
+
+    a = float(f"{abs(a):.10f}") * (-1 if a < 0 else 1)
+    b = float(f"{abs(b):.10f}") * (-1 if b < 0 else 1)
+    src = f"""
+version 0.1-pre_mvp;
+script "p";
+input Int;
+output Float;
+out ((in * 0) as Float) + ({lit(a)} {op} {lit(b)});
+"""
+    got = compile_kernel(src).apply(sdf, input_col="v").collect()[0].out
+    want = {"+": a + b, "-": a - b, "*": a * b}[op]
+    assert math.isclose(got, want, rel_tol=1e-12, abs_tol=1e-12)
+
+
+# -- type round-trips -------------------------------------------------------
+prim_types = st.sampled_from([ast.T_BOOL, ast.T_INT, ast.T_FLOAT, ast.T_STR])
+
+
+def _types(depth: int = 2):
+    if depth == 0:
+        return prim_types
+    sub = _types(depth - 1)
+    return st.one_of(
+        prim_types,
+        st.builds(ast.TList, sub),
+        st.builds(ast.TMap, sub),
+        st.builds(lambda a, b: ast.TTuple((a, b)), sub, sub),
+        st.builds(lambda t: ast.TOption(t), sub),
+        st.builds(
+            lambda a, b: ast.TRecord(
+                (ast.TRecordField("x", a), ast.TRecordField("y", b))
+            ),
+            sub,
+            sub,
+        ),
+    )
+
+
+@settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+@given(t=_types())
+def test_every_type_lowers_to_spark(t):
+    dt = to_spark(t)
+    assert dt is not None
+    # the mapping is deterministic
+    assert to_spark(t) == dt
+
+
+def test_union_tagged_struct_shape():
+    u = ast.TUnion((ast.T_FLOAT, ast.T_STR, ast.TList(ast.T_INT)))
+    dt = to_spark(u)
+    names = [f.name for f in dt.fields]
+    assert names == ["_tag", "_0", "_1", "_2"]

@@ -55,3 +55,55 @@ def test_kernel_multi_out_single_generate(spark):
     plan = plan_of(kernels.QUERIES["k_count"](spark, SF_DIR_CORRECTNESS))
     assert plan.count("Generate (") == 1  # one posexplode tree node
     assert "Exchange" not in plan  # row-local: zero shuffle
+
+
+def test_q18_asof_single_shuffle(spark):
+    """Union+window as-of join: exactly one exchange (the window partition),
+    no join node at all."""
+    plan = plan_of(relational.QUERIES["q18_asof_join"](spark, SF_DIR_CORRECTNESS))
+    assert "Join" not in plan  # union + window, not a range join
+    assert plan.count("Exchange") <= 2  # hashpartition(user_id) (+AQE read)
+
+
+def test_q21_range_join_not_nested_loop(spark):
+    """Interval bucketing turns the range join into an equi-join."""
+    plan = plan_of(relational.QUERIES["q21_range_join"](spark, SF_DIR_CORRECTNESS))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_join_and_agg_equivalence(spark):
+    from pyspark.sql import functions as F
+
+    from udlang_spark.operators import skew
+    from udlang_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", SF_DIR_CORRECTNESS).select(
+        "event_id", "user_id", "value"
+    )
+    users = (
+        ev.groupBy("user_id").count().select("user_id", F.col("count").alias("n_ev"))
+    )
+    plain = ev.join(users, "user_id").agg(F.count(F.lit(1)), F.sum("n_ev")).collect()
+    salted = (
+        skew.salted_join(ev, users, "user_id", n_salts=8)
+        .agg(F.count(F.lit(1)), F.sum("n_ev"))
+        .collect()
+    )
+    assert plain == salted
+
+    plain_agg = {
+        r.user_id: (r.count_value, round(r.sum_value, 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("count_value"), F.sum("value").alias("sum_value"))
+        .collect()
+    }
+    got_agg = {
+        r.user_id: (r.count_value, round(r.sum_value, 6))
+        for r in skew.salted_agg(
+            ev, "user_id", {"value": "sum", "event_id": "count"}, n_salts=8
+        )
+        .withColumnRenamed("count_event_id", "count_value")
+        .collect()
+    }
+    assert plain_agg == got_agg

@@ -1,0 +1,68 @@
+"""Skew mitigation helpers (SURVEY.md §2.5/§2.6 scale notes).
+
+AQE's skew-join splitting handles most runtime skew; these helpers are the
+explicit forms for planned skew — when a key's fan-in is known to be
+pathological (a null-ish default key, a celebrity user, boilerplate text):
+
+- `salted_join`: left rows get a deterministic salt in [0, n); the (small)
+  right side is replicated across all n salts; the join key becomes
+  (key, salt), splitting each hot key's rows across n reducers.
+- `salted_agg`: two-stage aggregation — partial aggregate on (key, salt),
+  final aggregate on key. Sum/count compose exactly; the partial shuffle
+  spreads a hot key over n partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _salt_of(cols: list[str], n: int) -> Column:
+    """Deterministic pseudo-uniform salt derived from the row content —
+    stable across retries (no rand()), which matters for speculative
+    execution and recompute-on-failure."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n)).cast("int")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the left side's hot keys split across n_salts
+    reducers. The right side is replicated n_salts× — use only when right
+    is the small side (dimension-ish); result equals `left.join(right, on,
+    how)` exactly."""
+    l_salted = left.withColumn("_salt", _salt_of(left.columns, n_salts))
+    r_replicated = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return l_salted.join(r_replicated, [on, "_salt"], how).drop("_salt")
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    aggs: dict[str, str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage skew-safe aggregation: count/sum/min/max per key.
+    Equivalent to df.groupBy(key).agg(...) for decomposable aggregates."""
+    partial_exprs = []
+    final_exprs = []
+    for col, fn in aggs.items():
+        alias = f"{fn}_{col}"
+        if fn == "count":
+            partial_exprs.append(F.count(F.lit(1)).alias(alias))
+            final_exprs.append(F.sum(alias).alias(alias))
+        elif fn in ("sum", "min", "max"):
+            partial_exprs.append(getattr(F, fn)(col).alias(alias))
+            final_exprs.append(getattr(F, fn)(alias).alias(alias))
+        else:
+            raise ValueError(f"non-decomposable aggregate {fn!r}")
+    salted = df.withColumn("_salt", _salt_of(df.columns, n_salts))
+    partial = salted.groupBy(key, "_salt").agg(*partial_exprs)
+    return partial.groupBy(key).agg(*final_exprs)

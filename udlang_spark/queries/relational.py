@@ -688,6 +688,34 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# q22 — skew-safe two-stage aggregation: partial agg on (key, salt), final
+# on key (operators/skew.py). Results are exactly the plain groupBy — the
+# salt only changes shuffle distribution, which is the point at 100 TB when
+# one key is pathological.
+# ---------------------------------------------------------------------------
+def q22_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udlang_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", dec("value").alias("value")
+    )
+    out = salted_agg(ev, "user_id", {"value": "sum", "event_id": "count"}, n_salts=8)
+    return out.select(
+        "user_id",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("count_event_id").alias("n"),
+    )
+
+
+ORACLE_Q22 = """
+SELECT user_id,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       count(*) AS n
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_forecast_revenue": q02_forecast_revenue,
@@ -710,6 +738,7 @@ QUERIES = {
     "q19_cube": q19_cube,
     "q20_median_udaf": q20_median_udaf,
     "q21_range_join": q21_range_join,
+    "q22_salted_agg": q22_salted_agg,
 }
 
 ORACLE = {
@@ -734,4 +763,5 @@ ORACLE = {
     "q19_cube": ORACLE_Q19,
     "q20_median_udaf": ORACLE_Q20,
     "q21_range_join": ORACLE_Q21,
+    "q22_salted_agg": ORACLE_Q22,
 }
