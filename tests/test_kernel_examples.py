@@ -108,3 +108,29 @@ def test_recursion_depth_poison(spark):
     df = spark.createDataFrame([(10,)], "value long")
     with pytest.raises(Exception, match="recursion depth"):
         k.apply(df, input_col="value").collect()
+
+
+def test_union_output_coercion(spark):
+    """`out` into a union output type wraps values in the tagged struct
+    (SURVEY.md §7.5 encoding) with the right branch populated."""
+    from udlang_spark.kernel.api import compile_kernel
+
+    src = """
+version 0.1-pre_mvp;
+script "union out";
+input Float;
+output Float | Str;
+if (in > 100.0) {
+  out in;
+}
+if (in <= 100.0) {
+  out "small";
+}
+"""
+    df = spark.createDataFrame([(150.0,), (50.0,)], "v double")
+    rows = sorted(
+        compile_kernel(src).apply(df, input_col="v").collect(),
+        key=lambda r: r.out._tag,
+    )
+    assert rows[0].out._tag == "Float" and rows[0].out._0 == 150.0
+    assert rows[1].out._tag == "Str" and rows[1].out._1 == "small"

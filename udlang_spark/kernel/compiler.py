@@ -35,7 +35,12 @@ from udlang_spark.kernel.types import (
     unify,
 )
 
-MAX_RECURSION_DEPTH = 48
+# Unroll budget for recursive kernels. Each level costs ~20 py4j Column
+# calls at plan-build time and a guard at run time, so the default is the
+# smallest depth that comfortably covers the reference's recursive examples
+# (fact overflows i64 past 20 anyway); rows that recurse deeper hit the
+# poison error, and callers needing more pass max_depth explicitly.
+MAX_RECURSION_DEPTH = 32
 
 
 class KernelCompileError(ValueError):
