@@ -134,3 +134,18 @@ if (in <= 100.0) {
     )
     assert rows[0].out._tag == "Float" and rows[0].out._0 == 150.0
     assert rows[1].out._tag == "Str" and rows[1].out._1 == "small"
+
+
+def test_recursion_depth_poison(spark):
+    """Rows recursing past max_depth raise the explicit poison error rather
+    than silently truncating (compiler recursion unroll contract)."""
+    import pytest
+
+    from udlang_spark.kernel.api import compile_kernel_file
+
+    k = compile_kernel_file("/root/reference/examples/count.us", max_depth=4)
+    ok = spark.createDataFrame([(3,)], "v long")
+    assert len(k.apply(ok, input_col="v").collect()) == 5  # 3,2,1,0 + proc None
+    deep = spark.createDataFrame([(10,)], "v long")
+    with pytest.raises(Exception, match="recursion depth"):
+        k.apply(deep, input_col="v").collect()

@@ -716,6 +716,33 @@ FROM events GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q23 — exact ordered-set aggregates: percentiles per group. Spark's
+# `percentile` and DuckDB's `quantile_cont` use the same linear
+# interpolation, so the comparison is bit-exact. (Scale note: exact
+# percentile shuffles the group's values; at 100 TB use
+# approx_percentile's t-digest — same API shape, mergeable sketch.)
+# ---------------------------------------------------------------------------
+def q23_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.95).alias("p95"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+ORACLE_Q23 = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_forecast_revenue": q02_forecast_revenue,
@@ -739,6 +766,7 @@ QUERIES = {
     "q20_median_udaf": q20_median_udaf,
     "q21_range_join": q21_range_join,
     "q22_salted_agg": q22_salted_agg,
+    "q23_percentiles": q23_percentiles,
 }
 
 ORACLE = {
@@ -764,4 +792,5 @@ ORACLE = {
     "q20_median_udaf": ORACLE_Q20,
     "q21_range_join": ORACLE_Q21,
     "q22_salted_agg": ORACLE_Q22,
+    "q23_percentiles": ORACLE_Q23,
 }
