@@ -258,7 +258,7 @@ WHERE a.vec_id < b.vec_id AND cos >= 0.45
 
 def e_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN — approximate by design, so no SQL oracle; the
-    driver records a rows-only check and tests/test_llm_ops.py measures
+    driver records a rows-only check and tests/test_llm_oracle.py measures
     recall against the brute-force baseline."""
     emb = load_table(spark, "embeddings", sf_dir)
     return similarity.lsh_ann_topk(
