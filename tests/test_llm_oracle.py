@@ -68,3 +68,19 @@ def test_frame_sampling_shape(spark):
     frames = multimodal.sample_frames(docs, n_frames=3)
     got = frames.groupBy("doc_id").count().collect()
     assert all(r["count"] == 3 for r in got)
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF with n_probe=6 of 16 cells should recover most true neighbors;
+    n_probe=n_cells would be exact."""
+    exact = {
+        (r.vec_id, r.nbr)
+        for r in llm.QUERIES["e_cosine_topk"](spark, SF_DIR_CORRECTNESS).collect()
+        if r.rnk <= 3
+    }
+    approx = {
+        (r.vec_id, r.nbr)
+        for r in llm.QUERIES["e_ivf_ann"](spark, SF_DIR_CORRECTNESS).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.5, f"IVF recall too low: {recall:.2f}"

@@ -236,3 +236,84 @@ def lsh_ann_topk(
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("nbr"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: vectors are assigned to their
+    nearest coarse-quantizer cell; a query scores only the vectors in its
+    n_probe nearest cells. Recall rises with n_probe (n_probe = n_cells ⇒
+    exact); per-query work falls by ~n_cells/n_probe.
+
+    Coarse quantizer: the first n_cells vectors in id order (deterministic
+    seeding — a production build would run k-means/Lloyd here; the search
+    machinery is identical). The cell index (ids, vectors, norms, grouped
+    by cell) is a Spark broadcast; each Arrow batch of queries does
+    query→centroid GEMM to pick cells, then one GEMM per probed cell.
+    At 100 TB the index instead lives bucket-partitioned on disk and the
+    probe becomes a join on cell id — same assignment math.
+    """
+    import numpy as np
+
+    sdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    pdf = sdf.toPandas()
+    b_ids = pdf["id"].to_numpy()
+    order = np.argsort(b_ids)
+    b_ids = b_ids[order]
+    b_mat = np.stack(pdf["vec"].to_numpy())[order].astype(np.float64)
+    b_norm = np.sqrt((b_mat * b_mat).sum(axis=1))
+
+    cent = b_mat[:n_cells]
+    cent_norm = np.sqrt((cent * cent).sum(axis=1))
+    # assign every vector to its nearest centroid (cosine)
+    asg = (b_mat @ cent.T) / b_norm[:, None] / cent_norm[None, :]
+    cells = asg.argmax(axis=1)
+    by_cell = {
+        c: (b_ids[cells == c], b_mat[cells == c], b_norm[cells == c])
+        for c in range(n_cells)
+    }
+    bc = df.sparkSession.sparkContext.broadcast((cent, cent_norm, by_cell))
+
+    def search(batches):
+        import pandas as pd
+
+        cent_, cent_norm_, by_cell_ = bc.value
+        for pb in batches:
+            if len(pb) == 0:
+                continue
+            q_ids = pb["id"].to_numpy()
+            q_mat = np.stack(pb["vec"].to_numpy()).astype(np.float64)
+            q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+            qc = (q_mat @ cent_.T) / q_norm[:, None] / cent_norm_[None, :]
+            probe = np.argsort(-qc, axis=1)[:, :n_probe]
+            rows = {"vec_id": [], "nbr": [], "cos_sim": [], "rnk": []}
+            for qi in range(len(q_ids)):
+                cand_ids = np.concatenate(
+                    [by_cell_[c][0] for c in probe[qi] if len(by_cell_[c][0])]
+                )
+                cand_mat = np.concatenate(
+                    [by_cell_[c][1] for c in probe[qi] if len(by_cell_[c][0])]
+                )
+                cand_norm = np.concatenate(
+                    [by_cell_[c][2] for c in probe[qi] if len(by_cell_[c][0])]
+                )
+                cos = (cand_mat @ q_mat[qi]) / cand_norm / q_norm[qi]
+                cos = np.round(cos, 6)
+                mask = cand_ids != q_ids[qi]
+                cand_ids, cos = cand_ids[mask], cos[mask]
+                top = np.lexsort((cand_ids, -cos))[:k]
+                n = len(top)
+                rows["vec_id"].extend([q_ids[qi]] * n)
+                rows["nbr"].extend(cand_ids[top])
+                rows["cos_sim"].extend(cos[top])
+                rows["rnk"].extend(range(1, n + 1))
+            yield pd.DataFrame(rows)
+
+    id_type = sdf.schema["id"].dataType
+    return sdf.mapInPandas(search, _topk_schema(id_type))

@@ -256,6 +256,16 @@ WHERE a.vec_id < b.vec_id AND cos >= 0.45
 """
 
 
+def e_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (coarse quantizer + n_probe cell search) —
+    approximate by design, rows-only check; recall vs brute force is
+    pytest-measured (tests/test_llm_oracle.py)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.ivf_ann_topk(
+        emb, "embedding", "vec_id", k=5, n_cells=16, n_probe=6
+    )
+
+
 def e_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN — approximate by design, so no SQL oracle; the
     driver records a rows-only check and tests/test_llm_oracle.py measures
@@ -347,6 +357,7 @@ QUERIES = {
     "e_cosine_topk": e_cosine_topk,
     "e_near_dups": e_near_dups,
     "e_ann_lsh": e_ann_lsh,
+    "e_ivf_ann": e_ivf_ann,
     "m_payload_meta": m_payload_meta,
     "m_image_meta": m_image_meta,
     "m_frames": m_frames,
