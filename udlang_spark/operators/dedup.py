@@ -243,3 +243,76 @@ def embedding_near_dups(
         ]
     )
     return sdf.mapInPandas(score, out_schema)
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for every node appearing in `pairs`, where
+    component = the minimum node id reachable through the pair graph.
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels; converges within the component
+    diameter (near-dup clusters are shallow — a handful of rounds). Each
+    round is one join + partial-min aggregate, persisted so lineage stays
+    flat; early-exits when no label changes. This is the standard
+    dedup-cluster step after MinHash pair generation at corpus scale."""
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                labels["node"],
+                F.least(
+                    labels["label"], F.coalesce("nbr_label", labels["label"])
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def minhash_dedup_corpus(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.8
+) -> DataFrame:
+    """End-to-end near-dup removal: (doc, component, keeper) for EVERY doc —
+    docs in the same MinHash-verified jaccard cluster share a component
+    (its min doc id); `keeper` marks the representative to retain.
+    Filter `keeper` to materialize the deduplicated corpus."""
+    pairs = minhash_near_dups(df, text_col, id_col, threshold)
+    comp = connected_components(pairs)
+    docs = df.select(F.col(id_col).alias("doc"))
+    return (
+        docs.join(comp.withColumnRenamed("node", "doc"), "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("component", F.col("doc")).alias("component"),
+        )
+        .withColumn("keeper", F.col("doc") == F.col("component"))
+    )

@@ -72,9 +72,8 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_near_dups(docs, "text", "doc_id", threshold=0.8)
 
 
-ORACLE_MINHASH = (
-    _SHINGLES_CTE
-    + """,
+# shared CTE body: signatures → bands → candidate pairs → verified pairs
+_MINHASH_PAIRS_CTES = """
 mh AS (
   SELECT doc_id, h, min(md5(h::VARCHAR || ':' || s)) AS sig
   FROM sh, LATERAL (SELECT unnest(sh.sh) AS s) u,
@@ -89,14 +88,56 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
   WHERE a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT doc_a, doc_b,
+    len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))::DOUBLE /
+    len(list_distinct(list_cat(sa.sh, sb.sh)))::DOUBLE AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b
+)"""
+
+ORACLE_MINHASH = (
+    _SHINGLES_CTE
+    + ","
+    + _MINHASH_PAIRS_CTES
+    + """
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.8
+"""
 )
-SELECT doc_a, doc_b,
-  len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))::DOUBLE /
-  len(list_distinct(list_cat(sa.sh, sb.sh)))::DOUBLE AS jaccard
-FROM cand c
-JOIN sh sa ON sa.doc_id = c.doc_a
-JOIN sh sb ON sb.doc_id = c.doc_b
-WHERE jaccard >= 0.8
+
+
+def d_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup removal: MinHash pairs → connected components
+    (iterative min-label propagation) → one keeper per cluster. The one
+    genuinely iterative algorithm in the registry; its oracle closes the
+    pair graph with a recursive CTE."""
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.minhash_dedup_corpus(docs, "text", "doc_id", threshold=0.8)
+
+
+ORACLE_DEDUP_CORPUS = (
+    _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + ","
+    + _MINHASH_PAIRS_CTES
+    + """,
+pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.8),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (SELECT src AS doc, min(dst) AS component FROM reach GROUP BY src)
+SELECT d.doc_id AS doc,
+       coalesce(c.component, d.doc_id) AS component,
+       coalesce(c.component, d.doc_id) = d.doc_id AS keeper
+FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
 """
 )
 
@@ -349,6 +390,7 @@ QUERIES = {
     "d_exact_dedup": d_exact_dedup,
     "d_fingerprint": d_fingerprint,
     "d_minhash_lsh": d_minhash_lsh,
+    "d_dedup_corpus": d_dedup_corpus,
     "d_ngram_jaccard": d_ngram_jaccard,
     "d_simhash": d_simhash,
     "t_token_stats": t_token_stats,
@@ -368,6 +410,7 @@ ORACLE = {
     "d_exact_dedup": ORACLE_EXACT_DEDUP,
     "d_fingerprint": ORACLE_FINGERPRINT,
     "d_minhash_lsh": ORACLE_MINHASH,
+    "d_dedup_corpus": ORACLE_DEDUP_CORPUS,
     "d_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "d_simhash": ORACLE_SIMHASH,
     "t_token_stats": ORACLE_TOKEN_STATS,

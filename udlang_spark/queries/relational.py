@@ -743,6 +743,35 @@ FROM events GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q24 — lag/lead window functions: per-user event deltas in event-time
+# order (completes the §2.7 ranking/offset function surface next to q08's
+# row_number and q09's frames).
+# ---------------------------------------------------------------------------
+def q24_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
+ORACLE_Q24 = """
+SELECT event_id, user_id,
+  round(value - lag(value) OVER w, 6) AS delta_prev,
+  lead(event_type) OVER w AS next_type,
+  CAST(row_number() OVER w AS INTEGER) AS seq
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_forecast_revenue": q02_forecast_revenue,
@@ -767,6 +796,7 @@ QUERIES = {
     "q21_range_join": q21_range_join,
     "q22_salted_agg": q22_salted_agg,
     "q23_percentiles": q23_percentiles,
+    "q24_lag_lead": q24_lag_lead,
 }
 
 ORACLE = {
@@ -793,4 +823,5 @@ ORACLE = {
     "q21_range_join": ORACLE_Q21,
     "q22_salted_agg": ORACLE_Q22,
     "q23_percentiles": ORACLE_Q23,
+    "q24_lag_lead": ORACLE_Q24,
 }
