@@ -195,3 +195,22 @@ def test_as_cast_precedence():
 def test_list_literal_still_parses():
     e = parse_expr("[1, 2, 3]")
     assert isinstance(e, ast.ListExpr) and len(e.items) == 3
+
+
+def test_destructuring_let():
+    prog = parse(
+        'version 0.1-pre_mvp;\nscript "d";\n'
+        "input {field a: Int; field b: Int;};\noutput Int;\n"
+        "let {a, b} = in;\nout a + b;\n"
+    )
+    d = prog.body[0]
+    assert isinstance(d, ast.Destructure) and d.names == ("a", "b")
+
+
+def test_throw_statement():
+    prog = parse(
+        'version 0.1-pre_mvp;\nscript "t";\ninput Int;\noutput Int;\n'
+        'if (in == 0) { throw "zero"; }\nout in;\n'
+    )
+    blk = prog.body[0].expr.clauses[0][1]
+    assert isinstance(blk.stmts[0], ast.Throw)

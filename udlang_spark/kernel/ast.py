@@ -300,6 +300,24 @@ class Out(Stmt):
 
 
 @dataclass(frozen=True)
+class Destructure(Stmt):
+    """`let {a, b} = expr;` — binds each named field (reference
+    README.md:351, documented only)."""
+
+    names: tuple[str, ...]
+    value: Expr
+
+
+@dataclass(frozen=True)
+class Throw(Stmt):
+    """`throw expr;` — user exception (reference README.md:337-341;
+    exceptions TBD at README.md:97). Lowers to raise_error: fatal for the
+    rows whose control flow reaches it."""
+
+    value: Expr
+
+
+@dataclass(frozen=True)
 class ExprStmt(Stmt):
     """Expression evaluated for effect (bare call / block / if-stmt)."""
 

@@ -257,6 +257,24 @@ class Compiler:
         if isinstance(stmt, ast.TypeDef):
             self.typedefs[stmt.name] = stmt.type
             return None
+        if isinstance(stmt, ast.Destructure):
+            val, outs = self.compile_expr(stmt.value, env)
+            for name in stmt.names:
+                bound, _ = self.compile_dot(
+                    ast.Dot(ast.Id("__destructure__"), name),
+                    {**env, "__destructure__": val},
+                )
+                env[name] = bound
+            return outs
+        if isinstance(stmt, ast.Throw):
+            val, outs = self.compile_expr(stmt.value, env)
+            msg = as_col(val).cast("string")
+            # fatal for rows reaching this statement (README.md:337-341);
+            # when-guarded branches keep it lazy, so only thrown rows error
+            poison = F.array(
+                F.raise_error(msg).cast(self.ctx.out_spark_type)
+            )
+            return concat_outs(self.ctx, [outs, poison])
         if isinstance(stmt, ast.Out):
             val, outs = self.compile_expr(stmt.value, env)
             out_col = self.coerce_to(val, self.resolve_type(self.program.output))

@@ -178,7 +178,21 @@ class Parser:
         self.take(";")
         return ast.TypeDef(name, t)
 
+    def parse_destructure(self) -> ast.Stmt:
+        self.take("let")
+        self.take("{")
+        names = [self.take("ID").value]
+        while self.accept(","):
+            names.append(self.take("ID").value)
+        self.take("}")
+        self.take("=")
+        value = self.parse_expr()
+        self.take(";")
+        return ast.Destructure(tuple(names), value)
+
     def parse_let(self) -> ast.Stmt:
+        if self.at("{", 1):
+            return self.parse_destructure()
         self.take("let")
         name = self.take("ID").value
         self.take("=")
@@ -215,6 +229,11 @@ class Parser:
             value = self.parse_expr()
             self.take(";")
             return ast.Out(value)
+        if t.kind == "throw":
+            self.take("throw")
+            value = self.parse_expr()
+            self.take(";")
+            return ast.Throw(value)
         if t.kind == "if":
             return ast.ExprStmt(self.parse_cond(stmt=True))
         if t.kind == "for":
