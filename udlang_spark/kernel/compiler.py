@@ -475,6 +475,10 @@ class Compiler:
             if "$" in env:
                 return env["$"], None
             raise KernelCompileError("`$` used outside a partial context")
+        if isinstance(expr, ast.SelfExpr):
+            if "self" in env:
+                return env["self"], None
+            raise KernelCompileError("`self` outside a record method")
         if isinstance(expr, ast.Lambda):
             return SFunc(expr.params, expr.ret, expr.body, dict(env)), None
         if isinstance(expr, ast.ListExpr):
@@ -818,9 +822,28 @@ class Compiler:
             raise KernelCompileError(f"no field {expr.name!r} in constant map")
         if isinstance(t, ast.TRecord):
             ft = next((f.type for f in t.fields if f.name == expr.name), None)
-            if ft is None:
-                raise KernelTypeError(f"record has no field {expr.name!r}")
-            return SCol(as_col(obj).getField(expr.name), self.resolve_type(ft)), outs
+            if ft is not None:
+                return (
+                    SCol(as_col(obj).getField(expr.name), self.resolve_type(ft)),
+                    outs,
+                )
+            # record members (§2.10: method / static / const, typecheck-only
+            # in the reference — src/typechecker.rs:71-83): methods bind
+            # `self` to the struct value and inline like any function
+            for m in t.methods:
+                if m[1] != expr.name:
+                    continue
+                if m[0] in ("method", "static"):
+                    _, _, params, ret, body = m
+                    menv = dict(BUILTINS)
+                    if m[0] == "method":
+                        menv["self"] = obj
+                    return SFunc(tuple(params), ret, body, menv, expr.name), outs
+                if m[0] == "const":
+                    _, _, _ctype, value = m
+                    cval, couts = self.compile_expr(value, dict(BUILTINS))
+                    return cval, concat_outs(self.ctx, [outs, couts])
+            raise KernelTypeError(f"record has no field {expr.name!r}")
         if isinstance(t, ast.TMap):
             return (
                 SCol(F.element_at(as_col(obj), F.lit(expr.name)), self.resolve_type(t.value)),

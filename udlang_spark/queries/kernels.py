@@ -400,6 +400,40 @@ SELECT l_extendedprice * (1.0 - l_discount) + 2.5 AS out FROM lineitem
 """
 
 
+# record members: method (binds self), static, const (SURVEY.md §2.10 —
+# typecheck-only in the reference, src/typechecker.rs:71-83; here they
+# inline like any function)
+METHODS_KERNEL = """
+version 0.1-pre_mvp;
+script "record methods";
+type Reading: {
+  field a: Int;
+  field b: Int;
+  method total() -> Int { self.a + self.b };
+  method scaled(k: Int) -> Int { self.total() * k };
+  static zero() -> Int { 0 };
+  const offset: Int = 7;
+};
+input Reading;
+output Int;
+out in.scaled(10) + in.offset + in.zero();
+"""
+
+
+def k_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    df = li.select(
+        F.col("l_linenumber").cast("long").alias("a"),
+        F.col("l_suppkey").cast("long").alias("b"),
+    )
+    return compile_kernel(METHODS_KERNEL).apply(df)
+
+
+ORACLE_METHODS = """
+SELECT (CAST(l_linenumber AS BIGINT) + l_suppkey) * 10 + 7 AS out FROM lineitem
+"""
+
+
 QUERIES = {
     "k_hello": k_hello,
     "k_function": k_function,
@@ -416,6 +450,7 @@ QUERIES = {
     "k_cast": k_cast,
     "k_builtins": k_builtins,
     "k_modules": k_modules,
+    "k_methods": k_methods,
 }
 
 ORACLE = {
@@ -434,4 +469,5 @@ ORACLE = {
     "k_cast": ORACLE_CAST,
     "k_builtins": ORACLE_BUILTINS,
     "k_modules": ORACLE_MODULES,
+    "k_methods": ORACLE_METHODS,
 }
