@@ -772,6 +772,44 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# q25 — TPC-H Q19-style disjunctive predicate: OR-of-AND branches over a
+# join. Catalyst extracts the common l_quantity bounds into the scan's
+# pushed filters and keeps the per-branch conjunctions above the join —
+# the classic test that disjunctions don't defeat pushdown.
+# ---------------------------------------------------------------------------
+def q25_disjunctive_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(part, li["l_partkey"] == part["p_partkey"])
+    branch1 = (
+        (F.col("p_size") <= 10) & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20)
+    )
+    branch2 = (
+        (F.col("p_size") <= 25) & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30)
+    )
+    return (
+        j.filter(branch1 | branch2)
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast(MONEY) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+ORACLE_Q25 = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       count(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_size <= 10 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_size <= 25 AND l_quantity BETWEEN 10 AND 30)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_forecast_revenue": q02_forecast_revenue,
@@ -797,6 +835,7 @@ QUERIES = {
     "q22_salted_agg": q22_salted_agg,
     "q23_percentiles": q23_percentiles,
     "q24_lag_lead": q24_lag_lead,
+    "q25_disjunctive_pricing": q25_disjunctive_pricing,
 }
 
 ORACLE = {
@@ -824,4 +863,5 @@ ORACLE = {
     "q22_salted_agg": ORACLE_Q22,
     "q23_percentiles": ORACLE_Q23,
     "q24_lag_lead": ORACLE_Q24,
+    "q25_disjunctive_pricing": ORACLE_Q25,
 }
