@@ -107,3 +107,43 @@ def test_salted_join_and_agg_equivalence(spark):
         .collect()
     }
     assert plain_agg == got_agg
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Co-bucketed tables join without any shuffle (SURVEY.md §2.5 —
+    bucketing converts the join exchange into a co-partitioned read)."""
+    from pyspark.sql import functions as F
+
+    from udlang_spark.sources import bucketing
+    from udlang_spark.sources.tables import load_table
+
+    orders = load_table(spark, "orders", SF_DIR_CORRECTNESS)
+    li = load_table(spark, "lineitem", SF_DIR_CORRECTNESS).select(
+        "l_orderkey", "l_extendedprice"
+    )
+    bucketing.write_bucketed(
+        orders.select("o_orderkey", "o_custkey"), "t_orders_b", "o_orderkey", 8
+    )
+    bucketing.write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "t_lineitem_b", "o_orderkey", 8
+    )
+    try:
+        j = bucketing.cobucketed_join(spark, "t_orders_b", "t_lineitem_b", "o_orderkey")
+        # disable AQE (stable plan string) and broadcast (these test tables
+        # are tiny; at scale the sides would exceed any broadcast threshold)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket co-location: zero shuffles
+        # results still correct
+        n_bucketed = j.count()
+        n_plain = orders.join(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        ).count()
+        assert n_bucketed == n_plain
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
