@@ -149,3 +149,27 @@ def test_recursion_depth_poison(spark):
     deep = spark.createDataFrame([(10,)], "v long")
     with pytest.raises(Exception, match="recursion depth"):
         k.apply(deep, input_col="v").collect()
+
+
+def test_per_record_output_order_via_pos(spark):
+    """Intra-record output order is preserved by the posexplode position
+    column (SURVEY.md §2.8: per-record order guaranteed; cross-record order
+    is not, by design, in a parallel engine)."""
+    from udlang_spark.kernel.api import compile_kernel
+
+    src = """
+version 0.1-pre_mvp;
+script "ordered outs";
+input Int;
+output Int;
+out in * 10;
+out in * 10 + 1;
+out in * 10 + 2;
+"""
+    df = spark.createDataFrame([(1,), (2,)], "v long")
+    rows = compile_kernel(src).apply(df, input_col="v", with_pos=True).collect()
+    by_rec = {}
+    for r in rows:
+        by_rec.setdefault(r.out // 10, []).append((r.pos, r.out))
+    for rec, outs in by_rec.items():
+        assert sorted(outs) == [(0, rec * 10), (1, rec * 10 + 1), (2, rec * 10 + 2)]

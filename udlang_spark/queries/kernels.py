@@ -434,6 +434,28 @@ SELECT (CAST(l_linenumber AS BIGINT) + l_suppkey) * 10 + 7 AS out FROM lineitem
 """
 
 
+# kernel composed INTO a relational pipeline: the compiled kernel is just a
+# DataFrame transform, so its output feeds joins/aggregations like any
+# other — the two layers of the engine compose (SURVEY.md §7.1).
+def k_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    kernel_out = compile_kernel(FILTER_KERNEL).apply(
+        ev.select("event_type", "value"), input_col="value", keep=("event_type",)
+    )
+    return kernel_out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("out").cast("decimal(18,2)")).cast("double").alias("sum_out"),
+    )
+
+
+ORACLE_PIPELINE = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(value * 2.0 AS DECIMAL(18,2))) AS DOUBLE) AS sum_out
+FROM events WHERE value > 250.0
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "k_hello": k_hello,
     "k_function": k_function,
@@ -451,6 +473,7 @@ QUERIES = {
     "k_builtins": k_builtins,
     "k_modules": k_modules,
     "k_methods": k_methods,
+    "k_pipeline": k_pipeline,
 }
 
 ORACLE = {
@@ -470,4 +493,5 @@ ORACLE = {
     "k_builtins": ORACLE_BUILTINS,
     "k_modules": ORACLE_MODULES,
     "k_methods": ORACLE_METHODS,
+    "k_pipeline": ORACLE_PIPELINE,
 }
