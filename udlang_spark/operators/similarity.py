@@ -194,44 +194,68 @@ def lsh_ann_topk(
     signature tables are compared; ranking as in cosine_topk. Recall rises
     with n_tables, bucket size falls with n_planes.
 
-    Shuffle hygiene: pairs are SCORED inside the bucket join (dot on the
-    spot) and only (vec_id, nbr, cos_sim) rows reach the dedup shuffle —
-    never the vectors themselves (512 B/vector would dominate shuffle IO).
-    """
-    base = df.select(
+    Shape: ONE shuffle of (id, vec) rows onto bucket keys (tiny — vectors
+    ride once per table, not per pair); each bucket scores its members with
+    a single in-group numpy GEMM (applyInPandas); only (vec_id, nbr,
+    cos_sim) rows reach the cross-table dedup shuffle. In-bucket quadratic
+    is bounded by bucket size — size n_planes to keep buckets near the
+    Arrow batch sweet spot at the target scale."""
+    import numpy as np
+    import pandas as pd
+
+    buckets = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        norm(F.col(vec_col)).alias("nrm"),
-    )
-    buckets = base.select(
-        "id",
-        "vec",
-        "nrm",
         F.explode(
             F.array(
                 *[
                     F.concat(
-                        F.lit(f"t{t}:"), signature(F.col("vec"), n_planes, n_dims, t)
+                        F.lit(f"t{t}:"), signature(F.col(vec_col), n_planes, n_dims, t)
                     )
                     for t in range(n_tables)
                 ]
             )
         ).alias("bucket"),
     )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    scored = (
-        a.join(b, "bucket")
-        .filter(F.col("a.id") != F.col("b.id"))
-        .select(
-            F.col("a.id").alias("vec_id"),
-            F.col("b.id").alias("nbr"),
-            F.round(
-                dot(F.col("a.vec"), F.col("b.vec"))
-                / (F.col("a.nrm") * F.col("b.nrm")),
-                6,
-            ).alias("cos_sim"),
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_id": [], "nbr": [], "cos_sim": []})
+        ids = pdf["id"].to_numpy()
+        mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        cos = mat @ mat.T
+        cos /= nrm[:, None]
+        cos /= nrm[None, :]
+        np.round(cos, 6, out=cos)
+        # per-vector top-k WITHIN the bucket suffices: any global top-k
+        # candidate shares a bucket with the vector and ranks ≤ k among
+        # that bucket's members — pruning here cuts the dedup shuffle ~|B|/k
+        cos[ids[:, None] == ids[None, :]] = -np.inf
+        order = np.lexsort((ids[None, :].repeat(len(ids), 0), -cos), axis=1)
+        m = min(k, len(ids) - 1)
+        top = order[:, :m]
+        keep_cos = np.take_along_axis(cos, top, 1).ravel()
+        out = pd.DataFrame(
+            {
+                "vec_id": np.repeat(ids, m),
+                "nbr": ids[top].ravel(),
+                "cos_sim": keep_cos,
+            }
         )
+        return out[out["cos_sim"] != -np.inf]
+
+    id_type = buckets.schema["id"].dataType
+    pair_schema = StructType(
+        [
+            StructField("vec_id", id_type, True),
+            StructField("nbr", id_type, True),
+            StructField("cos_sim", DoubleType(), True),
+        ]
+    )
+    scored = (
+        buckets.groupBy("bucket")
+        .applyInPandas(score_bucket, pair_schema)
         .dropDuplicates(["vec_id", "nbr"])
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("nbr"))
