@@ -95,9 +95,33 @@ def s_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-key running
+    totals persisted in the state store across micro-batches. Returns the
+    final per-key state (update-mode rows with the largest n per key)."""
+    src = _stream(spark, sf_dir).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("event_id") * 60)
+    ).withColumn("bucket", F.col("event_id") % 7)
+    res = runner.stateful_running_totals(
+        src, key_col="bucket", value_col="value", ts_col="ts"
+    )
+    out = runner.run_stream_to_memory(
+        res, "q_s_stateful_totals", spark, output_mode="update"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("key").orderBy(F.col("n").desc())
+    return (
+        out.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("key", "n", F.round("total", 6).alias("total"))
+    )
+
+
 QUERIES = {
     "s_kernel_stream": s_kernel_stream,
     "s_windowed_stream": s_windowed_stream,
+    "s_stateful_totals": s_stateful_totals,
 }
 
 # not SQL-expressible (Structured Streaming execution) — rows-only checks;
