@@ -55,6 +55,13 @@ def main() -> None:
     # don't include JVM/codegen warmup.
     for name in TABLE_NAMES:
         load_table(spark, name, sf_dir).count()
+    # Warm the Arrow/Python-worker path too (daemon fork + serializer init
+    # is ~5 s once per session and is startup, not operator throughput).
+    # (single partition: a 32-partition warmup forks 32 python workers whose
+    # pandas imports keep competing with the next timed query for ~3 s)
+    spark.createDataFrame([(1,)], "x long").repartition(1).mapInPandas(
+        lambda it: (pdf for pdf in it), "x long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

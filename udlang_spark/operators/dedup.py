@@ -51,7 +51,14 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n_hashes: int = N_HASHES
 ) -> DataFrame:
-    """(doc, sig_0..sig_{n-1}): min over shingles of md5(f"{h}:{shingle}").
+    """(doc, sig_0..sig_{n-1}): min over shingles of md5(f"{h}:{shingle}")."""
+    return _signatures_from_shingles(
+        shingle_sets(df, text_col, id_col), n_hashes
+    )
+
+
+def _signatures_from_shingles(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """Signature pipeline from a (doc, sh) relation.
 
     Shape: explode shingles → n_hashes md5s per row → groupBy(doc) min.
     Everything is codegen (Generate + HashAggregate); the min is combined
@@ -59,9 +66,7 @@ def minhash_signatures(
     shuffle carries ~one row per doc per partition. The HOF form
     (array_min(transform(...)) per signature) evaluates the shingle array
     expression once per signature, interpreted — ~3× slower end-to-end."""
-    ex = shingle_sets(df, text_col, id_col).select(
-        "doc", F.explode("sh").alias("s")
-    )
+    ex = sh.select("doc", F.explode("sh").alias("s"))
     return ex.groupBy("doc").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("s")))).alias(f"sig_{h}")
@@ -73,37 +78,50 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     sigs: DataFrame, n_hashes: int = N_HASHES, band_rows: int = BAND_ROWS
 ) -> DataFrame:
-    """Explode each doc into its band keys; pairs sharing any band key are
-    candidates. One shuffle on (band, key)."""
+    """Explode each doc into its band keys; docs sharing a band key are
+    candidates. ONE shuffle on the band key (groupBy + collect_list), then
+    pair expansion inside each bucket — the signature pipeline upstream is
+    evaluated once, where a bands⋈bands self-join would evaluate it twice
+    (Spark can't reuse one side's exchange for the other). The bucket list
+    is sorted, so doc_a < doc_b by construction; in-bucket quadratic
+    expansion is bounded by bucket size, which the LSH parameters bound."""
     n_bands = n_hashes // band_rows
     bands = sigs.select(
         "doc",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"sig_{b * band_rows + r}")
-                                    for r in range(band_rows)
-                                ],
-                            )
-                        ).alias("key"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(str(b)),
+                            *[
+                                F.col(f"sig_{b * band_rows + r}")
+                                for r in range(band_rows)
+                            ],
+                        )
                     )
                     for b in range(n_bands)
                 ]
             )
-        ).alias("bk"),
-    ).select("doc", "bk.band", "bk.key")
-    a = bands.alias("a")
-    b = bands.alias("b")
+        ).alias("bkey"),
+    )
+    buckets = (
+        bands.groupBy("bkey")
+        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    # pair expansion: two Generate nodes (posexplode, then explode of the
+    # tail slice) — codegens as plain nested loops, far cheaper to compile
+    # and evaluate than a nested-lambda transform building struct arrays
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        buckets.select(
+            F.col("ds"), F.posexplode("ds").alias("i", "doc_a")
+        )
+        .select(
+            "doc_a",
+            F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("doc_b"),
+        )
         .distinct()
     )
 
@@ -128,8 +146,12 @@ def verified_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
 def minhash_near_dups(
     df: DataFrame, text_col: str, id_col: str, threshold: float = 0.8
 ) -> DataFrame:
-    sh = shingle_sets(df, text_col, id_col)
-    sigs = minhash_signatures(df, text_col, id_col)
+    # The shingle relation feeds the signature pipeline AND both sides of
+    # the verification join; persist it so the regex split + n-gram zip
+    # (the dominant cost) runs once, not three times. MEMORY_AND_DISK:
+    # spills rather than recomputes if the corpus outgrows executor memory.
+    sh = shingle_sets(df, text_col, id_col).persist()
+    sigs = _signatures_from_shingles(sh)
     pairs = lsh_candidate_pairs(sigs)
     return verified_jaccard(pairs, sh).filter(F.col("jaccard") >= threshold)
 
