@@ -217,6 +217,56 @@ def simhash_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def simhash_near_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming, found via
+    band-bucket join rather than an all-pairs cross join.
+
+    The 16-bit fingerprint is split into 4 bands of 4 bits; by pigeonhole,
+    any pair within hamming distance 3 agrees on at least one whole band, so
+    the band join has EXACT recall for max_hamming ≤ 3 — the result equals
+    the brute-force O(n²) scan (which is what the DuckDB oracle runs).
+
+    Scale shape: one shuffle on (band_idx, band_bits); per-bucket work is
+    quadratic in bucket size, bounded by 2^4 buckets per band spreading the
+    corpus. The exact hamming filter then runs JVM-side on the candidate
+    pairs only. Same shape as minhash LSH (lsh_candidate_pairs) with the
+    signature replaced by fingerprint bands.
+    """
+    if max_hamming > 3:
+        raise ValueError("4 bands of 4 bits guarantee recall only for hamming <= 3")
+    fp = simhash_fingerprints(df, text_col, id_col)
+    bands = fp.select(
+        "doc",
+        "simhash",
+        F.posexplode(
+            F.array(*[F.substring("simhash", 1 + 4 * i, 4) for i in range(4)])
+        ).alias("band", "bits"),
+    )
+    a = bands.select(
+        F.col("doc").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "bits"
+    )
+    b = bands.select(
+        F.col("doc").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "bits"
+    )
+    hamming = sum(
+        F.when(
+            F.substring("sim_a", p, 1) != F.substring("sim_b", p, 1), 1
+        ).otherwise(0)
+        for p in range(1, 17)
+    ).cast("int")
+    return (
+        a.join(b, ["band", "bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.45
 ) -> DataFrame:

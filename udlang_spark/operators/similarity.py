@@ -153,6 +153,68 @@ def cosine_topk_expr(
     return pairs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+def centroid_assign(
+    df: DataFrame, vec_col: str, id_col: str, centroid_ids: tuple[int, ...]
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine (the assignment
+    step of k-means / coarse quantization). Centroids are the rows of `df`
+    whose id is in `centroid_ids` — a deterministic seed set, so the result
+    is oracle-checkable.
+
+    Scale shape: centroids are tiny (k rows) and broadcast; each Arrow batch
+    of the input does one float64 GEMM against the centroid matrix, so the
+    plan is a single narrow mapInPandas over the input — no shuffle at all.
+    This is the same skeleton ivf_ann_topk uses for its coarse quantizer.
+
+    Determinism: cosine rounded to 6 decimals; ties broken by ascending
+    centroid id (argmax over (cos, -cid) lexicographic order).
+    """
+    import numpy as np
+
+    sdf = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    cent = sdf.filter(F.col("vec_id").isin(*centroid_ids)).toPandas()
+    cent = cent.sort_values("vec_id")
+    c_ids = cent["vec_id"].to_numpy()
+    c_mat = np.stack(cent["vec"].to_numpy()).astype(np.float64)
+    c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+    bc = df.sparkSession.sparkContext.broadcast((c_ids, c_mat, c_norm))
+
+    def assign(batches):
+        import pandas as pd
+
+        c_ids_, c_mat_, c_norm_ = bc.value
+        for pb in batches:
+            if len(pb) == 0:
+                continue
+            a_ids = pb["vec_id"].to_numpy()
+            a_mat = np.stack(pb["vec"].to_numpy()).astype(np.float64)
+            a_norm = np.sqrt((a_mat * a_mat).sum(axis=1))
+            cos = a_mat @ c_mat_.T
+            cos /= a_norm[:, None]
+            cos /= c_norm_[None, :]
+            np.round(cos, 6, out=cos)
+            # argmax by (cos desc, centroid id asc): c_ids_ is sorted, and
+            # np.argmax takes the FIRST maximal column — exactly min-id.
+            best = np.argmax(cos, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": a_ids,
+                    "centroid": c_ids_[best],
+                    "cos_sim": np.take_along_axis(cos, best[:, None], 1).ravel(),
+                }
+            )
+
+    id_type = sdf.schema["vec_id"].dataType
+    out_schema = StructType(
+        [
+            StructField("vec_id", id_type, True),
+            StructField("centroid", id_type, True),
+            StructField("cos_sim", DoubleType(), True),
+        ]
+    )
+    return sdf.mapInPandas(assign, out_schema)
+
+
 def _plane_component(plane: int, dim: int) -> Column:
     """Deterministic pseudo-random hyperplane component in [-1, 1).
     xxhash64 of a literal — Catalyst constant-folds it to a double."""

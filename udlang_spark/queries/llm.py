@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from udlang_spark.functions import text as TXT
 from udlang_spark.operators import dedup, multimodal, similarity
@@ -185,6 +186,28 @@ def _simhash_oracle() -> str:
 ORACLE_SIMHASH = _simhash_oracle()
 
 
+def d_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-bucket hamming join (exact recall for distance ≤ 3); the oracle
+    is the brute-force all-pairs scan the banding provably equals."""
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+_HAMMING = " + ".join(
+    f"CASE WHEN substr(a.simhash, {p}, 1) <> substr(b.simhash, {p}, 1) "
+    "THEN 1 ELSE 0 END"
+    for p in range(1, 17)
+)
+
+ORACLE_SIMHASH_NEARDUP = f"""
+WITH s AS ({ORACLE_SIMHASH})
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, CAST({_HAMMING} AS INTEGER) AS hamming
+  FROM s a JOIN s b ON a.doc < b.doc
+) WHERE hamming <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -257,6 +280,46 @@ def _langid_oracle() -> str:
 ORACLE_LANGID = _langid_oracle()
 
 
+def t_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 character trigrams per language: explode → count → windowed
+    top-k. Scale shape: the explode multiplies rows by ~|text| but the
+    per-(lang, gram) count is a partial aggregate (map-side combine crushes
+    the fan-out before the shuffle); the top-k window then runs on the
+    already-tiny count table partitioned by lang."""
+    docs = load_table(spark, "documents", sf_dir)
+    grams = docs.filter(F.length("text") >= 3).select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 2),
+                lambda i: F.substring(F.col("text"), i, F.lit(3)),
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("gram"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "gram", "n", "rk")
+    )
+
+
+ORACLE_NGRAM_TOPK = """
+WITH g AS (
+  SELECT lang, substr(text, CAST(i AS INTEGER), 3) AS gram
+  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 2)) AS i) t
+  WHERE length(text) >= 3
+),
+c AS (SELECT lang, gram, count(*) AS n FROM g GROUP BY lang, gram)
+SELECT lang, gram, n, rk FROM (
+  SELECT lang, gram, n,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS INTEGER) AS rk
+  FROM c
+) WHERE rk <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -278,6 +341,33 @@ SELECT vec_id, nbr, cos_sim, rnk FROM (
   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr) AS rnk
   FROM p
 ) WHERE rnk <= 5
+"""
+
+
+_CENTROID_IDS = tuple(range(8))
+
+
+def e_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (k-means assignment step / coarse
+    quantization) against a deterministic seed set: vec_ids 0..7."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.centroid_assign(emb, "embedding", "vec_id", _CENTROID_IDS)
+
+
+ORACLE_CENTROID_ASSIGN = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 0 AND 7),
+scored AS (
+  SELECT e.vec_id, c.cid,
+    round(list_dot_product(e.v, c.cv) /
+          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6)
+      AS cos_sim
+  FROM e, c
+)
+SELECT vec_id, cid AS centroid, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, cid) AS rk
+  FROM scored
+) WHERE rk = 1
 """
 
 
@@ -396,6 +486,9 @@ QUERIES = {
     "t_token_stats": t_token_stats,
     "t_quality": t_quality,
     "t_langid": t_langid,
+    "t_ngram_topk": t_ngram_topk,
+    "d_simhash_neardup": d_simhash_neardup,
+    "e_centroid_assign": e_centroid_assign,
     "e_cosine_topk": e_cosine_topk,
     "e_near_dups": e_near_dups,
     "e_ann_lsh": e_ann_lsh,
@@ -416,6 +509,9 @@ ORACLE = {
     "t_token_stats": ORACLE_TOKEN_STATS,
     "t_quality": ORACLE_QUALITY,
     "t_langid": ORACLE_LANGID,
+    "t_ngram_topk": ORACLE_NGRAM_TOPK,
+    "d_simhash_neardup": ORACLE_SIMHASH_NEARDUP,
+    "e_centroid_assign": ORACLE_CENTROID_ASSIGN,
     "e_cosine_topk": ORACLE_COSINE_TOPK,
     "e_near_dups": ORACLE_E_NEAR_DUPS,
     "m_payload_meta": ORACLE_PAYLOAD_META,

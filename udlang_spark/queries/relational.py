@@ -810,6 +810,159 @@ WHERE (p_size <= 10 AND l_quantity BETWEEN 1 AND 20)
 """
 
 
+# ---------------------------------------------------------------------------
+# q26 — TPC-H Q17 shape: correlated scalar-aggregate subquery ("orders below
+# 20% of the part's average quantity"), decorrelated as aggregate + join
+# back. Scale: the aggregate output is |part| rows (~30× smaller than
+# lineitem), so AQE converts the join-back to a broadcast hash join at
+# runtime; the only full shuffle is the partial agg on l_partkey.
+# Determinism: the threshold is 0.2 * (exact decimal sum → double) / count —
+# identical IEEE arithmetic in both engines, so the `<` boundary is exact.
+# ---------------------------------------------------------------------------
+def q26_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    lim = li.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+        ).alias("qty_limit")
+    )
+    return (
+        li.join(lim, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+ORACLE_Q26 = """
+WITH lim AS (
+  SELECT l_partkey AS pk,
+         0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+           AS qty_limit
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       count(*) AS n
+FROM lineitem JOIN lim ON l_partkey = pk
+WHERE l_quantity < qty_limit
+"""
+
+
+# ---------------------------------------------------------------------------
+# q27 — GROUPING SETS (the general form behind q12's rollup / q19's cube):
+# per-status, per-priority, and grand-total aggregates in one pass. Spark
+# expands the sets with a single Expand node feeding one hash aggregate —
+# one scan, one shuffle, regardless of how many sets are listed.
+# ---------------------------------------------------------------------------
+def q27_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+ORACLE_Q27 = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+# ---------------------------------------------------------------------------
+# q28 — pivot: order spend by year × priority, priorities becoming columns.
+# The pivot value list is declared (not discovered), so the plan is a single
+# groupBy(year) aggregate with one conditional-sum per column — no extra
+# pass to collect distinct pivot keys, which at 100 TB would be its own job.
+# ---------------------------------------------------------------------------
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q28_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").alias("o_year"))
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.sum(dec("o_totalprice")).cast("double"))
+    )
+
+
+ORACLE_Q28 = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderpriority = '1-URGENT') AS DOUBLE) AS "1-URGENT",
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderpriority = '2-HIGH') AS DOUBLE) AS "2-HIGH",
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderpriority = '3-MEDIUM') AS DOUBLE) AS "3-MEDIUM",
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS DOUBLE) AS "4-NOT SPECIFIED",
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderpriority = '5-LOW') AS DOUBLE) AS "5-LOW"
+FROM orders GROUP BY year(o_orderdate)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q29 — window frame surface beyond q09's running totals: a RANGE frame in
+# event-time units (trailing 30-day spend — peers included by value, not
+# row position), plus ntile / percent_rank / first_value. All four share
+# one partitionBy(o_custkey) sort, so the physical plan is a single window
+# exchange + sort feeding every function.
+# Determinism: ntile and percent_rank order by (o_totalprice, o_orderkey) —
+# the unique key makes tie order total.
+# ---------------------------------------------------------------------------
+def q29_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "order_day", F.datediff("o_orderdate", F.lit("1970-01-01"))
+    )
+    w_range = (
+        Window.partitionBy("o_custkey").orderBy("order_day").rangeBetween(-30, 0)
+    )
+    w_rank = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w_first = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(dec("o_totalprice")).over(w_range).cast("double").alias("spend_30d"),
+        F.ntile(4).over(w_rank).alias("quartile"),
+        F.round(F.percent_rank().over(w_rank), 6).alias("pr"),
+        F.first("o_totalprice").over(w_first).alias("first_price"),
+    )
+
+
+ORACLE_Q29 = """
+SELECT o_orderkey, o_custkey,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w_range AS DOUBLE) AS spend_30d,
+  CAST(ntile(4) OVER w_rank AS INTEGER) AS quartile,
+  round(percent_rank() OVER w_rank, 6) AS pr,
+  first_value(o_totalprice) OVER w_first AS first_price
+FROM (SELECT *, date_diff('day', DATE '1970-01-01', o_orderdate) AS order_day
+      FROM orders)
+WINDOW
+  w_range AS (PARTITION BY o_custkey ORDER BY order_day
+              RANGE BETWEEN 30 PRECEDING AND CURRENT ROW),
+  w_rank AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+  w_first AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_forecast_revenue": q02_forecast_revenue,
@@ -836,6 +989,10 @@ QUERIES = {
     "q23_percentiles": q23_percentiles,
     "q24_lag_lead": q24_lag_lead,
     "q25_disjunctive_pricing": q25_disjunctive_pricing,
+    "q26_small_qty_revenue": q26_small_qty_revenue,
+    "q27_grouping_sets": q27_grouping_sets,
+    "q28_pivot": q28_pivot,
+    "q29_window_frames": q29_window_frames,
 }
 
 ORACLE = {
@@ -864,4 +1021,8 @@ ORACLE = {
     "q23_percentiles": ORACLE_Q23,
     "q24_lag_lead": ORACLE_Q24,
     "q25_disjunctive_pricing": ORACLE_Q25,
+    "q26_small_qty_revenue": ORACLE_Q26,
+    "q27_grouping_sets": ORACLE_Q27,
+    "q28_pivot": ORACLE_Q28,
+    "q29_window_frames": ORACLE_Q29,
 }
