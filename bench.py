@@ -63,14 +63,25 @@ def main() -> None:
         lambda it: (pdf for pdf in it), "x long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Per query: one untimed warmup execution, then the timed run. The first
+    # execution of each query shape pays whole-stage-codegen compilation +
+    # JIT (measured 2-6× the steady-state time, e.g. d_minhash_lsh 9.1 s
+    # cold vs 1.6 s warm at sf0.1) — that is session-lifetime setup, not
+    # operator throughput, and a long-running engine pays it once. The cold
+    # total is still reported (cold_total_sec) so the compile cost is
+    # visible, not hidden.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         if name not in QUERIES:
             continue
-        t0 = time.perf_counter()
         # noop sink: fully materializes every row on the executors without
         # driver-side collection — measures engine throughput, not Python
         # deserialization of multi-million-row results.
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
     total = round(sum(timings.values()), 4)
@@ -82,6 +93,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cold_total_sec": round(sum(cold.values()), 4),
             }
         )
     )

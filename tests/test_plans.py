@@ -54,7 +54,9 @@ def test_kernel_hello_column_pruning(spark):
 def test_kernel_multi_out_single_generate(spark):
     plan = plan_of(kernels.QUERIES["k_count"](spark, SF_DIR_CORRECTNESS))
     assert plan.count("Generate (") == 1  # one posexplode tree node
-    assert "Exchange" not in plan  # row-local: zero shuffle
+    # row-local: no KEY shuffle. (A round-robin input fan-out may appear when
+    # the source parquet has fewer splits than cores — see tables.fan_out.)
+    assert "hashpartitioning" not in plan
 
 
 def test_q18_asof_single_shuffle(spark):
@@ -147,3 +149,57 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_q27_grouping_sets_single_expand(spark):
+    """GROUPING SETS compiles to ONE Expand feeding one two-phase aggregate
+    — one scan and one shuffle no matter how many sets are listed."""
+    plan = plan_of(relational.QUERIES["q27_grouping_sets"](spark, SF_DIR_CORRECTNESS))
+    assert plan.count("Expand (") == 1  # tree lists each node once as "Name (id)"
+    assert plan.count("Exchange (") <= 1  # one agg shuffle
+
+
+def test_q28_pivot_no_discovery_pass(spark):
+    """Declared pivot values: aggregation only (Spark plans pivot as a
+    (year, priority) pre-aggregate feeding a pivotfirst aggregate — two
+    shuffles), with no extra job or join to collect distinct pivot keys."""
+    df = relational.QUERIES["q28_pivot"](spark, SF_DIR_CORRECTNESS)
+    plan = plan_of(df)
+    assert "Join" not in plan
+    assert plan.count("Exchange (") <= 2
+
+
+def test_q29_window_frames_single_exchange(spark):
+    """All four window functions share partitionBy(o_custkey): one exchange,
+    with only re-sorts between the window nodes."""
+    plan = plan_of(relational.QUERIES["q29_window_frames"](spark, SF_DIR_CORRECTNESS))
+    assert plan.count("Exchange") <= 2
+
+
+def test_q26_join_back_broadcasts_under_aqe(spark):
+    """The decorrelated per-part aggregate (~|part| rows) should end up on
+    the broadcast side of the join-back once AQE sees its true size."""
+    df = relational.QUERIES["q26_small_qty_revenue"](spark, SF_DIR_CORRECTNESS)
+    df.collect()  # run so AQE finalizes the adaptive plan
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in executed
+    assert "SortMergeJoin" not in executed
+
+
+def test_simhash_neardup_is_equi_join(spark):
+    """Band bucketing keeps the near-dup search an equi-join — no all-pairs
+    nested loop anywhere in the plan."""
+    from udlang_spark.queries import llm
+
+    plan = plan_of(llm.QUERIES["d_simhash_neardup"](spark, SF_DIR_CORRECTNESS))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_centroid_assign_no_shuffle(spark):
+    """Nearest-centroid assignment is a narrow mapInPandas over the input —
+    zero exchanges (centroids travel as a broadcast variable)."""
+    from udlang_spark.queries import llm
+
+    plan = plan_of(llm.QUERIES["e_centroid_assign"](spark, SF_DIR_CORRECTNESS))
+    assert "Exchange" not in plan

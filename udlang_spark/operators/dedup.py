@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from udlang_spark.functions.text import fingerprint, shingles, simhash16
+from udlang_spark.sources.tables import fan_out
 
 N_HASHES = 8
 BAND_ROWS = 2  # rows per band → B = N_HASHES / BAND_ROWS bands
@@ -42,8 +43,10 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingle_sets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(doc, sh): distinct shingle arrays; docs with no shingles drop."""
-    return df.select(
+    """(doc, sh): distinct shingle arrays; docs with no shingles drop.
+    Shingling is the dominant per-row cost of the MinHash pipeline — fan the
+    input out first so it isn't serialized on a few input splits."""
+    return fan_out(df).select(
         F.col(id_col).alias("doc"), shingles(text_col).alias("sh")
     ).filter(F.size("sh") > 0)
 
@@ -204,7 +207,9 @@ def ngram_jaccard_pairs(
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    return df.select(F.col(id_col).alias("doc"), simhash16(text_col).alias("simhash"))
+    return fan_out(df).select(
+        F.col(id_col).alias("doc"), simhash16(text_col).alias("simhash")
+    )
 
 
 def simhash_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

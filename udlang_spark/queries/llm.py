@@ -50,7 +50,9 @@ FROM documents GROUP BY 1
 
 
 def d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+    from udlang_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, "documents", sf_dir))
     return docs.select(
         "doc_id",
         TXT.fingerprint("text").alias("fp"),
@@ -286,7 +288,9 @@ def t_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(lang, gram) count is a partial aggregate (map-side combine crushes
     the fan-out before the shuffle); the top-k window then runs on the
     already-tiny count table partitioned by lang."""
-    docs = load_table(spark, "documents", sf_dir)
+    from udlang_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, "documents", sf_dir))
     grams = docs.filter(F.length("text") >= 3).select(
         "lang",
         F.explode(

@@ -33,9 +33,34 @@ BROADCAST_SAFE = {"region", "nation", "supplier"}
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# A parquet file is split at row-group granularity: the driver's testdata
+# writes ONE row group per table, so every scan — and everything narrow
+# above it — runs as a single task, even on local[32]. Measured tradeoff
+# (sf0.1, steady-state): shuffle-bound queries (groupBy/join) do NOT benefit
+# from pre-spreading the scan — their first key shuffle already
+# parallelizes, and a blanket repartition of full rows costs more than the
+# serial partial-agg it saves (q03: 0.9 s → 1.6 s WITH fan-out). Only
+# CPU-heavy per-row operators (shingling, simhash, n-gram explodes) win big
+# (d_simhash: 2.1 s → 0.8 s), so fan-out is an explicit opt-in at those
+# call sites, never automatic at load. At real scale inputs have thousands
+# of splits, the `partitions < target` gate is never true, and fan_out
+# vanishes from the plan (the durable fix there is compaction at ingest).
+
+
+def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Repartition a DataFrame whose lineage has fewer partitions than the
+    cluster has cores — used by CPU-heavy per-row operators (shingling,
+    fingerprinting) where even a small table is a lot of work. No-op when
+    the input is already parallel enough (the 100 TB case)."""
+    target = target or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or DEFAULT_SF_DIR
+    path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark refuses to
         # read natively; read nanos as long (session-settable legacy conf) and
@@ -43,14 +68,15 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         # round, since ns epoch values exceed 2^53). DuckDB's ns→µs cast also
         # truncates, so both engines see identical timestamps.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df = spark.read.parquet(path)
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    else:
+        df = spark.read.parquet(path)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
