@@ -223,3 +223,98 @@ def test_stateful_running_totals(spark, events_json_dir):
         .collect()
     }
     assert final == expect
+
+
+def _ts_stream(spark, events_json_dir):
+    from pyspark.sql import functions as F
+
+    input_t = ast.TRecord(
+        (
+            ast.TRecordField("event_id", ast.T_INT),
+            ast.TRecordField("event_type", ast.T_STR),
+            ast.TRecordField("value", ast.T_FLOAT),
+        )
+    )
+    schema = json_lift.input_schema(input_t)
+    return (
+        spark.readStream.schema(schema)
+        .option("mode", "FAILFAST")
+        .json(events_json_dir)
+        .withColumn(
+            "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("event_id") * 60)
+        )
+    )
+
+
+def _ts_batch(spark):
+    from pyspark.sql import functions as F
+
+    return (
+        load_table(spark, "events", SF_DIR_SMOKE)
+        .select("event_id", "event_type", "value")
+        .withColumn(
+            "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("event_id") * 60)
+        )
+    )
+
+
+def _split_click_purchase(df):
+    from pyspark.sql import functions as F
+
+    src = df.withColumn("ukey", F.col("event_id") % 13)
+    clicks = src.filter(F.col("event_type") == "click").select(
+        "ukey", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = src.filter(F.col("event_type") == "purchase").select(
+        "ukey", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    return clicks, purchases
+
+
+def test_stream_stream_join_equals_batch(spark, events_json_dir):
+    """The watermarked stream-stream join emits exactly the rows the batch
+    join produces (inner join, bounded input, watermark far above the data's
+    disorder)."""
+    s_clicks, s_purch = _split_click_purchase(_ts_stream(spark, events_json_dir))
+    joined = runner.stream_stream_join(
+        s_clicks, s_purch, key_col="ukey",
+        left_ts="click_ts", right_ts="purchase_ts",
+        watermark="2 hours", within="1 hour",
+    )
+    got = {
+        (r.jkey, r.l_click_id, r.r_purchase_id)
+        for r in runner.run_stream_to_memory(joined, "t_ss_join", spark).collect()
+    }
+
+    b_clicks, b_purch = _split_click_purchase(_ts_batch(spark))
+    b_joined = runner.stream_stream_join(
+        b_clicks, b_purch, key_col="ukey",
+        left_ts="click_ts", right_ts="purchase_ts", within="1 hour",
+    )
+    expect = {
+        (r.jkey, r.l_click_id, r.r_purchase_id) for r in b_joined.collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_streaming_dedup_equals_batch_keyset(spark, events_json_dir):
+    """dropDuplicatesWithinWatermark keeps one row per key; the surviving
+    key set equals batch dropDuplicates' (which row survives is racy, the
+    key set is not)."""
+    from pyspark.sql import functions as F
+
+    src = _ts_stream(spark, events_json_dir).withColumn(
+        "bucket", F.col("event_id") % 50
+    )
+    deduped = runner.streaming_dedup(src, ("event_type", "bucket"), "ts")
+    out = runner.run_stream_to_memory(deduped, "t_sdedup", spark)
+    got_rows = out.collect()
+    got_keys = {(r.event_type, r.bucket) for r in got_rows}
+    assert len(got_rows) == len(got_keys)  # one survivor per key
+
+    batch = _ts_batch(spark).withColumn("bucket", F.col("event_id") % 50)
+    expect_keys = {
+        (r.event_type, r.bucket)
+        for r in runner.streaming_dedup(batch, ("event_type", "bucket"), "ts").collect()
+    }
+    assert got_keys == expect_keys

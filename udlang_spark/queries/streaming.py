@@ -118,10 +118,63 @@ def s_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join: click events joined to purchase
+    events on a shared key, purchase within 1 hour after the click. Both
+    sides derive from the same replayed file stream; result rows are exactly
+    the batch join's (stream-stream inner join emits every matching pair),
+    so the output is deterministic despite the streaming execution."""
+    src = _stream(spark, sf_dir).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("event_id") * 60)
+    ).withColumn("ukey", F.col("event_id") % 13)
+    clicks = src.filter(F.col("event_type") == "click").select(
+        "ukey", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = src.filter(F.col("event_type") == "purchase").select(
+        "ukey",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    joined = runner.stream_stream_join(
+        clicks,
+        purchases,
+        key_col="ukey",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        watermark="2 hours",
+        within="1 hour",
+    )
+    out = runner.run_stream_to_memory(joined, "q_s_stream_join", spark)
+    return out.select(
+        "jkey",
+        F.col("l_click_id").alias("click_id"),
+        F.col("r_purchase_id").alias("purchase_id"),
+        F.round("r_value", 6).alias("purchase_value"),
+    )
+
+
+def s_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark): first event
+    per (event_type, bucket) key. Which row is 'first' is racy across
+    micro-batch partitions, so the contract output is the deterministic part
+    only: the distinct key set that survives."""
+    src = _stream(spark, sf_dir).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("event_id") * 60)
+    ).withColumn("bucket", F.col("event_id") % 50)
+    deduped = runner.streaming_dedup(
+        src, ("event_type", "bucket"), "ts", watermark="2 hours"
+    )
+    out = runner.run_stream_to_memory(deduped, "q_s_dedup_stream", spark)
+    return out.select("event_type", "bucket").orderBy("event_type", "bucket")
+
+
 QUERIES = {
     "s_kernel_stream": s_kernel_stream,
     "s_windowed_stream": s_windowed_stream,
     "s_stateful_totals": s_stateful_totals,
+    "s_stream_join": s_stream_join,
+    "s_dedup_stream": s_dedup_stream,
 }
 
 # not SQL-expressible (Structured Streaming execution) — rows-only checks;

@@ -122,6 +122,65 @@ def stateful_running_totals(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "2 hours",
+    within: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join (SURVEY.md §2.5 joins row, streaming
+    form): rows match on `key_col` with right_ts in [left_ts, left_ts +
+    within]. Both sides are watermarked so the state store can evict rows
+    older than the watermark + join range — without the time bound, both
+    sides' state would grow forever. At scale, state is partitioned by the
+    join key across executors, same as any keyed shuffle.
+
+    In batch mode (non-streaming inputs) the identical join predicate runs
+    as a plain join — the batch-equivalence pytest uses that path.
+    """
+    lt, rt = F.col(f"l_{left_ts}"), F.col(f"r_{right_ts}")
+    l = left.select(
+        F.col(key_col).alias("jkey"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c != key_col],
+    )
+    r = right.select(
+        F.col(key_col).alias("jkey"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c != key_col],
+    )
+    if left.isStreaming:
+        l = l.withWatermark(f"l_{left_ts}", watermark)
+    if right.isStreaming:
+        r = r.withWatermark(f"r_{right_ts}", watermark)
+    cond = (
+        (l["jkey"] == r["jkey"])
+        & (rt >= lt)
+        & (rt <= lt + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, how).drop(r["jkey"])
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first row per key, with state bounded
+    by the watermark (dropDuplicatesWithinWatermark — duplicates arriving
+    more than `watermark` after the first occurrence are not caught, which
+    is the price of bounded state; unbounded dropDuplicates would hold every
+    key forever). Batch mode: plain dropDuplicates on the same columns."""
+    if not stream.isStreaming:
+        return stream.dropDuplicates(list(key_cols))
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def run_stream_to_memory(
     result: DataFrame,
     query_name: str,
