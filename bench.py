@@ -34,14 +34,20 @@ HEADLINE = [
     "q13_events_tumbling",
     "q18_asof_join",
     "q19_cube",
+    "q26_small_qty_revenue",
+    "q27_grouping_sets",
+    "q29_window_frames",
     # uDLang kernels (compiled to Column expressions)
     "k_filter",
     "k_count",
     # LLM-pipeline operators
     "d_minhash_lsh",
     "d_simhash",
+    "d_simhash_neardup",
     "t_quality",
+    "t_ngram_topk",
     "e_cosine_topk",
+    "e_centroid_assign",
 ]
 
 

@@ -132,17 +132,20 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
-def simhash16(col: Column | str) -> Column:
-    """16-bit SimHash over word tokens: bit p is the sign of the sum over
-    tokens of ±1 by the parity of hex digit p of md5(token). Row-local
-    (aggregate over the token array — no explode, no shuffle).
+def simhash_bits(col: Column | str, n_bits: int = 16) -> Column:
+    """n_bits-wide SimHash over word tokens (n_bits ≤ 32): bit p is the sign
+    of the sum over tokens of ±1 by the parity of hex digit p of md5(token).
+    Row-local (aggregate over the token array — no explode, no shuffle); one
+    md5 per token regardless of width.
 
     Single-pass: ONE aggregate whose input is `transform(words, md5)` (md5
-    computed once per token), whose accumulator is the 16 running bit-sums,
-    and whose `finish` lambda renders the bit string — lambda variables are
-    bound values, so nothing is re-evaluated per bit. The naive form (16
-    separate aggregates) re-splits the text and re-hashes every token for
-    every bit: 16× the work."""
+    computed once per token), whose accumulator is the n_bits running
+    bit-sums, and whose `finish` lambda renders the bit string — lambda
+    variables are bound values, so nothing is re-evaluated per bit. The
+    naive form (one aggregate per bit) re-splits the text and re-hashes
+    every token for every bit: n_bits× the work."""
+    if not 1 <= n_bits <= 32:
+        raise ValueError("md5 supplies 32 hex digits: 1 <= n_bits <= 32")
     w = words(col)
     mds = F.transform(w, F.md5)
 
@@ -150,7 +153,7 @@ def simhash16(col: Column | str) -> Column:
         # acc[p] += parity(hex digit p of h); h is a bound md5 hex string
         return F.zip_with(
             acc,
-            F.sequence(F.lit(1), F.lit(16)),
+            F.sequence(F.lit(1), F.lit(n_bits)),
             lambda a, p: a
             + (F.conv(F.substring(h, p, F.lit(1)), 16, 10).cast("int") % 2 * 2 - 1),
         )
@@ -159,8 +162,13 @@ def simhash16(col: Column | str) -> Column:
         return F.concat(
             *[
                 F.when(F.element_at(acc, p) > 0, F.lit("1")).otherwise(F.lit("0"))
-                for p in range(1, 17)
+                for p in range(1, n_bits + 1)
             ]
         )
 
-    return F.aggregate(mds, F.array_repeat(F.lit(0), 16), merge, finish)
+    return F.aggregate(mds, F.array_repeat(F.lit(0), n_bits), merge, finish)
+
+
+def simhash16(col: Column | str) -> Column:
+    """16-bit SimHash (see simhash_bits)."""
+    return simhash_bits(col, 16)

@@ -195,14 +195,28 @@ def d_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
 
 
+def _simhash32_oracle() -> str:
+    bits = []
+    for p in range(1, 33):
+        bits.append(
+            "CASE WHEN list_sum(list_transform(wl, x -> "
+            f"(strpos('0123456789abcdef', substr(md5(x), {p}, 1)) - 1) % 2 * 2 - 1"
+            ")) > 0 THEN '1' ELSE '0' END"
+        )
+    return (
+        f"WITH w AS (SELECT doc_id, {_WL} AS wl FROM documents)\n"
+        "SELECT doc_id AS doc, " + " || ".join(bits) + " AS simhash FROM w"
+    )
+
+
 _HAMMING = " + ".join(
     f"CASE WHEN substr(a.simhash, {p}, 1) <> substr(b.simhash, {p}, 1) "
     "THEN 1 ELSE 0 END"
-    for p in range(1, 17)
+    for p in range(1, 33)
 )
 
 ORACLE_SIMHASH_NEARDUP = f"""
-WITH s AS ({ORACLE_SIMHASH})
+WITH s AS ({_simhash32_oracle()})
 SELECT doc_a, doc_b, hamming FROM (
   SELECT a.doc AS doc_a, b.doc AS doc_b, CAST({_HAMMING} AS INTEGER) AS hamming
   FROM s a JOIN s b ON a.doc < b.doc
