@@ -77,9 +77,7 @@ def test_parquet_typed_projection(spark, tmpdir):
         formats.read_parquet(spark, f"{tmpdir}/ev_pq", narrow)
 
 
-def test_msgpack_stub():
-    with pytest.raises(NotImplementedError):
-        formats.read_msgpack(None, "x", RECORD_T)
+# msgpack is no longer a stub — see the codec/framing tests below.
 
 
 def test_compaction_resizes_and_preserves_rows(spark, tmp_path):
@@ -127,3 +125,113 @@ def test_compaction_partitioned_layout(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
     orig_f = spark.read.parquet(src).filter("o_orderstatus = 'F'").count()
     assert one.count() == orig_f
+
+
+# ---------------------------------------------------------------------------
+# msgpack (pure-Python codec + binaryFile/mapInPandas framing)
+# ---------------------------------------------------------------------------
+def test_msgpack_codec_golden_bytes():
+    """Known encodings from the public msgpack spec."""
+    from udlang_spark.sources import msgpack_codec as mp
+
+    assert mp.packb(None) == b"\xc0"
+    assert mp.packb(True) == b"\xc3"
+    assert mp.packb(127) == b"\x7f"
+    assert mp.packb(-1) == b"\xff"
+    assert mp.packb(256) == b"\xcd\x01\x00"
+    assert mp.packb(-129) == b"\xd1\xff\x7f"
+    import struct
+
+    assert mp.packb(1.5) == b"\xcb" + struct.pack(">d", 1.5)
+    assert mp.packb("a") == b"\xa1a"
+    assert mp.packb({"a": 1}) == b"\x81\xa1a\x01"
+    assert mp.packb([1, 2]) == b"\x92\x01\x02"
+    assert mp.packb(b"\x00\xff") == b"\xc4\x02\x00\xff"
+
+
+def test_msgpack_codec_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from udlang_spark.sources import msgpack_codec as mp
+
+    scalars = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**63), max_value=2**64 - 1),
+        st.floats(allow_nan=False),
+        st.text(max_size=40),
+        st.binary(max_size=40),
+    )
+    values = st.recursive(
+        scalars,
+        lambda kids: st.one_of(
+            st.lists(kids, max_size=5),
+            st.dictionaries(st.text(max_size=8), kids, max_size=5),
+        ),
+        max_leaves=20,
+    )
+
+    @given(values)
+    @settings(max_examples=200, deadline=None)
+    def rt(v):
+        assert mp.unpackb(mp.packb(v)) == v
+
+    rt()
+
+
+def test_msgpack_write_read_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from udlang_spark.kernel import ast
+    from udlang_spark.sources import formats
+    from udlang_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    path = str(tmp_path / "frames")
+    formats.write_msgpack(ev, ("event_id", "event_type", "value"), path)
+
+    t = ast.TRecord(
+        (
+            ast.TRecordField("event_id", ast.T_INT),
+            ast.TRecordField("event_type", ast.T_STR),
+            ast.TRecordField("value", ast.T_FLOAT),
+        )
+    )
+    back = formats.read_msgpack(spark, path, t)
+    assert back.count() == ev.count()
+    a = {tuple(r) for r in ev.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+
+
+def test_msgpack_invalid_record_policies(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from udlang_spark.kernel import ast
+    from udlang_spark.sources import formats
+    from udlang_spark.sources import msgpack_codec as mp
+
+    d = str(tmp_path / "bad_frames")
+    os.makedirs(d)
+    # scalar kernel input: each frame IS the bare value (pipe protocol)
+    good = mp.packb(1) + mp.packb(2)
+    bad = mp.packb(3) + b"\xc1"  # 0xc1 is the one unused type byte
+    with open(os.path.join(d, "part-00000.bin"), "wb") as fh:
+        fh.write(good)
+    with open(os.path.join(d, "part-00001.bin"), "wb") as fh:
+        fh.write(bad)
+
+    t = ast.T_INT
+    with _pytest.raises(Exception):
+        formats.read_msgpack(spark, d, t, policy="abort").collect()
+    ok = formats.read_msgpack(spark, d, t, policy="ignore")
+    assert sorted(r.value for r in ok.collect()) == [1, 2]
+    warn = formats.read_msgpack(spark, d, t, policy="warn")
+    rows = warn.collect()
+    assert sorted(r.value for r in rows if r.value is not None) == [1, 2]
+    assert sum(1 for r in rows if r._corrupt is not None) == 1

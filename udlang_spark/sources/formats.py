@@ -9,9 +9,9 @@ Parquet is schema-enforced by the format itself, so the policy applies to
 the text formats (csv/json).
 
 msgpack framing (the reference's planned wire format, README.md:53-61) is
-stubbed: the container has no msgpack library, so `read_msgpack` raises
-NotImplementedError with the intended contract documented. The Spark-side
-plumbing (schema derivation, binary-file ingestion shape) is real.
+real: a pure-Python codec (sources/msgpack_codec.py — the container ships
+no msgpack library) decodes binaryFile scans via mapInPandas and
+write_msgpack emits raw frame-stream files the same scan reads back.
 
 Scale notes: csv/json scans parallelize per file-split; parquet adds
 predicate pushdown + column pruning (always prefer it for 100 TB);
@@ -107,14 +107,102 @@ def write_parquet(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) 
     w.parquet(path)
 
 
-def read_msgpack(spark: SparkSession, path: str, input_type: ast.Type) -> DataFrame:
-    """STUB — msgpack framing (the reference's planned wire format,
-    README.md:53-61, explicitly TBD at README.md:96). Intended contract:
-    `spark.read.format('binaryFile')` per frame-file → mapInPandas decode
-    with a msgpack library → rows matching input_schema(input_type). The
-    container ships no msgpack codec, so this raises until one is
-    available."""
-    raise NotImplementedError(
-        "msgpack framing needs a msgpack codec (not in this environment); "
-        "use read_json/read_parquet — the kernel is format-agnostic"
+def read_msgpack(
+    spark: SparkSession, path: str, input_type: ast.Type, policy: str = "abort"
+) -> DataFrame:
+    """msgpack framing — the reference's planned wire format (README.md:
+    53-61, TBD at README.md:96), made real with a pure-Python codec
+    (sources/msgpack_codec.py; no msgpack library ships in the container).
+
+    Shape: `binaryFile` scan (one file = one stream of concatenated
+    frames; files are the parallelism unit) → mapInPandas decode → typed
+    columns per input_schema. Invalid-record policy per manual.md:45-49:
+    abort raises on the first undecodable/mis-shaped frame, ignore drops
+    it, warn keeps a `_corrupt` hex column.
+
+    Scale: Arrow-batched Python decode, parallel across files — write many
+    frame-files (the compaction helper applies here too). A JVM datasource
+    would beat it, but msgpack decode is inherently row-wise Python here.
+    """
+    import pandas as pd
+
+    from udlang_spark.sources import msgpack_codec as mp
+
+    if policy not in POLICY_TO_MODE:
+        raise ValueError(f"unknown policy {policy!r} (abort|ignore|warn)")
+    schema = input_schema(input_type)
+    names = [f.name for f in schema.fields]
+    out_schema = schema
+    if policy == "warn":
+        out_schema = StructType(
+            list(schema.fields) + [StructField("_corrupt", StringType())]
+        )
+    scalar = not isinstance(input_type, ast.TRecord)
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                data = bytes(blob)
+                try:
+                    frames = mp.unpack_stream(data)
+                except Exception as e:
+                    if policy == "abort":
+                        raise ValueError(f"undecodable msgpack file: {e}") from e
+                    if policy == "warn":
+                        rows.append({n: None for n in names} | {"_corrupt": data.hex()})
+                    continue
+                for fr in frames:
+                    rec = {"value": fr} if scalar else fr
+                    if not isinstance(rec, dict) or (
+                        not scalar and set(rec) - set(names)
+                    ):
+                        if policy == "abort":
+                            raise ValueError(f"frame does not match input shape: {fr!r}")
+                        if policy == "warn":
+                            rows.append(
+                                {n: None for n in names}
+                                | {"_corrupt": mp.packb(fr).hex()}
+                            )
+                        continue
+                    row = {n: rec.get(n) for n in names}
+                    if policy == "warn":
+                        row["_corrupt"] = None
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=list(out_schema.fieldNames()))
+
+    return (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("content")
+        .mapInPandas(decode, out_schema)
     )
+
+
+def write_msgpack(df: DataFrame, cols: tuple[str, ...], path: str) -> None:
+    """udlower made durable: each row becomes one msgpack map frame; each
+    partition writes its concatenated frame stream as `part-NNNNN.bin`
+    under `path` (raw bytes — the same layout read_msgpack's binaryFile
+    scan consumes, so write→read is a lossless round trip). Executors
+    write directly, so this scales like any shared-filesystem sink; the
+    actual unix-pipe variant of udlower is a driver-side iterator over
+    toLocalIterator() instead."""
+    import os
+
+    from pyspark import TaskContext
+
+    from udlang_spark.sources import msgpack_codec as mp
+
+    os.makedirs(path, exist_ok=True)
+    names = list(cols)
+
+    def dump(rows) -> None:
+        pid = TaskContext.get().partitionId()
+        buf = bytearray()
+        for r in rows:
+            buf += mp.packb({n: r[n] for n in names})
+        if buf:
+            with open(os.path.join(path, f"part-{pid:05d}.bin"), "wb") as fh:
+                fh.write(bytes(buf))
+
+    df.select(*names).foreachPartition(dump)
