@@ -45,3 +45,16 @@ def test_run_end_to_end(tmp_path):
     assert lines == ['{"out":"Hello, World"}', '{"out":"Hello, uDLang"}'] or sorted(
         lines
     ) == sorted(['{"out":"Hello, World"}', '{"out":"Hello, uDLang"}'])
+
+
+def test_run_msgpack_input(tmp_path):
+    """The udlift|udlang|udlower pipe with its planned wire format: msgpack
+    frames in, JSON out."""
+    from udlang_spark.sources import msgpack_codec as mp
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    (d / "part-00000.bin").write_bytes(mp.packb("World") + mp.packb("uDLang"))
+    got = _cli("run", HELLO, "--input", str(d), "--format", "msgpack")
+    lines = sorted(got.strip().splitlines())
+    assert lines == sorted(['{"out":"Hello, World"}', '{"out":"Hello, uDLang"}'])

@@ -4,7 +4,7 @@
   python -m udlang_spark dump-ast  <script.us>   # parse → AST pretty-print
   python -m udlang_spark compile   <script.us>   # parse+lower → Column expr
   python -m udlang_spark dump-expr               # expression REPL (stdin)
-  python -m udlang_spark run <script.us> --input PATH [--format json|csv|parquet]
+  python -m udlang_spark run <script.us> --input PATH [--format json|csv|parquet|msgpack]
                                           [--input-col NAME] [--output PATH]
 
 `compile` prints the Catalyst expression the kernel lowers to — the
@@ -83,6 +83,8 @@ def _run(path: str, input_path: str, fmt: str, input_col: str | None,
         df = formats.read_csv(spark, input_path, it)
     elif fmt == "parquet":
         df = formats.read_parquet(spark, input_path, it)
+    elif fmt == "msgpack":
+        df = formats.read_msgpack(spark, input_path, it)
     else:
         raise SystemExit(f"unknown format {fmt!r}")
     if input_col is None and not isinstance(it, ast.TRecord):
@@ -106,7 +108,7 @@ def main(argv: list[str] | None = None) -> int:
     r = sub.add_parser("run")
     r.add_argument("script")
     r.add_argument("--input", required=True)
-    r.add_argument("--format", default="json", choices=["json", "csv", "parquet"])
+    r.add_argument("--format", default="json", choices=["json", "csv", "parquet", "msgpack"])
     r.add_argument("--input-col", default=None)
     r.add_argument("--output", default=None)
     a = p.parse_args(argv)

@@ -963,6 +963,39 @@ WINDOW
 """
 
 
+# ---------------------------------------------------------------------------
+# q30 — deterministic hash sampling: sample = f(key), not f(rng state), so
+# the same rows are selected on any engine, any partitioning, any retry —
+# which is what makes sampled pipelines debuggable and resumable at 100 TB
+# (df.sample's per-partition RNG changes membership under repartitioning).
+# Rate granularity is 16^-digits; one hex digit = 1/16 ≈ 6.25%.
+# The filter is a pure scan predicate: no shuffle until the aggregate.
+# ---------------------------------------------------------------------------
+def q30_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    keep = F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 1) == "0"
+    return (
+        li.filter(keep)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_price"),
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+ORACLE_Q30 = """
+SELECT l_returnflag,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       count(*) AS n_sampled,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) = '0'
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_forecast_revenue": q02_forecast_revenue,
@@ -993,6 +1026,7 @@ QUERIES = {
     "q27_grouping_sets": q27_grouping_sets,
     "q28_pivot": q28_pivot,
     "q29_window_frames": q29_window_frames,
+    "q30_hash_sample": q30_hash_sample,
 }
 
 ORACLE = {
@@ -1025,4 +1059,5 @@ ORACLE = {
     "q27_grouping_sets": ORACLE_Q27,
     "q28_pivot": ORACLE_Q28,
     "q29_window_frames": ORACLE_Q29,
+    "q30_hash_sample": ORACLE_Q30,
 }
