@@ -46,6 +46,8 @@ HEADLINE = [
     "d_simhash_neardup",
     "t_quality",
     "t_ngram_topk",
+    "t_chunks",
+    "t_pack_greedy",
     "e_cosine_topk",
     "e_centroid_assign",
 ]

@@ -19,3 +19,24 @@ def test_kernel_query_matches_oracle(spark, duck, name):
         kernels.ORACLE[name],
         SF_DIR_CORRECTNESS,
     )
+
+
+def test_point_type_kernel(spark):
+    """Point (pair of floats — src/ast.rs:177, src/ir.rs:362) lowers to
+    struct<x double, y double>; .x/.y project its fields."""
+    from udlang_spark.kernel.api import compile_kernel
+
+    k = compile_kernel(
+        """
+version 0.1-pre_mvp;
+script "point norm";
+input Point;
+output Float;
+out in.x * in.x + in.y * in.y;
+"""
+    )
+    df = spark.createDataFrame(
+        [((3.0, 4.0),), ((0.0, 0.0),)], "value struct<x: double, y: double>"
+    )
+    got = sorted(r[0] for r in k.apply(df, input_col="value").collect())
+    assert got == [0.0, 25.0]

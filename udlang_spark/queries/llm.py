@@ -296,6 +296,72 @@ def _langid_oracle() -> str:
 ORACLE_LANGID = _langid_oracle()
 
 
+def t_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (200-char windows, 50 overlap) —
+    the standard context-window prep step of a training pipeline. Pure
+    Column work: sequence → transform → posexplode, all codegen; row fan-out
+    is ~|text|/150 per doc, crushed map-side by nothing downstream (the
+    chunks ARE the output)."""
+    from udlang_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    starts = F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(150))
+    return docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(starts, lambda s: F.substring(F.col("text"), s, F.lit(200)))
+        ).alias("chunk_idx", "chunk"),
+    ).withColumn("chunk_len", F.length("chunk"))
+
+
+ORACLE_CHUNKS = """
+SELECT doc_id,
+       CAST((i - 1) / 150 AS INTEGER) AS chunk_idx,
+       substr(text, CAST(i AS INTEGER), 200) AS chunk,
+       length(substr(text, CAST(i AS INTEGER), 200)) AS chunk_len
+FROM documents,
+     LATERAL (SELECT unnest(generate_series(1, greatest(length(text), 1), 150)) AS i) t
+"""
+
+
+def t_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: docs in doc_id order are packed into
+    2048-token budgets per source; pack_id = floor(preceding-token-cumsum /
+    budget) (the streaming-packing rule — a doc may straddle a boundary).
+    partitionBy(source) keeps the running sum per-group: one hash exchange,
+    state = one partial sum per partition, scales as any keyed window.
+    A GLOBAL packing order would serialize on one partition — per-source
+    (or per-shard) packing is the form that survives 100 TB."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tokens = TXT.token_count("text")
+    return (
+        docs.select("doc_id", "source", tokens.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn(
+            "pack_id",
+            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(2048)),
+        )
+    )
+
+
+ORACLE_PACK = f"""
+WITH t AS (
+  SELECT doc_id, source, len({_WL}) AS n_tokens FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       sum(n_tokens) OVER w AS cum_tokens,
+       CAST(floor((sum(n_tokens) OVER w - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+FROM t
+WINDOW w AS (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def t_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 character trigrams per language: explode → count → windowed
     top-k. Scale shape: the explode multiplies rows by ~|text| but the
@@ -386,6 +452,56 @@ SELECT vec_id, cid AS centroid, cos_sim FROM (
   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, cid) AS rk
   FROM scored
 ) WHERE rk = 1
+"""
+
+
+_DIM = 64
+
+
+def e_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pooled embedding per label (the training-side twin of
+    e_centroid_assign). One pass, no explode: 64 per-dimension sums as
+    plain aggregate expressions — map-side combine crushes each partition
+    to one partial row per label, so the shuffle carries |labels| ×
+    |partitions| rows regardless of corpus size.
+
+    Determinism: float sums are order-dependent, so each component is
+    quantized to fixed-point (round(x·1e6) as int64) and summed exactly;
+    the mean divides back out in IEEE double. Quantization error (≤5e-7
+    per element) is far below any downstream use of a centroid; exactness
+    under repartitioning is what matters at scale."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    sums = [
+        F.sum(
+            F.round(F.element_at("embedding", i).cast("double") * 1e6).cast("long")
+        ).alias(f"s{i}")
+        for i in range(1, _DIM + 1)
+    ]
+    agg = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"), *sums)
+    centroid = F.array(
+        *[
+            F.col(f"s{i}").cast("double") / F.lit(1e6) / F.col("n")
+            for i in range(1, _DIM + 1)
+        ]
+    )
+    return agg.select("label", "n", centroid.alias("centroid"))
+
+
+_CENTROID_SUMS = ",\n  ".join(
+    f"sum(CAST(round(CAST(embedding[{i}] AS DOUBLE) * 1000000) AS BIGINT)) AS s{i}"
+    for i in range(1, _DIM + 1)
+)
+_CENTROID_LIST = ", ".join(
+    f"CAST(s{i} AS DOUBLE) / 1000000.0 / n" for i in range(1, _DIM + 1)
+)
+
+ORACLE_LABEL_CENTROIDS = f"""
+WITH a AS (
+  SELECT label, count(*) AS n,
+  {_CENTROID_SUMS}
+  FROM embeddings GROUP BY label
+)
+SELECT label, n, [{_CENTROID_LIST}] AS centroid FROM a
 """
 
 
@@ -505,8 +621,11 @@ QUERIES = {
     "t_quality": t_quality,
     "t_langid": t_langid,
     "t_ngram_topk": t_ngram_topk,
+    "t_chunks": t_chunks,
+    "t_pack_greedy": t_pack_greedy,
     "d_simhash_neardup": d_simhash_neardup,
     "e_centroid_assign": e_centroid_assign,
+    "e_label_centroids": e_label_centroids,
     "e_cosine_topk": e_cosine_topk,
     "e_near_dups": e_near_dups,
     "e_ann_lsh": e_ann_lsh,
@@ -528,8 +647,11 @@ ORACLE = {
     "t_quality": ORACLE_QUALITY,
     "t_langid": ORACLE_LANGID,
     "t_ngram_topk": ORACLE_NGRAM_TOPK,
+    "t_chunks": ORACLE_CHUNKS,
+    "t_pack_greedy": ORACLE_PACK,
     "d_simhash_neardup": ORACLE_SIMHASH_NEARDUP,
     "e_centroid_assign": ORACLE_CENTROID_ASSIGN,
+    "e_label_centroids": ORACLE_LABEL_CENTROIDS,
     "e_cosine_topk": ORACLE_COSINE_TOPK,
     "e_near_dups": ORACLE_E_NEAR_DUPS,
     "m_payload_meta": ORACLE_PAYLOAD_META,
