@@ -40,3 +40,26 @@ out in.x * in.x + in.y * in.y;
     )
     got = sorted(r[0] for r in k.apply(df, input_col="value").collect())
     assert got == [0.0, 25.0]
+
+
+def test_debug_operator_taps(spark):
+    """`!expr` (manual.md:54-62): value passes through unchanged; with
+    apply(debug=True) the tapped values surface as a _debug string array."""
+    from udlang_spark.kernel.api import compile_kernel
+
+    k = compile_kernel(
+        """
+version 0.1-pre_mvp;
+script "debug taps";
+input Int;
+output Int;
+let doubled = !(in * 2);
+out doubled + 1;
+"""
+    )
+    df = spark.createDataFrame([(5,), (10,)], "value long")
+    plain = sorted(r[0] for r in k.apply(df, input_col="value").collect())
+    assert plain == [11, 21]  # pass-through: same results without debug
+    rows = k.apply(df, input_col="value", debug=True).collect()
+    got = sorted((r.out, list(r._debug)) for r in rows)
+    assert got == [(11, ["10"]), (21, ["20"])]

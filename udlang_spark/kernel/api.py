@@ -43,6 +43,13 @@ class Kernel:
         """array<output> Column for one input record symbol."""
         return Compiler(self.program, self.max_depth, self.libs).compile(in_val)
 
+    def _outputs_and_debug(self, in_val: SVal) -> tuple[Column, Column | None]:
+        """(array<output>, array<string> of `!` taps or None)."""
+        c = Compiler(self.program, self.max_depth, self.libs)
+        outs = c.compile(in_val)
+        dbg = F.array(*c.debug_taps) if c.debug_taps else None
+        return outs, dbg
+
     def _in_sval(self, df: DataFrame, input_col: str | None) -> SVal:
         # resolve aliases/value-types so `in` carries a structural type
         # (e.g. `input "Hello" | "Goodnight"` is Str; unions are tagged
@@ -123,6 +130,7 @@ class Kernel:
         keep: tuple[str, ...] = (),
         out_name: str = "out",
         with_pos: bool = False,
+        debug: bool = False,
     ) -> DataFrame:
         """Run the kernel over every row.
 
@@ -134,15 +142,24 @@ class Kernel:
         Single-`out` and conditional-single-`out` kernels take a
         filter+select fast path so predicates and projections push down to
         the scan (see _filter_select_fastpath).
+
+        debug=True adds a `_debug` array<string> column holding the record's
+        `!`-tapped values (manual.md:54-62 — the reference's stderr trace,
+        surfaced as data since executor stderr isn't observable). Taps are
+        recorded unconditionally (even in untaken branches) — a documented
+        deviation; route the column to logs or a sink as needed.
         """
-        if not with_pos:
+        if not with_pos and not debug:
             fast = self._filter_select_fastpath(df, input_col, keep, out_name)
             if fast is not None:
                 return fast
-        outs = self.outputs_column(self._in_sval(df, input_col))
+        outs, dbg = self._outputs_and_debug(self._in_sval(df, input_col))
         exploded = F.posexplode(outs)
         cols = [F.col(c) for c in keep]
-        sel = df.select(*cols, exploded.alias("pos", out_name))
+        if debug and dbg is not None:
+            sel = df.select(*cols, dbg.alias("_debug"), exploded.alias("pos", out_name))
+        else:
+            sel = df.select(*cols, exploded.alias("pos", out_name))
         if not with_pos:
             sel = sel.drop("pos")
         return sel

@@ -188,6 +188,10 @@ class Compiler:
             max_depth=max_depth,
         )
         self.ctx.out_spark_type = to_spark(self.resolve_type(program.output))
+        # `!`-tapped expressions (the reference's second side effect,
+        # manual.md:54-62) as string Columns, in tap order; surfaced by
+        # Kernel.apply(debug=True) as a `_debug` array column
+        self.debug_taps: list = []
 
     # -- type aliases ----------------------------------------------------
     # documented numeric tower (manual.md:85-97) → our two numeric types;
@@ -705,8 +709,13 @@ class Compiler:
     def compile_un(self, expr: ast.Un, env: dict):
         a, outs = self.compile_expr(expr.a, env)
         if expr.op == "!":
-            # debug operator: pass-through (SURVEY.md §2.1 — no-op wrapper;
-            # the stderr trace is a driver concern, not a plan concern)
+            # debug operator: value passes through; the tap is recorded as a
+            # string Column for Kernel.apply(debug=True)'s `_debug` array
+            # (the distributed analogue of the reference's stderr trace —
+            # executor-side stderr is not observable from a driver).
+            # Semantic deviation, documented: taps record unconditionally,
+            # even when the enclosing `when` branch is not taken.
+            self.debug_taps.append(as_col(a).cast("string"))
             return a, outs
         t = vtype(a)
         if isinstance(a, SConst) and not isinstance(a.value, (list, dict)):
