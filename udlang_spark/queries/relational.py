@@ -996,6 +996,117 @@ GROUP BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# q31 — time-series gap-fill: hourly event buckets densified against a
+# generated calendar (missing hours appear as rows), counts filled with 0
+# and a forward-filled running level (last non-null, IGNORE NULLS window).
+# Scale: the calendar is |hours| rows — generated, not scanned; the dense
+# join is calendar ⋈ buckets on the hour key (broadcast: a year is 8.8k
+# rows); the forward-fill is one global-window sort over |hours| rows
+# (tiny), NOT over raw events. Gap-fill never touches the fact table twice.
+# ---------------------------------------------------------------------------
+def q31_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    buckets = ev.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("sum_value"),
+    )
+    cal = (
+        ev.agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket")
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        cal.join(buckets, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("level"),
+        )
+    )
+
+
+ORACLE_Q31 = """
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS bucket, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1
+),
+cal AS (
+  SELECT unnest(generate_series(date_trunc('hour', (SELECT min(ts) FROM events)),
+                                date_trunc('hour', (SELECT max(ts) FROM events)),
+                                INTERVAL 1 HOUR)) AS bucket
+)
+SELECT cal.bucket,
+       coalesce(b.n_events, 0) AS n_events,
+       last_value(b.sum_value IGNORE NULLS)
+         OVER (ORDER BY cal.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS level
+FROM cal LEFT JOIN b ON cal.bucket = b.bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# q32 — batch sessionization: the lag-gap/cumsum idiom (the batch twin of
+# streaming session_window). One window partition per user does both the
+# gap flags and the session numbering; the per-session aggregate then
+# shuffles on (user, session). Two wide ops total, both keyed by user —
+# at scale the second reuses the first's partitioning (same key prefix).
+# ---------------------------------------------------------------------------
+def q32_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+        1,
+    ).otherwise(0)
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = ev.withColumn("new_sess", new_sess).withColumn(
+        "session_seq", F.sum("new_sess").over(wc)
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum(dec("value")).cast("double").alias("session_value"),
+    )
+
+
+ORACLE_Q32 = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_forecast_revenue": q02_forecast_revenue,
@@ -1027,6 +1138,8 @@ QUERIES = {
     "q28_pivot": q28_pivot,
     "q29_window_frames": q29_window_frames,
     "q30_hash_sample": q30_hash_sample,
+    "q31_gap_fill": q31_gap_fill,
+    "q32_sessionize": q32_sessionize,
 }
 
 ORACLE = {
@@ -1060,4 +1173,6 @@ ORACLE = {
     "q28_pivot": ORACLE_Q28,
     "q29_window_frames": ORACLE_Q29,
     "q30_hash_sample": ORACLE_Q30,
+    "q31_gap_fill": ORACLE_Q31,
+    "q32_sessionize": ORACLE_Q32,
 }
