@@ -58,3 +58,10 @@ def test_run_msgpack_input(tmp_path):
     got = _cli("run", HELLO, "--input", str(d), "--format", "msgpack")
     lines = sorted(got.strip().splitlines())
     assert lines == sorted(['{"out":"Hello, World"}', '{"out":"Hello, uDLang"}'])
+
+
+def test_explain_query():
+    got = _cli("explain", "q02_forecast_revenue")
+    assert "PushedFilters" in got and "Physical Plan" in got
+    listing = _cli("explain", "list")
+    assert "q01_pricing_summary" in listing and "d_minhash_lsh" in listing

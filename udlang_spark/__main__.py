@@ -6,6 +6,7 @@
   python -m udlang_spark dump-expr               # expression REPL (stdin)
   python -m udlang_spark run <script.us> --input PATH [--format json|csv|parquet|msgpack]
                                           [--input-col NAME] [--output PATH]
+  python -m udlang_spark explain <query|list> [--sf-dir DIR]  # physical plan
 
 `compile` prints the Catalyst expression the kernel lowers to — the
 engine's analogue of `udlang --compile`'s IR dump; `run` executes the
@@ -99,6 +100,32 @@ def _run(path: str, input_path: str, fmt: str, input_col: str | None,
     return 0
 
 
+def _explain(query: str, sf_dir: str) -> int:
+    """Formatted physical plan for a registered query — the relational
+    surface's analogue of `--compile` (SURVEY.md §3.2 inspection hooks;
+    how the §4 plan properties — pushdown, pruning, broadcasts — are
+    inspected by hand)."""
+    from udlang_spark.queries import QUERIES
+    from udlang_spark.session import get_spark
+
+    if query == "list":
+        for name in sorted(QUERIES):
+            print(name)
+        return 0
+    if query not in QUERIES:
+        print(f"unknown query {query!r}; `explain list` shows all", file=sys.stderr)
+        return 2
+    spark = get_spark("udlang_explain")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = QUERIES[query](spark, sf_dir)
+    print(
+        df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="udlang_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -111,6 +138,9 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--format", default="json", choices=["json", "csv", "parquet", "msgpack"])
     r.add_argument("--input-col", default=None)
     r.add_argument("--output", default=None)
+    e = sub.add_parser("explain")
+    e.add_argument("query", help="registered query name, or `list`")
+    e.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     a = p.parse_args(argv)
     if a.cmd == "dump-ast":
         return _dump_ast(a.script)
@@ -118,6 +148,8 @@ def main(argv: list[str] | None = None) -> int:
         return _compile(a.script)
     if a.cmd == "dump-expr":
         return _dump_expr()
+    if a.cmd == "explain":
+        return _explain(a.query, a.sf_dir)
     return _run(a.script, a.input, a.format, a.input_col, a.output)
 
 
