@@ -1107,6 +1107,33 @@ FROM numbered GROUP BY user_id, session_seq
 """
 
 
+# ---------------------------------------------------------------------------
+# q33 — unpivot (stack): the inverse reshape of q28's pivot. Wide → long is
+# a per-row Generate (no shuffle beyond the pivot's own aggregation); the
+# oracle is the direct long-form aggregation, so the test also proves
+# pivot→unpivot is lossless (modulo absent year×priority combos, dropped
+# by the null filter on both sides).
+# ---------------------------------------------------------------------------
+def q33_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = q28_pivot(spark, sf_dir)
+    stack_args = ", ".join(f"'{p}', `{p}`" for p in _PRIORITIES)
+    return (
+        wide.selectExpr(
+            "o_year",
+            f"stack({len(_PRIORITIES)}, {stack_args}) AS (o_orderpriority, total_price)",
+        )
+        .filter(F.col("total_price").isNotNull())
+    )
+
+
+ORACLE_Q33 = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       o_orderpriority,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_forecast_revenue": q02_forecast_revenue,
@@ -1140,6 +1167,7 @@ QUERIES = {
     "q30_hash_sample": q30_hash_sample,
     "q31_gap_fill": q31_gap_fill,
     "q32_sessionize": q32_sessionize,
+    "q33_unpivot": q33_unpivot,
 }
 
 ORACLE = {
@@ -1175,4 +1203,5 @@ ORACLE = {
     "q30_hash_sample": ORACLE_Q30,
     "q31_gap_fill": ORACLE_Q31,
     "q32_sessionize": ORACLE_Q32,
+    "q33_unpivot": ORACLE_Q33,
 }
