@@ -84,3 +84,25 @@ def test_ivf_recall_vs_brute_force(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall > 0.5, f"IVF recall too low: {recall:.2f}"
+
+
+def test_scrub_removes_urls_and_emails(spark):
+    """clean_text scrub on crafted rows (the driver corpus has no URLs, so
+    this is pytest- rather than oracle-checked)."""
+    from udlang_spark.functions import text as TXT
+
+    df = spark.createDataFrame(
+        [
+            ("see https://example.com/x?q=1 and mail bob@corp.io  now",),
+            ("no noise   here",),
+            ("two urls http://a.io https://b.io and a@b.co c@d.org",),
+        ],
+        "text string",
+    )
+    rows = df.select(*TXT.scrub("text")).collect()
+    assert rows[0].cleaned == "see and mail now"
+    assert (rows[0].n_urls, rows[0].n_emails) == (1, 1)
+    assert rows[1].cleaned == "no noise here"
+    assert (rows[1].n_urls, rows[1].n_emails) == (0, 0)
+    assert rows[2].cleaned == "two urls and"
+    assert (rows[2].n_urls, rows[2].n_emails) == (2, 2)

@@ -318,3 +318,43 @@ def test_streaming_dedup_equals_batch_keyset(spark, events_json_dir):
         for r in runner.streaming_dedup(batch, ("event_type", "bucket"), "ts").collect()
     }
     assert got_keys == expect_keys
+
+
+def test_parquet_sink_exactly_once_restart(spark, tmp_path):
+    """Checkpointed parquet sink: a restart over an unchanged source emits
+    nothing; appended source data emits exactly its own rows."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, lo, hi):
+        with open(src / name, "w") as fh:
+            for i in range(lo, hi):
+                fh.write(_json.dumps({"event_id": i, "value": float(i)}) + "\n")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("event_id long, value double")
+            .option("mode", "FAILFAST")
+            .json(str(src))
+            .withColumn("doubled", F.col("value") * 2)
+        )
+        runner.run_stream_to_parquet(stream, out, ckpt)
+
+    write_batch("a.json", 0, 50)
+    run_once()
+    assert spark.read.parquet(out).count() == 50
+
+    run_once()  # restart, no new data → no new rows
+    assert spark.read.parquet(out).count() == 50
+
+    write_batch("b.json", 50, 80)
+    run_once()  # restart with 30 new rows → exactly those
+    got = spark.read.parquet(out)
+    assert got.count() == 80
+    assert got.agg(F.countDistinct("event_id")).collect()[0][0] == 80

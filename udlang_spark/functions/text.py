@@ -88,6 +88,30 @@ def lang_predict() -> Column:
     return pred
 
 
+URL_RE = r"https?://\S+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def scrub(col: Column | str) -> list[Column]:
+    """Boilerplate/PII scrub for corpus prep: strip URLs and email
+    addresses, collapse whitespace runs. Returns [cleaned, n_urls,
+    n_emails] — all single-pass regex Columns (JVM-side, codegen; both
+    patterns are RE2-safe so a DuckDB oracle can mirror them when the
+    corpus contains any)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_urls = F.size(F.regexp_extract_all(c, F.lit(URL_RE), F.lit(0)))
+    no_urls = F.regexp_replace(c, URL_RE, " ")
+    n_emails = F.size(F.regexp_extract_all(no_urls, F.lit(EMAIL_RE), F.lit(0)))
+    cleaned = F.trim(
+        F.regexp_replace(F.regexp_replace(no_urls, EMAIL_RE, " "), r"\s+", " ")
+    )
+    return [
+        cleaned.alias("cleaned"),
+        n_urls.alias("n_urls"),
+        n_emails.alias("n_emails"),
+    ]
+
+
 def fingerprint(col: Column | str) -> Column:
     """Exact-dup fingerprint: md5 of whitespace-normalized lowercase text."""
     c = F.col(col) if isinstance(col, str) else col

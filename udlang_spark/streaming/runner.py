@@ -181,6 +181,32 @@ def streaming_dedup(
     )
 
 
+def run_stream_to_parquet(
+    result: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    timeout_s: int = 120,
+    output_mode: str = "append",
+) -> None:
+    """Durable sink with exactly-once file output: the checkpoint records
+    which source files/offsets each committed batch consumed, so a restart
+    resumes AFTER the last commit — re-running over an unchanged source
+    writes nothing new, and new source data produces exactly its own rows
+    (pytest-verified). This is the production shape; the memory sink above
+    is the test/debug harness. At scale the checkpoint lives on shared
+    storage (S3/HDFS) and the parquet sink's _spark_metadata makes readers
+    see only committed files."""
+    q = (
+        result.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
 def run_stream_to_memory(
     result: DataFrame,
     query_name: str,
