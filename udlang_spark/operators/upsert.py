@@ -1,0 +1,51 @@
+"""CDC / slowly-changing-dimension operators (engine extensions — the
+reference has no storage or update concept at all; SURVEY.md §2.1).
+
+Without a table format (Delta/Iceberg ship as external jars, not in this
+container), MERGE INTO is emulated with the classic relational identity:
+
+    merged = updates ∪ (base ▷ updates)        -- updates win per key
+
+which is exactly what a MERGE with WHEN MATCHED UPDATE / WHEN NOT MATCHED
+INSERT produces for full-row updates. Scale shape: one left-anti join
+keyed on the merge key (broadcast when the update batch is small — the
+common CDC case) plus a union; no row rewrite of untouched data happens
+here — that's the table format's job at 100 TB, this is the dataset-level
+semantics.
+
+scd2_history turns an append-only change stream into type-2 dimension
+rows (validity intervals): one window partition per key does everything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """Latest-wins merge: every key in `updates` replaces its row in
+    `base`; unmatched base rows pass through. Columns must match."""
+    if set(base.columns) != set(updates.columns):
+        raise ValueError("upsert requires identical schemas")
+    untouched = base.join(updates.select(key), key, "left_anti")
+    return untouched.select(*base.columns).unionByName(updates)
+
+
+def scd2_history(
+    changes: DataFrame,
+    key: str,
+    ts_col: str,
+    tie_break: str,
+) -> DataFrame:
+    """Type-2 history from a change stream: each change row becomes a
+    version with [valid_from, valid_to) and an is_current flag; valid_to
+    is the next change's timestamp (NULL while current). One shuffle —
+    the window partition on `key`."""
+    w = Window.partitionBy(key).orderBy(ts_col, tie_break)
+    return (
+        changes.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

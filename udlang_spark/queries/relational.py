@@ -1134,6 +1134,95 @@ FROM orders GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# q34 — CDC upsert (MERGE emulation): a derived update batch (every 7th
+# order, +5.00 surcharge) merged into orders; updates win per key, untouched
+# rows pass through. anti-join + union — see operators/upsert.py for the
+# scale notes (the anti side broadcasts when the CDC batch is small).
+# (The surcharge is additive, not multiplicative: a ×1.1 reprice creates
+# exact .xx50 rescale ties, which Spark rounds HALF_UP and DuckDB half-even
+# — the one place the engines' decimal rounding modes disagree.)
+# ---------------------------------------------------------------------------
+def q34_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udlang_spark.operators.upsert import upsert
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(5.0)
+    )
+    merged = upsert(orders, updates, "o_orderkey")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("o_totalprice")).cast("double").alias("total"),
+    )
+
+
+ORACLE_Q34 = """
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + 5.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+merged AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+  UNION ALL
+  SELECT * FROM updates
+)
+SELECT o_orderstatus, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM merged GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q35 — SCD2 history: the events stream per user as a type-2 dimension —
+# each change becomes a version with [valid_from, valid_to) and a current
+# flag. One window shuffle on user_id (operators/upsert.py scd2_history).
+# ---------------------------------------------------------------------------
+def q35_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udlang_spark.operators.upsert import scd2_history
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    hist = scd2_history(ev, "user_id", "ts", "event_id")
+    return hist.select(
+        "user_id", "event_id", "event_type", "valid_from", "valid_to", "is_current"
+    )
+
+
+ORACLE_Q35 = """
+SELECT user_id, event_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q36 — SQL API passthrough: the SAME ANSI text runs on Spark (over
+# registered temp views) and on DuckDB as its own oracle — the engine's
+# spark.sql surface is first-class, not a wrapper around the DataFrame
+# API (both compile to identical Catalyst plans anyway).
+# ---------------------------------------------------------------------------
+_Q36_SQL = """
+SELECT o_orderstatus,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY o_orderstatus
+"""
+
+
+def q36_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q36_SQL)
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_forecast_revenue": q02_forecast_revenue,
@@ -1168,6 +1257,9 @@ QUERIES = {
     "q31_gap_fill": q31_gap_fill,
     "q32_sessionize": q32_sessionize,
     "q33_unpivot": q33_unpivot,
+    "q34_upsert": q34_upsert,
+    "q35_scd2": q35_scd2,
+    "q36_sql_passthrough": q36_sql_passthrough,
 }
 
 ORACLE = {
@@ -1204,4 +1296,7 @@ ORACLE = {
     "q31_gap_fill": ORACLE_Q31,
     "q32_sessionize": ORACLE_Q32,
     "q33_unpivot": ORACLE_Q33,
+    "q34_upsert": ORACLE_Q34,
+    "q35_scd2": ORACLE_Q35,
+    "q36_sql_passthrough": _Q36_SQL,
 }
