@@ -106,3 +106,42 @@ def test_scrub_removes_urls_and_emails(spark):
     assert (rows[1].n_urls, rows[1].n_emails) == (0, 0)
     assert rows[2].cleaned == "two urls and"
     assert (rows[2].n_urls, rows[2].n_emails) == (2, 2)
+
+
+def test_kmeans_matches_numpy_reference(spark):
+    """The distributed k-means loop equals a single-machine numpy
+    implementation with identical rules (round-6 cosine, first-max argmax,
+    fixed-point centroid means) — exact, not approximate."""
+    import numpy as np
+
+    from udlang_spark.operators.similarity import kmeans_assign
+    from udlang_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, "embeddings", sf)
+    got = {
+        r.vec_id: (r.centroid, r.cos_sim)
+        for r in kmeans_assign(emb, "embedding", "vec_id", k=8, n_iter=3).collect()
+    }
+
+    pdf = emb.toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    Xn = np.sqrt((X * X).sum(axis=1))
+    C = X[np.argsort(ids)[:8]].copy()
+    for _ in range(3):
+        Cn = np.sqrt((C * C).sum(axis=1))
+        cos = np.round(X @ C.T / Xn[:, None] / Cn[None, :], 6)
+        best = np.argmax(cos, axis=1)
+        newC = C.copy()
+        for c in range(8):
+            mask = best == c
+            if mask.any():
+                s = np.round(X[mask] * 1e6).sum(axis=0)
+                newC[c] = s / 1e6 / mask.sum()
+        C = newC
+    expect = {
+        int(i): (int(b), float(np.take_along_axis(cos, best[:, None], 1).ravel()[j]))
+        for j, (i, b) in enumerate(zip(ids, best))
+    }
+    assert got == expect

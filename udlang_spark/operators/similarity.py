@@ -215,6 +215,98 @@ def centroid_assign(
     return sdf.mapInPandas(assign, out_schema)
 
 
+def kmeans_assign(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    n_iter: int = 3,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Deterministic mini k-means: `n_iter` rounds of (cosine assignment →
+    exact centroid update), seeded with the first k vectors by id. Returns
+    the final assignment (vec_id, centroid 0..k-1, cos_sim).
+
+    Iterative-algorithm shape on Spark: the DRIVER loops; each round is one
+    distributed pass — a broadcast-GEMM assignment (mapInPandas, no
+    shuffle) plus one keyed aggregate for the update. Only the k×dim
+    centroid matrix ever reaches the driver; the data never does. At 100 TB
+    this is exactly Spark MLlib's k-means loop shape (their init is random;
+    ours is fixed for reproducibility).
+
+    Determinism: assignments use round-6 cosine with min-index tie-break;
+    centroid updates are fixed-point (round(x·scale) int64 sums — exact
+    under any partitioning), divided back in IEEE double on the driver.
+    """
+    import numpy as np
+
+    sdf = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    seed = (
+        sdf.orderBy("vec_id").limit(k).toPandas().sort_values("vec_id")
+    )
+    c_mat = np.stack(seed["vec"].to_numpy()).astype(np.float64)
+    c_ids = np.arange(k)
+
+    def make_assign(bc):
+        def assign(batches):
+            import pandas as pd
+
+            c_ids_, c_mat_, c_norm_ = bc.value
+            for pb in batches:
+                if len(pb) == 0:
+                    continue
+                a_mat = np.stack(pb["vec"].to_numpy()).astype(np.float64)
+                a_norm = np.sqrt((a_mat * a_mat).sum(axis=1))
+                cos = a_mat @ c_mat_.T
+                cos /= a_norm[:, None]
+                cos /= c_norm_[None, :]
+                np.round(cos, 6, out=cos)
+                best = np.argmax(cos, axis=1)  # first max = min centroid idx
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pb["vec_id"].to_numpy(),
+                        "centroid": c_ids_[best].astype(np.int64),
+                        "cos_sim": np.take_along_axis(cos, best[:, None], 1).ravel(),
+                    }
+                )
+
+        return assign
+
+    sc = df.sparkSession.sparkContext
+    dim = c_mat.shape[1]
+    out_schema = "vec_id long, centroid long, cos_sim double"
+    assigned = None
+    for _ in range(n_iter):
+        c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+        bc = sc.broadcast((c_ids, c_mat, c_norm))
+        assigned = sdf.mapInPandas(make_assign(bc), out_schema)
+        # exact fixed-point update (see e_label_centroids): int64 sums per
+        # dimension survive any partitioning; k×dim result → driver
+        joined = assigned.join(sdf, "vec_id")
+        sums = [
+            F.sum(
+                F.round(F.element_at("vec", i).cast("double") * scale).cast("long")
+            ).alias(f"s{i}")
+            for i in range(1, dim + 1)
+        ]
+        stats = (
+            joined.groupBy("centroid")
+            .agg(F.count(F.lit(1)).alias("n"), *sums)
+            .toPandas()
+            .set_index("centroid")
+        )
+        new_mat = c_mat.copy()  # empty clusters keep their centroid
+        for cid in stats.index:
+            n = stats.loc[cid, "n"]
+            new_mat[cid] = (
+                np.array([stats.loc[cid, f"s{i}"] for i in range(1, dim + 1)])
+                / scale
+                / n
+            )
+        c_mat = new_mat
+    return assigned
+
+
 def _plane_component(plane: int, dim: int) -> Column:
     """Deterministic pseudo-random hyperplane component in [-1, 1).
     xxhash64 of a literal — Catalyst constant-folds it to a double."""

@@ -505,6 +505,15 @@ SELECT label, n, [{_CENTROID_LIST}] AS centroid FROM a
 """
 
 
+def e_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round deterministic k-means (k=8, seeded with vec_ids 0..7) —
+    iterative algorithm, not SQL-expressible in one statement: rows-only
+    driver check; exact equivalence to a numpy reference implementation is
+    pytest-enforced (tests/test_llm_oracle.py)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.kmeans_assign(emb, "embedding", "vec_id", k=8, n_iter=3)
+
+
 def e_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return dedup.embedding_near_dups(emb, "embedding", "vec_id", threshold=0.45)
@@ -626,6 +635,7 @@ QUERIES = {
     "d_simhash_neardup": d_simhash_neardup,
     "e_centroid_assign": e_centroid_assign,
     "e_label_centroids": e_label_centroids,
+    "e_kmeans": e_kmeans,
     "e_cosine_topk": e_cosine_topk,
     "e_near_dups": e_near_dups,
     "e_ann_lsh": e_ann_lsh,

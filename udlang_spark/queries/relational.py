@@ -1223,6 +1223,74 @@ def q36_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q36_SQL)
 
 
+# ---------------------------------------------------------------------------
+# q37 — data audit: the validation pass a pipeline runs before training —
+# null counts, domain violations, duplicate keys, and referential orphans,
+# all in one scan per table plus one anti-join. The orphan check is a
+# left-anti keyed on orderkey (broadcast-able: the distinct key set of the
+# parent is far smaller than the child table).
+# ---------------------------------------------------------------------------
+def q37_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    orphans = li.join(orders.select("o_orderkey"),
+                      li.l_orderkey == F.col("o_orderkey"), "left_anti")
+    dup_keys = (
+        orders.groupBy("o_orderkey").count().filter(F.col("count") > 1)
+    )
+    return li.agg(
+        F.count(F.lit(1)).alias("n_lineitem"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("null_qty"),
+        F.sum((F.col("l_discount") < 0).cast("long")).alias("neg_discount"),
+        F.sum(((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("long")).alias(
+            "qty_out_of_range"
+        ),
+    ).crossJoin(
+        orphans.agg(F.count(F.lit(1)).alias("n_orphan_lineitems"))
+    ).crossJoin(
+        dup_keys.agg(F.count(F.lit(1)).alias("n_dup_orderkeys"))
+    )
+
+
+ORACLE_Q37 = """
+SELECT
+  (SELECT count(*) FROM lineitem) AS n_lineitem,
+  (SELECT count(*) FROM lineitem WHERE l_quantity IS NULL) AS null_qty,
+  (SELECT count(*) FROM lineitem WHERE l_discount < 0) AS neg_discount,
+  (SELECT count(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50)
+    AS qty_out_of_range,
+  (SELECT count(*) FROM lineitem
+   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphan_lineitems,
+  (SELECT count(*) FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey
+                         HAVING count(*) > 1)) AS n_dup_orderkeys
+"""
+
+
+# ---------------------------------------------------------------------------
+# q38 — fixed-width histogram of order totals: bucket = floor(value/width),
+# one groupBy — the profile/EDA primitive. Bucket arithmetic is pure scan-
+# side math; the shuffle carries |buckets| partial counts per partition.
+# ---------------------------------------------------------------------------
+def q38_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+ORACLE_Q38 = """
+SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+       count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+FROM orders GROUP BY 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_forecast_revenue": q02_forecast_revenue,
@@ -1260,6 +1328,8 @@ QUERIES = {
     "q34_upsert": q34_upsert,
     "q35_scd2": q35_scd2,
     "q36_sql_passthrough": q36_sql_passthrough,
+    "q37_data_audit": q37_data_audit,
+    "q38_histogram": q38_histogram,
 }
 
 ORACLE = {
@@ -1299,4 +1369,6 @@ ORACLE = {
     "q34_upsert": ORACLE_Q34,
     "q35_scd2": ORACLE_Q35,
     "q36_sql_passthrough": _Q36_SQL,
+    "q37_data_audit": ORACLE_Q37,
+    "q38_histogram": ORACLE_Q38,
 }
