@@ -65,3 +65,25 @@ def test_explain_query():
     assert "PushedFilters" in got and "Physical Plan" in got
     listing = _cli("explain", "list")
     assert "q01_pricing_summary" in listing and "d_minhash_lsh" in listing
+
+
+def test_lift_lower_pipeline(tmp_path):
+    """udlift | udlower parity: json frames → typed parquet → msgpack
+    frame-stream, decoded back losslessly with the codec."""
+    import glob
+
+    from udlang_spark.sources import msgpack_codec as mp
+
+    frames = tmp_path / "in.json"
+    frames.write_text('{"value": "alpha"}\n{"value": "beta"}\n')
+    pq = str(tmp_path / "lifted")
+    got = _cli("lift", HELLO, "--input", str(frames), "--output", pq)
+    assert "lifted 2 records" in got
+    packed = str(tmp_path / "frames_out")
+    got = _cli("lower", pq, "--format", "msgpack", "--output", packed)
+    assert "lowered 2 records" in got
+    records = []
+    for f in sorted(glob.glob(f"{packed}/part-*.bin")):
+        with open(f, "rb") as fh:
+            records += mp.unpack_stream(fh.read())
+    assert sorted(r["value"] for r in records) == ["alpha", "beta"]

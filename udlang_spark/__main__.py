@@ -7,6 +7,9 @@
   python -m udlang_spark run <script.us> --input PATH [--format json|csv|parquet|msgpack]
                                           [--input-col NAME] [--output PATH]
   python -m udlang_spark explain <query|list> [--sf-dir DIR]  # physical plan
+  python -m udlang_spark lift <script.us> --input PATH --output PARQUET
+                                          [--format json|csv|msgpack] [--policy ...]
+  python -m udlang_spark lower <parquet> --output PATH [--format json|msgpack]
 
 `compile` prints the Catalyst expression the kernel lowers to — the
 engine's analogue of `udlang --compile`'s IR dump; `run` executes the
@@ -100,6 +103,48 @@ def _run(path: str, input_path: str, fmt: str, input_col: str | None,
     return 0
 
 
+def _lift(script: str, input_path: str, fmt: str, out_parquet: str, policy: str) -> int:
+    """udlift: decode framed input (json/csv/msgpack) against the kernel's
+    declared input shape and land it as typed parquet (README.md:267-273 —
+    the reference plans udlift as a separate pipe stage; here the durable
+    hand-off between stages is a parquet dataset)."""
+    from udlang_spark.kernel.api import compile_kernel_file
+    from udlang_spark.session import get_spark
+    from udlang_spark.sources import formats
+
+    spark = get_spark("udlift")
+    spark.sparkContext.setLogLevel("ERROR")
+    it = compile_kernel_file(script).program.input
+    readers = {
+        "json": formats.read_json,
+        "csv": formats.read_csv,
+        "msgpack": formats.read_msgpack,
+    }
+    df = readers[fmt](spark, input_path, it, policy=policy)
+    df.write.mode("overwrite").parquet(out_parquet)
+    print(f"lifted {df.count()} records -> {out_parquet}")
+    return 0
+
+
+def _lower(in_parquet: str, fmt: str, out_path: str) -> int:
+    """udlower: serialize typed rows back to a framed format (json lines or
+    msgpack frame-stream files)."""
+    from udlang_spark.session import get_spark
+    from udlang_spark.sources import formats, json_lift
+
+    spark = get_spark("udlower")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(in_parquet)
+    if fmt == "json":
+        json_lift.lower_json(df, tuple(df.columns)).select("json").write.mode(
+            "overwrite"
+        ).text(out_path)
+    else:
+        formats.write_msgpack(df, tuple(df.columns), out_path)
+    print(f"lowered {df.count()} records -> {out_path}")
+    return 0
+
+
 def _explain(query: str, sf_dir: str) -> int:
     """Formatted physical plan for a registered query — the relational
     surface's analogue of `--compile` (SURVEY.md §3.2 inspection hooks;
@@ -141,6 +186,16 @@ def main(argv: list[str] | None = None) -> int:
     e = sub.add_parser("explain")
     e.add_argument("query", help="registered query name, or `list`")
     e.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    lf = sub.add_parser("lift")
+    lf.add_argument("script")
+    lf.add_argument("--input", required=True)
+    lf.add_argument("--format", default="json", choices=["json", "csv", "msgpack"])
+    lf.add_argument("--output", required=True)
+    lf.add_argument("--policy", default="abort", choices=["abort", "ignore", "warn"])
+    lw = sub.add_parser("lower")
+    lw.add_argument("parquet")
+    lw.add_argument("--format", default="json", choices=["json", "msgpack"])
+    lw.add_argument("--output", required=True)
     a = p.parse_args(argv)
     if a.cmd == "dump-ast":
         return _dump_ast(a.script)
@@ -150,6 +205,10 @@ def main(argv: list[str] | None = None) -> int:
         return _dump_expr()
     if a.cmd == "explain":
         return _explain(a.query, a.sf_dir)
+    if a.cmd == "lift":
+        return _lift(a.script, a.input, a.format, a.output, a.policy)
+    if a.cmd == "lower":
+        return _lower(a.parquet, a.format, a.output)
     return _run(a.script, a.input, a.format, a.input_col, a.output)
 
 
