@@ -358,3 +358,46 @@ def test_parquet_sink_exactly_once_restart(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 80
     assert got.agg(F.countDistinct("event_id")).collect()[0][0] == 80
+
+
+def test_multi_out_kernel_on_stream(spark, events_json_dir):
+    """A multi-`out` kernel (posexplode path, not the filter fast path)
+    under Structured Streaming equals its batch run — flatMap semantics are
+    execution-mode-independent."""
+    COUNTDOWN = """
+version 0.1-pre_mvp;
+script "countdown";
+input Int;
+output Int;
+let small = in % 4;
+if (small > 0) {
+  out small;
+  out small * 10;
+}
+"""
+    from pyspark.sql import functions as F
+
+    k = compile_kernel(COUNTDOWN)
+    schema = json_lift.input_schema(
+        ast.TRecord(
+            (
+                ast.TRecordField("event_id", ast.T_INT),
+                ast.TRecordField("event_type", ast.T_STR),
+                ast.TRecordField("value", ast.T_FLOAT),
+            )
+        )
+    )
+    stream = spark.readStream.schema(schema).option("mode", "FAILFAST").json(
+        events_json_dir
+    )
+    out = runner.kernel_stream(k, stream, input_col="event_id", keep=("event_id",))
+    got = sorted(
+        (r.event_id, r.out)
+        for r in runner.run_stream_to_memory(out, "t_multi_out", spark).collect()
+    )
+    batch = load_table(spark, "events", SF_DIR_SMOKE).select("event_id", "event_type", F.col("value"))
+    expect = sorted(
+        (r.event_id, r.out)
+        for r in k.apply(batch, input_col="event_id", keep=("event_id",)).collect()
+    )
+    assert got == expect and len(got) > 0

@@ -169,12 +169,34 @@ def s_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "bucket").orderBy("event_type", "bucket")
 
 
+def s_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window aggregation on the replayed stream: events within 10
+    minutes of each other merge per event_type; the watermark closes
+    sessions and bounds state."""
+    src = _stream(spark, sf_dir).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("event_id") * 60)
+    )
+    res = runner.session_window_stream(
+        src, "ts", gap="10 minutes", watermark="2 hours",
+        group_cols=("event_type",), aggs={"value": "sum"},
+    )
+    out = runner.run_windowed_stream_to_memory(res, "q_s_session_stream", spark)
+    return out.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
 QUERIES = {
     "s_kernel_stream": s_kernel_stream,
     "s_windowed_stream": s_windowed_stream,
     "s_stateful_totals": s_stateful_totals,
     "s_stream_join": s_stream_join,
     "s_dedup_stream": s_dedup_stream,
+    "s_session_stream": s_session_stream,
 }
 
 # not SQL-expressible (Structured Streaming execution) — rows-only checks;
