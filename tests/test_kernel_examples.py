@@ -173,3 +173,36 @@ out in * 10 + 2;
         by_rec.setdefault(r.out // 10, []).append((r.pos, r.out))
     for rec, outs in by_rec.items():
         assert sorted(outs) == [(0, rec * 10), (1, rec * 10 + 1), (2, rec * 10 + 2)]
+
+
+def test_interp_fallback_matches_unroll(spark):
+    """The AST-interpreter fallback (SURVEY.md §2.10 recursion row) equals
+    the compiled/unrolled path where both apply..."""
+    k = compile_kernel_file(f"{EX}/count.us", max_depth=48)
+    df = spark.createDataFrame([(i,) for i in (0, 3, 17)], "value long")
+    key = lambda v: (v is None, v)
+    unrolled = sorted((r[0] for r in k.apply(df, input_col="value").collect()), key=key)
+    interp = sorted(
+        (r[0] for r in k.apply(df, input_col="value", recursion="interp").collect()),
+        key=key,
+    )
+    assert interp == unrolled
+
+
+def test_interp_fallback_unbounded_depth(spark):
+    """...and keeps going far beyond any practical unroll depth (the
+    reference VM recurses natively — src/vm.rs:561-580)."""
+    k = compile_kernel_file(f"{EX}/count.us", max_depth=8)
+    df = spark.createDataFrame([(500,)], "value long")
+    got = [
+        r[0] for r in k.apply(df, input_col="value", recursion="interp").collect()
+    ]
+    assert sorted(v for v in got if v is not None) == list(range(0, 501))
+    assert got.count(None) == 1  # the trailing `out count(in)` void emit
+
+    fact = compile_kernel_file(f"{EX}/fact.us", max_depth=8)
+    df2 = spark.createDataFrame([(20,)], "value long")
+    import math
+
+    got2 = [r[0] for r in fact.apply(df2, input_col="value", recursion="interp").collect()]
+    assert got2 == [math.factorial(20)]

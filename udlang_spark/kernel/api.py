@@ -68,6 +68,56 @@ class Kernel:
             input_col = df.columns[0]
         return SCol(F.col(input_col), it)
 
+    def _apply_interp(
+        self,
+        df: DataFrame,
+        input_col: str | None,
+        keep: tuple[str, ...],
+        out_name: str,
+    ) -> DataFrame:
+        """Recursion fallback: per-row AST interpretation in mapInPandas
+        (Arrow batches; one Interp per partition). Scalar-input kernels
+        only — record inputs stay on the compiled path."""
+        import pandas as pd
+        from pyspark.sql.types import StructField, StructType
+
+        comp = Compiler(self.program, self.max_depth, self.libs)
+        it = comp.resolve_type(self.program.input)
+        if isinstance(it, ast.TRecord):
+            raise KernelTypeError(
+                "recursion='interp' supports scalar-input kernels "
+                "(record inputs: use the compiled path)"
+            )
+        if input_col is None:
+            if len(df.columns) != 1:
+                raise KernelTypeError(
+                    "scalar-input kernel on a multi-column DataFrame: pass input_col"
+                )
+            input_col = df.columns[0]
+        ot = comp.resolve_type(self.program.output)
+        fields = [df.schema[c] for c in keep]
+        schema = StructType(fields + [StructField(out_name, to_spark(ot), True)])
+        prog = self.program
+        in_col = input_col
+
+        def run(batches):
+            from udlang_spark.kernel.interp import Interp
+
+            interp = Interp(prog)
+            for pdf in batches:
+                rows: dict[str, list] = {c: [] for c in list(keep) + [out_name]}
+                for _, r in pdf.iterrows():
+                    v = r[in_col]
+                    if hasattr(v, "item"):  # numpy scalar → Python scalar
+                        v = v.item()
+                    for o in interp.run(v):
+                        for c in keep:
+                            rows[c].append(r[c])
+                        rows[out_name].append(o)
+                yield pd.DataFrame(rows, columns=list(keep) + [out_name])
+
+        return df.select(*keep, in_col).mapInPandas(run, schema)
+
     def _filter_select_fastpath(
         self, df: DataFrame, input_col: str | None, keep: tuple[str, ...],
         out_name: str,
@@ -131,6 +181,7 @@ class Kernel:
         out_name: str = "out",
         with_pos: bool = False,
         debug: bool = False,
+        recursion: str = "unroll",
     ) -> DataFrame:
         """Run the kernel over every row.
 
@@ -148,7 +199,17 @@ class Kernel:
         surfaced as data since executor stderr isn't observable). Taps are
         recorded unconditionally (even in untaken branches) — a documented
         deviation; route the column to logs or a sink as needed.
+
+        recursion="interp" switches to the per-row AST interpreter
+        (kernel/interp.py) inside mapInPandas — the SURVEY.md §2.10 UDF
+        fallback: reference semantics at ANY recursion depth, at Python
+        speed; the default "unroll" path compiles recursion into Column
+        expressions up to max_depth (JVM-speed, bounded depth).
         """
+        if recursion == "interp":
+            return self._apply_interp(df, input_col, keep, out_name)
+        if recursion != "unroll":
+            raise ValueError("recursion must be 'unroll' or 'interp'")
         if not with_pos and not debug:
             fast = self._filter_select_fastpath(df, input_col, keep, out_name)
             if fast is not None:
