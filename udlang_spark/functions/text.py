@@ -157,10 +157,10 @@ def shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def simhash_bits(col: Column | str, n_bits: int = 16) -> Column:
-    """n_bits-wide SimHash over word tokens (n_bits ≤ 32): bit p is the sign
-    of the sum over tokens of ±1 by the parity of hex digit p of md5(token).
-    Row-local (aggregate over the token array — no explode, no shuffle); one
-    md5 per token regardless of width.
+    """n_bits-wide SimHash over word tokens (n_bits ≤ 64): bit p is the sign
+    of the sum over tokens of ±1 by the parity of hex digit p of md5(token)
+    (bits 33-64 come from a second, salted md5). Row-local (aggregate over
+    the token array — no explode, no shuffle); 1-2 md5 per token.
 
     Single-pass: ONE aggregate whose input is `transform(words, md5)` (md5
     computed once per token), whose accumulator is the n_bits running
@@ -168,10 +168,15 @@ def simhash_bits(col: Column | str, n_bits: int = 16) -> Column:
     variables are bound values, so nothing is re-evaluated per bit. The
     naive form (one aggregate per bit) re-splits the text and re-hashes
     every token for every bit: n_bits× the work."""
-    if not 1 <= n_bits <= 32:
-        raise ValueError("md5 supplies 32 hex digits: 1 <= n_bits <= 32")
+    if not 1 <= n_bits <= 64:
+        raise ValueError("two md5s supply 64 hex digits: 1 <= n_bits <= 64")
     w = words(col)
-    mds = F.transform(w, F.md5)
+    if n_bits <= 32:
+        mds = F.transform(w, F.md5)
+    else:
+        mds = F.transform(
+            w, lambda x: F.concat(F.md5(x), F.md5(F.concat(F.lit("x:"), x)))
+        )
 
     def merge(acc: Column, h: Column) -> Column:
         # acc[p] += parity(hex digit p of h); h is a bound md5 hex string

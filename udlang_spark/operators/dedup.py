@@ -228,57 +228,81 @@ def simhash_near_pairs(
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming, found via
     band-bucket join rather than an all-pairs cross join.
 
-    A 32-bit fingerprint split into 4 bands of 8 bits; by pigeonhole, any
-    pair within hamming distance 3 agrees on at least one whole band, so
-    the band join has EXACT recall for max_hamming ≤ 3 — the result equals
-    the brute-force O(n²) scan (which is what the DuckDB oracle runs).
+    A 64-bit fingerprint (two salted md5s per token) split into 4 bands of
+    16 bits; by pigeonhole, any pair within hamming distance 3 agrees on at
+    least one whole band, so the band join has EXACT recall for
+    max_hamming ≤ 3 — the result equals the brute-force O(n²) scan (which
+    is what the DuckDB oracle runs).
 
-    Band width is the scale lever: 8-bit bands give 256 buckets per band,
-    so expected bucket size is n/256 and in-bucket quadratic work is
-    ~n²/256 per band — 16× less than 4-bit bands (measured 6.6 s → well
-    under 1 s at sf0.1). At larger corpora, widen the fingerprint (e.g.
-    64-bit from two md5 salts) and keep bands ≥ fingerprint/(max_hamming+1).
+    Band width is the scale lever: simhash bits are token-frequency-biased,
+    so narrow bands collide far above the uniform estimate (measured at
+    sf0.1/5k docs: 4-bit bands → ~3M candidate pairs, 6.6 s; 8-bit →
+    ~3.5 s; 16-bit bands collapse the candidates to near the true pair
+    count). Keep n_bands = max_hamming + 1 and spend fingerprint width —
+    hashing is linear in tokens, candidate verification is quadratic in
+    bucket size.
 
-    Scale shape: one shuffle on (band_idx, band_bits); the exact hamming
-    filter runs JVM-side on candidate pairs only. Same shape as minhash LSH
-    (lsh_candidate_pairs) with the signature replaced by fingerprint bands.
+    Scale shape: the SAME one-shuffle bucket expansion as minhash LSH
+    (lsh_candidate_pairs) — bands are grouped, not self-joined, so the
+    fingerprint subtree is evaluated ONCE (a bands⋈bands self-join
+    computes it once per side: measured 2× the fingerprint cost, no
+    ReusedExchange). In-bucket pair expansion is two Generate nodes; the
+    exact hamming filter runs map-side before the pair-dedup shuffle.
     """
-    n_bits, n_bands = 32, 4
+    n_bits, n_bands = 64, 4
     if max_hamming >= n_bands:
         raise ValueError("pigeonhole recall needs max_hamming < n_bands")
     band_w = n_bits // n_bands
+    # band values as int64 ONCE per doc (conv at pair time was the
+    # hot spot: 64-CASE string hamming ran interpreted at ~50µs/pair, 29 s
+    # for 600k candidates; per-pair conv still cost ~3µs. Pre-converted
+    # longs make the pair predicate 4× (xor + bit_count) — pure codegen.)
     fp = fan_out(df).select(
         F.col(id_col).alias("doc"), simhash_bits(text_col, n_bits).alias("simhash")
     )
-    bands = fp.select(
+    fp = fp.select(
         "doc",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[F.substring("simhash", 1 + band_w * i, band_w) for i in range(n_bands)]
-            )
-        ).alias("band", "bits"),
+        F.array(
+            *[
+                F.conv(F.substring("simhash", 1 + band_w * i, band_w), 2, 10).cast(
+                    "long"
+                )
+                for i in range(n_bands)
+            ]
+        ).alias("bl"),
     )
-    a = bands.select(
-        F.col("doc").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "bits"
+    # persist: `bl` is referenced twice below (struct + posexplode) and
+    # CollapseProject would otherwise inline — and re-evaluate — the whole
+    # per-token fingerprint aggregate once per reference (measured 8 s vs
+    # ~1.5 s at sf0.1). The cached relation is |docs| × (id + 4 longs).
+    fp = fp.persist()
+    bands = fp.select(
+        F.struct("doc", "bl").alias("ds"),
+        F.posexplode("bl").alias("band", "bits"),
     )
-    b = bands.select(
-        F.col("doc").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "bits"
+    buckets = (
+        bands.groupBy("band", "bits")
+        .agg(F.sort_array(F.collect_list("ds")).alias("members"))
+        .filter(F.size("members") > 1)
+    )
+    pairs = buckets.select(
+        F.col("members"), F.posexplode("members").alias("i", "a")
+    ).select(
+        F.col("a.doc").alias("doc_a"),
+        F.col("a.bl").alias("bl_a"),
+        F.explode(F.slice("members", F.col("i") + 2, F.size("members"))).alias("b"),
     )
     hamming = sum(
-        F.when(
-            F.substring("sim_a", p, 1) != F.substring("sim_b", p, 1), 1
-        ).otherwise(0)
-        for p in range(1, n_bits + 1)
+        F.bit_count(
+            F.element_at("bl_a", i).bitwiseXOR(F.element_at(F.col("b.bl"), i))
+        )
+        for i in range(1, n_bands + 1)
     ).cast("int")
     return (
-        a.join(b, ["band", "bits"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-        .withColumn("hamming", hamming)
+        pairs.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .select("doc_a", F.col("b.doc").alias("doc_b"), "hamming")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 

@@ -195,12 +195,16 @@ def d_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
 
 
-def _simhash32_oracle() -> str:
+def _simhash64_oracle() -> str:
     bits = []
-    for p in range(1, 33):
+    for p in range(1, 65):
+        # bits 1-32 from md5(x), 33-64 from md5('x:' || x) — mirrors
+        # functions/text.py simhash_bits
+        h = f"md5(x)" if p <= 32 else "md5('x:' || x)"
+        q = p if p <= 32 else p - 32
         bits.append(
             "CASE WHEN list_sum(list_transform(wl, x -> "
-            f"(strpos('0123456789abcdef', substr(md5(x), {p}, 1)) - 1) % 2 * 2 - 1"
+            f"(strpos('0123456789abcdef', substr({h}, {q}, 1)) - 1) % 2 * 2 - 1"
             ")) > 0 THEN '1' ELSE '0' END"
         )
     return (
@@ -212,11 +216,11 @@ def _simhash32_oracle() -> str:
 _HAMMING = " + ".join(
     f"CASE WHEN substr(a.simhash, {p}, 1) <> substr(b.simhash, {p}, 1) "
     "THEN 1 ELSE 0 END"
-    for p in range(1, 33)
+    for p in range(1, 65)
 )
 
 ORACLE_SIMHASH_NEARDUP = f"""
-WITH s AS ({_simhash32_oracle()})
+WITH s AS ({_simhash64_oracle()})
 SELECT doc_a, doc_b, hamming FROM (
   SELECT a.doc AS doc_a, b.doc AS doc_b, CAST({_HAMMING} AS INTEGER) AS hamming
   FROM s a JOIN s b ON a.doc < b.doc
