@@ -82,6 +82,19 @@ SELECT u.out FROM lineitem, LATERAL (
 """
 
 
+def k_count_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same recursive kernel as k_count, executed by the per-row AST
+    interpreter (SURVEY.md §2.10 recursion fallback — kernel/interp.py via
+    mapInPandas) and checked against the SAME oracle: the slow path is
+    oracle-verified, not just pytest-verified."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return _example("count").apply(
+        li.select(F.col("l_linenumber").cast("long").alias("v")),
+        input_col="v",
+        recursion="interp",
+    )
+
+
 def k_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     return _example("lists").apply(
@@ -461,6 +474,7 @@ QUERIES = {
     "k_function": k_function,
     "k_fact": k_fact,
     "k_count": k_count,
+    "k_count_interp": k_count_interp,
     "k_lists": k_lists,
     "k_scopes": k_scopes,
     "k_subjunctive": k_subjunctive,
@@ -481,6 +495,7 @@ ORACLE = {
     "k_function": ORACLE_FUNCTION,
     "k_fact": ORACLE_FACT,
     "k_count": ORACLE_COUNT,
+    "k_count_interp": ORACLE_COUNT,
     "k_lists": ORACLE_LISTS,
     "k_scopes": ORACLE_SCOPES,
     "k_subjunctive": ORACLE_SUBJUNCTIVE,
