@@ -1291,6 +1291,93 @@ FROM orders GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# q39 — VariantType semi-structured extraction (Spark 4's native path for
+# JSON columns, vs q14's regexp fallback): parse once to variant, then
+# typed path extraction. At scale variant beats per-field regexp/from_json
+# because the binary encoding is parsed once and fields are lazily
+# projected; the oracle is DuckDB's native JSON extraction.
+# ---------------------------------------------------------------------------
+def q39_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+            F.count("k").alias("n_with_k"),
+        )
+    )
+
+
+ORACLE_Q39 = """
+SELECT event_type,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q40 — TPC-H Q21 shape (multi-level correlated EXISTS / NOT EXISTS):
+# suppliers who were the SOLE latest shipper on multi-supplier orders.
+# The two correlated subqueries decorrelate into ONE window pass over the
+# per-(order, supplier) aggregate — supplier count, order max, and
+# max-achiever count all share the partitionBy(l_orderkey) exchange, so
+# the whole query is two shuffles (agg + window) regardless of data size.
+# ---------------------------------------------------------------------------
+def q40_sole_latest_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    so = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("s_max")
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        so.withColumn("o_max", F.max("s_max").over(w))
+        .withColumn("n_sup", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "n_at_max",
+            F.sum((F.col("s_max") == F.col("o_max")).cast("long")).over(w),
+        )
+    )
+    return (
+        flagged.filter(
+            (F.col("s_max") == F.col("o_max"))
+            & (F.col("n_sup") > 1)
+            & (F.col("n_at_max") == 1)
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count(F.lit(1)).alias("waiting_orders"))
+        .orderBy(F.col("waiting_orders").desc(), F.col("suppkey"))
+        .limit(10)
+    )
+
+
+ORACLE_Q40 = """
+WITH sup_ord AS (
+  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS s_max
+  FROM lineitem GROUP BY 1, 2
+),
+ord AS (SELECT l_orderkey, max(l_shipdate) AS o_max FROM lineitem GROUP BY 1)
+SELECT s.l_suppkey AS suppkey, count(*) AS waiting_orders
+FROM sup_ord s JOIN ord o USING (l_orderkey)
+WHERE s.s_max = o.o_max
+  AND EXISTS (SELECT 1 FROM sup_ord s2
+              WHERE s2.l_orderkey = s.l_orderkey AND s2.l_suppkey <> s.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM sup_ord s3
+                  WHERE s3.l_orderkey = s.l_orderkey
+                    AND s3.l_suppkey <> s.l_suppkey AND s3.s_max = o.o_max)
+GROUP BY 1 ORDER BY waiting_orders DESC, suppkey LIMIT 10
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_forecast_revenue": q02_forecast_revenue,
@@ -1330,6 +1417,8 @@ QUERIES = {
     "q36_sql_passthrough": q36_sql_passthrough,
     "q37_data_audit": q37_data_audit,
     "q38_histogram": q38_histogram,
+    "q39_variant_json": q39_variant_json,
+    "q40_sole_latest_shipper": q40_sole_latest_shipper,
 }
 
 ORACLE = {
@@ -1371,4 +1460,6 @@ ORACLE = {
     "q36_sql_passthrough": _Q36_SQL,
     "q37_data_audit": ORACLE_Q37,
     "q38_histogram": ORACLE_Q38,
+    "q39_variant_json": ORACLE_Q39,
+    "q40_sole_latest_shipper": ORACLE_Q40,
 }
