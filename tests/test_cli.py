@@ -87,3 +87,15 @@ def test_lift_lower_pipeline(tmp_path):
         with open(f, "rb") as fh:
             records += mp.unpack_stream(fh.read())
     assert sorted(r["value"] for r in records) == ["alpha", "beta"]
+
+
+def test_compact_cli(tmp_path):
+    out = str(tmp_path / "compacted")
+    got = _cli(
+        "compact", "/root/testdata/sf0.001/orders.parquet",
+        "--output", out, "--target-mb", "1",
+    )
+    assert "compacted ->" in got
+    import glob
+
+    assert glob.glob(f"{out}/*.parquet")

@@ -145,6 +145,24 @@ def _lower(in_parquet: str, fmt: str, out_path: str) -> int:
     return 0
 
 
+def _compact(in_path: str, out_path: str, target_mb: int, partition_by: str) -> int:
+    """Table maintenance: rewrite a parquet dataset into size-targeted
+    files (sources/compaction.py — the ingest-side fix for single-row-group
+    or many-tiny-file layouts)."""
+    from udlang_spark.session import get_spark
+    from udlang_spark.sources import compaction
+
+    spark = get_spark("udlang_compact")
+    spark.sparkContext.setLogLevel("ERROR")
+    cols = tuple(c for c in partition_by.split(",") if c)
+    n = compaction.compact(
+        spark, in_path, out_path, target_bytes=target_mb * 1024 * 1024,
+        partition_by=cols,
+    )
+    print(f"compacted -> {out_path} ({n} file(s)" + (f", partitioned by {cols}" if cols else "") + ")")
+    return 0
+
+
 def _explain(query: str, sf_dir: str) -> int:
     """Formatted physical plan for a registered query — the relational
     surface's analogue of `--compile` (SURVEY.md §3.2 inspection hooks;
@@ -196,6 +214,11 @@ def main(argv: list[str] | None = None) -> int:
     lw.add_argument("parquet")
     lw.add_argument("--format", default="json", choices=["json", "msgpack"])
     lw.add_argument("--output", required=True)
+    cp = sub.add_parser("compact")
+    cp.add_argument("parquet")
+    cp.add_argument("--output", required=True)
+    cp.add_argument("--target-mb", type=int, default=128)
+    cp.add_argument("--partition-by", default="")
     a = p.parse_args(argv)
     if a.cmd == "dump-ast":
         return _dump_ast(a.script)
@@ -209,6 +232,8 @@ def main(argv: list[str] | None = None) -> int:
         return _lift(a.script, a.input, a.format, a.output, a.policy)
     if a.cmd == "lower":
         return _lower(a.parquet, a.format, a.output)
+    if a.cmd == "compact":
+        return _compact(a.parquet, a.output, a.target_mb, a.partition_by)
     return _run(a.script, a.input, a.format, a.input_col, a.output)
 
 
