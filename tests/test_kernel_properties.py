@@ -140,3 +140,64 @@ def test_union_tagged_struct_shape():
     dt = to_spark(u)
     names = [f.name for f in dt.fields]
     assert names == ["_tag", "_0", "_1", "_2"]
+
+
+# ---------------------------------------------------------------------------
+# Differential fuzz: compiled Column path vs the AST interpreter
+# (kernel/interp.py) on random expression trees. The two execution paths
+# implement the same reference semantics table (src/ir.rs:429-696)
+# independently — equality over random programs guards against drift.
+# ---------------------------------------------------------------------------
+def _expr_strategy():
+    from udlang_spark.kernel import ast as A
+
+    leaves = st.one_of(
+        st.integers(min_value=-9, max_value=9).map(lambda v: A.Lit(v)),
+        st.just(A.In()),
+    )
+
+    def compound(kids):
+        bins = st.tuples(st.sampled_from(["+", "-", "*"]), kids, kids).map(
+            lambda t: A.Bin(t[0], t[1], t[2])
+        )
+        negs = kids.map(lambda e: A.Un("-", e))
+        conds = st.tuples(
+            st.integers(min_value=-5, max_value=5), kids, kids
+        ).map(
+            lambda t: A.Cond(
+                clauses=((A.Bin(">", A.In(), A.Lit(t[0])), t[1]),), default=t[2]
+            )
+        )
+        return st.one_of(bins, negs, conds)
+
+    return st.recursive(leaves, compound, max_leaves=8)
+
+
+@given(expr=_expr_strategy(), inputs=st.lists(
+    st.integers(min_value=-7, max_value=7), min_size=1, max_size=3, unique=True
+))
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_compiled_equals_interp_on_random_exprs(spark, expr, inputs):
+    from udlang_spark.kernel import ast as A
+    from udlang_spark.kernel.api import Kernel
+    from udlang_spark.kernel.interp import Interp
+
+    prog = A.Program(
+        kind="script",
+        desc="fuzz",
+        decls=(),
+        input=A.T_INT,
+        output=A.T_INT,
+        body=(A.Out(expr),),
+    )
+    df = spark.createDataFrame([(v,) for v in inputs], "value long")
+    compiled = {
+        r[0] for r in Kernel(program=prog).apply(df, input_col="value").collect()
+    }
+    interp = Interp(prog)
+    expect = {out for v in inputs for out in interp.run(v)}
+    assert compiled == expect

@@ -366,6 +366,45 @@ WINDOW w AS (PARTITION BY source ORDER BY doc_id
 """
 
 
+def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition score — the boilerplate/low-quality signal: fraction of a
+    doc's character trigrams taken by its single most frequent trigram.
+    Shape: explode → (doc, gram) partial count → (doc) max/sum. Both
+    shuffles key on doc_id, so the second reuses the first's partitioning."""
+    from udlang_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    grams = docs.filter(F.length("text") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 2),
+                lambda i: F.substring(F.col("text"), i, F.lit(3)),
+            )
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("n"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("n").alias("n_grams"),
+        F.max("n").alias("max_gram"),
+        F.round(F.max("n").cast("double") / F.sum("n"), 6).alias("repetition"),
+    )
+
+
+ORACLE_REPETITION = """
+WITH g AS (
+  SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS gram
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, length(text) - 2)) AS i) t
+  WHERE length(text) >= 3
+),
+c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY doc_id, gram)
+SELECT doc_id, sum(n) AS n_grams, max(n) AS max_gram,
+       round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS repetition
+FROM c GROUP BY doc_id
+"""
+
+
 def t_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 character trigrams per language: explode → count → windowed
     top-k. Scale shape: the explode multiplies rows by ~|text| but the
@@ -634,6 +673,7 @@ QUERIES = {
     "t_quality": t_quality,
     "t_langid": t_langid,
     "t_ngram_topk": t_ngram_topk,
+    "t_repetition": t_repetition,
     "t_chunks": t_chunks,
     "t_pack_greedy": t_pack_greedy,
     "d_simhash_neardup": d_simhash_neardup,
@@ -661,6 +701,7 @@ ORACLE = {
     "t_quality": ORACLE_QUALITY,
     "t_langid": ORACLE_LANGID,
     "t_ngram_topk": ORACLE_NGRAM_TOPK,
+    "t_repetition": ORACLE_REPETITION,
     "t_chunks": ORACLE_CHUNKS,
     "t_pack_greedy": ORACLE_PACK,
     "d_simhash_neardup": ORACLE_SIMHASH_NEARDUP,
