@@ -50,6 +50,9 @@ HEADLINE = [
     "t_pack_greedy",
     "e_cosine_topk",
     "e_centroid_assign",
+    "e_label_centroids",
+    # multimodal plumbing (fake decode; Arrow-batched mapInPandas)
+    "m_image_meta",
 ]
 
 
