@@ -1378,6 +1378,312 @@ GROUP BY 1 ORDER BY waiting_orders DESC, suppkey LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# q41 — TPC-H Q2 shape (correlated MIN subquery): for every part, the
+# supplier offering its minimum observed price. The reference has no joins
+# or subqueries (SURVEY.md §2.5); classic decorrelation: the per-part
+# correlated `price = (SELECT min(price) ...)` becomes ONE row_number window
+# over the (part, supplier) aggregate — agg shuffle + window reuse the same
+# hash partitioning on l_partkey, so Q2's nested subquery costs two narrow
+# exchanges total, independent of fact size. Supplier/nation joins broadcast.
+# ---------------------------------------------------------------------------
+def q41_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(dec("l_extendedprice")).alias("best_price")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("best_price", "l_suppkey")
+    best = ps.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.join(F.broadcast(sup), best.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("s_name").alias("supp_name"),
+            F.col("n_name").alias("nation"),
+            F.col("best_price").cast("double").alias("best_price"),
+        )
+        .orderBy("partkey")
+        .limit(50)
+    )
+
+
+ORACLE_Q41 = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS best_price
+  FROM lineitem GROUP BY 1, 2
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY l_partkey
+                               ORDER BY best_price, l_suppkey) AS rn
+  FROM ps
+)
+SELECT l_partkey AS partkey, s_name AS supp_name, n_name AS nation,
+       CAST(best_price AS DOUBLE) AS best_price
+FROM best JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+WHERE rn = 1
+ORDER BY partkey LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# q42 — TPC-H Q11 shape (HAVING > fraction of a global scalar subquery):
+# parts whose revenue exceeds 0.05% of total revenue. The scalar subquery
+# is a 1-row aggregate broadcast against the per-part aggregate (no second
+# scan ordering constraint; Catalyst plans it as a cheap cross-join of a
+# 1-row relation). Threshold compare and share are computed in double from
+# DECIMAL-exact sums, so the boundary is deterministic cross-engine.
+# ---------------------------------------------------------------------------
+def q42_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    rev = dec("l_extendedprice") * (F.lit(1).cast(MONEY) - dec("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("part_value"))
+    total = per_part.agg(F.sum("part_value").alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("part_value").cast("double")
+            > F.col("total_value").cast("double") * 0.0005
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("part_value").cast("double").alias("part_value"),
+            (
+                F.col("part_value").cast("double")
+                / F.col("total_value").cast("double")
+            ).alias("share"),
+        )
+        .orderBy(F.col("part_value").desc(), F.col("partkey"))
+    )
+
+
+ORACLE_Q42 = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS part_value
+  FROM lineitem GROUP BY 1
+),
+total AS (SELECT sum(part_value) AS total_value FROM per_part)
+SELECT l_partkey AS partkey,
+       CAST(part_value AS DOUBLE) AS part_value,
+       CAST(part_value AS DOUBLE) / CAST(total_value AS DOUBLE) AS share
+FROM per_part, total
+WHERE CAST(part_value AS DOUBLE) > CAST(total_value AS DOUBLE) * 0.0005
+ORDER BY part_value DESC, partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q43 — TPC-H Q8 shape (market share as ratio-of-conditional-sums): per
+# order year, the fraction of revenue shipped by ASIA-nation suppliers.
+# One pass over the join: numerator is a CASE inside the same aggregate,
+# not a second scan/join. Supplier→nation→region is a broadcast chain
+# (dims are tiny at any scale); the only wide exchange is lineitem⋈orders
+# on orderkey. Share divides two decimal-exact sums in double.
+# ---------------------------------------------------------------------------
+def q43_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    sup_region = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "r_name")
+    )
+    rev = dec("l_extendedprice") * (F.lit(1).cast(MONEY) - dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup_region), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.sum(F.when(F.col("r_name") == "ASIA", rev).otherwise(F.lit(0).cast(MONEY)))
+            .cast("double")
+            .alias("asia_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+        .withColumn("asia_share", F.col("asia_revenue") / F.col("total_revenue"))
+        .orderBy("order_year")
+    )
+
+
+ORACLE_Q43 = """
+WITH sup_region AS (
+  SELECT s_suppkey, r_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+),
+by_year AS (
+  SELECT year(o_orderdate) AS order_year,
+    CAST(sum(CASE WHEN r_name = 'ASIA'
+        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS asia_revenue,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                JOIN sup_region ON l_suppkey = s_suppkey
+  GROUP BY 1
+)
+SELECT order_year, asia_revenue, total_revenue,
+       asia_revenue / total_revenue AS asia_share
+FROM by_year ORDER BY order_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# q44 — blocked fuzzy self-join (edit-distance entity matching): part-name
+# pairs within the same brand at levenshtein ≤ 4. The brand equality is the
+# blocking key — it turns an O(n²) all-pairs comparison into an equi-join
+# whose per-block work is |block|²; at 100 TB the blocking key is the ONLY
+# thing standing between this and a cartesian product, and AQE skew-split
+# handles hot blocks. levenshtein() is a JVM builtin (no Python round-trip).
+# ---------------------------------------------------------------------------
+def q44_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = part.alias("a")
+    b = part.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .withColumn("dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name")))
+        .filter(F.col("dist") <= 4)
+        .select(
+            F.col("a.p_brand").alias("brand"),
+            F.col("a.p_partkey").alias("key1"),
+            F.col("b.p_partkey").alias("key2"),
+            F.col("a.p_name").alias("name1"),
+            F.col("b.p_name").alias("name2"),
+            "dist",
+        )
+        .orderBy("dist", "key1", "key2")
+        .limit(100)
+    )
+
+
+ORACLE_Q44 = """
+SELECT a.p_brand AS brand, a.p_partkey AS key1, b.p_partkey AS key2,
+       a.p_name AS name1, b.p_name AS name2,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+ORDER BY dist, key1, key2 LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# q45 — per-group z-score outlier detection over events. Two passes:
+# (1) per-type moments — count + decimal-exact sum + decimal-exact sum of
+# per-row double squares (the v*v multiply is a correctly-rounded IEEE op,
+# identical cross-engine; summing the decimal casts makes the aggregate
+# order-independent), (2) broadcast the tiny per-type stats back and count
+# |z| > 3. No transcendentals except sqrt (correctly rounded per IEEE 754),
+# so the output is bit-deterministic under any partitioning.
+# ---------------------------------------------------------------------------
+def q45_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(EXACT)).alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast(EXACT)).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("ss").cast("double") - F.col("s").cast("double") * mean
+    ) / (F.col("n") - 1)
+    stats = stats.select(
+        "event_type",
+        "n",
+        mean.alias("mean"),
+        F.sqrt(var).alias("std"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum((F.abs(z) > 3).cast("long")).alias("n_outliers"),
+            # round(·, 6): the DECIMAL(38,18)→double cast behind mean/std can
+            # double-round differently across engines (scaled int128 > 2^53),
+            # shifting z by 1 ulp — rounding makes the reported stat stable.
+            F.round(F.max(F.abs(z)), 6).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_Q45 = """
+WITH stats AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(38,18))) AS DOUBLE) AS s,
+         CAST(sum(CAST(value * value AS DECIMAL(38,18))) AS DOUBLE) AS ss
+  FROM events GROUP BY 1
+),
+st AS (
+  SELECT event_type, n, s / n AS mean,
+         sqrt((ss - s * (s / n)) / (n - 1)) AS std
+  FROM stats
+)
+SELECT e.event_type, max(n) AS n,
+       sum(CAST(abs((value - mean) / std) > 3 AS BIGINT)) AS n_outliers,
+       round(max(abs((value - mean) / std)), 6) AS max_abs_z
+FROM events e JOIN st ON e.event_type = st.event_type
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q46 — deterministic stratified sampling: exactly 10 customers per market
+# segment, ranked by md5(custkey). Like q30's hash sampling, membership is a
+# pure function of the key — stable under repartitioning, retries, and
+# engine swaps (df.sample's per-partition RNG is none of those). The rank
+# is one window sort per stratum; at scale the per-stratum sort is the cost,
+# so for huge strata you'd pre-filter with a hash-prefix predicate (q30)
+# before ranking.
+# ---------------------------------------------------------------------------
+def q46_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), "c_custkey"
+    )
+    return (
+        cust.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("rn"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+        )
+        .orderBy("segment", "rn")
+    )
+
+
+ORACLE_Q46 = """
+SELECT c_mktsegment AS segment,
+       row_number() OVER (PARTITION BY c_mktsegment
+                          ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn,
+       c_custkey AS custkey, c_name AS name
+FROM customer
+QUALIFY rn <= 10
+ORDER BY segment, rn
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_forecast_revenue": q02_forecast_revenue,
@@ -1419,6 +1725,12 @@ QUERIES = {
     "q38_histogram": q38_histogram,
     "q39_variant_json": q39_variant_json,
     "q40_sole_latest_shipper": q40_sole_latest_shipper,
+    "q41_min_cost_supplier": q41_min_cost_supplier,
+    "q42_important_parts": q42_important_parts,
+    "q43_market_share": q43_market_share,
+    "q44_fuzzy_part_pairs": q44_fuzzy_part_pairs,
+    "q45_zscore_outliers": q45_zscore_outliers,
+    "q46_stratified_sample": q46_stratified_sample,
 }
 
 ORACLE = {
@@ -1462,4 +1774,10 @@ ORACLE = {
     "q38_histogram": ORACLE_Q38,
     "q39_variant_json": ORACLE_Q39,
     "q40_sole_latest_shipper": ORACLE_Q40,
+    "q41_min_cost_supplier": ORACLE_Q41,
+    "q42_important_parts": ORACLE_Q42,
+    "q43_market_share": ORACLE_Q43,
+    "q44_fuzzy_part_pairs": ORACLE_Q44,
+    "q45_zscore_outliers": ORACLE_Q45,
+    "q46_stratified_sample": ORACLE_Q46,
 }
