@@ -662,6 +662,296 @@ def m_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# text statistics: TF-IDF, collocations, corpus-frequency scoring
+# ---------------------------------------------------------------------------
+_WORDS = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"  # Spark (3-arg)
+_WORDS_DUCK = "regexp_extract_all(lower(text), '[a-z0-9]+')"  # DuckDB (2-arg)
+
+
+def t_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.
+
+    IDF is the *linear* inverse document frequency N/df (not log): the
+    ranking it induces per fixed tf is identical and, unlike log/ln, the
+    two plain IEEE ops (divide, multiply) are correctly rounded and thus
+    bit-identical cross-engine — libm transcendentals are not.
+
+    Scale: tf is a (doc, term) partial agg (map-side combine); df is a
+    second agg over tf keyed by term; the tf⋈df join shuffles on term —
+    vocabulary-sized, orders of magnitude below corpus size. The per-doc
+    top-3 window repartitions by doc_id, the same key tf already used.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(_WORDS)).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tf_idf",
+            F.col("tf").cast("double")
+            * (F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf_idf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "rn", "term", "tf", "df", "tf_idf")
+    )
+
+
+ORACLE_TFIDF = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_WORDS_DUCK}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tf_idf
+  FROM tf JOIN dft USING (term), n
+)
+SELECT doc_id,
+       row_number() OVER (PARTITION BY doc_id ORDER BY tf_idf DESC, term) AS rn,
+       term, tf, df, tf_idf
+FROM scored
+QUALIFY rn <= 3
+"""
+
+
+def t_lift_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-50 bigrams by lift = P(xy) / (P(x)·P(y)).
+
+    Lift is PMI without the log (PMI = ln lift) — same ranking, and the
+    ratio is three correctly-rounded multiplies over one divide of exact
+    integer counts, so it is bit-deterministic cross-engine where ln isn't.
+
+    Scale: bigram counts partial-aggregate map-side; the two unigram joins
+    shuffle on vocabulary-sized keys; totals are broadcast 1-row aggs. The
+    n_xy >= 5 floor prunes the long tail BEFORE the joins.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(F.expr(_WORDS).alias("wl")).filter(F.expr("size(wl) >= 2"))
+    bg = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(wl) - 1),"
+                " i -> struct(wl[i-1] AS w1, wl[i] AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    uni = (
+        docs.select(F.explode(F.expr(_WORDS)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    totals = uni.agg(F.sum("n_w").alias("t_tokens"))
+    n_bigrams = bg.agg(F.count(F.lit(1)).alias("n_bigrams"))
+    pairs = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .filter(F.col("n_xy") >= 5)
+    )
+    x = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_x"))
+    y = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_y"))
+    lift = (
+        F.col("n_xy").cast("double")
+        * F.col("t_tokens").cast("double")
+        * F.col("t_tokens").cast("double")
+    ) / (
+        F.col("n_bigrams").cast("double")
+        * F.col("n_x").cast("double")
+        * F.col("n_y").cast("double")
+    )
+    return (
+        pairs.join(x, "w1")
+        .join(y, "w2")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(n_bigrams))
+        .select("w1", "w2", "n_xy", "n_x", "n_y", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(50)
+    )
+
+
+ORACLE_LIFT_BIGRAMS = f"""
+WITH d AS (SELECT {_WORDS_DUCK} AS wl FROM documents WHERE len({_WORDS_DUCK}) >= 2),
+bg AS (
+  SELECT wl[i] AS w1, wl[i + 1] AS w2
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(wl) - 1)) AS i) g
+),
+uni AS (
+  SELECT unnest({_WORDS_DUCK}) AS w FROM documents
+),
+uc AS (SELECT w, count(*) AS n_w FROM uni GROUP BY 1),
+t AS (SELECT CAST(sum(n_w) AS BIGINT) AS t_tokens FROM uc),
+b AS (SELECT count(*) AS n_bigrams FROM bg),
+pc AS (SELECT w1, w2, count(*) AS n_xy FROM bg GROUP BY 1, 2 HAVING count(*) >= 5)
+SELECT w1, w2, n_xy, x.n_w AS n_x, y.n_w AS n_y,
+       (CAST(n_xy AS DOUBLE) * CAST(t_tokens AS DOUBLE) * CAST(t_tokens AS DOUBLE))
+       / (CAST(n_bigrams AS DOUBLE) * CAST(x.n_w AS DOUBLE) * CAST(y.n_w AS DOUBLE)) AS lift
+FROM pc JOIN uc x ON pc.w1 = x.w
+        JOIN uc y ON pc.w2 = y.w, t, b
+ORDER BY lift DESC, w1, w2 LIMIT 50
+"""
+
+
+def t_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency document scoring (a log-free unigram LM signal):
+    per doc, the rare-token count/ratio (corpus frequency ≤ 2) and the mean
+    corpus probability of its tokens. High rare_ratio flags gibberish/OCR
+    noise; unusually high avg_token_prob flags stopword-soup boilerplate.
+
+    All aggregates are exact integer sums; the two output ratios are single
+    correctly-rounded divisions — no float-sum order dependence anywhere.
+
+    Scale: corpus counts are one vocabulary-sized agg; the token⋈vocab join
+    shuffles on the term key. Per-doc re-agg shuffles on doc_id. Nothing
+    holds more than (vocab + docs) keys of state.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.explode(F.expr(_WORDS)).alias("w"))
+    uc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_t"))
+    totals = uc.agg(F.sum("n_t").alias("t_tokens"))
+    per_doc = (
+        toks.join(uc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((F.col("n_t") <= 2).cast("long")).alias("n_rare"),
+            F.sum("n_t").alias("freq_mass"),
+        )
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_rare",
+            (F.col("n_rare").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "rare_ratio"
+            ),
+            (
+                (F.col("freq_mass").cast("double") / F.col("n_tokens").cast("double"))
+                / F.col("t_tokens").cast("double")
+            ).alias("avg_token_prob"),
+        )
+    )
+
+
+ORACLE_RARITY = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_WORDS_DUCK}) AS w FROM documents
+),
+uc AS (SELECT w, count(*) AS n_t FROM toks GROUP BY 1),
+t AS (SELECT CAST(sum(n_t) AS BIGINT) AS t_tokens FROM uc),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CAST(n_t <= 2 AS BIGINT)) AS n_rare,
+         CAST(sum(n_t) AS BIGINT) AS freq_mass
+  FROM toks JOIN uc USING (w) GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_rare,
+       CAST(n_rare AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS rare_ratio,
+       (CAST(freq_mass AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         / CAST(t_tokens AS DOUBLE) AS avg_token_prob
+FROM per_doc, t
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding quantization
+# ---------------------------------------------------------------------------
+def e_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension scalar quantization of embeddings to int8 codes
+    (the storage/IO path real ANN systems put in front of exact rerank:
+    4× smaller vectors, reconstruction bounded by (hi-lo)/255 per dim).
+
+    Per-dim min/max come from one posexplode agg over (dims) keys; the
+    stats relation is dims-sized → broadcast back. floor() (exact) instead
+    of round() dodges engine-specific .5 tie-breaking; every arithmetic op
+    is a single correctly-rounded IEEE op, so codes are bit-deterministic.
+
+    Scale: the explode is |vecs|·|dims| rows but flows through two narrow
+    shuffles keyed on d (64 keys) and vec_id; at 100 TB you'd compute the
+    per-dim stats on a hash-sample (q30) instead of the full corpus —
+    quantization quality needs ~1e5 samples, not every row.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("d", "x"))
+    st = ex.groupBy("d").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    q = (
+        ex.join(F.broadcast(st), "d")
+        .withColumn("xd", F.col("x").cast("double"))
+        .withColumn("lod", F.col("lo").cast("double"))
+        .withColumn("hid", F.col("hi").cast("double"))
+        .withColumn(
+            "code",
+            F.when(F.col("hid") == F.col("lod"), F.lit(0)).otherwise(
+                F.least(
+                    F.lit(255),
+                    F.floor(
+                        (F.col("xd") - F.col("lod"))
+                        * 255.0
+                        / (F.col("hid") - F.col("lod"))
+                    ),
+                )
+            ).cast("int"),
+        )
+        .withColumn(
+            "err",
+            F.abs(
+                F.col("xd")
+                - (
+                    F.col("lod")
+                    + (F.col("code") + 0.5) * (F.col("hid") - F.col("lod")) / 255.0
+                )
+            ),
+        )
+    )
+    return q.groupBy("vec_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, code))), s -> s.code - 128)"
+        ).alias("codes"),
+        F.round(F.max("err"), 6).alias("max_err"),
+    )
+
+
+ORACLE_INT8_QUANT = """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS x
+  FROM embeddings
+),
+st AS (SELECT d, min(x) AS lo, max(x) AS hi FROM ex GROUP BY 1),
+q AS (
+  SELECT vec_id, ex.d, CAST(x AS DOUBLE) AS xd,
+         CAST(lo AS DOUBLE) AS lod, CAST(hi AS DOUBLE) AS hid
+  FROM ex JOIN st ON ex.d = st.d
+),
+c AS (
+  SELECT vec_id, d, xd, lod, hid,
+         CASE WHEN hid = lod THEN 0
+              ELSE CAST(least(255, floor((xd - lod) * 255.0 / (hid - lod))) AS INTEGER)
+         END AS code
+  FROM q
+),
+r AS (
+  SELECT vec_id, d, code,
+         abs(xd - (lod + (code + 0.5) * (hid - lod) / 255.0)) AS err
+  FROM c
+)
+SELECT vec_id, list(code - 128 ORDER BY d) AS codes, round(max(err), 6) AS max_err
+FROM r GROUP BY 1
+"""
+
+
 QUERIES = {
     "d_exact_dedup": d_exact_dedup,
     "d_fingerprint": d_fingerprint,
@@ -676,6 +966,10 @@ QUERIES = {
     "t_repetition": t_repetition,
     "t_chunks": t_chunks,
     "t_pack_greedy": t_pack_greedy,
+    "t_tfidf_topk": t_tfidf_topk,
+    "t_lift_bigrams": t_lift_bigrams,
+    "t_rarity": t_rarity,
+    "e_int8_quantize": e_int8_quantize,
     "d_simhash_neardup": d_simhash_neardup,
     "e_centroid_assign": e_centroid_assign,
     "e_label_centroids": e_label_centroids,
@@ -704,6 +998,10 @@ ORACLE = {
     "t_repetition": ORACLE_REPETITION,
     "t_chunks": ORACLE_CHUNKS,
     "t_pack_greedy": ORACLE_PACK,
+    "t_tfidf_topk": ORACLE_TFIDF,
+    "t_lift_bigrams": ORACLE_LIFT_BIGRAMS,
+    "t_rarity": ORACLE_RARITY,
+    "e_int8_quantize": ORACLE_INT8_QUANT,
     "d_simhash_neardup": ORACLE_SIMHASH_NEARDUP,
     "e_centroid_assign": ORACLE_CENTROID_ASSIGN,
     "e_label_centroids": ORACLE_LABEL_CENTROIDS,
