@@ -503,10 +503,15 @@ _DIM = 64
 
 def e_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean-pooled embedding per label (the training-side twin of
-    e_centroid_assign). One pass, no explode: 64 per-dimension sums as
-    plain aggregate expressions — map-side combine crushes each partition
-    to one partial row per label, so the shuffle carries |labels| ×
-    |partitions| rows regardless of corpus size.
+    e_centroid_assign). posexplode → per-(label, dim) sum → re-assemble
+    ordered by dim. The explode multiplies rows by |dims|, but the
+    (label, dim) partial agg map-side-combines each partition down to
+    |labels|·|dims| rows, and the two tiny agg expressions stay inside
+    whole-stage codegen. The previous shape — 64 separate per-dimension
+    aggregate expressions on the un-exploded table — generated a huge
+    aggregate that fell out of codegen and ran 3× slower (measured 1.9 s
+    vs 0.6 s at sf0.1) despite touching 64× fewer rows: expression count,
+    not row count, was the bottleneck.
 
     Determinism: float sums are order-dependent, so each component is
     quantized to fixed-point (round(x·1e6) as int64) and summed exactly;
@@ -514,20 +519,20 @@ def e_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     per element) is far below any downstream use of a centroid; exactness
     under repartitioning is what matters at scale."""
     emb = load_table(spark, "embeddings", sf_dir)
-    sums = [
-        F.sum(
-            F.round(F.element_at("embedding", i).cast("double") * 1e6).cast("long")
-        ).alias(f"s{i}")
-        for i in range(1, _DIM + 1)
-    ]
-    agg = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"), *sums)
-    centroid = F.array(
-        *[
-            F.col(f"s{i}").cast("double") / F.lit(1e6) / F.col("n")
-            for i in range(1, _DIM + 1)
-        ]
+    ex = emb.select("label", F.posexplode("embedding").alias("d", "x"))
+    per_dim = ex.groupBy("label", "d").agg(
+        F.sum(F.round(F.col("x").cast("double") * 1e6).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
     )
-    return agg.select("label", "n", centroid.alias("centroid"))
+    per_dim = per_dim.withColumn(
+        "m", F.col("s").cast("double") / F.lit(1e6) / F.col("n")
+    )
+    return per_dim.groupBy("label").agg(
+        F.max("n").alias("n"),
+        F.expr("transform(array_sort(collect_list(struct(d, m))), t -> t.m)").alias(
+            "centroid"
+        ),
+    )
 
 
 _CENTROID_SUMS = ",\n  ".join(
