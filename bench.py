@@ -37,6 +37,8 @@ HEADLINE = [
     "q26_small_qty_revenue",
     "q27_grouping_sets",
     "q29_window_frames",
+    "q41_min_cost_supplier",
+    "q44_fuzzy_part_pairs",
     # uDLang kernels (compiled to Column expressions)
     "k_filter",
     "k_count",
@@ -48,9 +50,11 @@ HEADLINE = [
     "t_ngram_topk",
     "t_chunks",
     "t_pack_greedy",
+    "t_tfidf_topk",
     "e_cosine_topk",
     "e_centroid_assign",
     "e_label_centroids",
+    "e_int8_quantize",
     # multimodal plumbing (fake decode; Arrow-batched mapInPandas)
     "m_image_meta",
 ]

@@ -206,3 +206,24 @@ def test_interp_fallback_unbounded_depth(spark):
 
     got2 = [r[0] for r in fact.apply(df2, input_col="value", recursion="interp").collect()]
     assert got2 == [math.factorial(20)]
+
+
+def test_spread_rest_compiled_and_interp(spark):
+    """Spread/rest/$... (reference README.md:260-261, 335-336, 370-373):
+    the compiled (inlined) path and the AST-interpreter fallback agree."""
+    from udlang_spark.kernel.api import compile_kernel
+    from udlang_spark.queries.kernels import SPREAD_KERNEL
+
+    k = compile_kernel(SPREAD_KERNEL)
+    df = spark.createDataFrame([(5,), (0,)], "v long")
+    compiled = sorted(
+        (r["out"] for r in k.apply(df, input_col="v").collect()),
+        key=lambda x: (x is None, x),
+    )
+    interp = sorted(
+        (r["out"] for r in k.apply(df, input_col="v", recursion="interp").collect()),
+        key=lambda x: (x is None, x),
+    )
+    # v=5 → 16, 11, 20, 106 ; v=0 → 1, 1, 10, 101
+    assert compiled == [1, 1, 10, 11, 16, 20, 101, 106]
+    assert interp == compiled

@@ -214,3 +214,35 @@ def test_throw_statement():
     )
     blk = prog.body[0].expr.clauses[0][1]
     assert isinstance(blk.stmts[0], ast.Throw)
+
+
+def test_spread_and_rest_parse():
+    # `...xs` spread in calls (README.md:260-261); `...name: T` rest params
+    # (README.md:335-336); `$...` rest-forwarding partial (README.md:370-373)
+    e = parse_expr("f(a, ...xs, 1)")
+    assert isinstance(e.args[1], ast.Spread)
+    assert isinstance(e.args[1].expr, ast.Id)
+    prog = parse(
+        'version 0.1-pre_mvp;\nscript "r";\ninput Int;\noutput Int;\n'
+        "func total(...xs: Int) -> Int { 0 }\n"
+        "out total(in);\n"
+    )
+    lam = prog.body[0].value
+    assert lam.params == ()
+    assert lam.rest_param is not None and lam.rest_param[0] == "xs"
+    e2 = parse_expr("f(1, $, $...)")
+    assert isinstance(e2.args[1], ast.Partial)
+    assert isinstance(e2.args[2], ast.PartialRest)
+
+
+def test_rest_param_must_be_last():
+    from udlang_spark.kernel.parser import ParseError
+
+    import pytest
+
+    with pytest.raises(ParseError):
+        parse(
+            'version 0.1-pre_mvp;\nscript "r";\ninput Int;\noutput Int;\n'
+            "func bad(...xs: Int, y: Int) -> Int { 0 }\n"
+            "out bad(in, 1);\n"
+        )

@@ -138,6 +138,24 @@ class Partial(Expr):
 
 
 @dataclass(frozen=True)
+class PartialRest(Expr):
+    """`$...` rest placeholder in partial application: captures and
+    forwards the trailing variadic arguments (reference README.md:370-373,
+    'each $ is a distinct argument. $... captures and spreads "rest"
+    arguments'). Only valid when the callee's final parameter is a rest
+    parameter."""
+
+
+@dataclass(frozen=True)
+class Spread(Expr):
+    """`...xs` in a call argument list (reference README.md:260-261,
+    'uDLang supports JS-like spread syntax in function calls'). Splices a
+    list's elements as individual arguments."""
+
+    expr: Expr
+
+
+@dataclass(frozen=True)
 class ListExpr(Expr):
     items: tuple[Expr, ...]
 
@@ -213,6 +231,10 @@ class Lambda(Expr):
     params: tuple[tuple[str, Type], ...]
     ret: Type
     body: Expr
+    # `...name: T` rest parameter (reference README.md:335-336): name plus
+    # the per-ELEMENT type (the bound value is a list of that type). Always
+    # the final parameter when present.
+    rest_param: tuple[str, Type] | None = None
 
 
 @dataclass(frozen=True)

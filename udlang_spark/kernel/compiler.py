@@ -80,6 +80,9 @@ class SFunc(SVal):
     body: ast.Expr
     env: dict
     name: str = "<lambda>"
+    # `...name: T` trailing rest parameter (reference README.md:335-336);
+    # T is the per-element type — the bound value is a [T] list
+    rest_param: tuple[str, ast.Type] | None = None
 
 
 @dataclass(frozen=True)
@@ -484,7 +487,16 @@ class Compiler:
                 return env["self"], None
             raise KernelCompileError("`self` outside a record method")
         if isinstance(expr, ast.Lambda):
-            return SFunc(expr.params, expr.ret, expr.body, dict(env)), None
+            return (
+                SFunc(
+                    expr.params,
+                    expr.ret,
+                    expr.body,
+                    dict(env),
+                    rest_param=expr.rest_param,
+                ),
+                None,
+            )
         if isinstance(expr, ast.ListExpr):
             return self.compile_list(expr, env)
         if isinstance(expr, ast.MapExpr):
@@ -738,9 +750,21 @@ class Compiler:
     def compile_call(self, expr: ast.Call, env: dict):
         fn, outs_fn = self.compile_expr(expr.func, env)
         if isinstance(fn, SNative):
+            native_args: list[ast.Expr] = []
+            for a in expr.args:
+                if isinstance(a, ast.Spread):
+                    if isinstance(a.expr, ast.ListExpr):
+                        native_args.extend(a.expr.items)
+                    else:
+                        raise KernelTypeError(
+                            "`...` spread into a built-in requires a list "
+                            "literal (built-ins have fixed arity)"
+                        )
+                else:
+                    native_args.append(a)
             arg_parts: list[Column | None] = [outs_fn]
             args: list[SVal] = list(fn.bound)
-            for a in expr.args:
+            for a in native_args:
                 av, ao = self.compile_expr(a, env)
                 arg_parts.append(ao)
                 args.append(av)
@@ -754,12 +778,26 @@ class Compiler:
         if not isinstance(fn, SFunc):
             raise KernelTypeError("calling a non-function value")
         # partial application: `$` placeholders curry at compile time
-        # (reference src/ast.rs:231; VM never implemented it — src/vm.rs:433)
-        if any(isinstance(a, ast.Partial) for a in expr.args):
+        # (reference src/ast.rs:231; VM never implemented it — src/vm.rs:433).
+        # `$...` (reference README.md:370-373) curries into a VARIADIC
+        # function that forwards its own rest args to the callee's rest
+        # parameter via a spread.
+        if any(isinstance(a, (ast.Partial, ast.PartialRest)) for a in expr.args):
             fresh: list[tuple[str, ast.Type]] = []
             filled: list[ast.Expr] = []
+            curried_rest: tuple[str, ast.Type] | None = None
             for i, a in enumerate(expr.args):
-                if isinstance(a, ast.Partial):
+                if isinstance(a, ast.PartialRest):
+                    if a is not expr.args[-1]:
+                        raise KernelTypeError("`$...` must be the final argument")
+                    if fn.rest_param is None:
+                        raise KernelTypeError(
+                            f"`$...` requires {fn.name} to declare a rest "
+                            "parameter (reference README.md:370-373)"
+                        )
+                    curried_rest = ("__rest", fn.rest_param[1])
+                    filled.append(ast.Spread(ast.Id("__rest")))
+                elif isinstance(a, ast.Partial):
                     pname = f"__partial_{i}"
                     ptype = fn.params[i][1] if i < len(fn.params) else ast.T_ANY
                     fresh.append((pname, ptype))
@@ -767,17 +805,64 @@ class Compiler:
                 else:
                     filled.append(a)
             curried = SFunc(
-                tuple(fresh), fn.ret, ast.Call(expr.func, tuple(filled)), dict(env)
+                tuple(fresh),
+                fn.ret,
+                ast.Call(expr.func, tuple(filled)),
+                dict(env),
+                rest_param=curried_rest,
             )
             return curried, outs_fn
 
-        if len(expr.args) != len(fn.params):
-            raise KernelTypeError(
-                f"{fn.name} expects {len(fn.params)} args, got {len(expr.args)}"
-            )
+        # spread splice (reference README.md:260-261): a `...xs` argument
+        # whose operand is a list literal splices inline; a dynamic list
+        # value is legal only in the final position, landing on the
+        # callee's rest parameter (arity is otherwise unknowable at
+        # compile time — this engine inlines every call).
+        call_args: list[ast.Expr] = []
+        dyn_rest: ast.Expr | None = None
+        for a in expr.args:
+            if isinstance(a, ast.Spread):
+                if isinstance(a.expr, ast.ListExpr):
+                    call_args.extend(a.expr.items)
+                elif a is expr.args[-1] and fn.rest_param is not None:
+                    dyn_rest = a.expr
+                else:
+                    raise KernelTypeError(
+                        "`...` spread of a non-literal list requires the "
+                        "callee's final parameter to be a rest parameter"
+                    )
+            else:
+                call_args.append(a)
+
+        if fn.rest_param is not None:
+            rname, rtype = fn.rest_param
+            if dyn_rest is not None:
+                if len(call_args) != len(fn.params):
+                    raise KernelTypeError(
+                        f"{fn.name} expects {len(fn.params)} fixed args "
+                        f"before a spread, got {len(call_args)}"
+                    )
+                rest_expr: ast.Expr = dyn_rest
+            else:
+                if len(call_args) < len(fn.params):
+                    raise KernelTypeError(
+                        f"{fn.name} expects at least {len(fn.params)} args, "
+                        f"got {len(call_args)}"
+                    )
+                rest_expr = ast.ListExpr(tuple(call_args[len(fn.params) :]))
+                call_args = call_args[: len(fn.params)]
+            params_eff = fn.params + ((rname, ast.TList(rtype)),)
+            args_eff = tuple(call_args) + (rest_expr,)
+        else:
+            if len(call_args) != len(fn.params):
+                raise KernelTypeError(
+                    f"{fn.name} expects {len(fn.params)} args, got {len(call_args)}"
+                )
+            params_eff = fn.params
+            args_eff = tuple(call_args)
         arg_parts: list[Column | None] = [outs_fn]
         call_env = dict(fn.env)
-        for (pname, ptype), arg in zip(fn.params, expr.args):
+        for (pname, ptype), arg in zip(params_eff, args_eff):
             aval, aouts = self.compile_expr(arg, env)
             arg_parts.append(aouts)
             rtype = self.resolve_type(ptype)

@@ -37,6 +37,17 @@ class Closure:
     env: dict  # live reference — lets recursion see its own binding
 
 
+@dataclass
+class Native:
+    """Interp-side twin of the compiler's SNative builtins (the named
+    function library, SURVEY.md §2.3 ext row) — Python semantics matching
+    the Column-compiled versions."""
+
+    name: str
+    arity: int
+    fn: object  # callable(interp, args, in_value, outs) -> value
+
+
 class Interp:
     def __init__(self, program: ast.Program, max_steps: int = 5_000_000):
         if program.kind != "script":
@@ -56,10 +67,31 @@ class Interp:
             sys.setrecursionlimit(200_000)
         self._steps = 0
         outs: list = []
-        env: dict = {}
+        env: dict = dict(_NATIVES)
         for stmt in list(self.program.decls) + list(self.program.body):
             self.exec_stmt(stmt, env, in_value, outs)
         return outs
+
+    # -- closure application --------------------------------------------
+    def apply_fn(self, fn, args: list, in_value, outs: list):
+        if isinstance(fn, Native):
+            if len(args) != fn.arity:
+                raise InterpError(f"{fn.name} expects {fn.arity} args")
+            return fn.fn(self, args, in_value, outs)
+        if not isinstance(fn, Closure):
+            raise InterpError("call of a non-function value")
+        params = fn.fn.params
+        call_env = dict(fn.env)
+        if fn.fn.rest_param is not None:
+            if len(args) < len(params):
+                raise InterpError("arity mismatch")
+            call_env[fn.fn.rest_param[0]] = list(args[len(params) :])
+            args = args[: len(params)]
+        elif len(args) != len(params):
+            raise InterpError("arity mismatch")
+        for (name, _t), v in zip(params, args):
+            call_env[name] = v
+        return self.eval(fn.fn.body, call_env, in_value, outs)
 
     # -- statements ------------------------------------------------------
     def exec_stmt(self, stmt, env: dict, in_value, outs: list) -> None:
@@ -96,15 +128,40 @@ class Interp:
         if isinstance(e, ast.Lambda):
             return Closure(e, env)
         if isinstance(e, ast.Call):
+            # `$` / `$...` partials desugar to a closure over the current
+            # env, mirroring the compiler's compile-time curry
+            if any(isinstance(a, (ast.Partial, ast.PartialRest)) for a in e.args):
+                fresh: list[tuple[str, ast.Type]] = []
+                filled: list[ast.Expr] = []
+                rest: tuple[str, ast.Type] | None = None
+                for i, a in enumerate(e.args):
+                    if isinstance(a, ast.PartialRest):
+                        rest = ("__rest", ast.T_ANY)
+                        filled.append(ast.Spread(ast.Id("__rest")))
+                    elif isinstance(a, ast.Partial):
+                        pname = f"__partial_{i}"
+                        fresh.append((pname, ast.T_ANY))
+                        filled.append(ast.Id(pname))
+                    else:
+                        filled.append(a)
+                lam = ast.Lambda(
+                    tuple(fresh),
+                    ast.T_ANY,
+                    ast.Call(e.func, tuple(filled)),
+                    rest_param=rest,
+                )
+                return Closure(lam, dict(env))
             fn = self.eval(e.func, env, in_value, outs)
-            if not isinstance(fn, Closure):
-                raise InterpError("call of a non-function value")
-            if len(e.args) != len(fn.fn.params):
-                raise InterpError("arity mismatch")
-            call_env = dict(fn.env)
-            for (name, _t), arg in zip(fn.fn.params, e.args):
-                call_env[name] = self.eval(arg, env, in_value, outs)
-            return self.eval(fn.fn.body, call_env, in_value, outs)
+            args = []
+            for a in e.args:
+                if isinstance(a, ast.Spread):
+                    v = self.eval(a.expr, env, in_value, outs)
+                    if not isinstance(v, list):
+                        raise InterpError("`...` spread of a non-list value")
+                    args.extend(v)
+                else:
+                    args.append(self.eval(a, env, in_value, outs))
+            return self.apply_fn(fn, args, in_value, outs)
         if isinstance(e, ast.Block):
             inner = dict(env)
             for s in e.stmts:
@@ -213,3 +270,108 @@ class Interp:
         if t is ast.T_STR and isinstance(v, str):
             return v
         raise InterpError(f"unsupported cast target {t!r}")
+
+
+def _nat(name, arity):
+    def deco(f):
+        return Native(name, arity, f)
+
+    return deco
+
+
+def _num2(pyfn):
+    def f(it, args, in_value, outs):
+        a, b = args
+        return pyfn(a, b)
+
+    return f
+
+
+def _math1(pyfn):
+    def f(it, args, in_value, outs):
+        return pyfn(float(args[0]))
+
+    return f
+
+
+def _interp_natives() -> dict:
+    import math
+
+    def length(it, args, in_value, outs):
+        v = args[0]
+        if isinstance(v, (str, list, dict)):
+            return len(v)
+        raise InterpError(f"length on {type(v).__name__}")
+
+    def join(it, args, in_value, outs):
+        xs, sep = args
+        return sep.join(str(x) for x in xs)
+
+    def split(it, args, in_value, outs):
+        s, sep = args
+        return s.split(sep)
+
+    def replace(it, args, in_value, outs):
+        s, old, new = args
+        return s.replace(old, new)
+
+    def substr(it, args, in_value, outs):
+        s, start, n = args
+        return s[start : start + n]  # 0-based, matching the compiled path
+
+    def contains(it, args, in_value, outs):
+        hay, needle = args
+        return needle in hay
+
+    def map_(it, args, in_value, outs):
+        xs, fn = args
+        return [it.apply_fn(fn, [x], in_value, outs) for x in xs]
+
+    def filter_(it, args, in_value, outs):
+        xs, fn = args
+        return [x for x in xs if it.apply_fn(fn, [x], in_value, outs)]
+
+    def reduce_(it, args, in_value, outs):
+        xs, acc, fn = args
+        for x in xs:
+            acc = it.apply_fn(fn, [acc, x], in_value, outs)
+        return acc
+
+    def floor_(it, args, in_value, outs):
+        return math.floor(args[0])
+
+    def ceil_(it, args, in_value, outs):
+        return math.ceil(args[0])
+
+    specs = {
+        "min": Native("min", 2, _num2(min)),
+        "max": Native("max", 2, _num2(max)),
+        "abs": Native("abs", 1, Native, ),
+    }
+    # abs needs its own wrapper (placeholder above replaced here)
+    specs["abs"] = Native("abs", 1, lambda it, a, iv, o: abs(a[0]))
+    specs["shl"] = Native("shl", 2, lambda it, a, iv, o: a[0] << a[1])
+    specs["shr"] = Native("shr", 2, lambda it, a, iv, o: a[0] >> a[1])
+    for name, fn in (
+        ("sqrt", math.sqrt), ("cos", math.cos), ("sin", math.sin),
+        ("tan", math.tan), ("log", math.log), ("exp", math.exp),
+    ):
+        specs[name] = Native(name, 1, _math1(fn))
+    specs["floor"] = Native("floor", 1, floor_)
+    specs["ceil"] = Native("ceil", 1, ceil_)
+    specs["length"] = Native("length", 1, length)
+    specs["join"] = Native("join", 2, join)
+    specs["split"] = Native("split", 2, split)
+    specs["upper"] = Native("upper", 1, lambda it, a, iv, o: a[0].upper())
+    specs["lower"] = Native("lower", 1, lambda it, a, iv, o: a[0].lower())
+    specs["trim"] = Native("trim", 1, lambda it, a, iv, o: a[0].strip())
+    specs["replace"] = Native("replace", 3, replace)
+    specs["substr"] = Native("substr", 3, substr)
+    specs["contains"] = Native("contains", 2, contains)
+    specs["map"] = Native("map", 2, map_)
+    specs["filter"] = Native("filter", 2, filter_)
+    specs["reduce"] = Native("reduce", 3, reduce_)
+    return specs
+
+
+_NATIVES = _interp_natives()

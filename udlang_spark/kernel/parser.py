@@ -145,25 +145,32 @@ class Parser:
     def parse_funcdef(self) -> ast.Stmt:
         self.take("func")
         name = self.take("ID").value
-        args = self.parse_arglist()
+        args, rest = self.parse_arglist()
         self.take("->")
         ret = self.parse_type()
         body = self.parse_block_expr()
-        return ast.Let(name, ast.Lambda(tuple(args), ret, body))
+        return ast.Let(name, ast.Lambda(tuple(args), ret, body, rest_param=rest))
 
     def parse_procdef(self) -> ast.Stmt:
         self.take("proc")
         name = self.take("ID").value
-        args = self.parse_arglist()
+        args, rest = self.parse_arglist()
         body = self.parse_block_stmt()
-        return ast.Let(name, ast.Lambda(tuple(args), ast.T_VOID, body))
+        return ast.Let(
+            name, ast.Lambda(tuple(args), ast.T_VOID, body, rest_param=rest)
+        )
 
     def parse_templatedef(self) -> ast.Stmt:
         # template name(args) using delegate {body} — desugars to a function
         # whose last parameter is the delegate (reference src/ast.rs:503-525).
         self.take("template")
         name = self.take("ID").value
-        args = self.parse_arglist()
+        args, rest = self.parse_arglist()
+        if rest is not None:
+            raise ParseError(
+                "a template cannot declare a rest parameter (the delegate "
+                "block is already its trailing argument)"
+            )
         self.take("using")
         delegate = self.take("ID").value
         body = self.parse_block_stmt()
@@ -200,10 +207,22 @@ class Parser:
         self.take(";")
         return ast.Let(name, value)
 
-    def parse_arglist(self) -> list[tuple[str, ast.Type]]:
+    def parse_arglist(
+        self,
+    ) -> tuple[list[tuple[str, ast.Type]], tuple[str, ast.Type] | None]:
+        """Returns (params, rest_param). `...name: T` (reference
+        README.md:335-336) declares a trailing rest parameter whose bound
+        value is a list of T; it must be the final parameter."""
         self.take("(")
         args: list[tuple[str, ast.Type]] = []
+        rest: tuple[str, ast.Type] | None = None
         while not self.at(")"):
+            if self.accept("..."):
+                name = self.take("ID").value
+                self.take(":")
+                rest = (name, self.parse_type())
+                self.accept(",")
+                break
             name = self.take("ID").value
             self.take(":")
             t = self.parse_type()
@@ -211,7 +230,7 @@ class Parser:
             if not self.accept(","):
                 break
         self.take(")")
-        return args
+        return args, rest
 
     # -- statements ------------------------------------------------------
     def parse_statement(self) -> ast.Stmt:
@@ -395,20 +414,28 @@ class Parser:
 
     def _try_lambda(self) -> ast.Expr | None:
         try:
-            args = self.parse_arglist()
+            args, rest = self.parse_arglist()
         except ParseError:
             return None
         if self.accept("->"):
             ret = self.parse_type()
             if self.accept("="):
-                return ast.Lambda(tuple(args), ret, self.parse_simple_expr())
+                return ast.Lambda(
+                    tuple(args), ret, self.parse_simple_expr(), rest_param=rest
+                )
             if self.at("{"):
-                return ast.Lambda(tuple(args), ret, self.parse_block_expr())
+                return ast.Lambda(
+                    tuple(args), ret, self.parse_block_expr(), rest_param=rest
+                )
             return None
         if self.accept("="):
-            return ast.Lambda(tuple(args), ast.T_ANY, self.parse_simple_expr())
+            return ast.Lambda(
+                tuple(args), ast.T_ANY, self.parse_simple_expr(), rest_param=rest
+            )
         if self.at("{"):
-            return ast.Lambda(tuple(args), ast.T_VOID, self.parse_block_stmt())
+            return ast.Lambda(
+                tuple(args), ast.T_VOID, self.parse_block_stmt(), rest_param=rest
+            )
         return None
 
     def parse_cond(self, stmt: bool) -> ast.Expr:
@@ -490,7 +517,14 @@ class Parser:
                 args = []
                 while not self.at(")"):
                     if self.accept("$"):
-                        args.append(ast.Partial())
+                        # `$...` forwards the callee's rest args through the
+                        # curried function (reference README.md:370-373)
+                        if self.accept("..."):
+                            args.append(ast.PartialRest())
+                        else:
+                            args.append(ast.Partial())
+                    elif self.accept("..."):
+                        args.append(ast.Spread(self.parse_expr()))
                     else:
                         args.append(self.parse_expr())
                     if not self.accept(","):
@@ -684,7 +718,7 @@ class Parser:
             # parenthesized type.
             save = self.i
             try:
-                args = self.parse_arglist()
+                args, _rest = self.parse_arglist()
                 self.take("->")
                 ret = self.parse_type()
                 return ast.TLambda(tuple(t for _, t in args), ret)
@@ -726,7 +760,7 @@ class Parser:
             elif kw.kind in ("method", "static"):
                 self.take(kw.kind)
                 name = self.take("ID").value
-                args = self.parse_arglist()
+                args, _rest = self.parse_arglist()
                 self.take("->")
                 ret = self.parse_type()
                 body = self.parse_expr()

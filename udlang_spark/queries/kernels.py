@@ -469,6 +469,50 @@ GROUP BY event_type
 """
 
 
+# spread `...xs` in calls, rest params `...name: T`, and the `$...`
+# rest-forwarding partial (reference README.md:260-261, 335-336, 370-373 —
+# documented-only there, §2.11; compiled away entirely here: every form
+# inlines to plain Column arithmetic, no runtime variadics exist).
+SPREAD_KERNEL = """
+version 0.1-pre_mvp;
+script "spread / rest / $... partial";
+input Int;
+output Int;
+
+func total(...xs: Int) -> Int {
+  reduce(xs, 0, (a: Int, x: Int) -> Int = a + x)
+}
+
+func wrap(bias: Int, ...ys: Int) -> Int {
+  bias + total(...ys)
+}
+
+let add100 = wrap(100, $...);
+
+out total(in, 2 * in, 1);
+out total(...[in, in, 1]);
+out wrap(10, in, in);
+out add100(in, 1);
+"""
+
+
+def k_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return compile_kernel(SPREAD_KERNEL).apply(
+        li.select(F.col("l_linenumber").cast("long").alias("v")), input_col="v"
+    )
+
+
+ORACLE_SPREAD = """
+SELECT u.out FROM lineitem, LATERAL (
+  SELECT unnest([3 * CAST(l_linenumber AS BIGINT) + 1,
+                 2 * CAST(l_linenumber AS BIGINT) + 1,
+                 10 + 2 * CAST(l_linenumber AS BIGINT),
+                 101 + CAST(l_linenumber AS BIGINT)]) AS out
+) u
+"""
+
+
 QUERIES = {
     "k_hello": k_hello,
     "k_function": k_function,
@@ -488,6 +532,7 @@ QUERIES = {
     "k_modules": k_modules,
     "k_methods": k_methods,
     "k_pipeline": k_pipeline,
+    "k_spread": k_spread,
 }
 
 ORACLE = {
@@ -509,4 +554,5 @@ ORACLE = {
     "k_modules": ORACLE_MODULES,
     "k_methods": ORACLE_METHODS,
     "k_pipeline": ORACLE_PIPELINE,
+    "k_spread": ORACLE_SPREAD,
 }
