@@ -203,3 +203,60 @@ def test_centroid_assign_no_shuffle(spark):
 
     plan = plan_of(llm.QUERIES["e_centroid_assign"](spark, SF_DIR_CORRECTNESS))
     assert "Exchange" not in plan
+
+
+def test_q41_single_window_decorrelation(spark):
+    """TPC-H Q2 shape: the correlated MIN subquery decorrelates into ONE
+    window pass — no self-join of the aggregate back to itself, and the
+    supplier/nation joins broadcast."""
+    plan = plan_of(relational.QUERIES["q41_min_cost_supplier"](spark, SF_DIR_CORRECTNESS))
+    # exactly one Window node ("Window (" excludes the WindowGroupLimit
+    # rank-pushdown nodes Spark inserts around it — those are a bonus:
+    # the top-1 filter prunes BEFORE the shuffle)
+    assert plan.count("Window (") == 1
+    assert "WindowGroupLimit" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q42_total_is_broadcast(spark):
+    """TPC-H Q11 shape: the global-total scalar subquery is a 1-row
+    broadcast, not a shuffled join."""
+    plan = plan_of(relational.QUERIES["q42_important_parts"](spark, SF_DIR_CORRECTNESS))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q44_fuzzy_join_is_blocked_equi_join(spark):
+    """The brand blocking key must plan as an equi-join (hash or sort-merge
+    on p_brand) — never a cartesian/nested-loop over all part pairs."""
+    plan = plan_of(relational.QUERIES["q44_fuzzy_part_pairs"](spark, SF_DIR_CORRECTNESS))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q45_stats_broadcast_back(spark):
+    """Per-type moments are a tiny aggregate broadcast back to the fact —
+    the events table is scanned, but joined without a fact-side shuffle."""
+    plan = plan_of(relational.QUERIES["q45_zscore_outliers"](spark, SF_DIR_CORRECTNESS))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_pushes_projection(spark):
+    """TF-IDF reads only doc_id + text."""
+    from udlang_spark.queries import llm
+
+    plan = plan_of(llm.QUERIES["t_tfidf_topk"](spark, SF_DIR_CORRECTNESS))
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_int8_quantize_stats_broadcast(spark):
+    """Per-dim min/max stats (64 rows) broadcast back to the exploded
+    relation — the vector side never shuffles on the join key."""
+    from udlang_spark.queries import llm
+
+    plan = plan_of(llm.QUERIES["e_int8_quantize"](spark, SF_DIR_CORRECTNESS))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
