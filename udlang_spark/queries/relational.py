@@ -1717,6 +1717,130 @@ ORDER BY segment, rn
 """
 
 
+# ---------------------------------------------------------------------------
+# q47 — TPC-H Q12 shape (IN-list predicate + conditional aggregation over a
+# join): per returnflag, how many high- vs low-priority orders shipped.
+# The IN-list pushes to the orders scan (PushedFilters: In(o_orderpriority));
+# the CASE runs inside the same aggregate — one join, one agg, no second
+# pass. The lineitem⋈orders join shuffles on orderkey (both are facts).
+# ---------------------------------------------------------------------------
+def q47_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_Q47 = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# q48 — TPC-H Q16 shape (NOT IN anti-join + multi-key countDistinct):
+# supplier variety per (brand, size-bucket), excluding a denylisted
+# supplier set. NOT IN over a subquery compiles to a null-aware anti join;
+# here the denylist side is provably non-null (filter on the key), so
+# Catalyst can use a plain left-anti broadcast. countDistinct over the
+# remaining pairs is a two-phase agg (partial distinct map-side).
+# ---------------------------------------------------------------------------
+def q48_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    denylist = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pairs = (
+        li.join(denylist, li.l_suppkey == denylist.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("p_brand", (F.col("p_size") % 5).alias("size_bucket"), "l_suppkey")
+    )
+    return (
+        pairs.groupBy("p_brand", "size_bucket")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "size_bucket")
+    )
+
+
+ORACLE_Q48 = """
+SELECT p_brand, p_size % 5 AS size_bucket,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+)
+GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, size_bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# q49 — TPC-H Q22 shape (scalar AVG subquery + NOT EXISTS anti-join):
+# "rich but inactive" customers — above-average balance, no orders — by
+# nation bucket. The AVG is a 1-row broadcast; the NOT EXISTS is a
+# left-anti join against orders. Both decorrelations are exact: no row
+# comparison against the average can straddle engines because the
+# average divides a DECIMAL-exact sum.
+# ---------------------------------------------------------------------------
+def q49_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.col("c_acctbal").cast(MONEY)).cast("double") / F.count(F.lit(1))).alias(
+            "avg_bal"
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 10).alias("nation_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(MONEY)).cast("double").alias("totacctbal"),
+        )
+        .orderBy("nation_bucket")
+    )
+
+
+ORACLE_Q49 = """
+WITH avg_bal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey % 10 AS nation_bucket,
+       count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_forecast_revenue": q02_forecast_revenue,
@@ -1764,6 +1888,9 @@ QUERIES = {
     "q44_fuzzy_part_pairs": q44_fuzzy_part_pairs,
     "q45_zscore_outliers": q45_zscore_outliers,
     "q46_stratified_sample": q46_stratified_sample,
+    "q47_shipmode_priority": q47_shipmode_priority,
+    "q48_supplier_variety": q48_supplier_variety,
+    "q49_inactive_rich_customers": q49_inactive_rich_customers,
 }
 
 ORACLE = {
@@ -1813,4 +1940,7 @@ ORACLE = {
     "q44_fuzzy_part_pairs": ORACLE_Q44,
     "q45_zscore_outliers": ORACLE_Q45,
     "q46_stratified_sample": ORACLE_Q46,
+    "q47_shipmode_priority": ORACLE_Q47,
+    "q48_supplier_variety": ORACLE_Q48,
+    "q49_inactive_rich_customers": ORACLE_Q49,
 }
