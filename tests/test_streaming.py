@@ -401,3 +401,69 @@ if (small > 0) {
         for r in k.apply(batch, input_col="event_id", keep=("event_id",)).collect()
     )
     assert got == expect and len(got) > 0
+
+
+def test_cdc_apply_stream(spark, tmp_path):
+    """Streaming MERGE via foreachBatch: inserts land, later updates
+    replace matched keys (latest seq wins within and across batches), a
+    restart over an unchanged source changes nothing."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "cdc_ckpt")
+
+    def write_changes(name, rows):
+        with open(src / name, "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+
+    def run_once():
+        stream = spark.readStream.schema("k long, v string, seq long").option(
+            "mode", "FAILFAST"
+        ).json(str(src))
+        runner.run_cdc_apply_stream(
+            spark, stream, target, ckpt, key="k", seq_col="seq"
+        )
+
+    write_changes(
+        "b1.json",
+        [
+            {"k": 1, "v": "a", "seq": 1},
+            {"k": 2, "v": "b", "seq": 2},
+            {"k": 1, "v": "a2", "seq": 3},  # same-batch update: seq 3 wins
+        ],
+    )
+    run_once()
+    got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a2", 2: "b"}
+
+    run_once()  # restart, no new data: target unchanged
+    got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a2", 2: "b"}
+
+    write_changes(
+        "b2.json",
+        [
+            {"k": 2, "v": "b2", "seq": 4},  # update existing
+            {"k": 3, "v": "c", "seq": 5},   # insert new
+        ],
+    )
+    run_once()
+    got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a2", 2: "b2", 3: "c"}
+
+
+def test_cdc_apply_matches_duckdb_oracle(spark, duck):
+    """The seq-aware merge makes the streaming MERGE oracle-checkable: the
+    final target equals latest-seq-per-key computed relationally."""
+    from tests.conftest import SF_DIR_CORRECTNESS
+    from tests.oracle_harness import compare
+    from udlang_spark.queries.streaming import ORACLE_CDC_APPLY, s_cdc_apply
+
+    compare(
+        spark, duck, "s_cdc_apply", s_cdc_apply, ORACLE_CDC_APPLY, SF_DIR_CORRECTNESS
+    )

@@ -190,6 +190,37 @@ def s_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE (CDC apply) via foreachBatch into a keyed parquet
+    target — the streaming twin of q34_upsert. The merge is seq-aware
+    latest-wins, so the final table is a pure function of the change set
+    regardless of micro-batch boundaries or replay: ORACLE-CHECKABLE,
+    unlike the other streaming entries."""
+    src = _stream(spark, sf_dir).select(
+        (F.col("event_id") % 100).alias("k"),
+        F.col("value").alias("v"),
+        F.col("event_id").alias("seq"),
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    target = os.path.join(tempfile.gettempdir(), f"udlang_cdc_target_{tag}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"udlang_cdc_ckpt_{tag}")
+    shutil.rmtree(target, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    runner.run_cdc_apply_stream(
+        spark, src, target, ckpt, key="k", seq_col="seq"
+    )
+    return spark.read.parquet(target).orderBy("k")
+
+
+ORACLE_CDC_APPLY = """
+SELECT event_id % 100 AS k, value AS v, event_id AS seq
+FROM events
+QUALIFY row_number() OVER (PARTITION BY event_id % 100
+                           ORDER BY event_id DESC) = 1
+ORDER BY k
+"""
+
+
 QUERIES = {
     "s_kernel_stream": s_kernel_stream,
     "s_windowed_stream": s_windowed_stream,
@@ -197,8 +228,14 @@ QUERIES = {
     "s_stream_join": s_stream_join,
     "s_dedup_stream": s_dedup_stream,
     "s_session_stream": s_session_stream,
+    "s_cdc_apply": s_cdc_apply,
 }
 
-# not SQL-expressible (Structured Streaming execution) — rows-only checks;
-# batch equivalence is pytest-enforced instead (tests/test_streaming.py)
-ORACLE: dict[str, str] = {}
+# Structured Streaming execution is mostly not SQL-expressible — rows-only
+# checks with batch equivalence pytest-enforced instead
+# (tests/test_streaming.py). Exception: the CDC apply's seq-aware merge
+# makes its final table a pure function of the change set, so it carries a
+# real DuckDB oracle.
+ORACLE: dict[str, str] = {
+    "s_cdc_apply": ORACLE_CDC_APPLY,
+}

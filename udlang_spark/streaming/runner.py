@@ -240,3 +240,61 @@ def run_windowed_stream_to_memory(
     )
     q.awaitTermination(timeout_s)
     return spark.table(query_name)
+
+
+def run_cdc_apply_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    target_path: str,
+    checkpoint_path: str,
+    key: str,
+    seq_col: str,
+    timeout_s: int = 120,
+) -> None:
+    """Streaming MERGE (CDC apply): every micro-batch upserts into a keyed
+    parquet target via foreachBatch — the streaming twin of q34_upsert.
+
+    The merge is SEQ-AWARE latest-wins: base ∪ batch, keep the max-seq row
+    per key (seq must be unique per key — the CDC contract). That makes
+    the apply a join-semilattice merge: replayed, duplicated, or
+    out-of-order batches all converge to the same table, so exactly-once
+    needs only the checkpoint's offset tracking plus this idempotence —
+    no transactional sink. The swap is write-to-side-dir + atomic
+    directory rename, emulating the atomic commit a table format
+    (Delta/Iceberg) provides natively — at production scale use one of
+    those; the MERGE shape is identical. State never accumulates in the
+    stream itself (the target table IS the state), so this scales to any
+    key cardinality parquet can hold.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(target_path):
+            base = spark.read.parquet(target_path)
+            combined = base.unionByName(batch_df.select(*base.columns))
+        else:
+            combined = batch_df
+        w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
+        merged = (
+            combined.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        tmp = target_path + f".__stage_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = target_path + ".__old"
+        if os.path.exists(target_path):
+            os.rename(target_path, old)
+        os.rename(tmp, target_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
