@@ -1841,6 +1841,163 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# q50 — ordered funnel (view → click → purchase): per user, each stage
+# counts only if it happens strictly AFTER the previous stage's first
+# occurrence. The sequential dependency decorrelates into a chain of
+# per-user MIN aggregates, each joined back — three narrow aggs keyed on
+# user_id that all reuse one hash partitioning; no sort of raw events, no
+# per-user sequence materialization. Conversion ratios divide exact counts.
+# ---------------------------------------------------------------------------
+def q50_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    totals = ev.agg(F.countDistinct("user_id").alias("users_total"))
+    nv = v.agg(F.count(F.lit(1)).alias("reached_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("reached_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("reached_purchase"))
+    return (
+        totals.crossJoin(nv)
+        .crossJoin(nc)
+        .crossJoin(np_)
+        .withColumn(
+            "view_to_click",
+            F.col("reached_click").cast("double") / F.col("reached_view").cast("double"),
+        )
+        .withColumn(
+            "click_to_purchase",
+            F.col("reached_purchase").cast("double")
+            / F.col("reached_click").cast("double"),
+        )
+    )
+
+
+ORACLE_Q50 = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE event_type = 'click' AND ts > t_view GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE event_type = 'purchase' AND ts > t_click GROUP BY 1
+)
+SELECT (SELECT count(DISTINCT user_id) FROM events) AS users_total,
+       (SELECT count(*) FROM v) AS reached_view,
+       (SELECT count(*) FROM c) AS reached_click,
+       (SELECT count(*) FROM p) AS reached_purchase,
+       CAST((SELECT count(*) FROM c) AS DOUBLE)
+         / CAST((SELECT count(*) FROM v) AS DOUBLE) AS view_to_click,
+       CAST((SELECT count(*) FROM p) AS DOUBLE)
+         / CAST((SELECT count(*) FROM c) AS DOUBLE) AS click_to_purchase
+"""
+
+
+# ---------------------------------------------------------------------------
+# q51 — event-type transition matrix (sequence mining): consecutive event
+# pairs per user ordered by (ts, event_id), counted across the corpus with
+# each from-state's share. One window pass partitioned by user_id (lead),
+# one (from, to) aggregate, one from-state re-aggregate — the raw events
+# sort once, inside their user partition.
+# ---------------------------------------------------------------------------
+def q51_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    w_from = Window.partitionBy("from_type")
+    return (
+        counts.withColumn(
+            "share",
+            F.col("n").cast("double") / F.sum("n").over(w_from).cast("double"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+ORACLE_Q51 = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n FROM seq
+  WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE)
+         / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS share
+FROM counts ORDER BY from_type, to_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q52 — retention cohorts: users grouped by first-seen day, counted as
+# active in each subsequent 7-day offset window. The week offset is pure
+# integer day arithmetic (datediff div 7) — no engine-specific week
+# alignment (date_trunc('week') Monday conventions) can leak in. Two aggs
+# on user_id + one on (cohort, offset); the first-seen relation is
+# users-sized and broadcast back to events.
+# ---------------------------------------------------------------------------
+def q52_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("first_day"))
+    return (
+        ev.join(F.broadcast(first), "user_id")
+        .select(
+            "user_id",
+            "first_day",
+            F.expr("datediff(to_date(ts), first_day) div 7").alias("week_off"),
+        )
+        .groupBy(
+            F.date_format("first_day", "yyyy-MM-dd").alias("cohort_day"),
+            "week_off",
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_day", "week_off")
+    )
+
+
+ORACLE_Q52 = """
+WITH first AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS first_day FROM events GROUP BY 1
+)
+SELECT strftime(first_day, '%Y-%m-%d') AS cohort_day,
+       date_diff('day', first_day, CAST(ts AS DATE)) // 7 AS week_off,
+       count(DISTINCT e.user_id) AS n_active
+FROM events e JOIN first f ON e.user_id = f.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_forecast_revenue": q02_forecast_revenue,
@@ -1891,6 +2048,9 @@ QUERIES = {
     "q47_shipmode_priority": q47_shipmode_priority,
     "q48_supplier_variety": q48_supplier_variety,
     "q49_inactive_rich_customers": q49_inactive_rich_customers,
+    "q50_funnel": q50_funnel,
+    "q51_transitions": q51_transitions,
+    "q52_retention": q52_retention,
 }
 
 ORACLE = {
@@ -1943,4 +2103,7 @@ ORACLE = {
     "q47_shipmode_priority": ORACLE_Q47,
     "q48_supplier_variety": ORACLE_Q48,
     "q49_inactive_rich_customers": ORACLE_Q49,
+    "q50_funnel": ORACLE_Q50,
+    "q51_transitions": ORACLE_Q51,
+    "q52_retention": ORACLE_Q52,
 }
