@@ -1998,6 +1998,26 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# q53 — mergeable-sketch aggregates: approx_count_distinct (HLL++) and
+# approx_percentile (t-digest-style) side by side with their exact twins.
+# These are THE 100 TB forms (SURVEY.md §9 swap points): exact distinct
+# shuffles every distinct key, exact percentiles sort — the sketches are
+# fixed-size, mergeable partial states (map-side combine ships ~KB per
+# partition regardless of cardinality). Sketch internals are
+# engine-specific, so this is a rows-only contract entry; the error bound
+# vs the exact twin is pytest-enforced (tests/test_relational_oracle.py).
+# ---------------------------------------------------------------------------
+def q53_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("approx_p50"),
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_forecast_revenue": q02_forecast_revenue,
@@ -2051,6 +2071,7 @@ QUERIES = {
     "q50_funnel": q50_funnel,
     "q51_transitions": q51_transitions,
     "q52_retention": q52_retention,
+    "q53_sketch_stats": q53_sketch_stats,
 }
 
 ORACLE = {
