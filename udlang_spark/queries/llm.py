@@ -957,6 +957,127 @@ FROM r GROUP BY 1
 """
 
 
+def t_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption for denoising-objective training prep:
+    ~12.5% of tokens are masked (md5(doc_id:idx) prefix ∈ {0,1} — a pure
+    key function, so the SAME spans mask under any partitioning, retry, or
+    engine), consecutive masked tokens merge into one span, the input gets
+    one <extra_id_k> sentinel per span and the target lists each sentinel
+    followed by its span's tokens (single-space normalized; no closing
+    sentinel).
+
+    Scale: tokenization explodes |tokens| rows but both the span numbering
+    (one lag+cumsum window per doc) and the two string re-assemblies
+    (ordered collect per doc) partition on doc_id — one shuffle total, and
+    per-doc state is one document's tokens. All string ops are JVM-side;
+    no Python in the path.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.expr("regexp_extract_all(text, '\\\\S+', 0)")).alias("idx", "tok")
+    )
+    masked = toks.withColumn(
+        "m",
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id"), F.col("idx"))), 1, 1
+        ).isin("0", "1"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    spans = (
+        masked.withColumn(
+            "new_span",
+            F.col("m") & ~F.coalesce(F.lag("m").over(w), F.lit(False)),
+        )
+        .withColumn(
+            "span_id",
+            F.sum(F.col("new_span").cast("long")).over(w) - 1,
+        )
+    )
+    sentinel = F.concat(F.lit("<extra_id_"), F.col("span_id"), F.lit(">"))
+    pieces = spans.select(
+        "doc_id",
+        "idx",
+        F.col("m").cast("long").alias("is_masked"),
+        F.when(~F.col("m"), F.col("tok"))
+        .when(F.col("new_span"), sentinel)
+        .otherwise(F.lit(""))
+        .alias("in_piece"),
+        F.when(
+            F.col("m") & F.col("new_span"),
+            F.concat(sentinel, F.lit(" "), F.col("tok")),
+        )
+        .when(F.col("m"), F.col("tok"))
+        .otherwise(F.lit(""))
+        .alias("tgt_piece"),
+    )
+
+    def joined(col: str):
+        return F.array_join(
+            F.filter(
+                F.expr(
+                    f"transform(array_sort(collect_list(struct(idx, {col}))),"
+                    f" s -> s.{col})"
+                ),
+                lambda x: x != "",
+            ),
+            " ",
+        )
+
+    return pieces.groupBy("doc_id").agg(
+        joined("in_piece").alias("input_text"),
+        joined("tgt_piece").alias("target_text"),
+        F.sum("is_masked").alias("n_masked"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+ORACLE_SPAN_CORRUPT = """
+WITH toks AS (
+  SELECT doc_id, g.i - 1 AS idx, tl[g.i] AS tok
+  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS tl FROM documents) d,
+       LATERAL (SELECT unnest(generate_series(1, len(tl))) AS i) g
+),
+masked AS (
+  SELECT doc_id, idx, tok,
+         substr(md5(doc_id || ':' || idx), 1, 1) IN ('0', '1') AS m
+  FROM toks
+),
+flagged AS (
+  SELECT *,
+         m AND NOT coalesce(lag(m) OVER (PARTITION BY doc_id ORDER BY idx),
+                            false) AS new_span
+  FROM masked
+),
+spans AS (
+  SELECT *,
+         sum(CASE WHEN new_span THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY idx
+                 ROWS UNBOUNDED PRECEDING) - 1 AS span_id
+  FROM flagged
+),
+pieces AS (
+  SELECT doc_id, idx,
+         CAST(m AS BIGINT) AS is_masked,
+         CASE WHEN NOT m THEN tok
+              WHEN new_span THEN '<extra_id_' || span_id || '>'
+              ELSE '' END AS in_piece,
+         CASE WHEN m AND new_span
+                THEN '<extra_id_' || span_id || '> ' || tok
+              WHEN m THEN tok
+              ELSE '' END AS tgt_piece
+  FROM spans
+)
+SELECT doc_id,
+       coalesce(string_agg(in_piece, ' ' ORDER BY idx)
+         FILTER (WHERE in_piece <> ''), '') AS input_text,
+       coalesce(string_agg(tgt_piece, ' ' ORDER BY idx)
+         FILTER (WHERE tgt_piece <> ''), '') AS target_text,
+       sum(is_masked) AS n_masked,
+       count(*) AS n_tokens
+FROM pieces GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "d_exact_dedup": d_exact_dedup,
     "d_fingerprint": d_fingerprint,
@@ -974,6 +1095,7 @@ QUERIES = {
     "t_tfidf_topk": t_tfidf_topk,
     "t_lift_bigrams": t_lift_bigrams,
     "t_rarity": t_rarity,
+    "t_span_corrupt": t_span_corrupt,
     "e_int8_quantize": e_int8_quantize,
     "d_simhash_neardup": d_simhash_neardup,
     "e_centroid_assign": e_centroid_assign,
@@ -1006,6 +1128,7 @@ ORACLE = {
     "t_tfidf_topk": ORACLE_TFIDF,
     "t_lift_bigrams": ORACLE_LIFT_BIGRAMS,
     "t_rarity": ORACLE_RARITY,
+    "t_span_corrupt": ORACLE_SPAN_CORRUPT,
     "e_int8_quantize": ORACLE_INT8_QUANT,
     "d_simhash_neardup": ORACLE_SIMHASH_NEARDUP,
     "e_centroid_assign": ORACLE_CENTROID_ASSIGN,
