@@ -145,3 +145,42 @@ def test_kmeans_matches_numpy_reference(spark):
         for j, (i, b) in enumerate(zip(ids, best))
     }
     assert got == expect
+
+
+def test_pagerank_matches_numpy(spark):
+    """Distributed PageRank equals a dense numpy power iteration to 1e-9
+    (same damping, dangling redistribution, and iteration count)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from udlang_spark.operators import graph
+    from udlang_spark.operators import similarity
+    from udlang_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", SF_DIR_CORRECTNESS)
+    edges_df = similarity.cosine_topk(emb, "embedding", "vec_id", k=3).select(
+        F.col("vec_id").alias("src"), F.col("nbr").alias("dst")
+    )
+    edges = [(r["src"], r["dst"]) for r in edges_df.collect()]
+    got = {
+        r["id"]: r["rank"]
+        for r in graph.pagerank(edges_df, n_iter=10, damping=0.85).collect()
+    }
+
+    ids = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    out_deg = np.zeros(n)
+    for s, _ in edges:
+        out_deg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(10):
+        dangling = r[out_deg == 0].sum()
+        inflow = np.zeros(n)
+        for s, t in edges:
+            inflow[idx[t]] += r[idx[s]] / out_deg[idx[s]]
+        r = (1.0 - d) / n + d * (inflow + dangling / n)
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    for v in ids:
+        assert abs(got[v] - r[idx[v]]) < 1e-9

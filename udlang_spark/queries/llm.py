@@ -874,6 +874,25 @@ FROM per_doc, t
 # ---------------------------------------------------------------------------
 # embedding quantization
 # ---------------------------------------------------------------------------
+def e_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the directed 3-NN cosine graph of the embeddings —
+    graph centrality as a data-quality/representativeness signal (hub
+    documents in a near-dup graph are over-represented content). Iterative
+    driver loop, data stays distributed (operators/graph.py); rank sums
+    are parallel float adds so this is a rows-only contract entry with the
+    numpy-exactness check in pytest (tests/test_llm_oracle.py)."""
+    from udlang_spark.operators import graph
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    edges = similarity.cosine_topk(emb, "embedding", "vec_id", k=3).select(
+        F.col("vec_id").alias("src"), F.col("nbr").alias("dst")
+    )
+    pr = graph.pagerank(edges, n_iter=10, damping=0.85)
+    return pr.select("id", F.round("rank", 6).alias("rank")).orderBy(
+        F.col("rank").desc(), "id"
+    ).limit(50)
+
+
 def e_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension scalar quantization of embeddings to int8 codes
     (the storage/IO path real ANN systems put in front of exact rerank:
@@ -1105,6 +1124,7 @@ QUERIES = {
     "e_near_dups": e_near_dups,
     "e_ann_lsh": e_ann_lsh,
     "e_ivf_ann": e_ivf_ann,
+    "e_pagerank": e_pagerank,
     "m_payload_meta": m_payload_meta,
     "m_image_meta": m_image_meta,
     "m_frames": m_frames,
