@@ -2018,6 +2018,127 @@ def q53_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q54 — time-series pattern search: z-normalized distance from every
+# length-4 sliding window of each user's value series to a fixed query
+# pattern (a rising ramp), top-20 closest windows. Expressed with explicit
+# lag columns (fixed pattern length), so every arithmetic step is a
+# fixed-order IEEE op — bit-deterministic cross-engine; no frame-sum
+# association (engines disagree on sliding-sum tree shapes) ever enters.
+# Scale: one window pass partitioned by user_id; candidate scoring is
+# row-local; TakeOrdered(20) never materializes a global sort.
+# ---------------------------------------------------------------------------
+def q54_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = (
+        ev.withColumn("v1", F.lag("value", 1).over(w))
+        .withColumn("v2", F.lag("value", 2).over(w))
+        .withColumn("v3", F.lag("value", 3).over(w))
+        .filter(F.col("v3").isNotNull())
+    )
+    m = (F.col("v3") + F.col("v2") + F.col("v1") + F.col("value")) / 4
+    var = (
+        (F.col("v3") - m) * (F.col("v3") - m)
+        + (F.col("v2") - m) * (F.col("v2") - m)
+        + (F.col("v1") - m) * (F.col("v1") - m)
+        + (F.col("value") - m) * (F.col("value") - m)
+    ) / 4
+    std = F.sqrt(var)
+    # chronological window [v3,v2,v1,v0] vs rising-ramp pattern
+    p = (-1.161895, -0.387298, 0.387298, 1.161895)  # z-normalized ramp
+    z3 = (F.col("v3") - m) / std
+    z2 = (F.col("v2") - m) / std
+    z1 = (F.col("v1") - m) / std
+    z0 = (F.col("value") - m) / std
+    dist = (
+        (z3 - p[0]) * (z3 - p[0])
+        + (z2 - p[1]) * (z2 - p[1])
+        + (z1 - p[2]) * (z1 - p[2])
+        + (z0 - p[3]) * (z0 - p[3])
+    )
+    return (
+        lagged.filter(std > 0)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(dist, 6).alias("dist"),
+        )
+        .orderBy("dist", "user_id", "event_id")
+        .limit(20)
+    )
+
+
+ORACLE_Q54 = """
+WITH lagged AS (
+  SELECT user_id, event_id, value AS v0,
+         lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v1,
+         lag(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v2,
+         lag(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v3
+  FROM events
+),
+scored AS (
+  SELECT user_id, event_id,
+         (v3 + v2 + v1 + v0) / 4 AS m,
+         sqrt(((v3 - (v3+v2+v1+v0)/4) * (v3 - (v3+v2+v1+v0)/4)
+             + (v2 - (v3+v2+v1+v0)/4) * (v2 - (v3+v2+v1+v0)/4)
+             + (v1 - (v3+v2+v1+v0)/4) * (v1 - (v3+v2+v1+v0)/4)
+             + (v0 - (v3+v2+v1+v0)/4) * (v0 - (v3+v2+v1+v0)/4)) / 4) AS std,
+         v0, v1, v2, v3
+  FROM lagged WHERE v3 IS NOT NULL
+)
+SELECT user_id, event_id,
+       round(((v3 - m) / std - (-1.161895)) * ((v3 - m) / std - (-1.161895))
+           + ((v2 - m) / std - (-0.387298)) * ((v2 - m) / std - (-0.387298))
+           + ((v1 - m) / std - 0.387298) * ((v1 - m) / std - 0.387298)
+           + ((v0 - m) / std - 1.161895) * ((v0 - m) / std - 1.161895), 6) AS dist
+FROM scored WHERE std > 0
+ORDER BY dist, user_id, event_id LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# q55 — exponential moving average per user (ordered fold): EMA is
+# inherently sequential, so it compiles to collect-ordered + aggregate()
+# (a left fold inside codegen) — per-user state is that user's own series,
+# partitioned on user_id, no cross-user coupling. A left fold is a FIXED
+# operation order, so unlike frame sums it is bit-deterministic — and both
+# engines fold left (Spark aggregate(), DuckDB list_reduce), seeded with
+# the first element.
+# ---------------------------------------------------------------------------
+def q55_user_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    series = ev.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, value))),"
+            " s -> s.value)"
+        ).alias("vs")
+    )
+    ema = F.aggregate(
+        F.slice(F.col("vs"), 2, F.greatest(F.size("vs") - 1, F.lit(0))),
+        F.element_at(F.col("vs"), 1),
+        lambda acc, x: acc * F.lit(0.8) + F.lit(0.2) * x,
+    )
+    return series.select(
+        "user_id",
+        F.size("vs").alias("n_events"),
+        F.round(ema, 6).alias("ema"),
+    ).orderBy("user_id")
+
+
+ORACLE_Q55 = """
+WITH series AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+  FROM events GROUP BY user_id
+)
+SELECT user_id, len(vs) AS n_events,
+       round(list_reduce(vs::DOUBLE[], (acc, x) -> acc * 0.8 + 0.2 * x), 6) AS ema
+FROM series ORDER BY user_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_forecast_revenue": q02_forecast_revenue,
@@ -2072,6 +2193,8 @@ QUERIES = {
     "q51_transitions": q51_transitions,
     "q52_retention": q52_retention,
     "q53_sketch_stats": q53_sketch_stats,
+    "q54_pattern_match": q54_pattern_match,
+    "q55_user_ema": q55_user_ema,
 }
 
 ORACLE = {
@@ -2127,4 +2250,6 @@ ORACLE = {
     "q50_funnel": ORACLE_Q50,
     "q51_transitions": ORACLE_Q51,
     "q52_retention": ORACLE_Q52,
+    "q54_pattern_match": ORACLE_Q54,
+    "q55_user_ema": ORACLE_Q55,
 }
