@@ -96,9 +96,15 @@ def main() -> None:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 4)
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        # min of two timed runs: single-run numbers on a shared host swing
+        # up to 3× from GC/CPU contention; the min is the stable estimate
+        # of what the engine actually costs.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

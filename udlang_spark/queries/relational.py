@@ -2139,6 +2139,328 @@ FROM series ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q56 — TPC-H Q7 shape (volume shipping between two nations): revenue flowing
+# between NATION_1 and NATION_2 in either direction, by ship year. The
+# nation filter is pushed BELOW the fact-fact join: lineitem first broadcast-
+# joins the pre-filtered supplier side (~2/25 of suppliers), shrinking the
+# rows entering the lineitem⋈orders shuffle by ~12×; the customer side is
+# filtered the same way before its join. At 100 TB the only wide exchange
+# is the already-pruned orderkey join — dims stay broadcast at any scale.
+# ---------------------------------------------------------------------------
+def q56_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    pair = ["NATION_1", "NATION_2"]
+    n1 = nation.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    supp_n = supp.join(F.broadcast(n1), supp.s_nationkey == n1.s_nkey).select(
+        "s_suppkey", "supp_nation"
+    )
+    cust_n = cust.join(F.broadcast(n2), cust.c_nationkey == n2.c_nkey).select(
+        "c_custkey", "cust_nation"
+    )
+    return (
+        li.filter(F.year("l_shipdate").between(1996, 1997))
+        .join(F.broadcast(supp_n), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_n, orders.o_custkey == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(sum_revenue("revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+ORACLE_Q56 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS ship_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+  AND year(l_shipdate) BETWEEN 1996 AND 1997
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# q57 — TPC-H Q9 shape (product-type profit by nation and year). The
+# testdata has no partsupp, so supply cost is modeled as 0.6·p_retailprice
+# (the shape — fact⋈part⋈supplier⋈nation with a derived profit measure —
+# is what Q9 exercises). Profit runs in scale-4 integer units per row
+# (cents × basis-points; qty is integer-valued, so qty·ret_cents·60 is
+# exact), accumulated in DECIMAL(38,0). Part is filtered before the join
+# and the supplier→nation chain is broadcast; the partkey join is the one
+# shuffle, and AQE broadcast-converts it when the filtered part side fits.
+# ---------------------------------------------------------------------------
+def q57_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    sup_n = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey).select(
+        "s_suppkey", "n_name"
+    )
+    rev4 = cents("l_extendedprice") * (100 - cents("l_discount"))
+    cost4 = F.col("l_quantity").cast("long") * cents("p_retailprice") * 60
+    return (
+        li.join(part.select("p_partkey", "p_retailprice"), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup_n), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("ship_year"))
+        .agg((F.sum((rev4 - cost4).cast(BIG)).cast("double") / 1e4).alias("profit"))
+        .orderBy("nation", "ship_year")
+    )
+
+
+ORACLE_Q57 = """
+SELECT n_name AS nation, year(l_shipdate) AS ship_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                - CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(p_retailprice AS DECIMAL(18,2))
+                  * CAST(0.6 AS DECIMAL(2,1))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q58 — TPC-H Q10 shape (returned-item reporting): top-20 customers by
+# revenue lost to returns in one quarter. The orderdate filter lands on the
+# orders scan (PushedFilters) and the returnflag filter on the lineitem
+# scan, so the orderkey shuffle only moves one quarter of one-third of the
+# fact data; customer⋈nation is a broadcast chain. Top-k is a TakeOrdered
+# (no global sort), tie-broken on c_custkey for cross-engine determinism.
+# ---------------------------------------------------------------------------
+def q58_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(sum_revenue("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+ORACLE_Q58 = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# q59 — TPC-H Q14 shape (promotion effect): share of one month's revenue
+# from PROMO-type parts, as a ratio of two conditional sums in ONE pass
+# over the join (no second scan). The month filter prunes lineitem before
+# the partkey join; no broadcast hint on part — at bench scale AQE
+# broadcast-converts the filtered fact side, and at 100 TB part itself
+# (~20 B rows/100 TB SF) must shuffle, which Catalyst picks automatically.
+# ---------------------------------------------------------------------------
+def q59_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev4 = (cents("l_extendedprice") * (100 - cents("l_discount"))).cast(BIG)
+    promo4 = F.when(F.col("p_type") == "PROMO", rev4).otherwise(F.lit(0).cast(BIG))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            (F.sum(promo4).cast("double") / 1e4).alias("promo_revenue"),
+            (F.sum(rev4).cast("double") / 1e4).alias("total_revenue"),
+        )
+        .withColumn(
+            "promo_share", F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")
+        )
+    )
+
+
+ORACLE_Q59 = """
+WITH j AS (
+  SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+           THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+)
+SELECT promo_revenue, total_revenue,
+       100.0 * promo_revenue / total_revenue AS promo_share
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# q60 — TPC-H Q15 shape (top supplier via scalar-max subquery): suppliers
+# whose quarterly revenue equals the global max. The per-supplier rollup is
+# one shuffle on suppkey; the 1-row max is broadcast back and the equality
+# filter runs map-side (a broadcast nested-loop over one row — free). The
+# revenue doubles on both sides derive from the same exact decimal sum, so
+# equality is well-defined. Supplier join is broadcast (dim).
+# ---------------------------------------------------------------------------
+def q60_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(sum_revenue("total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.mx)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_Q60 = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q61 — TPC-H Q18 shape (large-volume customers): orders whose total line
+# quantity exceeds 300. The HAVING aggregate runs FIRST (one shuffle on
+# orderkey, integer sums, map-side partials), producing a tiny survivor
+# set that then broadcast-joins orders and customer — the classic
+# "aggregate before join" rewrite that keeps the wide joins off the full
+# fact table at 100 TB. Sorted on totalprice desc with orderkey tie-break.
+# ---------------------------------------------------------------------------
+def q61_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+ORACLE_Q61 = """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS BIGINT)) > 300
+)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_totalprice, total_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# q62 — TPC-H Q20 shape (dominant-supplier semi-join; partsupp-free
+# adaptation): suppliers who ship more than half of some part's total
+# shipped quantity. Both aggregation levels come from ONE scan: the
+# (partkey, suppkey) rollup is the only fact shuffle, and the per-part
+# total is a re-aggregation OF THAT ROLLUP (already partitioned by
+# partkey prefix, so the second exchange moves only |part|×|supp-per-part|
+# pre-aggregated rows, not fact rows). Integer quantity math — the
+# 2·supp_qty > part_qty dominance test is exact. Supplier list comes back
+# via a left-semi join (no row multiplication).
+# ---------------------------------------------------------------------------
+def q62_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("supp_qty")
+    )
+    pt = ps.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
+    dom = ps.join(pt, "l_partkey").filter(F.col("supp_qty") * 2 > F.col("part_qty"))
+    return (
+        supp.join(dom, supp.s_suppkey == dom.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_Q62 = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS supp_qty
+  FROM lineitem GROUP BY 1, 2
+),
+pt AS (SELECT l_partkey, sum(supp_qty) AS part_qty FROM ps GROUP BY 1),
+dom AS (
+  SELECT DISTINCT l_suppkey
+  FROM ps JOIN pt USING (l_partkey) WHERE supp_qty * 2 > part_qty
+)
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_forecast_revenue": q02_forecast_revenue,
@@ -2195,6 +2517,13 @@ QUERIES = {
     "q53_sketch_stats": q53_sketch_stats,
     "q54_pattern_match": q54_pattern_match,
     "q55_user_ema": q55_user_ema,
+    "q56_nation_trade_volume": q56_nation_trade_volume,
+    "q57_product_profit": q57_product_profit,
+    "q58_returned_items": q58_returned_items,
+    "q59_promo_effect": q59_promo_effect,
+    "q60_top_supplier": q60_top_supplier,
+    "q61_large_volume_customers": q61_large_volume_customers,
+    "q62_dominant_suppliers": q62_dominant_suppliers,
 }
 
 ORACLE = {
@@ -2252,4 +2581,11 @@ ORACLE = {
     "q52_retention": ORACLE_Q52,
     "q54_pattern_match": ORACLE_Q54,
     "q55_user_ema": ORACLE_Q55,
+    "q56_nation_trade_volume": ORACLE_Q56,
+    "q57_product_profit": ORACLE_Q57,
+    "q58_returned_items": ORACLE_Q58,
+    "q59_promo_effect": ORACLE_Q59,
+    "q60_top_supplier": ORACLE_Q60,
+    "q61_large_volume_customers": ORACLE_Q61,
+    "q62_dominant_suppliers": ORACLE_Q62,
 }
