@@ -427,3 +427,45 @@ def minhash_dedup_corpus(
         )
         .withColumn("keeper", F.col("doc") == F.col("component"))
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bench_grams: DataFrame,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, how many of its word
+    n-grams appear in a held-out benchmark set (`bench_grams`: one distinct
+    `gram` string column).
+
+    Scale shape: the benchmark side is eval suites — megabytes even when
+    the corpus is 100 TB — so its distinct-gram set is BROADCAST and the
+    whole check is map-side: explode training grams, hash-probe the
+    broadcast set, re-aggregate on the doc id the explode preserved
+    (partial aggs collapse the fan-out before the one doc-id shuffle).
+    No corpus-vs-corpus join ever happens. explode_outer keeps short docs
+    (< n words, zero grams) in the output with contamination 0.
+    """
+    g = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode_outer(shingles(text_col, n)).alias("gram"),
+    )
+    hits = bench_grams.select("gram").distinct().withColumn("hit", F.lit(1))
+    return (
+        g.join(F.broadcast(hits), "gram", "left")
+        .groupBy("doc")
+        .agg(
+            F.count("gram").alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("contaminated_grams"),
+        )
+        .withColumn(
+            "contamination",
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("contaminated_grams").cast("double") / F.col("n_grams"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("flagged", F.col("contamination") >= F.lit(0.05))
+    )

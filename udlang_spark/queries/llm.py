@@ -1097,6 +1097,55 @@ FROM pieces GROUP BY doc_id
 """
 
 
+def t_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 37 == 0 stand in for a
+    held-out eval suite; every other doc is scored by the fraction of its
+    distinct word 4-grams that appear in the benchmark set (operators.dedup.
+    decontaminate — broadcast gram probe, no corpus-vs-corpus join). 4-grams
+    (not the production-typical 8-13) because the synthetic vocabulary is
+    ~30 words: at n=4 the benchmark overlap is non-trivial (incl. one
+    near-duplicate doc), so the operator's counting paths are exercised."""
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    bench_grams = bench.select(
+        F.explode(TXT.shingles("text", 4)).alias("gram")
+    )
+    return dedup.decontaminate(train, "text", "doc_id", bench_grams, n=4).orderBy(
+        "doc"
+    )
+
+
+_G4 = "wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] || ' ' || wl[i+3]"
+
+ORACLE_DECONTAM = f"""
+WITH w AS (SELECT doc_id, {_WL} AS wl FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, {_G4} AS gram
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(wl) - 3)) AS i) g
+),
+bench AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 37 = 0),
+agg AS (
+  SELECT t.doc_id, count(*) AS n_grams, count(b.gram) AS contaminated_grams
+  FROM sh t LEFT JOIN bench b ON t.gram = b.gram
+  WHERE t.doc_id % 37 <> 0
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id AS doc,
+       coalesce(a.n_grams, 0) AS n_grams,
+       coalesce(a.contaminated_grams, 0) AS contaminated_grams,
+       CASE WHEN coalesce(a.n_grams, 0) > 0
+            THEN a.contaminated_grams::DOUBLE / a.n_grams ELSE 0.0 END
+         AS contamination,
+       CASE WHEN coalesce(a.n_grams, 0) > 0
+            THEN a.contaminated_grams::DOUBLE / a.n_grams ELSE 0.0 END >= 0.05
+         AS flagged
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+WHERE d.doc_id % 37 <> 0
+ORDER BY doc
+"""
+
+
 QUERIES = {
     "d_exact_dedup": d_exact_dedup,
     "d_fingerprint": d_fingerprint,
@@ -1115,6 +1164,7 @@ QUERIES = {
     "t_lift_bigrams": t_lift_bigrams,
     "t_rarity": t_rarity,
     "t_span_corrupt": t_span_corrupt,
+    "t_decontam": t_decontam,
     "e_int8_quantize": e_int8_quantize,
     "d_simhash_neardup": d_simhash_neardup,
     "e_centroid_assign": e_centroid_assign,
@@ -1149,6 +1199,7 @@ ORACLE = {
     "t_lift_bigrams": ORACLE_LIFT_BIGRAMS,
     "t_rarity": ORACLE_RARITY,
     "t_span_corrupt": ORACLE_SPAN_CORRUPT,
+    "t_decontam": ORACLE_DECONTAM,
     "e_int8_quantize": ORACLE_INT8_QUANT,
     "d_simhash_neardup": ORACLE_SIMHASH_NEARDUP,
     "e_centroid_assign": ORACLE_CENTROID_ASSIGN,
