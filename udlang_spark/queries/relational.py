@@ -2461,6 +2461,46 @@ ORDER BY s_suppkey
 """
 
 
+# ---------------------------------------------------------------------------
+# q63 — running DISTINCT count over a window. Spark has no
+# COUNT(DISTINCT) OVER; the naive emulation — size(collect_set() over w) —
+# carries a per-row set in window state (O(|distinct|) memory PER ROW of
+# the frame walk, and unbounded for high-cardinality distincts). Instead:
+# flag each (user, type)'s FIRST occurrence with one row_number window,
+# then running-sum the flag with a second — two sorts over the same
+# user-partitioned shuffle, O(1) state per row at any cardinality.
+# DuckDB's native windowed count(DISTINCT) is the oracle.
+# ---------------------------------------------------------------------------
+def q63_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    first_w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    run_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn(
+            "is_first", (F.row_number().over(first_w) == 1).cast("long")
+        )
+        .withColumn("distinct_types", F.sum("is_first").over(run_w))
+        .select("user_id", "event_id", "distinct_types")
+        .orderBy("user_id", "event_id")
+    )
+
+
+ORACLE_Q63 = """
+SELECT user_id, event_id,
+       count(DISTINCT event_type) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS distinct_types
+FROM events
+ORDER BY user_id, event_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_forecast_revenue": q02_forecast_revenue,
@@ -2524,6 +2564,7 @@ QUERIES = {
     "q60_top_supplier": q60_top_supplier,
     "q61_large_volume_customers": q61_large_volume_customers,
     "q62_dominant_suppliers": q62_dominant_suppliers,
+    "q63_running_distinct": q63_running_distinct,
 }
 
 ORACLE = {
@@ -2588,4 +2629,5 @@ ORACLE = {
     "q60_top_supplier": ORACLE_Q60,
     "q61_large_volume_customers": ORACLE_Q61,
     "q62_dominant_suppliers": ORACLE_Q62,
+    "q63_running_distinct": ORACLE_Q63,
 }
