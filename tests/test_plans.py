@@ -228,11 +228,74 @@ def test_q42_total_is_broadcast(spark):
 
 
 def test_q44_fuzzy_join_is_blocked_equi_join(spark):
-    """The brand blocking key must plan as an equi-join (hash or sort-merge
-    on p_brand) — never a cartesian/nested-loop over all part pairs."""
+    """Levenshtein must run only inside the distinct-name cross join
+    (|domain|² pairs, both inputs distinct-name HashAggregates); part rows
+    re-attach via hash equi-joins — no nested loop ever sees a part row."""
     plan = plan_of(relational.QUERIES["q44_fuzzy_part_pairs"](spark, SF_DIR_CORRECTNESS))
+    # formatted plans print each node twice (tree + detail section)
+    assert plan.count("BroadcastNestedLoopJoin") == 2  # ONE node: names × names
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+    assert plan.count("BroadcastHashJoin") >= 4  # TWO: name + (brand,name) attach
+
+
+def test_q56_dims_filtered_before_fact_join(spark):
+    """The two-nation filter must reach the supplier/customer sides before
+    the fact joins (broadcast chains), leaving the orderkey join as the
+    only wide exchange."""
+    plan = plan_of(
+        relational.QUERIES["q56_nation_trade_volume"](spark, SF_DIR_CORRECTNESS)
+    )
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "In(n_name, [NATION_1,NATION_2])" in plan  # pushed to nation scans
+
+
+def test_q61_aggregates_before_joining(spark):
+    """Q18 shape: the quantity rollup must run BEFORE any join (the
+    HAVING survivor set then broadcasts) — lineitem never joins raw."""
+    plan = plan_of(
+        relational.QUERIES["q61_large_volume_customers"](spark, SF_DIR_CORRECTNESS)
+    )
+    # tree prints top-down: deeper index = executed earlier. The rollup
+    # must sit BELOW (after, in text) the topmost join.
+    first_join = plan.index("Join")
+    assert plan.index("HashAggregate") > first_join
+    assert "sum(cast(l_quantity" in plan  # the rollup is the quantity sum
+
+
+def test_q62_single_fact_scan_two_level_rollup(spark):
+    """Q20 shape: per-part totals come from a window over the (part,supp)
+    rollup — exactly one lineitem scan (a rollup⋈re-agg self-join would
+    scan and shuffle the fact twice); supplier via left-semi join."""
+    import re
+
+    plan = plan_of(
+        relational.QUERIES["q62_dominant_suppliers"](spark, SF_DIR_CORRECTNESS)
+    )
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 2  # lineitem once, supplier once
+    assert "LeftSemi" in plan
+
+
+def test_q63_no_set_state_in_window(spark):
+    """Running COUNT(DISTINCT) must compile to row_number + running sum —
+    never collect_set (O(distinct) state per row in the frame walk)."""
+    plan = plan_of(
+        relational.QUERIES["q63_running_distinct"](spark, SF_DIR_CORRECTNESS)
+    )
+    assert "collect_set" not in plan
+    assert plan.count("Window") >= 2
+
+
+def test_q64_no_single_partition_sort(spark):
+    """Global sequence ids must NOT plan a global sort: the only wide
+    exchange is rangepartitioning; offsets come from a broadcast join."""
+    plan = plan_of(relational.QUERIES["q64_global_seq"](spark, SF_DIR_CORRECTNESS))
+    body = plan.split("(1) Scan parquet")[0]
+    assert "rangepartitioning" in plan
+    # the events-side plan must never be collapsed to one partition
+    # (offsets aggregate over #partitions rows may be; events rows may not)
+    assert "Sort [ts" not in body or "SinglePartition" not in body
 
 
 def test_q45_stats_broadcast_back(spark):

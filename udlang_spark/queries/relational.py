@@ -2434,22 +2434,27 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 # ---------------------------------------------------------------------------
 # q62 — TPC-H Q20 shape (dominant-supplier semi-join; partsupp-free
 # adaptation): suppliers who ship more than half of some part's total
-# shipped quantity. Both aggregation levels come from ONE scan: the
-# (partkey, suppkey) rollup is the only fact shuffle, and the per-part
-# total is a re-aggregation OF THAT ROLLUP (already partitioned by
-# partkey prefix, so the second exchange moves only |part|×|supp-per-part|
-# pre-aggregated rows, not fact rows). Integer quantity math — the
+# shipped quantity. Both aggregation levels come from ONE lineitem scan:
+# the (partkey, suppkey) rollup is the only fact shuffle, and the per-part
+# total is a WINDOW over that rollup — not a self-join of the rollup with
+# its own re-aggregation, which Spark plans as a second full scan+shuffle
+# of the fact (AQE does not reuse the stage across the self-reference;
+# plan-audited in tests/test_plans.py). The window's exchange moves only
+# |part|×|supp-per-part| pre-aggregated rows. Integer quantity math — the
 # 2·supp_qty > part_qty dominance test is exact. Supplier list comes back
 # via a left-semi join (no row multiplication).
 # ---------------------------------------------------------------------------
 def q62_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(F.col("l_quantity").cast("long")).alias("supp_qty")
     )
-    pt = ps.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
-    dom = ps.join(pt, "l_partkey").filter(F.col("supp_qty") * 2 > F.col("part_qty"))
+    dom = ps.withColumn(
+        "part_qty", F.sum("supp_qty").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("supp_qty") * 2 > F.col("part_qty"))
     return (
         supp.join(dom, supp.s_suppkey == dom.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name", "s_acctbal")
