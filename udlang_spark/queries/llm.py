@@ -1146,6 +1146,87 @@ ORDER BY doc
 """
 
 
+def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical pretraining-data pipeline, end to end in ONE plan:
+    language-ID gate → quality gate → exact dedup → per-source sequence
+    packing. Stage costs at scale: langid + quality are pure map-side
+    codegen over the scan (zero shuffles); dedup is one window keyed on
+    the content fingerprint (md5-uniform, skew-free); packing is one
+    window keyed on source. Two shuffles total for the whole pipeline —
+    the composition does NOT multiply stage costs because every gate is
+    a Filter that pushes work reduction downstream."""
+    docs = load_table(spark, "documents", sf_dir)
+    scored = docs.select(
+        "doc_id", "source", "text", *TXT.lang_scores("text")
+    ).withColumn("predicted", TXT.lang_predict())
+    quality = scored.filter(F.col("predicted") == "en").select(
+        "doc_id", "source", "text", *TXT.quality_features("text")
+    )
+    kept = quality.filter(F.col("quality_ok"))
+    fp = TXT.fingerprint("text")
+    deduped = (
+        kept.withColumn(
+            "keeper", F.min("doc_id").over(Window.partitionBy(fp))
+        )
+        .filter(F.col("doc_id") == F.col("keeper"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        deduped.select("doc_id", "source", F.col("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn(
+            "pack_id",
+            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(2048)),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _corpus_pipeline_oracle() -> str:
+    score_cols = []
+    for lang, markers in TXT.LANG_MARKERS.items():
+        lst = "['" + "','".join(markers) + "']"
+        score_cols.append(
+            f"len(list_filter(wl, x -> list_contains({lst}, x))) AS score_{lang}"
+        )
+    cases = []
+    prio = TXT.LANG_PRIORITY
+    for i, lang in enumerate(prio[1:], start=1):
+        conds = " AND ".join(f"score_{lang} > score_{e}" for e in prio[:i])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{prio[0]}' END"
+    return f"""
+WITH w AS (SELECT doc_id, source, text, {_WL} AS wl FROM documents),
+s AS (SELECT *, {", ".join(score_cols)} FROM w),
+lang_ok AS (SELECT * FROM s WHERE {case_sql} = 'en'),
+q AS (
+  SELECT * FROM lang_ok
+  WHERE len(wl) BETWEEN 10 AND 10000
+    AND len(list_filter(wl, x -> list_contains({_STOPS}, x))) > 0
+),
+d AS (
+  SELECT *, min(doc_id) OVER (
+    PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+  ) AS keeper FROM q
+),
+kept AS (SELECT doc_id, source, len(wl) AS n_tokens FROM d WHERE doc_id = keeper)
+SELECT doc_id, source, n_tokens,
+       sum(n_tokens) OVER w2 AS cum_tokens,
+       CAST(floor((sum(n_tokens) OVER w2 - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+FROM kept
+WINDOW w2 AS (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY doc_id
+"""
+
+
+ORACLE_CORPUS_PIPELINE = _corpus_pipeline_oracle()
+
+
 QUERIES = {
     "d_exact_dedup": d_exact_dedup,
     "d_fingerprint": d_fingerprint,
@@ -1165,6 +1246,7 @@ QUERIES = {
     "t_rarity": t_rarity,
     "t_span_corrupt": t_span_corrupt,
     "t_decontam": t_decontam,
+    "t_corpus_pipeline": t_corpus_pipeline,
     "e_int8_quantize": e_int8_quantize,
     "d_simhash_neardup": d_simhash_neardup,
     "e_centroid_assign": e_centroid_assign,
@@ -1200,6 +1282,7 @@ ORACLE = {
     "t_rarity": ORACLE_RARITY,
     "t_span_corrupt": ORACLE_SPAN_CORRUPT,
     "t_decontam": ORACLE_DECONTAM,
+    "t_corpus_pipeline": ORACLE_CORPUS_PIPELINE,
     "e_int8_quantize": ORACLE_INT8_QUANT,
     "d_simhash_neardup": ORACLE_SIMHASH_NEARDUP,
     "e_centroid_assign": ORACLE_CENTROID_ASSIGN,
