@@ -39,6 +39,9 @@ HEADLINE = [
     "q29_window_frames",
     "q41_min_cost_supplier",
     "q44_fuzzy_part_pairs",
+    "q58_returned_items",
+    "q62_dominant_suppliers",
+    "q64_global_seq",
     # uDLang kernels (compiled to Column expressions)
     "k_filter",
     "k_count",
@@ -51,6 +54,8 @@ HEADLINE = [
     "t_chunks",
     "t_pack_greedy",
     "t_tfidf_topk",
+    "t_decontam",
+    "t_corpus_pipeline",
     "e_cosine_topk",
     "e_centroid_assign",
     "e_label_centroids",

@@ -205,16 +205,14 @@ def test_centroid_assign_no_shuffle(spark):
     assert "Exchange" not in plan
 
 
-def test_q41_single_window_decorrelation(spark):
-    """TPC-H Q2 shape: the correlated MIN subquery decorrelates into ONE
-    window pass — no self-join of the aggregate back to itself, and the
+def test_q41_argmin_is_single_aggregate(spark):
+    """TPC-H Q2 shape: the correlated MIN subquery collapses into ONE hash
+    aggregate — min(struct(price, suppkey)) is the argmin with tie-break,
+    so there's no window sort, no rank filter, and no self-join; the
     supplier/nation joins broadcast."""
     plan = plan_of(relational.QUERIES["q41_min_cost_supplier"](spark, SF_DIR_CORRECTNESS))
-    # exactly one Window node ("Window (" excludes the WindowGroupLimit
-    # rank-pushdown nodes Spark inserts around it — those are a bonus:
-    # the top-1 filter prunes BEFORE the shuffle)
-    assert plan.count("Window (") == 1
-    assert "WindowGroupLimit" in plan
+    assert "Window" not in plan
+    assert "hashpartitioning(l_partkey" in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
 

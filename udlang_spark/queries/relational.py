@@ -629,12 +629,22 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
 # shuffle volume is |groups| x |sets|, independent of row count.
 # ---------------------------------------------------------------------------
 def q19_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pre-aggregate to the base (returnflag, linestatus) groups FIRST, then
+    # cube the tiny pre-agg: Spark's cube plans an Expand that multiplies
+    # EVERY input row by the number of grouping sets (4× here) before the
+    # partial agg — on the 6-row pre-aggregate the expansion is free, on the
+    # fact table it's 4× the scan volume. Sums/counts re-aggregate losslessly
+    # (decimal partials stay decimal until the final cast).
     li = _t(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(dec("l_extendedprice")).alias("rev0"),
+    )
     return (
-        li.cube("l_returnflag", "l_linestatus")
+        base.cube("l_returnflag", "l_linestatus")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
+            F.sum("n0").alias("n"),
+            F.sum("rev0").cast("double").alias("revenue"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -1426,11 +1436,27 @@ def q41_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(dec("l_extendedprice")).alias("best_price")
+    # ONE hash agg: min(struct(price, suppkey)) per part is the argmin with
+    # smallest-suppkey tie-break — identical to the two-stage (per-supplier
+    # min → per-part rank-1 window) form, but with a single shuffle and no
+    # window sort. Struct min compares lexicographically, so the winner is
+    # the supplier achieving the global min price (ties → lowest suppkey).
+    best = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.min(
+                F.struct(
+                    dec("l_extendedprice").alias("best_price"),
+                    F.col("l_suppkey").alias("l_suppkey"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "l_partkey",
+            F.col("m.best_price").alias("best_price"),
+            F.col("m.l_suppkey").alias("l_suppkey"),
+        )
     )
-    w = Window.partitionBy("l_partkey").orderBy("best_price", "l_suppkey")
-    best = ps.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return (
         best.join(F.broadcast(sup), best.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
