@@ -1105,7 +1105,9 @@ def t_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     (not the production-typical 8-13) because the synthetic vocabulary is
     ~30 words: at n=4 the benchmark overlap is non-trivial (incl. one
     near-duplicate doc), so the operator's counting paths are exercised."""
-    docs = load_table(spark, "documents", sf_dir)
+    from udlang_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, "documents", sf_dir))
     bench = docs.filter(F.col("doc_id") % 37 == 0)
     train = docs.filter(F.col("doc_id") % 37 != 0)
     bench_grams = bench.select(
