@@ -184,3 +184,45 @@ def test_pagerank_matches_numpy(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-6
     for v in ids:
         assert abs(got[v] - r[idx[v]]) < 1e-9
+
+
+def test_semdedup_matches_numpy_reference(spark):
+    """semantic_dedup equals a single-machine reference with identical
+    rules: the pytest-verified kmeans assignment, then within-cluster
+    round-6 cosine >= threshold against any lower id drops the row."""
+    import numpy as np
+
+    from udlang_spark.operators.dedup import semantic_dedup
+    from udlang_spark.sources.tables import load_table
+
+    sf = SF_DIR_CORRECTNESS
+    emb = load_table(spark, "embeddings", sf)
+    got = {
+        r.vec_id: (r.centroid, r.keep)
+        for r in semantic_dedup(
+            emb, "embedding", "vec_id", k=8, n_iter=3, threshold=0.5
+        ).collect()
+    }
+
+    pdf = emb.toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    Xn = np.sqrt((X * X).sum(axis=1))
+    C = X[np.argsort(ids)[:8]].copy()
+    for _ in range(3):
+        Cn = np.sqrt((C * C).sum(axis=1))
+        cos = np.round(X @ C.T / Xn[:, None] / Cn[None, :], 6)
+        best = np.argmax(cos, axis=1)
+        newC = C.copy()
+        for c in range(8):
+            mask = best == c
+            if mask.any():
+                newC[c] = np.round(X[mask] * 1e6).sum(axis=0) / 1e6 / mask.sum()
+        C = newC
+    pair_cos = np.round(X @ X.T / Xn[:, None] / Xn[None, :], 6)
+    expect = {}
+    for j, i in enumerate(ids):
+        mates = (best == best[j]) & (ids < i) & (pair_cos[j] >= 0.5)
+        expect[int(i)] = (int(best[j]), not mates.any())
+    assert got == expect
+    assert any(not keep for _, keep in got.values())  # threshold actually fires

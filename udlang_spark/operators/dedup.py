@@ -469,3 +469,62 @@ def decontaminate(
         )
         .withColumn("flagged", F.col("contamination") >= F.lit(0.05))
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    n_iter: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column:
+    k-means cluster the vectors (operators.similarity.kmeans_assign —
+    deterministic, driver-looped, data never leaves the executors), then
+    WITHIN each cluster drop every vector whose round-6 cosine to a
+    lower-id cluster-mate reaches `threshold`. Returns (vec_id, centroid,
+    keep) for every input row.
+
+    Scale shape — the reason SemDeDup clusters first: the quadratic
+    compare runs per cluster, so cost is Σ |cluster|², bounded by choosing
+    k ∝ corpus size (k ≈ N/target_cluster_size keeps per-cluster work
+    constant); the cluster equality is the equi-join key, giving a hash
+    join whose per-key fan-out IS the cluster block. The drop rule
+    (smaller id wins, compared against ALL cluster-mates — not only kept
+    ones) is order-free, hence deterministic under any partitioning.
+    """
+    from udlang_spark.operators.similarity import cosine, kmeans_assign
+
+    assign = kmeans_assign(df, vec_col, id_col, k=k, n_iter=n_iter).select(
+        "vec_id", "centroid"
+    )
+    e = (
+        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+        .join(assign, "vec_id")
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("centroid").alias("ca"),
+        F.col("vec").alias("va"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("centroid").alias("cb"),
+        F.col("vec").alias("vb"),
+    )
+    dropped = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b")))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        e.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -562,6 +562,17 @@ def e_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_assign(emb, "embedding", "vec_id", k=8, n_iter=3)
 
 
+def e_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup: k-means clusters bound the quadratic
+    cosine compare; within a cluster, lower id wins at cosine ≥ 0.5.
+    Iterative k-means inside → rows-only driver check; exact equivalence
+    to a numpy reference is pytest-enforced (tests/test_llm_oracle.py)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return dedup.semantic_dedup(
+        emb, "embedding", "vec_id", k=8, n_iter=3, threshold=0.5
+    ).orderBy("vec_id")
+
+
 def e_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return dedup.embedding_near_dups(emb, "embedding", "vec_id", threshold=0.45)
@@ -1249,6 +1260,7 @@ QUERIES = {
     "t_span_corrupt": t_span_corrupt,
     "t_decontam": t_decontam,
     "t_corpus_pipeline": t_corpus_pipeline,
+    "e_semdedup": e_semdedup,
     "e_int8_quantize": e_int8_quantize,
     "d_simhash_neardup": d_simhash_neardup,
     "e_centroid_assign": e_centroid_assign,
