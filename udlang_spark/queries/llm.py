@@ -562,6 +562,38 @@ def e_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_assign(emb, "embedding", "vec_id", k=8, n_iter=3)
 
 
+def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 corpus tokens via two-phase heavy hitters: phase 1 is
+    Spark's single-pass Karp/Misra-Gries candidate sweep (df.stat.freqItems,
+    a treeAggregate — no shuffle, O(1/support) state per executor) with the
+    GUARANTEE that every token of frequency ≥ support·N is a candidate;
+    phase 2 exactly recounts ONLY candidate rows (broadcast isin filter
+    pushed to the scan) and takes the top-k. Exactness condition — the
+    k-th true count must be ≥ support·N — holds here by construction
+    (~30-token vocab, support 0.005) and is what you verify when sizing
+    support at 100 TB, where the full-vocabulary groupBy this replaces
+    would shuffle billions of distinct keys instead of 1/support."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(F.explode(TXT.words("text")).alias("tok"))
+    cands = toks.stat.freqItems(["tok"], support=0.005).collect()[0][0]
+    return (
+        toks.filter(F.col("tok").isin(list(cands)))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(20)
+    )
+
+
+ORACLE_HEAVY_HITTERS = f"""
+WITH t AS (
+  SELECT unnest({_WL}) AS tok FROM documents
+)
+SELECT tok, count(*) AS n FROM t
+GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+"""
+
+
 def e_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup: k-means clusters bound the quadratic
     cosine compare; within a cluster, lower id wins at cosine ≥ 0.5.
@@ -1261,6 +1293,7 @@ QUERIES = {
     "t_decontam": t_decontam,
     "t_corpus_pipeline": t_corpus_pipeline,
     "e_semdedup": e_semdedup,
+    "t_heavy_hitters": t_heavy_hitters,
     "e_int8_quantize": e_int8_quantize,
     "d_simhash_neardup": d_simhash_neardup,
     "e_centroid_assign": e_centroid_assign,
@@ -1297,6 +1330,7 @@ ORACLE = {
     "t_span_corrupt": ORACLE_SPAN_CORRUPT,
     "t_decontam": ORACLE_DECONTAM,
     "t_corpus_pipeline": ORACLE_CORPUS_PIPELINE,
+    "t_heavy_hitters": ORACLE_HEAVY_HITTERS,
     "e_int8_quantize": ORACLE_INT8_QUANT,
     "d_simhash_neardup": ORACLE_SIMHASH_NEARDUP,
     "e_centroid_assign": ORACLE_CENTROID_ASSIGN,
