@@ -219,6 +219,14 @@ GROUP BY o_orderpriority
 # runtime when a filtered side is small.
 # ---------------------------------------------------------------------------
 def q05_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Join order note (measured): pre-filtering CUSTOMER to the region via
+    # the broadcast nation⋈region chain and joining orders⋈cust BEFORE the
+    # lineitem join was tried and is SLOWER at sf0.1 (1.54 s vs 1.06 s) —
+    # the extra custkey exchange and the serialized stage dependency cost
+    # more than the 1/|regions| orders reduction saves while the orderkey
+    # shuffle still fits in memory. At 100 TB the tradeoff flips only if
+    # the orderkey exchange spills; that rewrite is one join-reorder away
+    # and q56 demonstrates the pushed-down form.
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
