@@ -321,3 +321,29 @@ def test_int8_quantize_stats_broadcast(spark):
     plan = plan_of(llm.QUERIES["e_int8_quantize"](spark, SF_DIR_CORRECTNESS))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_decontam_is_broadcast_probe(spark):
+    """Benchmark decontamination must broadcast the benchmark gram set —
+    the corpus side is never shuffled on gram keys; its only wide exchange
+    is the final per-doc aggregation."""
+    from udlang_spark.queries import llm
+
+    plan = plan_of(llm.QUERIES["t_decontam"](spark, SF_DIR_CORRECTNESS))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(doc" in plan
+
+
+def test_corpus_pipeline_two_shuffles(spark):
+    """The composed pipeline (langid -> quality -> dedup -> pack) costs
+    exactly two wide exchanges: the fingerprint window and the source
+    window. Gates are map-side filters; no join nodes anywhere."""
+    import re
+
+    from udlang_spark.queries import llm
+
+    plan = plan_of(llm.QUERIES["t_corpus_pipeline"](spark, SF_DIR_CORRECTNESS))
+    keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert keys == {"_w0", "source"}
+    assert "Join" not in plan
