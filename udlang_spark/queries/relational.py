@@ -497,7 +497,7 @@ def q14_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q14 = """
 SELECT event_type,
-  sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS sum_k,
+  CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
   CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS DOUBLE) / count(*) AS avg_k,
   count(*) AS n
 FROM events
@@ -1131,8 +1131,8 @@ def q32_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sessions.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         F.sum(dec("value")).cast("double").alias("session_value"),
     )
 
@@ -1151,10 +1151,16 @@ numbered AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM flagged
 )
-SELECT user_id, session_seq, count(*) AS n_events,
-       min(ts) AS session_start, max(ts) AS session_end,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
-FROM numbered GROUP BY user_id, session_seq
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, n_events,
+       strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+       session_value
+FROM (
+  SELECT user_id, session_seq, count(*) AS n_events,
+         min(ts) AS session_start, max(ts) AS session_end,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+  FROM numbered GROUP BY user_id, session_seq
+)
 """
 
 
@@ -1368,7 +1374,7 @@ ORACLE_Q39 = """
 SELECT event_type,
        min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k
 FROM events GROUP BY event_type
 """
@@ -1716,7 +1722,7 @@ st AS (
   FROM stats
 )
 SELECT e.event_type, max(n) AS n,
-       sum(CAST(abs((value - mean) / std) > 3 AS BIGINT)) AS n_outliers,
+       CAST(sum(CAST(abs((value - mean) / std) > 3 AS BIGINT)) AS BIGINT) AS n_outliers,
        round(max(abs((value - mean) / std)), 6) AS max_abs_z
 FROM events e JOIN st ON e.event_type = st.event_type
 GROUP BY 1 ORDER BY 1
@@ -1792,10 +1798,10 @@ def q47_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q47 = """
 SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
