@@ -20,11 +20,33 @@ from udlang_spark.queries import kernels, llm, relational, streaming
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-QUERIES: dict[str, QueryFn] = {}
+_ALL_QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
-for mod in (relational, llm, kernels, streaming):
-    QUERIES.update(mod.QUERIES)
+for mod in (kernels, llm, streaming, relational):
+    _ALL_QUERIES.update(mod.QUERIES)
     ORACLE.update(mod.ORACLE)
+
+# Registration order matters: the external driver differentially verifies the
+# FIRST 50 registry entries against their DuckDB oracles each round. Relational
+# q01–q50 went green in round 3 (CORRECTNESS_r03: 50/50), so this round the
+# window is rotated onto the categories that have never had a driver row:
+# every kernel-language query (the reference's core surface), every oracled
+# LLM-pipeline query, the one oracled streaming query, and the first two
+# never-verified relational queries. Everything else still registers — the
+# order only chooses what the 50-row window verifies.
+_PRIORITY: list[str] = [
+    *kernels.QUERIES,                                    # 19, all oracled
+    *[k for k in llm.QUERIES if k in llm.ORACLE],        # 28 oracled
+    "s_cdc_apply",                                       # streaming's oracled one
+    "q51_transitions",
+    "q52_retention",
+]
+assert len(_PRIORITY) == 50, len(_PRIORITY)
+
+QUERIES: dict[str, QueryFn] = {name: _ALL_QUERIES[name] for name in _PRIORITY}
+QUERIES.update(
+    (name, fn) for name, fn in _ALL_QUERIES.items() if name not in QUERIES
+)
 
 __all__ = ["QUERIES", "ORACLE", "QueryFn"]

@@ -358,7 +358,7 @@ WITH t AS (
   SELECT doc_id, source, len({_WL}) AS n_tokens FROM documents
 )
 SELECT doc_id, source, n_tokens,
-       sum(n_tokens) OVER w AS cum_tokens,
+       CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
        CAST(floor((sum(n_tokens) OVER w - n_tokens) / 2048.0) AS BIGINT) AS pack_id
 FROM t
 WINDOW w AS (PARTITION BY source ORDER BY doc_id
@@ -399,7 +399,7 @@ WITH g AS (
   WHERE length(text) >= 3
 ),
 c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY doc_id, gram)
-SELECT doc_id, sum(n) AS n_grams, max(n) AS max_gram,
+SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams, max(n) AS max_gram,
        round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS repetition
 FROM c GROUP BY doc_id
 """
@@ -902,7 +902,7 @@ uc AS (SELECT w, count(*) AS n_t FROM toks GROUP BY 1),
 t AS (SELECT CAST(sum(n_t) AS BIGINT) AS t_tokens FROM uc),
 per_doc AS (
   SELECT doc_id, count(*) AS n_tokens,
-         sum(CAST(n_t <= 2 AS BIGINT)) AS n_rare,
+         CAST(sum(CAST(n_t <= 2 AS BIGINT)) AS BIGINT) AS n_rare,
          CAST(sum(n_t) AS BIGINT) AS freq_mass
   FROM toks JOIN uc USING (w) GROUP BY 1
 )
@@ -1134,7 +1134,7 @@ SELECT doc_id,
          FILTER (WHERE in_piece <> ''), '') AS input_text,
        coalesce(string_agg(tgt_piece, ' ' ORDER BY idx)
          FILTER (WHERE tgt_piece <> ''), '') AS target_text,
-       sum(is_masked) AS n_masked,
+       CAST(sum(is_masked) AS BIGINT) AS n_masked,
        count(*) AS n_tokens
 FROM pieces GROUP BY doc_id
 """
@@ -1260,7 +1260,7 @@ d AS (
 ),
 kept AS (SELECT doc_id, source, len(wl) AS n_tokens FROM d WHERE doc_id = keeper)
 SELECT doc_id, source, n_tokens,
-       sum(n_tokens) OVER w2 AS cum_tokens,
+       CAST(sum(n_tokens) OVER w2 AS BIGINT) AS cum_tokens,
        CAST(floor((sum(n_tokens) OVER w2 - n_tokens) / 2048.0) AS BIGINT) AS pack_id
 FROM kept
 WINDOW w2 AS (PARTITION BY source ORDER BY doc_id

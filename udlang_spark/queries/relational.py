@@ -2460,7 +2460,7 @@ def q61_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q61 = """
 WITH big AS (
-  SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
   FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS BIGINT)) > 300
 )
 SELECT c_custkey, c_name, o_orderkey,
