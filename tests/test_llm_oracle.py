@@ -226,3 +226,71 @@ def test_semdedup_matches_numpy_reference(spark):
         expect[int(i)] = (int(best[j]), not mates.any())
     assert got == expect
     assert any(not keep for _, keep in got.values())  # threshold actually fires
+
+
+def test_ivf_matches_numpy_reference(spark):
+    """The distributed IVF (route → per-cell GEMM → global window) equals a
+    single-machine numpy replica of the same rules: centroids = first
+    n_cells vectors by id, first-max cell assignment, stable-argsort probe
+    set, round-6 cosine, (cos desc, nbr asc) top-k. Exact, not just recall."""
+    import numpy as np
+
+    from udlang_spark.operators.similarity import ivf_ann_topk
+    from udlang_spark.sources.tables import load_table
+
+    k, n_cells, n_probe = 5, 16, 6
+    emb = load_table(spark, "embeddings", SF_DIR_CORRECTNESS)
+    got = {
+        (r.vec_id, r.rnk): (r.nbr, r.cos_sim)
+        for r in ivf_ann_topk(
+            emb, "embedding", "vec_id", k=k, n_cells=n_cells, n_probe=n_probe
+        ).collect()
+    }
+
+    pdf = emb.toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    Xn = np.sqrt((X * X).sum(axis=1))
+    C = X[:n_cells]
+    Cn = np.sqrt((C * C).sum(axis=1))
+    qc = X @ C.T / Xn[:, None] / Cn[None, :]
+    member = np.argmax(qc, axis=1)
+    probe = np.argsort(-qc, kind="stable", axis=1)[:, :n_probe]
+    expected = {}
+    for qi in range(len(ids)):
+        cand = np.isin(member, probe[qi]) & (ids != ids[qi])
+        cos = np.round(X[cand] @ X[qi] / Xn[cand] / Xn[qi], 6)
+        c_ids = ids[cand]
+        top = np.lexsort((c_ids, -cos))[:k]
+        for rnk, t in enumerate(top, start=1):
+            expected[(ids[qi], rnk)] = (c_ids[t], cos[t])
+    assert len(got) == len(expected)
+    for key, (nbr, cos) in expected.items():
+        g_nbr, g_cos = got[key]
+        assert g_nbr == nbr and abs(g_cos - cos) < 1e-9, (key, got[key], (nbr, cos))
+
+
+def test_broadcast_guard_rejects_oversized_gemm(spark):
+    """The exact GEMM scorers refuse to materialize a neighbor matrix
+    beyond max_broadcast_rows — the 100 TB broadcast footgun is
+    unrepresentable; the error routes to the LSH/IVF scale paths."""
+    import pytest as _pytest
+
+    from udlang_spark.operators.dedup import embedding_near_dups
+    from udlang_spark.operators.similarity import cosine_topk
+    from udlang_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", SF_DIR_CORRECTNESS)
+    with _pytest.raises(ValueError, match="lsh_ann_topk"):
+        cosine_topk(emb, "embedding", "vec_id", k=3, max_broadcast_rows=10)
+    with _pytest.raises(ValueError, match="lsh_ann_topk"):
+        embedding_near_dups(
+            emb, "embedding", "vec_id", threshold=0.9, max_broadcast_rows=10
+        )
+    # an explicit candidate subset under the cap passes the guard
+    cand = emb.limit(8)
+    rows = cosine_topk(
+        emb.limit(4), "embedding", "vec_id", k=3, candidates=cand,
+        max_broadcast_rows=10,
+    ).collect()
+    assert len(rows) > 0

@@ -347,3 +347,16 @@ def test_corpus_pipeline_two_shuffles(spark):
     keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
     assert keys == {"_w0", "source"}
     assert "Join" not in plan
+
+
+def test_ivf_plan_is_distributed(spark):
+    """e_ivf_ann's plan does the scoring on executors: the in-cell GEMM is a
+    FlatMapGroupsInPandas after ONE hash exchange on the cell key (plus the
+    final per-query window exchange) — the relation never routes through a
+    driver-side collect the way a broadcast-index build would."""
+    from udlang_spark.queries import llm
+
+    plan = plan_of(llm.QUERIES["e_ivf_ann"](spark, SF_DIR_CORRECTNESS))
+    assert "FlatMapGroupsInPandas" in plan
+    # formatted plans print each node twice (tree + details); count tree nodes
+    assert plan.count("Exchange (") <= 2, plan

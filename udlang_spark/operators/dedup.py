@@ -307,21 +307,38 @@ def simhash_near_pairs(
 
 
 def embedding_near_dups(
-    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.45
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.45,
+    candidates: DataFrame | None = None,
+    max_broadcast_rows: int | None = None,
 ) -> DataFrame:
     """Cosine-similarity near-dup pairs (id_a < id_b, cos ≥ threshold).
     Brute-force pairwise via blockwise numpy GEMM against a broadcast
     neighbor matrix (see operators/similarity.py float-determinism note:
     cos is rounded to 6 decimals before thresholding). The scale path is
     LSH bucketing (operators/similarity.py) with this as the in-bucket
-    scorer."""
+    scorer: pass the bucket as ``candidates``. A row-count guard
+    (``max_broadcast_rows``, default similarity.DEFAULT_BROADCAST_ROW_CAP)
+    refuses to materialize an over-sized neighbor matrix on the driver."""
     import numpy as np
     import pandas as pd
 
     from pyspark.sql.types import DoubleType, StructField, StructType
 
+    from udlang_spark.operators import similarity as _sim
+
+    cap = (
+        max_broadcast_rows
+        if max_broadcast_rows is not None
+        else _sim.DEFAULT_BROADCAST_ROW_CAP
+    )
+    b_src = candidates if candidates is not None else df
+    b_sdf = b_src.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    _sim._broadcast_guard(b_sdf, cap, "embedding_near_dups", "lsh_ann_topk")
     sdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    pdf = sdf.toPandas()
+    pdf = b_sdf.toPandas()
     b_ids = pdf["id"].to_numpy()
     b_mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
     b_norm = np.sqrt((b_mat * b_mat).sum(axis=1))

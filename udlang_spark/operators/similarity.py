@@ -51,6 +51,25 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# Hard cap on rows allowed onto the driver/broadcast side of the exact
+# GEMM scorers. 200k × 64-dim float64 ≈ 100 MB — comfortably broadcastable;
+# anything bigger must come in as an explicit candidate subset (LSH/IVF
+# buckets), so the "broadcast 100 TB" footgun is unrepresentable.
+DEFAULT_BROADCAST_ROW_CAP = 200_000
+
+
+def _broadcast_guard(sdf: DataFrame, cap: int, op: str, alternative: str) -> None:
+    # limit(cap+1).count() early-exits the scan — never a full count at scale
+    n = sdf.limit(cap + 1).count()
+    if n > cap:
+        raise ValueError(
+            f"{op}: broadcast side has more than {cap} rows; brute-force "
+            f"GEMM against the full relation does not scale. Pass a "
+            f"candidate subset (candidates=...), raise max_broadcast_rows "
+            f"explicitly, or use {alternative}."
+        )
+
+
 def _topk_schema(id_type) -> StructType:
     return StructType(
         [
@@ -63,7 +82,12 @@ def _topk_schema(id_type) -> StructType:
 
 
 def cosine_topk(
-    df: DataFrame, vec_col: str, id_col: str, k: int = 5
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    candidates: DataFrame | None = None,
+    max_broadcast_rows: int = DEFAULT_BROADCAST_ROW_CAP,
 ) -> DataFrame:
     """Brute-force cosine top-k neighbors per vector via blockwise GEMM.
 
@@ -72,13 +96,22 @@ def cosine_topk(
 
     Scale shape: the neighbor matrix is a Spark broadcast (ids, vectors,
     norms); each Arrow batch of the left side does one float64 matmul. At
-    100 TB the broadcast side must be a candidate subset — pair with
-    lsh_ann_topk buckets; this operator is the exact scorer.
+    100 TB the broadcast side must be a candidate subset — pass
+    ``candidates`` (e.g. an LSH/IVF bucket) or use lsh_ann_topk /
+    ivf_ann_topk; a row-count guard (``max_broadcast_rows``) refuses to
+    materialize an over-sized neighbor matrix on the driver.
     """
     import numpy as np
 
+    b_src = candidates if candidates is not None else df
+    b_sdf = b_src.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    _broadcast_guard(
+        b_sdf, max_broadcast_rows, "cosine_topk", "lsh_ann_topk/ivf_ann_topk"
+    )
+    self_contained = candidates is None  # plain bool: closures must not
+    # capture the DataFrame itself (unpicklable on workers)
     sdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    pdf = sdf.toPandas()
+    pdf = b_sdf.toPandas()
     b_ids = pdf["id"].to_numpy()
     b_mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
     b_norm = np.sqrt((b_mat * b_mat).sum(axis=1))
@@ -104,7 +137,12 @@ def cosine_topk(
             order = np.lexsort((b_ids_[None, :].repeat(len(a_ids), 0), -cos), axis=1)
             top = order[:, :k]
             n = len(a_ids)
-            out_rows = min(k, len(b_ids_) - 1)
+            # with candidates=None every query is its own (masked) candidate,
+            # so at most len-1 real neighbors exist; -inf rows are filtered
+            # downstream either way
+            out_rows = min(k, len(b_ids_) - 1) if self_contained else min(
+                k, len(b_ids_)
+            )
             yield pd.DataFrame(
                 {
                     "vec_id": np.repeat(a_ids, out_rows),
@@ -431,67 +469,110 @@ def ivf_ann_topk(
 
     Coarse quantizer: the first n_cells vectors in id order (deterministic
     seeding — a production build would run k-means/Lloyd here; the search
-    machinery is identical). The cell index (ids, vectors, norms, grouped
-    by cell) is a Spark broadcast; each Arrow batch of queries does
-    query→centroid GEMM to pick cells, then one GEMM per probed cell.
-    At 100 TB the index instead lives bucket-partitioned on disk and the
-    probe becomes a join on cell id — same assignment math.
+    machinery is identical). Only the n_cells×dim centroid matrix ever
+    reaches the driver; the relation itself never does.
+
+    Fully distributed shape (the 100 TB plan):
+    1. one narrow mapInPandas routes every row — as an index member to its
+       argmax-cosine cell, and as a query to each of its n_probe nearest
+       cells — via a GEMM against the broadcast centroids (no shuffle);
+    2. ONE shuffle groups rows by cell id; each cell scores its queries
+       against its members with a single in-cell numpy GEMM
+       (applyInPandas) and keeps only per-query top-k (cells are disjoint,
+       so in-cell top-k loses no global top-k candidate);
+    3. a per-query window merges the ≤ k·n_probe survivors into the final
+       top-k. Data crosses the wire (1 + n_probe)× — never quadratically.
     """
     import numpy as np
 
     sdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    pdf = sdf.toPandas()
-    b_ids = pdf["id"].to_numpy()
-    order = np.argsort(b_ids)
-    b_ids = b_ids[order]
-    b_mat = np.stack(pdf["vec"].to_numpy())[order].astype(np.float64)
-    b_norm = np.sqrt((b_mat * b_mat).sum(axis=1))
-
-    cent = b_mat[:n_cells]
+    # the ONLY driver-side collect: bounded by n_cells, not |df|
+    cent_pdf = sdf.orderBy("id").limit(n_cells).toPandas().sort_values("id")
+    cent = np.stack(cent_pdf["vec"].to_numpy()).astype(np.float64)
     cent_norm = np.sqrt((cent * cent).sum(axis=1))
-    # assign every vector to its nearest centroid (cosine)
-    asg = (b_mat @ cent.T) / b_norm[:, None] / cent_norm[None, :]
-    cells = asg.argmax(axis=1)
-    by_cell = {
-        c: (b_ids[cells == c], b_mat[cells == c], b_norm[cells == c])
-        for c in range(n_cells)
-    }
-    bc = df.sparkSession.sparkContext.broadcast((cent, cent_norm, by_cell))
+    bc = df.sparkSession.sparkContext.broadcast((cent, cent_norm))
 
-    def search(batches):
+    def route(batches):
         import pandas as pd
 
-        cent_, cent_norm_, by_cell_ = bc.value
+        cent_, cent_norm_ = bc.value
         for pb in batches:
             if len(pb) == 0:
                 continue
-            q_ids = pb["id"].to_numpy()
-            q_mat = np.stack(pb["vec"].to_numpy()).astype(np.float64)
-            q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
-            qc = (q_mat @ cent_.T) / q_norm[:, None] / cent_norm_[None, :]
-            probe = np.argsort(-qc, axis=1)[:, :n_probe]
-            rows = {"vec_id": [], "nbr": [], "cos_sim": [], "rnk": []}
-            for qi in range(len(q_ids)):
-                cand_ids = np.concatenate(
-                    [by_cell_[c][0] for c in probe[qi] if len(by_cell_[c][0])]
-                )
-                cand_mat = np.concatenate(
-                    [by_cell_[c][1] for c in probe[qi] if len(by_cell_[c][0])]
-                )
-                cand_norm = np.concatenate(
-                    [by_cell_[c][2] for c in probe[qi] if len(by_cell_[c][0])]
-                )
-                cos = (cand_mat @ q_mat[qi]) / cand_norm / q_norm[qi]
-                cos = np.round(cos, 6)
-                mask = cand_ids != q_ids[qi]
-                cand_ids, cos = cand_ids[mask], cos[mask]
-                top = np.lexsort((cand_ids, -cos))[:k]
-                n = len(top)
-                rows["vec_id"].extend([q_ids[qi]] * n)
-                rows["nbr"].extend(cand_ids[top])
-                rows["cos_sim"].extend(cos[top])
-                rows["rnk"].extend(range(1, n + 1))
-            yield pd.DataFrame(rows)
+            a_ids = pb["id"].to_numpy()
+            a_mat = np.stack(pb["vec"].to_numpy()).astype(np.float64)
+            a_norm = np.sqrt((a_mat * a_mat).sum(axis=1))
+            qc = (a_mat @ cent_.T) / a_norm[:, None] / cent_norm_[None, :]
+            # index membership: first-max argmax (ties → lowest cell id);
+            # probe set: stable argsort, so ties also break low
+            member = np.argmax(qc, axis=1).astype(np.int32)
+            probe = np.argsort(-qc, kind="stable", axis=1)[:, :n_probe]
+            n = len(a_ids)
+            vecs = pb["vec"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "cell": np.concatenate([member, probe.ravel()]),
+                    "role": np.repeat(
+                        np.array([0, 1], dtype=np.int32), [n, n * n_probe]
+                    ),
+                    "id": np.concatenate([a_ids, np.repeat(a_ids, n_probe)]),
+                    "vec": np.concatenate([vecs, np.repeat(vecs, n_probe)]),
+                }
+            )
 
+    vec_type = sdf.schema["vec"].dataType
     id_type = sdf.schema["id"].dataType
-    return sdf.mapInPandas(search, _topk_schema(id_type))
+    routed_schema = StructType(
+        [
+            StructField("cell", IntegerType(), False),
+            StructField("role", IntegerType(), False),
+            StructField("id", id_type, True),
+            StructField("vec", vec_type, True),
+        ]
+    )
+    routed = sdf.mapInPandas(route, routed_schema)
+
+    def score_cell(pdf):
+        import pandas as pd
+
+        idx = pdf[pdf["role"] == 0]
+        qs = pdf[pdf["role"] == 1]
+        if len(idx) == 0 or len(qs) == 0:
+            return pd.DataFrame({"vec_id": [], "nbr": [], "cos_sim": []})
+        b_ids = idx["id"].to_numpy()
+        b_mat = np.stack(idx["vec"].to_numpy()).astype(np.float64)
+        b_norm = np.sqrt((b_mat * b_mat).sum(axis=1))
+        q_ids = qs["id"].to_numpy()
+        q_mat = np.stack(qs["vec"].to_numpy()).astype(np.float64)
+        q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+        cos = q_mat @ b_mat.T
+        cos /= q_norm[:, None]
+        cos /= b_norm[None, :]
+        np.round(cos, 6, out=cos)
+        cos[q_ids[:, None] == b_ids[None, :]] = -np.inf
+        order = np.lexsort((b_ids[None, :].repeat(len(q_ids), 0), -cos), axis=1)
+        m = min(k, cos.shape[1])
+        top = order[:, :m]
+        out = pd.DataFrame(
+            {
+                "vec_id": np.repeat(q_ids, m),
+                "nbr": b_ids[top].ravel(),
+                "cos_sim": np.take_along_axis(cos, top, 1).ravel(),
+            }
+        )
+        return out[out["cos_sim"] != -np.inf]
+
+    pair_schema = StructType(
+        [
+            StructField("vec_id", id_type, True),
+            StructField("nbr", id_type, True),
+            StructField("cos_sim", DoubleType(), True),
+        ]
+    )
+    scored = routed.groupBy("cell").applyInPandas(score_cell, pair_schema)
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("nbr"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .withColumn("rnk", F.col("rnk").cast("int"))
+    )
