@@ -62,18 +62,23 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     sf_dir = sf_dir or DEFAULT_SF_DIR
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark refuses to
-        # read natively; read nanos as long (session-settable legacy conf) and
-        # floor-truncate to microseconds (integer div — double division would
-        # round, since ns epoch values exceed 2^53). DuckDB's ns→µs cast also
-        # truncates, so both engines see identical timestamps.
+        # events.ts has shipped as INT64 TIMESTAMP(NANOS) in some testdata
+        # generations and TIMESTAMP(MICROS) in others; normalize both to
+        # TimestampType so downstream epoch-second casts (ts.cast("long"))
+        # resolve. Nanos: read as long (session-settable legacy conf) and
+        # floor-truncate to µs (integer div — double division would round,
+        # since ns epoch values exceed 2^53; DuckDB's ns→µs cast truncates
+        # the same). Micros: parquet reads as TIMESTAMP_NTZ, which the UTC
+        # session timezone makes value-identical under a plain cast.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(path)
     return df
