@@ -51,12 +51,15 @@ def test_image_decode_deterministic(spark):
     assert all(1 <= w <= 64 and 1 <= h <= 64 and c == 3 for w, h, c in rows1.values())
 
 
-def test_real_decode_raises(spark):
+def test_real_decode_rejects_text_corpus(spark):
+    """The documents table carries utf-8 text payloads — real decode must
+    refuse them with the codecs error, not silently fake anything.
+    (Genuine real-decode coverage lives in tests/test_multimodal.py.)"""
     from udlang_spark.operators import multimodal
     from udlang_spark.sources.tables import load_table
 
     docs = multimodal.attach_payload(load_table(spark, "documents", SF_DIR_CORRECTNESS))
-    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+    with pytest.raises(Exception, match="unrecognized media magic"):
         multimodal.decode_images(docs, decode_mode="real").collect()
 
 

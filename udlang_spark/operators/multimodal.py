@@ -1,12 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-The decode step is STUBBED (no image/audio libraries in this container):
-`decode_mode="fake"` produces a deterministic fake decode derived from the
-payload's md5 so tests are stable; `decode_mode="real"` raises
-NotImplementedError at the exact point a real decoder (PIL/ffmpeg) would
-plug in. Everything Spark-side — schemas, partitioning, UDF signatures,
-Arrow batch shapes — is real and tested.
+Two decode modes:
+- `decode_mode="fake"`: deterministic fake decode derived from the
+  payload's md5 — the stable oracle-checkable path.
+- `decode_mode="real"`: an actual decoder. PIL is used when importable;
+  otherwise the stdlib-only parsers in operators/codecs.py handle
+  PNG/PPM/JPEG/GIF/BMP metadata, PPM+PNG pixels, and WAV audio. Formats
+  neither path can parse raise codecs.UnsupportedMedia — the ffmpeg/video
+  plug-in point. Everything Spark-side — schemas, partitioning, UDF
+  signatures, Arrow batch shapes — is identical in both modes.
 
 Scale notes: binary payloads ride in the same parquet row-groups as their
 metadata; mapInPandas streams Arrow batches (no per-row Python overhead);
@@ -65,6 +68,27 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
     return (d[0] % 64 + 1, d[1] % 64 + 1, 3, "fake")
 
 
+def _real_sniff(payload: bytes) -> tuple[int, int, int, str]:
+    """Real metadata decode: PIL when importable and it recognizes the
+    bytes; the stdlib-only parsers in operators/codecs.py otherwise (which
+    also cover WAV, outside PIL's scope)."""
+    try:
+        from PIL import Image  # noqa: optional dependency
+    except ImportError:
+        Image = None
+    if Image is not None:
+        import io
+
+        try:
+            with Image.open(io.BytesIO(payload)) as im:
+                return im.width, im.height, len(im.getbands()), im.format.lower()
+        except Exception:
+            pass  # not a PIL-readable image — fall through to stdlib parsers
+    from udlang_spark.operators import codecs
+
+    return codecs.sniff(payload)
+
+
 def decode_images(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",
     decode_mode: str = "fake",
@@ -78,11 +102,9 @@ def decode_images(
 
         for pdf in batches:
             if decode_mode == "real":
-                raise NotImplementedError(
-                    "real image decode needs PIL/libvips — not in this container; "
-                    "plug the decoder in here"
-                )
-            metas = [_fake_decode(bytes(p)) for p in pdf[payload_col]]
+                metas = [_real_sniff(bytes(p)) for p in pdf[payload_col]]
+            else:
+                metas = [_fake_decode(bytes(p)) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,
@@ -97,6 +119,41 @@ def decode_images(
 
 
 FEATURE_DIM = 16
+
+
+def _real_features(payload: bytes):
+    """Deterministic FEATURE_DIM pixel/sample statistics — the stand-in for
+    a learned encoder, over genuinely decoded media. Images: per-channel
+    mean+std (6) + 10-bin gray histogram. Audio (WAV): mean, std, RMS,
+    zero-crossing rate (4) + 12-bin amplitude histogram."""
+    import numpy as np
+
+    from udlang_spark.operators import codecs
+
+    if payload[:4] == b"RIFF":
+        x, _rate = codecs.decode_wav(payload)
+        mono = x.mean(axis=1)
+        zcr = float(np.mean(np.abs(np.diff(np.sign(mono))) > 0)) if len(mono) > 1 else 0.0
+        head = [
+            float(mono.mean()),
+            float(mono.std()),
+            float(np.sqrt((mono**2).mean())),
+            zcr,
+        ]
+        hist, _ = np.histogram(mono, bins=FEATURE_DIM - 4, range=(-1.0, 1.0))
+        tail = (hist / max(len(mono), 1)).tolist()
+    else:
+        px = codecs.decode_pixels(payload).astype(np.float64)
+        if px.shape[2] == 1:
+            px = np.repeat(px, 3, axis=2)
+        px = px[:, :, :3]  # drop alpha for the stats
+        head = [float(px[:, :, c].mean()) / 255.0 for c in range(3)] + [
+            float(px[:, :, c].std()) / 255.0 for c in range(3)
+        ]
+        gray = px.mean(axis=2)
+        hist, _ = np.histogram(gray, bins=FEATURE_DIM - 6, range=(0.0, 255.0))
+        tail = (hist / gray.size).tolist()
+    return np.array(head + tail, dtype=np.float32)
 
 FEATURE_SCHEMA = StructType(
     [
@@ -120,19 +177,36 @@ def extract_features(
         import pandas as pd
 
         for pdf in batches:
-            if decode_mode == "real":
-                raise NotImplementedError(
-                    "real feature extraction needs a vision encoder — plug in here"
-                )
             feats = []
             for p in pdf[payload_col]:
-                d = hashlib.md5(bytes(p)).digest()
-                feats.append(
-                    np.array([b / 255.0 for b in d[:FEATURE_DIM]], dtype=np.float32)
-                )
+                if decode_mode == "real":
+                    feats.append(_real_features(bytes(p)))
+                else:
+                    d = hashlib.md5(bytes(p)).digest()
+                    feats.append(
+                        np.array(
+                            [b / 255.0 for b in d[:FEATURE_DIM]], dtype=np.float32
+                        )
+                    )
             yield pd.DataFrame({"doc_id": pdf[id_col].values, "features": feats})
 
     return df.select(id_col, payload_col).mapInPandas(extract, FEATURE_SCHEMA)
+
+
+def _real_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Decode → nearest-neighbor resample → re-encode as PPM(P6)."""
+    import numpy as np
+
+    from udlang_spark.operators import codecs
+
+    px = codecs.decode_pixels(payload)
+    h, w = px.shape[0], px.shape[1]
+    if px.shape[2] == 1:
+        px = np.repeat(px, 3, axis=2)
+    px = px[:, :, :3]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return codecs.encode_ppm(np.ascontiguousarray(px[rows][:, cols]))
 
 
 RESIZE_SCHEMA = StructType(
@@ -152,7 +226,8 @@ def resize_images(
 ) -> DataFrame:
     """Resize stage: payload → payload' at (width, height). Fake mode
     truncates/cycles the byte stream to width*height*3 deterministically;
-    real mode is the PIL/libvips plug-in point. Identical Spark plumbing
+    real mode decodes pixels (codecs.decode_pixels), nearest-neighbor
+    resamples, and re-encodes as binary PPM. Identical Spark plumbing
     either way: binary in, binary out, metadata columns updated."""
     target = width * height * 3
 
@@ -160,13 +235,12 @@ def resize_images(
         import pandas as pd
 
         for pdf in batches:
-            if decode_mode == "real":
-                raise NotImplementedError(
-                    "real resize needs PIL/libvips — plug in here"
-                )
             outs = []
             for p in pdf[payload_col]:
                 data = bytes(p)
+                if decode_mode == "real":
+                    outs.append(_real_resize(data, width, height))
+                    continue
                 reps = (target // max(len(data), 1)) + 1
                 outs.append((data * reps)[:target])
             yield pd.DataFrame(

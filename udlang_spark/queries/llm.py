@@ -681,6 +681,49 @@ FROM documents
 """
 
 
+def m_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-checked end-to-end: workers synthesize a
+    binary PPM(P6) per document (dims derived from doc_id, pixel bytes from
+    the text's md5 digest cycled), then decode_images(decode_mode="real")
+    parses the bytes back with the stdlib codec (operators/codecs.py — no
+    PIL in this container). The oracle recomputes the dims arithmetically,
+    so a header-math or parser bug goes driver-red."""
+    import hashlib as _hashlib
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    def build_ppm(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = int(doc_id) % 13 + 1
+                h = int(doc_id) % 7 + 1
+                need = w * h * 3
+                seed = _hashlib.md5(str(text).encode()).digest()
+                px = (seed * (need // len(seed) + 1))[:need]
+                payloads.append(b"P6\n%d %d\n255\n" % (w, h) + px)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    ppm = docs.mapInPandas(build_ppm, schema)
+    return multimodal.decode_images(ppm, decode_mode="real")
+
+
+ORACLE_REAL_DECODE = """
+SELECT doc_id,
+  CAST(doc_id % 13 + 1 AS INTEGER) AS width,
+  CAST(doc_id % 7 + 1 AS INTEGER) AS height,
+  3 AS channels,
+  'ppm' AS format
+FROM documents
+"""
+
+
 def m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1→N frame sampling via mapInPandas (rows-only: binary frame payloads)."""
     docs = multimodal.attach_payload(load_table(spark, "documents", sf_dir))
@@ -1306,6 +1349,7 @@ QUERIES = {
     "e_pagerank": e_pagerank,
     "m_payload_meta": m_payload_meta,
     "m_image_meta": m_image_meta,
+    "m_real_decode": m_real_decode,
     "m_frames": m_frames,
     "m_features": m_features,
 }
@@ -1339,6 +1383,7 @@ ORACLE = {
     "e_near_dups": ORACLE_E_NEAR_DUPS,
     "m_payload_meta": ORACLE_PAYLOAD_META,
     "m_image_meta": ORACLE_IMAGE_META,
+    "m_real_decode": ORACLE_REAL_DECODE,
     # e_ann_lsh, m_frames, m_features: rows-only (approximate / binary /
     # float-vector Python stages)
 }
