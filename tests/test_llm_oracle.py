@@ -297,3 +297,21 @@ def test_broadcast_guard_rejects_oversized_gemm(spark):
         max_broadcast_rows=10,
     ).collect()
     assert len(rows) > 0
+
+
+def test_lsh_near_dups_recall_vs_exact(spark):
+    """The LSH-bucketed near-dup path must recover most pairs the exact
+    GEMM scorer finds, with identical cosines on the pairs it does find."""
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in llm.QUERIES["e_near_dups"](spark, SF_DIR_CORRECTNESS).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.cos
+        for r in llm.QUERIES["e_near_dups_lsh"](spark, SF_DIR_CORRECTNESS).collect()
+    }
+    assert set(approx) <= set(exact)  # no false positives: same threshold math
+    hit = set(exact) & set(approx)
+    recall = len(hit) / max(len(exact), 1)
+    assert recall > 0.5, f"LSH near-dup recall too low: {recall:.2f}"
+    assert all(abs(exact[p] - approx[p]) < 1e-9 for p in hit)

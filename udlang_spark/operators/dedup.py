@@ -373,6 +373,74 @@ def embedding_near_dups(
     return sdf.mapInPandas(score, out_schema)
 
 
+def embedding_near_dups_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.45,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    n_dims: int = 64,
+) -> DataFrame:
+    """The 100 TB form of embedding_near_dups: sign-random-projection LSH
+    buckets (operators/similarity.py signature — deterministic xxhash64
+    hyperplanes, constant-folded by Catalyst), one shuffle onto bucket
+    keys, and an in-bucket GEMM that emits only pairs with cos ≥ threshold
+    (id_a < id_b, cos rounded to 6). Recall rises with n_tables; in-bucket
+    quadratic cost is bounded by bucket size via n_planes. Approximate:
+    a pair is found iff it shares a bucket in at least one table — recall
+    vs the exact scorer is pytest-measured."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from udlang_spark.operators.similarity import signature
+
+    buckets = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"t{t}:"), signature(F.col(vec_col), n_planes, n_dims, t)
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("bucket"),
+    )
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        ids = pdf["id"].to_numpy()
+        mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        cos = mat @ mat.T
+        cos /= nrm[:, None]
+        cos /= nrm[None, :]
+        np.round(cos, 6, out=cos)
+        keep = (ids[:, None] < ids[None, :]) & (cos >= threshold)
+        ai, bj = np.nonzero(keep)
+        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bj], "cos": cos[ai, bj]})
+
+    id_type = buckets.schema["id"].dataType
+    out_schema = StructType(
+        [
+            StructField("id_a", id_type, True),
+            StructField("id_b", id_type, True),
+            StructField("cos", DoubleType(), True),
+        ]
+    )
+    return (
+        buckets.groupBy("bucket")
+        .applyInPandas(score_bucket, out_schema)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def connected_components(
     pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
     max_iter: int = 20,

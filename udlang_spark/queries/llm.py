@@ -621,6 +621,17 @@ WHERE a.vec_id < b.vec_id AND cos >= 0.45
 """
 
 
+def e_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale form of e_near_dups: LSH-bucketed in-bucket scoring — the pair
+    search never goes quadratic in the corpus, only in the bucket.
+    Approximate by bucketing, so rows-only; recall vs the exact scorer is
+    pytest-measured (tests/test_llm_oracle.py)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return dedup.embedding_near_dups_lsh(
+        emb, "embedding", "vec_id", threshold=0.45, n_planes=4, n_tables=4
+    )
+
+
 def e_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (coarse quantizer + n_probe cell search) —
     approximate by design, rows-only check; recall vs brute force is
@@ -1344,6 +1355,7 @@ QUERIES = {
     "e_kmeans": e_kmeans,
     "e_cosine_topk": e_cosine_topk,
     "e_near_dups": e_near_dups,
+    "e_near_dups_lsh": e_near_dups_lsh,
     "e_ann_lsh": e_ann_lsh,
     "e_ivf_ann": e_ivf_ann,
     "e_pagerank": e_pagerank,
