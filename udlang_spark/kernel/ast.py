@@ -334,9 +334,26 @@ class Destructure(Stmt):
 class Throw(Stmt):
     """`throw expr;` — user exception (reference README.md:337-341;
     exceptions TBD at README.md:97). Lowers to raise_error: fatal for the
-    rows whose control flow reaches it."""
+    rows whose control flow reaches it — unless an enclosing `attempt`
+    recovers it (see Attempt)."""
 
     value: Expr
+
+
+@dataclass(frozen=True)
+class Attempt(Expr):
+    """`attempt <body> recover [(name)] <fallback>` — recoverable
+    exceptions. EXTENSION: the reference declares exceptions a future core
+    feature with no semantics yet (README.md:97, :399); this is our design.
+    Per record: if evaluating `body` reaches a `throw`, the expression
+    yields `fallback` instead (with the thrown message bound to `name`
+    when given), and any `out` effects from the aborted body are discarded
+    (transactional, matching `suppose`'s capture discipline). Throws in
+    `fallback` propagate to the next enclosing attempt, or are fatal."""
+
+    body: Expr
+    bind: str | None
+    fallback: Expr
 
 
 @dataclass(frozen=True)

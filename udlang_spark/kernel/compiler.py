@@ -21,7 +21,9 @@ to flatten(transform(...)), i.e. stays a vectorized higher-order function.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from dataclasses import dataclass, field, replace
+from functools import reduce as _reduce
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -167,6 +169,16 @@ def outs_or_empty(ctx: Ctx, outs: Column | None) -> Column:
     return outs if outs is not None else empty_outs(ctx)
 
 
+@dataclass
+class _CatchFrame:
+    """One active `attempt`: throws compiled under it record themselves
+    here instead of lowering to raise_error."""
+
+    path_len: int  # _path depth at attempt entry; reach-conds are relative
+    hof_depth: int  # runtime-lambda nesting at entry (throws deeper: error)
+    captures: list[tuple[Column, Column]] = field(default_factory=list)
+
+
 class Compiler:
     def __init__(
         self,
@@ -195,6 +207,37 @@ class Compiler:
         # manual.md:54-62) as string Columns, in tap order; surfaced by
         # Kernel.apply(debug=True) as a `_debug` array column
         self.debug_taps: list = []
+        # recoverable exceptions (ast.Attempt): _path is the stack of branch
+        # predicates under which the code currently being compiled executes
+        # (pushed by compile_cond/compile_match/compile_suppose); _catch is
+        # the stack of active attempt frames — a Throw compiled under a
+        # frame records (reach-condition, message) there instead of lowering
+        # to raise_error. _hof_depth > frame depth means the throw sits in a
+        # runtime HOF lambda whose reach-condition is per-ELEMENT, which the
+        # row-level when() machinery cannot express — compile error.
+        self._path: list[Column] = []
+        self._catch: list[_CatchFrame] = []
+        self._hof_depth = 0
+
+    @contextmanager
+    def _on_path(self, cond: Column | None):
+        """Scope a branch predicate for throw reach-condition tracking."""
+        if cond is None:
+            yield
+            return
+        self._path.append(cond)
+        try:
+            yield
+        finally:
+            self._path.pop()
+
+    @contextmanager
+    def _in_hof(self):
+        self._hof_depth += 1
+        try:
+            yield
+        finally:
+            self._hof_depth -= 1
 
     # -- type aliases ----------------------------------------------------
     # documented numeric tower (manual.md:85-97) → our two numeric types;
@@ -276,6 +319,22 @@ class Compiler:
         if isinstance(stmt, ast.Throw):
             val, outs = self.compile_expr(stmt.value, env)
             msg = as_col(val).cast("string")
+            if self._catch:
+                # recoverable: record (reach-condition, message) on the
+                # innermost attempt frame; no raise is emitted at all —
+                # the attempt's when() selects the fallback for these rows
+                frame = self._catch[-1]
+                if self._hof_depth != frame.hof_depth:
+                    raise KernelCompileError(
+                        "throw inside a runtime for/comprehension body cannot "
+                        "be recovered by an enclosing attempt (its reach "
+                        "condition is per-element); move the throw out of the "
+                        "loop or drop the attempt"
+                    )
+                conds = self._path[frame.path_len :]
+                reach = _reduce(lambda a, b: a & b, conds) if conds else F.lit(True)
+                frame.captures.append((reach, msg))
+                return outs
             # fatal for rows reaching this statement (README.md:337-341);
             # when-guarded branches keep it lazy, so only thrown rows error
             poison = F.array(
@@ -409,9 +468,10 @@ class Compiler:
         def body(x: Column) -> Column:
             inner = dict(env)
             inner[stmt.var] = SCol(x, item_t)
-            return outs_or_empty(
-                self.ctx, self.compile_block_for_effect(stmt.body, inner)
-            )
+            with self._in_hof():
+                return outs_or_empty(
+                    self.ctx, self.compile_block_for_effect(stmt.body, inner)
+                )
 
         loop = F.flatten(F.transform(as_col(src), body))
         return concat_outs(self.ctx, [src_outs, loop])
@@ -434,9 +494,10 @@ class Compiler:
             inner = dict(env)
             inner[stmt.key_var] = SCol(entry.getField("key"), ast.T_STR)
             inner[stmt.val_var] = SCol(entry.getField("value"), val_t)
-            return outs_or_empty(
-                self.ctx, self.compile_block_for_effect(stmt.body, inner)
-            )
+            with self._in_hof():
+                return outs_or_empty(
+                    self.ctx, self.compile_block_for_effect(stmt.body, inner)
+                )
 
         loop = F.flatten(F.transform(F.map_entries(as_col(src)), body))
         return concat_outs(self.ctx, [src_outs, loop])
@@ -449,11 +510,16 @@ class Compiler:
         cand = outs_or_empty(self.ctx, candidates)
         branch_env = dict(env)
         branch_env["..."] = cand
-        branch = outs_or_empty(
-            self.ctx, self.compile_block_for_effect(stmt.branch, branch_env)
-        )
-        leaf = outs_or_empty(self.ctx, self.compile_block_for_effect(stmt.leaf, env))
-        return F.when(F.size(cand) > 0, branch).otherwise(leaf)
+        took_branch = F.size(cand) > 0
+        with self._on_path(took_branch):
+            branch = outs_or_empty(
+                self.ctx, self.compile_block_for_effect(stmt.branch, branch_env)
+            )
+        with self._on_path(~took_branch):
+            leaf = outs_or_empty(
+                self.ctx, self.compile_block_for_effect(stmt.leaf, env)
+            )
+        return F.when(took_branch, branch).otherwise(leaf)
 
     def compile_block_for_effect(self, block: ast.Expr, env: dict) -> Column | None:
         if not isinstance(block, ast.Block):
@@ -525,7 +591,65 @@ class Compiler:
             return self.compile_match(expr, env)
         if isinstance(expr, ast.Comprehension):
             return self.compile_comprehension(expr, env)
+        if isinstance(expr, ast.Attempt):
+            return self.compile_attempt(expr, env)
         raise KernelCompileError(f"unsupported expression {expr!r}")
+
+    def compile_attempt(self, expr: ast.Attempt, env: dict):
+        """Recoverable exceptions (ast.Attempt — our design; the reference
+        defers exceptions at README.md:97). Pure when-machinery: the body
+        compiles under a catch frame, every reachable `throw` contributes
+        (reach-condition, message) instead of raise_error, and the attempt
+        selects fallback value/outs for rows where any reach-condition
+        holds. Body `out`s are discarded on the thrown path (transactional,
+        same discipline as `suppose`)."""
+        frame = _CatchFrame(len(self._path), self._hof_depth)
+        self._catch.append(frame)
+        try:
+            bval, bouts = self.compile_expr(expr.body, env)
+        finally:
+            self._catch.pop()
+
+        if not frame.captures:
+            # nothing in the body can throw: still compile the fallback so
+            # type errors surface (under a scratch frame — its throws can
+            # never fire, so they must not leak to an outer attempt)
+            self._catch.append(_CatchFrame(len(self._path), self._hof_depth))
+            try:
+                fval, _ = self.compile_expr(expr.fallback, dict(env))
+            finally:
+                self._catch.pop()
+            if vtype(bval) is not ast.T_VOID and vtype(fval) is not ast.T_VOID:
+                unify(vtype(bval), vtype(fval))
+            return bval, bouts
+
+        thrown = _reduce(lambda a, b: a | b, [c for c, _ in frame.captures])
+        # first-throw-wins message: earlier captures are earlier in program
+        # order within a branch, and reach-conditions of sibling branches
+        # are mutually exclusive — a when-chain in capture order is exact
+        msg: Column = F.lit(None).cast("string")
+        for cond, m in reversed(frame.captures):
+            msg = F.when(cond, m).otherwise(msg)
+
+        fb_env = dict(env)
+        if expr.bind is not None:
+            fb_env[expr.bind] = SCol(msg, ast.T_STR)
+        # fallback runs OUTSIDE this attempt's protection: its throws go to
+        # the next enclosing frame, guarded by `thrown` (it only runs then)
+        with self._on_path(thrown):
+            fval, fouts = self.compile_expr(expr.fallback, fb_env)
+
+        outs = F.when(
+            thrown, outs_or_empty(self.ctx, fouts)
+        ).otherwise(outs_or_empty(self.ctx, bouts))
+        bt, ft = vtype(bval), vtype(fval)
+        if bt is ast.T_VOID or ft is ast.T_VOID:
+            return SConst(None, ast.T_VOID), outs
+        rtype = unify(bt, ft)
+        value = F.when(thrown, self.coerce_to(fval, rtype)).otherwise(
+            self.coerce_to(bval, rtype)
+        )
+        return SCol(value, rtype), outs
 
     def compile_list(self, expr: ast.ListExpr, env: dict):
         items = [self.compile_expr(e, env) for e in expr.items]
@@ -994,22 +1118,36 @@ class Compiler:
         # prune branches at compile time
         clauses: list[tuple[SVal, SVal, Column | None, Column | None]] = []
         compiled: list = []
+        # negations of the non-constant predicates already tried: branch i
+        # executes under ¬p1 ∧ … ∧ ¬p(i-1) ∧ pi — tracked on _path so a
+        # `throw` in the branch knows its reach condition (ast.Attempt)
+        negs: list[Column] = []
+
+        def branch_path(pcol: Column | None) -> Column | None:
+            conds = [~n for n in negs] + ([pcol] if pcol is not None else [])
+            return _reduce(lambda a, b: a & b, conds) if conds else None
+
         for pred, body in expr.clauses:
             pval, pouts = self.compile_expr(pred, env)
             if vtype(pval) is not ast.T_BOOL:
                 raise KernelTypeError("condition must be Bool")
             if isinstance(pval, SConst):
                 if pval.value:
-                    bval, bouts = self.compile_expr(body, env)
+                    with self._on_path(branch_path(None)):
+                        bval, bouts = self.compile_expr(body, env)
                     compiled.append((None, pouts, bval, bouts))
                     break
                 compiled.append((None, pouts, None, None))
                 continue
-            bval, bouts = self.compile_expr(body, env)
+            pcol = as_col(pval)
+            with self._on_path(branch_path(pcol)):
+                bval, bouts = self.compile_expr(body, env)
             compiled.append((pval, pouts, bval, bouts))
+            negs.append(pcol)
         else:
             if expr.default is not None:
-                dval, douts = self.compile_expr(expr.default, env)
+                with self._on_path(branch_path(None)):
+                    dval, douts = self.compile_expr(expr.default, env)
             else:
                 dval, douts = None, None
             compiled.append((None, None, dval, douts))
@@ -1105,6 +1243,12 @@ class Compiler:
         st = vtype(sval)
         arms: list[tuple[SVal | None, SVal, Column | None]] = []
         matched_always = False
+        match_negs: list[Column] = []  # throw reach-conds, as in compile_cond
+
+        def arm_path(ccol: Column | None) -> Column | None:
+            conds = [~n for n in match_negs] + ([ccol] if ccol is not None else [])
+            return _reduce(lambda a, b: a & b, conds) if conds else None
+
         for arm in expr.arms:
             pat = arm.pattern
             bind_env = dict(env)
@@ -1162,11 +1306,14 @@ class Compiler:
                 if not cond.value:
                     continue  # statically never matches
                 cond = None  # statically always matches
-            bval, bouts = self.compile_expr(arm.body, bind_env)
+            ccol = as_col(cond) if cond is not None else None
+            with self._on_path(arm_path(ccol)):
+                bval, bouts = self.compile_expr(arm.body, bind_env)
             arms.append((cond, bval, bouts))
             if cond is None:
                 matched_always = True
                 break
+            match_negs.append(ccol)
 
         rtype: ast.Type | None = None
         for _, bval, _ in arms:
@@ -1241,7 +1388,8 @@ class Compiler:
         def body_fn(el: Column) -> Column:
             benv = dict(fn.env)
             benv[pname] = SCol(el, ptype)
-            bval, bouts = self.compile_expr(fn.body, benv)
+            with self._in_hof():
+                bval, bouts = self.compile_expr(fn.body, benv)
             if bouts is not None:
                 raise KernelCompileError("comprehension body cannot emit (`out`)")
             result_t.append(vtype(bval))
@@ -1463,7 +1611,8 @@ def _inline1(comp, fn, item_t):
     def body(x: Column) -> Column:
         benv = dict(fn.env)
         benv[pname] = SCol(x, et)
-        bval, bouts = comp.compile_expr(fn.body, benv)
+        with comp._in_hof():
+            bval, bouts = comp.compile_expr(fn.body, benv)
         if bouts is not None:
             raise KernelCompileError("higher-order function body cannot `out`")
         rtypes.append(vtype(bval))
@@ -1511,7 +1660,8 @@ def _n_reduce(comp, args):
         benv = dict(fn.env)
         benv[aname] = SCol(acc, acc_t)
         benv[xname] = SCol(x, item_t)
-        bval, bouts = comp.compile_expr(fn.body, benv)
+        with comp._in_hof():
+            bval, bouts = comp.compile_expr(fn.body, benv)
         if bouts is not None:
             raise KernelCompileError("reduce body cannot `out`")
         return comp.coerce_to(bval, acc_t)

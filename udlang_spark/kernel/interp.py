@@ -31,6 +31,16 @@ class InterpError(Exception):
     pass
 
 
+class InterpThrow(Exception):
+    """A uDLang `throw` in flight: recoverable by an enclosing `attempt`
+    (ast.Attempt); fatal (converted to InterpError) if it escapes the
+    kernel body — matching the compiled path's raise_error."""
+
+    def __init__(self, message: str):
+        super().__init__(message)
+        self.message = message
+
+
 @dataclass
 class Closure:
     fn: ast.Lambda
@@ -68,8 +78,13 @@ class Interp:
         self._steps = 0
         outs: list = []
         env: dict = dict(_NATIVES)
-        for stmt in list(self.program.decls) + list(self.program.body):
-            self.exec_stmt(stmt, env, in_value, outs)
+        try:
+            for stmt in list(self.program.decls) + list(self.program.body):
+                self.exec_stmt(stmt, env, in_value, outs)
+        except InterpThrow as t:
+            # uncaught throw is fatal for the record, like the compiled
+            # raise_error path
+            raise InterpError(f"throw: {t.message!r}") from None
         return outs
 
     # -- closure application --------------------------------------------
@@ -108,7 +123,7 @@ class Interp:
         elif isinstance(stmt, ast.TypeDef):
             pass
         elif isinstance(stmt, ast.Throw):
-            raise InterpError(f"throw: {self.eval(stmt.value, env, in_value, outs)!r}")
+            raise InterpThrow(str(self.eval(stmt.value, env, in_value, outs)))
         else:
             raise InterpError(f"unsupported statement in interp fallback: {type(stmt).__name__}")
 
@@ -127,6 +142,17 @@ class Interp:
             return env[e.name]
         if isinstance(e, ast.Lambda):
             return Closure(e, env)
+        if isinstance(e, ast.Attempt):
+            # transactional: outs emitted by the aborted body are discarded
+            mark = len(outs)
+            try:
+                return self.eval(e.body, env, in_value, outs)
+            except InterpThrow as t:
+                del outs[mark:]
+                fb_env = dict(env)
+                if e.bind is not None:
+                    fb_env[e.bind] = t.message
+                return self.eval(e.fallback, fb_env, in_value, outs)
         if isinstance(e, ast.Call):
             # `$` / `$...` partials desugar to a closure over the current
             # env, mirroring the compiler's compile-time curry

@@ -33,7 +33,7 @@ KEYWORDS = {
     "type", "if", "elif", "else", "for", "in", "out", "suppose", "done",
     "and", "or", "xor", "not", "true", "false", "import", "export", "as",
     "template", "using", "self", "field", "static", "const", "method",
-    "match", "case", "throw",
+    "match", "case", "throw", "attempt", "recover",
 }
 
 # Order matters: longest first.

@@ -410,7 +410,21 @@ class Parser:
             self.i = save
         if self.at("if"):
             return self.parse_cond(stmt=False)
+        if self.at("attempt"):
+            return self.parse_attempt()
         return self.parse_logic()
+
+    def parse_attempt(self) -> ast.Expr:
+        # attempt <expr> recover [(name)] <expr> — see ast.Attempt
+        self.take("attempt")
+        body = self.parse_expr()
+        self.take("recover")
+        bind: str | None = None
+        if self.accept("("):
+            bind = self.take("ID").value
+            self.take(")")
+        fallback = self.parse_expr()
+        return ast.Attempt(body, bind, fallback)
 
     def _try_lambda(self) -> ast.Expr | None:
         try:

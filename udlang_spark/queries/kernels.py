@@ -513,6 +513,47 @@ SELECT u.out FROM lineitem, LATERAL (
 """
 
 
+K_ATTEMPT_SRC = """
+version 0.1-pre_mvp;
+script "recoverable exceptions (ast.Attempt) over lineitem linenumbers";
+input Int;
+output Int;
+
+func risky(n: Int) -> Int {
+  if (n % 3 == 0) {
+    throw "divisible";
+  }
+  if (n > 5) {
+    throw "too-big";
+  }
+  n * 10
+}
+
+out attempt risky(in) recover (m) 0 - length(m);
+"""
+
+
+def k_attempt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENSION: recoverable exceptions — `attempt expr recover (m) fb`.
+    The reference defers exceptions (README.md:97, :399); semantics are
+    ours: per-record, a reached `throw` yields the fallback with the
+    message bound, first throw wins, body `out`s discarded. Compiled to
+    pure when() machinery — see kernel/compiler.py compile_attempt."""
+    li = load_table(spark, "lineitem", sf_dir)
+    k = compile_kernel(K_ATTEMPT_SRC)
+    return k.apply(
+        li.select(F.col("l_linenumber").cast("long").alias("v")), input_col="v"
+    )
+
+
+# first throw wins: n%3==0 precedes n>5 in program order (n=6 -> "divisible")
+ORACLE_ATTEMPT = """
+SELECT CASE WHEN l_linenumber % 3 = 0 THEN -9
+            WHEN l_linenumber > 5 THEN -7
+            ELSE l_linenumber * 10 END AS out
+FROM lineitem
+"""
+
 QUERIES = {
     "k_hello": k_hello,
     "k_function": k_function,
@@ -533,6 +574,7 @@ QUERIES = {
     "k_methods": k_methods,
     "k_pipeline": k_pipeline,
     "k_spread": k_spread,
+    "k_attempt": k_attempt,
 }
 
 ORACLE = {
@@ -555,4 +597,5 @@ ORACLE = {
     "k_methods": ORACLE_METHODS,
     "k_pipeline": ORACLE_PIPELINE,
     "k_spread": ORACLE_SPREAD,
+    "k_attempt": ORACLE_ATTEMPT,
 }
