@@ -360,3 +360,26 @@ def test_ivf_plan_is_distributed(spark):
     assert "FlatMapGroupsInPandas" in plan
     # formatted plans print each node twice (tree + details); count tree nodes
     assert plan.count("Exchange (") <= 2, plan
+
+
+def test_bm25_no_vocabulary_shuffle(spark):
+    """BM25 prunes the token stream to the query terms at the scan side, so
+    the df and corpus-stats relations broadcast and no vocabulary-sized
+    SortMergeJoin appears anywhere (contrast t_tfidf_topk, which must key
+    the tf⋈df join on the full vocabulary)."""
+    from udlang_spark.queries import llm
+
+    plan = plan_of(llm.QUERIES["t_bm25_topk"](spark, SF_DIR_CORRECTNESS))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_domain_mix_quota_is_broadcast(spark):
+    """The mixture recipe (weights × corpus totals) is a broadcast dim; the
+    corpus side's only wide exchange is the per-source rank window."""
+    from udlang_spark.queries import llm
+
+    plan = plan_of(llm.QUERIES["t_domain_mix"](spark, SF_DIR_CORRECTNESS))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

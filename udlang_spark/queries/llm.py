@@ -1326,6 +1326,252 @@ ORDER BY doc_id
 ORACLE_CORPUS_PIPELINE = _corpus_pipeline_oracle()
 
 
+# ---------------------------------------------------------------------------
+# corpus composition: retrieval scoring, leakage-safe splits, domain mixing
+# ---------------------------------------------------------------------------
+
+# Fixed retrieval query for the oracled BM25 example (terms chosen from the
+# synthetic corpus vocabulary). A real deployment parameterizes these.
+_BM25_TERMS = ("hash", "join", "scan", "stream", "window")
+
+# One shared per-(doc,term) scoring expression, IDENTICAL text on both
+# engines so every IEEE op applies in the same order — bit-identical doubles.
+# BM25 with k1=1.2, b=0.75 and the LINEAR idf (N - df + 0.5)/(df + 0.5): the
+# standard form wraps this in ln(), but ln is a libm transcendental with no
+# cross-engine correctly-rounded guarantee (same determinism argument as
+# t_tfidf_topk / t_lift_bigrams). tf*(k1+1) folds to tf*2.2 and 1-b+b*x to
+# 0.25+0.75*x so neither engine's constant folder can reassociate.
+_BM25_TERM_SCORE = (
+    "((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
+    " * (CAST(tf AS DOUBLE) * 2.2)"
+    " / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *"
+    " (CAST(dl AS DOUBLE) / (CAST(t_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
+)
+
+# Per-doc total as a FIXED-ORDER left-associated sum over the (small) query
+# term set — a groupBy sum of doubles is accumulation-order-dependent and
+# therefore neither engine-stable nor partitioning-stable; five coalesced
+# adds in written order are bit-deterministic everywhere.
+_BM25_TOTAL = "(((" + ") + ".join(
+    f"coalesce(s_{t}, CAST(0 AS DOUBLE)" for t in _BM25_TERMS
+) + "))))"
+
+
+def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 for a fixed query term set (sparse lexical
+    retrieval — the standard pre-filter in front of embedding rerankers).
+
+    Scale: tf is a (doc, term) partial agg over ONLY the query terms — the
+    isin filter prunes the token stream at the scan, so the shuffle carries
+    at most |terms| rows per doc per partition. Document lengths partial-agg
+    on doc_id; df and the corpus stats are term-count-sized and broadcast.
+    No vocabulary-sized shuffle happens anywhere (contrast t_tfidf_topk,
+    which must key on the full vocabulary). The final top-20 is a single
+    ordered limit over docs that matched ≥1 term.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.explode(F.expr(_WORDS)).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").alias("t_tokens"), F.count(F.lit(1)).alias("n_docs")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("s", F.expr(_BM25_TERM_SCORE))
+    )
+    per_term = [
+        F.max(F.when(F.col("term") == t, F.col("s"))).alias(f"s_{t}")
+        for t in _BM25_TERMS
+    ]
+    return (
+        scored.groupBy("doc_id")
+        .agg(*per_term, F.count(F.lit(1)).alias("n_terms_hit"))
+        .select(
+            "doc_id",
+            "n_terms_hit",
+            F.expr(_BM25_TOTAL).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+ORACLE_BM25 = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_WORDS_DUCK}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT CAST(sum(dl) AS BIGINT) AS t_tokens, count(*) AS n_docs FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+  GROUP BY 1, 2
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT doc_id, term, {_BM25_TERM_SCORE} AS s
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), stats
+),
+pivoted AS (
+  SELECT doc_id,
+         {", ".join(f"max(CASE WHEN term = '{t}' THEN s END) AS s_{t}" for t in _BM25_TERMS)},
+         count(*) AS n_terms_hit
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_terms_hit, {_BM25_TOTAL} AS bm25
+FROM pivoted
+ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
+def d_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split: every near-dup CLUSTER lands
+    wholly in one split, so no eval document has a training near-duplicate
+    — the contamination mode a row-wise random split cannot prevent.
+
+    Split membership is a pure function of the cluster id (first md5 hex
+    digit: 0-b train = 75%, c-d valid = 12.5%, e-f test = 12.5%), so it is
+    stable under repartitioning, retries, incremental corpus growth, and
+    engine swaps — same argument as q30's hash sampling.
+
+    Scale: reuses the full minhash_dedup_corpus machinery (band-bucket
+    shuffle + iterative min-label propagation — never all-pairs); the split
+    assignment itself adds zero shuffles (a scan-level expression over the
+    component column)."""
+    docs = load_table(spark, "documents", sf_dir)
+    corpus = dedup.minhash_dedup_corpus(docs, "text", "doc_id", threshold=0.8)
+    digit = F.substring(F.md5(F.col("component").cast("string")), 1, 1)
+    return corpus.select(
+        "doc",
+        "component",
+        F.when(digit <= "b", "train")
+        .when(digit <= "d", "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+ORACLE_SPLIT_LEAKAGE = (
+    _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + ","
+    + _MINHASH_PAIRS_CTES
+    + """,
+pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.8),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (SELECT src AS doc, min(dst) AS component FROM reach GROUP BY src),
+assigned AS (
+  SELECT d.doc_id AS doc, coalesce(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
+)
+SELECT doc, component,
+  CASE WHEN substr(md5(component::VARCHAR), 1, 1) <= 'b' THEN 'train'
+       WHEN substr(md5(component::VARCHAR), 1, 1) <= 'd' THEN 'valid'
+       ELSE 'test' END AS split
+FROM assigned
+"""
+)
+
+# Domain-mixture weights (the "data recipe"): a tiny config dimension.
+# Integer weights keep every quota computation exact.
+_MIX_WEIGHTS = [
+    (f"src{i}", 4 if i < 4 else 2 if i < 10 else 1) for i in range(20)
+]
+
+
+def t_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weighted corpus resampling: draw a 40%-of-corpus doc budget,
+    allocated across sources proportionally to configured
+    integer weights (the Pile/CC-style "data recipe" step), selecting
+    deterministically within each source by md5(doc_id) rank.
+
+    quota(source) = ((total_docs * 2) div 5) * weight div sum(weights);
+    all integer arithmetic — exact on both engines. Selection is q46-style
+    md5 ranking: membership is a pure function of the key, so the sample is
+    reproducible under repartitioning, retries, and engine swaps.
+
+    Scale: the weights table is a broadcast dim; corpus totals are 1-row
+    broadcast aggs; the only per-row work is one window rank per source
+    (pre-filter huge strata with a q30 hash-prefix predicate before ranking
+    to bound the sort). Sources absent from the recipe are dropped by the
+    inner join — the recipe IS the domain whitelist."""
+    docs = load_table(spark, "documents", sf_dir)
+    wdf = spark.createDataFrame(_MIX_WEIGHTS, "source string, w long")
+    tot_w = (
+        docs.select("source")
+        .distinct()
+        .join(F.broadcast(wdf), "source")
+        .agg(F.sum("w").alias("tot_w"))
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("total"))
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        )
+        .alias("rnk"),
+    )
+    quota = (
+        F.broadcast(wdf)
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(tot_w))
+        .select(
+            "source",
+            F.expr("((total * 2) div 5) * w div tot_w").alias("quota"),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .filter(F.col("rnk") <= F.col("quota"))
+        .select("doc_id", "source", "rnk")
+    )
+
+
+ORACLE_DOMAIN_MIX = f"""
+WITH wts(source, w) AS (
+  VALUES {", ".join(f"('{s}', {w})" for s, w in _MIX_WEIGHTS)}
+),
+tw AS (
+  SELECT sum(w) AS tot_w
+  FROM wts JOIN (SELECT DISTINCT source FROM documents) s USING (source)
+),
+n AS (SELECT count(*) AS total FROM documents),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id
+         ) AS rnk
+  FROM documents
+),
+q AS (
+  SELECT source, ((total * 2) // 5) * w // tot_w AS quota FROM wts, n, tw
+)
+SELECT doc_id, source, rnk
+FROM ranked JOIN q USING (source)
+WHERE rnk <= quota
+"""
+
+
 QUERIES = {
     "d_exact_dedup": d_exact_dedup,
     "d_fingerprint": d_fingerprint,
@@ -1346,6 +1592,9 @@ QUERIES = {
     "t_span_corrupt": t_span_corrupt,
     "t_decontam": t_decontam,
     "t_corpus_pipeline": t_corpus_pipeline,
+    "t_bm25_topk": t_bm25_topk,
+    "d_split_leakage": d_split_leakage,
+    "t_domain_mix": t_domain_mix,
     "e_semdedup": e_semdedup,
     "t_heavy_hitters": t_heavy_hitters,
     "e_int8_quantize": e_int8_quantize,
@@ -1386,6 +1635,9 @@ ORACLE = {
     "t_span_corrupt": ORACLE_SPAN_CORRUPT,
     "t_decontam": ORACLE_DECONTAM,
     "t_corpus_pipeline": ORACLE_CORPUS_PIPELINE,
+    "t_bm25_topk": ORACLE_BM25,
+    "d_split_leakage": ORACLE_SPLIT_LEAKAGE,
+    "t_domain_mix": ORACLE_DOMAIN_MIX,
     "t_heavy_hitters": ORACLE_HEAVY_HITTERS,
     "e_int8_quantize": ORACLE_INT8_QUANT,
     "d_simhash_neardup": ORACLE_SIMHASH_NEARDUP,
