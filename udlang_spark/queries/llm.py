@@ -1334,69 +1334,78 @@ ORACLE_CORPUS_PIPELINE = _corpus_pipeline_oracle()
 # synthetic corpus vocabulary). A real deployment parameterizes these.
 _BM25_TERMS = ("hash", "join", "scan", "stream", "window")
 
-# One shared per-(doc,term) scoring expression, IDENTICAL text on both
-# engines so every IEEE op applies in the same order — bit-identical doubles.
-# BM25 with k1=1.2, b=0.75 and the LINEAR idf (N - df + 0.5)/(df + 0.5): the
-# standard form wraps this in ln(), but ln is a libm transcendental with no
-# cross-engine correctly-rounded guarantee (same determinism argument as
-# t_tfidf_topk / t_lift_bigrams). tf*(k1+1) folds to tf*2.2 and 1-b+b*x to
-# 0.25+0.75*x so neither engine's constant folder can reassociate.
+# One shared per-term scoring expression template ({t} = term), IDENTICAL
+# text on both engines so every IEEE op applies in the same order —
+# bit-identical doubles. BM25 with k1=1.2, b=0.75 and the LINEAR idf
+# (N - df + 0.5)/(df + 0.5): the standard form wraps this in ln(), but ln is
+# a libm transcendental with no cross-engine correctly-rounded guarantee
+# (same determinism argument as t_tfidf_topk / t_lift_bigrams). tf*(k1+1)
+# folds to tf*2.2 and 1-b+b*x to 0.25+0.75*x so neither engine's constant
+# folder can reassociate. Guarded so unmatched terms contribute exactly 0.
 _BM25_TERM_SCORE = (
-    "((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
-    " * (CAST(tf AS DOUBLE) * 2.2)"
-    " / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *"
+    "CASE WHEN tf_{t} > 0 THEN"
+    " ((CAST(n_docs AS DOUBLE) - CAST(df_{t} AS DOUBLE) + 0.5)"
+    " / (CAST(df_{t} AS DOUBLE) + 0.5))"
+    " * (CAST(tf_{t} AS DOUBLE) * 2.2)"
+    " / (CAST(tf_{t} AS DOUBLE) + 1.2 * (0.25 + 0.75 *"
     " (CAST(dl AS DOUBLE) / (CAST(t_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
+    " ELSE CAST(0 AS DOUBLE) END"
 )
 
 # Per-doc total as a FIXED-ORDER left-associated sum over the (small) query
 # term set — a groupBy sum of doubles is accumulation-order-dependent and
-# therefore neither engine-stable nor partitioning-stable; five coalesced
-# adds in written order are bit-deterministic everywhere.
-_BM25_TOTAL = "(((" + ") + ".join(
-    f"coalesce(s_{t}, CAST(0 AS DOUBLE)" for t in _BM25_TERMS
-) + "))))"
+# therefore neither engine-stable nor partitioning-stable; five adds in
+# written order are bit-deterministic everywhere.
+_BM25_TOTAL = "(" + " + ".join(
+    "(" + _BM25_TERM_SCORE.format(t=t) + ")" for t in _BM25_TERMS
+) + ")"
+_BM25_HITS = "(" + " + ".join(
+    f"CAST(tf_{t} > 0 AS BIGINT)" for t in _BM25_TERMS
+) + ")"
 
 
 def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 documents by BM25 for a fixed query term set (sparse lexical
     retrieval — the standard pre-filter in front of embedding rerankers).
 
-    Scale: tf is a (doc, term) partial agg over ONLY the query terms — the
-    isin filter prunes the token stream at the scan, so the shuffle carries
-    at most |terms| rows per doc per partition. Document lengths partial-agg
-    on doc_id; df and the corpus stats are term-count-sized and broadcast.
-    No vocabulary-sized shuffle happens anywhere (contrast t_tfidf_topk,
-    which must key on the full vocabulary). The final top-20 is a single
-    ordered limit over docs that matched ≥1 term.
+    Scale: for a FIXED query, per-doc tf and dl are scan-level array
+    expressions (size/filter inside whole-stage codegen) — no explode, no
+    (doc, term) shuffle, no vocabulary keys anywhere (contrast t_tfidf_topk,
+    which must key on the full vocabulary). The corpus stats (t_tokens,
+    n_docs, per-term df) are ONE 1-row aggregate broadcast back, and the
+    top-20 is a TakeOrderedAndProject. Total wide work: zero exchanges
+    beyond the 1-row stats broadcast and the final ordered limit.
     """
     docs = load_table(spark, "documents", sf_dir)
-    toks = docs.select("doc_id", F.explode(F.expr(_WORDS)).alias("term"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.sum("dl").alias("t_tokens"), F.count(F.lit(1)).alias("n_docs")
-    )
-    tf = (
-        toks.filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        tf.join(F.broadcast(dft), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("s", F.expr(_BM25_TERM_SCORE))
-    )
-    per_term = [
-        F.max(F.when(F.col("term") == t, F.col("s"))).alias(f"s_{t}")
+    tf_cols = [
+        F.expr(f"size(filter(wl, x -> x = '{t}'))").alias(f"tf_{t}")
         for t in _BM25_TERMS
     ]
+    # Persist the reduced per-doc relation (doc_id + 6 ints — tiny next to
+    # the text): both the stats pass and the scoring pass need it, and
+    # without the persist each would re-run the regexp tokenization, i.e.
+    # two full passes over the raw corpus (same rationale as the persisted
+    # shingle relation in minhash_near_dups).
+    d = (
+        docs.select(F.col("doc_id"), F.expr(_WORDS).alias("wl"))
+        .filter(F.expr("size(wl) > 0"))
+        .select("doc_id", F.expr("size(wl)").alias("dl"), *tf_cols)
+        .persist()
+    )
+    stats = d.agg(
+        F.sum("dl").alias("t_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum(F.expr(f"CAST(tf_{t} > 0 AS BIGINT)")).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
     return (
-        scored.groupBy("doc_id")
-        .agg(*per_term, F.count(F.lit(1)).alias("n_terms_hit"))
+        d.crossJoin(F.broadcast(stats))
+        .filter(F.expr(_BM25_HITS) > 0)
         .select(
             "doc_id",
-            "n_terms_hit",
+            F.expr(_BM25_HITS).alias("n_terms_hit"),
             F.expr(_BM25_TOTAL).alias("bm25"),
         )
         .orderBy(F.col("bm25").desc(), "doc_id")
@@ -1404,32 +1413,32 @@ def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_BM25 = f"""
-WITH toks AS (
-  SELECT doc_id, unnest({_WORDS_DUCK}) AS term FROM documents
+def _bm25_oracle() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(wl, x -> x = '{t}')) AS tf_{t}" for t in _BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CAST(tf_{t} > 0 AS BIGINT)) AS BIGINT) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    return f"""
+WITH w AS (SELECT doc_id, {_WORDS_DUCK} AS wl FROM documents),
+d AS (
+  SELECT doc_id, len(wl) AS dl, {tf_cols}
+  FROM w WHERE len(wl) > 0
 ),
-dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-stats AS (SELECT CAST(sum(dl) AS BIGINT) AS t_tokens, count(*) AS n_docs FROM dl),
-tf AS (
-  SELECT doc_id, term, count(*) AS tf FROM toks
-  WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
-  GROUP BY 1, 2
-),
-dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-scored AS (
-  SELECT doc_id, term, {_BM25_TERM_SCORE} AS s
-  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), stats
-),
-pivoted AS (
-  SELECT doc_id,
-         {", ".join(f"max(CASE WHEN term = '{t}' THEN s END) AS s_{t}" for t in _BM25_TERMS)},
-         count(*) AS n_terms_hit
-  FROM scored GROUP BY doc_id
+stats AS (
+  SELECT CAST(sum(dl) AS BIGINT) AS t_tokens, count(*) AS n_docs, {df_cols}
+  FROM d
 )
-SELECT doc_id, n_terms_hit, {_BM25_TOTAL} AS bm25
-FROM pivoted
+SELECT doc_id, {_BM25_HITS} AS n_terms_hit, {_BM25_TOTAL} AS bm25
+FROM d, stats
+WHERE {_BM25_HITS} > 0
 ORDER BY bm25 DESC, doc_id LIMIT 20
 """
+
+
+ORACLE_BM25 = _bm25_oracle()
 
 
 def d_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
