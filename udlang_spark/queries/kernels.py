@@ -293,13 +293,23 @@ def k_comprehension(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("xs"),
         F.col("l_orderkey").cast("long").alias("k"),
     )
-    return compile_kernel(COMPREHENSION_KERNEL).apply(df)
+    res = compile_kernel(COMPREHENSION_KERNEL).apply(df)
+    # The kernel's output is [Int]; the differential harness canonicalizes
+    # rows by sorting output columns, which cannot order list-valued cells.
+    # Serialize the array to an exact comma-joined string (integers cast to
+    # string are byte-identical across engines) so the row set stays sortable
+    # without losing any value information.
+    return res.select(
+        F.array_join(
+            F.transform("out", lambda x: x.cast("string")), ","
+        ).alias("out")
+    )
 
 
 ORACLE_COMPREHENSION = """
-SELECT list_transform(
+SELECT array_to_string(list_transform(
   [CAST(l_linenumber AS BIGINT), CAST(l_suppkey AS BIGINT), CAST(l_partkey AS BIGINT)],
-  x -> x * 2 + l_orderkey + 1) AS out
+  x -> CAST(x * 2 + l_orderkey + 1 AS VARCHAR)), ',') AS out
 FROM lineitem
 """
 

@@ -515,9 +515,15 @@ def e_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: float sums are order-dependent, so each component is
     quantized to fixed-point (round(x·1e6) as int64) and summed exactly;
-    the mean divides back out in IEEE double. Quantization error (≤5e-7
-    per element) is far below any downstream use of a centroid; exactness
-    under repartitioning is what matters at scale."""
+    the mean stays in micro units. Quantization error (≤5e-7 per element)
+    is far below any downstream use of a centroid; exactness under
+    repartitioning is what matters at scale.
+
+    Output shape: the differential harness canonicalizes rows by sorting
+    output columns and cannot order list-valued cells, so the centroid is
+    emitted as `centroid_micros` — the per-dimension mean in integer micro
+    units (round half-away-from-zero of s/n, identical in Spark and
+    DuckDB), comma-joined into one exact sortable string."""
     emb = load_table(spark, "embeddings", sf_dir)
     ex = emb.select("label", F.posexplode("embedding").alias("d", "x"))
     per_dim = ex.groupBy("label", "d").agg(
@@ -525,13 +531,17 @@ def e_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
     )
     per_dim = per_dim.withColumn(
-        "m", F.col("s").cast("double") / F.lit(1e6) / F.col("n")
+        "mm", F.round(F.col("s").cast("double") / F.col("n")).cast("long")
     )
     return per_dim.groupBy("label").agg(
         F.max("n").alias("n"),
-        F.expr("transform(array_sort(collect_list(struct(d, m))), t -> t.m)").alias(
-            "centroid"
-        ),
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(struct(d, mm))),"
+                " t -> cast(t.mm as string))"
+            ),
+            ",",
+        ).alias("centroid_micros"),
     )
 
 
@@ -540,7 +550,8 @@ _CENTROID_SUMS = ",\n  ".join(
     for i in range(1, _DIM + 1)
 )
 _CENTROID_LIST = ", ".join(
-    f"CAST(s{i} AS DOUBLE) / 1000000.0 / n" for i in range(1, _DIM + 1)
+    f"CAST(CAST(round(CAST(s{i} AS DOUBLE) / n) AS BIGINT) AS VARCHAR)"
+    for i in range(1, _DIM + 1)
 )
 
 ORACLE_LABEL_CENTROIDS = f"""
@@ -549,7 +560,7 @@ WITH a AS (
   {_CENTROID_SUMS}
   FROM embeddings GROUP BY label
 )
-SELECT label, n, [{_CENTROID_LIST}] AS centroid FROM a
+SELECT label, n, array_to_string([{_CENTROID_LIST}], ',') AS centroid_micros FROM a
 """
 
 
@@ -1037,9 +1048,16 @@ def e_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # codes are int8 values; comma-join them into one exact string so the
+    # differential harness (which sorts rows by output columns and cannot
+    # order list-valued cells) can canonicalize the result.
     return q.groupBy("vec_id").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(d, code))), s -> s.code - 128)"
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(struct(d, code))),"
+                " s -> cast(s.code - 128 as string))"
+            ),
+            ",",
         ).alias("codes"),
         F.round(F.max("err"), 6).alias("max_err"),
     )
@@ -1068,7 +1086,9 @@ r AS (
          abs(xd - (lod + (code + 0.5) * (hid - lod) / 255.0)) AS err
   FROM c
 )
-SELECT vec_id, list(code - 128 ORDER BY d) AS codes, round(max(err), 6) AS max_err
+SELECT vec_id,
+       array_to_string(list(CAST(code - 128 AS VARCHAR) ORDER BY d), ',') AS codes,
+       round(max(err), 6) AS max_err
 FROM r GROUP BY 1
 """
 
