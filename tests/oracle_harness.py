@@ -57,7 +57,13 @@ def duck_fingerprint(con, sql: str):
 
 
 def compare(spark, con, name: str, query_fn, oracle: str, sf_dir: str):
-    sn, scols, shash = spark_fingerprint(query_fn(spark, sf_dir))
+    from udlang_spark.session import release_caches
+
+    try:
+        sn, scols, shash = spark_fingerprint(query_fn(spark, sf_dir))
+    finally:
+        release_caches()  # queries may persist intermediates; don't let
+        # cached blocks accumulate over the session-scoped sweep
     dn, dcols, dhash = duck_fingerprint(con, oracle)
     assert scols == dcols, f"{name}: columns {scols} != {dcols}"
     assert sn == dn, f"{name}: rowcount {sn} != {dn}"

@@ -45,6 +45,8 @@ def canon(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "f:nan"
+        if v == 0.0:
+            v = 0.0  # fold -0.0: engines that disagree only in zero sign agree
         return f"f:{v:.17g}"
     if isinstance(v, int):
         return f"i:{v}"
@@ -107,15 +109,23 @@ def main() -> int:
             sdf = QUERIES[name](spark, args.sf)
             srows = [tuple(r) for r in sdf.collect()]
             sn, scols, shash = fingerprint(sdf.columns, srows)
+            # DBAPI cursor.description reports every numeric column's
+            # type_code as the generic 'NUMBER'; real type names need DESCRIBE
+            dtypes = [
+                row[1] for row in con.execute("DESCRIBE " + ORACLE[name]).fetchall()
+            ]
             cur = con.execute(ORACLE[name])
             dcols = [d[0] for d in cur.description]
-            dtypes = [str(d[1]) for d in cur.description]
             drows = cur.fetchall()
             dn, dcols_s, dhash = fingerprint(dcols, drows)
         except Exception as e:  # noqa: BLE001 — report, keep sweeping
             failures.append((name, f"ERROR {type(e).__name__}: {e}"))
             print(f"  {name}: ERROR {e}", flush=True)
             continue
+        finally:
+            from udlang_spark.session import release_caches
+
+            release_caches()  # queries may persist intermediates
         dt = time.time() - t0
         risky = [
             f"{c}:{ty}"

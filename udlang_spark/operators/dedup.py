@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from udlang_spark.functions.text import fingerprint, shingles, simhash16, simhash_bits
+from udlang_spark.session import persist_tracked
 from udlang_spark.sources.tables import fan_out
 
 N_HASHES = 8
@@ -153,7 +154,7 @@ def minhash_near_dups(
     # the verification join; persist it so the regex split + n-gram zip
     # (the dominant cost) runs once, not three times. MEMORY_AND_DISK:
     # spills rather than recomputes if the corpus outgrows executor memory.
-    sh = shingle_sets(df, text_col, id_col).persist()
+    sh = persist_tracked(shingle_sets(df, text_col, id_col))
     sigs = _signatures_from_shingles(sh)
     pairs = lsh_candidate_pairs(sigs)
     return verified_jaccard(pairs, sh).filter(F.col("jaccard") >= threshold)
@@ -275,7 +276,7 @@ def simhash_near_pairs(
     # CollapseProject would otherwise inline — and re-evaluate — the whole
     # per-token fingerprint aggregate once per reference (measured 8 s vs
     # ~1.5 s at sf0.1). The cached relation is |docs| × (id + 4 longs).
-    fp = fp.persist()
+    fp = persist_tracked(fp)
     bands = fp.select(
         F.struct("doc", "bl").alias("ds"),
         F.posexplode("bl").alias("band", "bits"),
@@ -336,9 +337,8 @@ def embedding_near_dups(
     )
     b_src = candidates if candidates is not None else df
     b_sdf = b_src.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    _sim._broadcast_guard(b_sdf, cap, "embedding_near_dups", "lsh_ann_topk")
     sdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    pdf = b_sdf.toPandas()
+    pdf = _sim._guarded_to_pandas(b_sdf, cap, "embedding_near_dups", "lsh_ann_topk")
     b_ids = pdf["id"].to_numpy()
     b_mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
     b_norm = np.sqrt((b_mat * b_mat).sum(axis=1))

@@ -58,16 +58,23 @@ def cosine(a: Column, b: Column) -> Column:
 DEFAULT_BROADCAST_ROW_CAP = 200_000
 
 
-def _broadcast_guard(sdf: DataFrame, cap: int, op: str, alternative: str) -> None:
-    # limit(cap+1).count() early-exits the scan — never a full count at scale
-    n = sdf.limit(cap + 1).count()
-    if n > cap:
+def _guarded_to_pandas(sdf: DataFrame, cap: int, op: str, alternative: str):
+    """Materialize the broadcast side under a hard row cap in ONE Spark job.
+
+    limit(cap+1) bounds what can ever reach the driver (early-exits the scan
+    — never a full materialization at scale); the length check afterwards
+    refuses oversized inputs with the scalable alternatives named. A separate
+    count() pre-check would cost a second job per call (measured +0.55 s on
+    e_cosine_topk at sf0.1 in round 4)."""
+    pdf = sdf.limit(cap + 1).toPandas()
+    if len(pdf) > cap:
         raise ValueError(
             f"{op}: broadcast side has more than {cap} rows; brute-force "
             f"GEMM against the full relation does not scale. Pass a "
             f"candidate subset (candidates=...), raise max_broadcast_rows "
             f"explicitly, or use {alternative}."
         )
+    return pdf
 
 
 def _topk_schema(id_type) -> StructType:
@@ -105,13 +112,12 @@ def cosine_topk(
 
     b_src = candidates if candidates is not None else df
     b_sdf = b_src.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    _broadcast_guard(
-        b_sdf, max_broadcast_rows, "cosine_topk", "lsh_ann_topk/ivf_ann_topk"
-    )
     self_contained = candidates is None  # plain bool: closures must not
     # capture the DataFrame itself (unpicklable on workers)
     sdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    pdf = b_sdf.toPandas()
+    pdf = _guarded_to_pandas(
+        b_sdf, max_broadcast_rows, "cosine_topk", "lsh_ann_topk/ivf_ann_topk"
+    )
     b_ids = pdf["id"].to_numpy()
     b_mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
     b_norm = np.sqrt((b_mat * b_mat).sum(axis=1))
@@ -319,27 +325,31 @@ def kmeans_assign(
         bc = sc.broadcast((c_ids, c_mat, c_norm))
         assigned = sdf.mapInPandas(make_assign(bc), out_schema)
         # exact fixed-point update (see e_label_centroids): int64 sums per
-        # dimension survive any partitioning; k×dim result → driver
+        # dimension survive any partitioning; k×dim result → driver.
+        # posexplode + (centroid, d) agg keeps the aggregate at two tiny
+        # expressions inside whole-stage codegen — the previous shape (dim
+        # separate per-dimension sum expressions on the un-exploded rows)
+        # is the one e_label_centroids measured 3× slower: expression
+        # count, not row count, was the bottleneck.
         joined = assigned.join(sdf, "vec_id")
-        sums = [
-            F.sum(
-                F.round(F.element_at("vec", i).cast("double") * scale).cast("long")
-            ).alias(f"s{i}")
-            for i in range(1, dim + 1)
-        ]
-        stats = (
-            joined.groupBy("centroid")
-            .agg(F.count(F.lit(1)).alias("n"), *sums)
+        per_dim = (
+            joined.select("centroid", F.posexplode("vec").alias("d", "x"))
+            .groupBy("centroid", "d")
+            .agg(
+                F.sum(
+                    F.round(F.col("x").cast("double") * scale).cast("long")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .toPandas()
-            .set_index("centroid")
         )
         new_mat = c_mat.copy()  # empty clusters keep their centroid
-        for cid in stats.index:
-            n = stats.loc[cid, "n"]
-            new_mat[cid] = (
-                np.array([stats.loc[cid, f"s{i}"] for i in range(1, dim + 1)])
+        for cid, grp in per_dim.groupby("centroid"):
+            grp = grp.sort_values("d")
+            new_mat[int(cid)] = (
+                grp["s"].to_numpy().astype(np.float64)
                 / scale
-                / n
+                / int(grp["n"].iloc[0])
             )
         c_mat = new_mat
     return assigned

@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 
 from udlang_spark.functions import text as TXT
 from udlang_spark.operators import dedup, multimodal, similarity
+from udlang_spark.session import persist_tracked
 from udlang_spark.sources.tables import load_table
 
 _WL = "regexp_split_to_array(lower(text), '\\s+')"
@@ -1406,11 +1407,10 @@ def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without the persist each would re-run the regexp tokenization, i.e.
     # two full passes over the raw corpus (same rationale as the persisted
     # shingle relation in minhash_near_dups).
-    d = (
+    d = persist_tracked(
         docs.select(F.col("doc_id"), F.expr(_WORDS).alias("wl"))
         .filter(F.expr("size(wl) > 0"))
         .select("doc_id", F.expr("size(wl)").alias("dl"), *tf_cols)
-        .persist()
     )
     stats = d.agg(
         F.sum("dl").alias("t_tokens"),

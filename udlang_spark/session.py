@@ -48,3 +48,39 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+# ---------------------------------------------------------------------------
+# persisted-DataFrame registry
+#
+# Several operators persist a reduced intermediate (shingle sets, SimHash
+# fingerprints, BM25 per-doc stats) because two downstream passes need it.
+# Spark's CacheManager holds those blocks until an explicit unpersist — in a
+# long-lived driver session (an oracle sweep, a notebook, a service) that is
+# a slow leak bounded only by LRU eviction. Operators register their persists
+# here; sweep drivers call ``release_caches()`` between queries.
+# ---------------------------------------------------------------------------
+
+import weakref  # noqa: E402
+
+_PERSISTED: list[weakref.ref] = []
+
+
+def persist_tracked(df, storage_level=None):
+    """persist() a DataFrame and register it for later release_caches()."""
+    df.persist() if storage_level is None else df.persist(storage_level)
+    _PERSISTED.append(weakref.ref(df))
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every tracked DataFrame still alive (non-blocking)."""
+    global _PERSISTED
+    for ref in _PERSISTED:
+        df = ref()
+        if df is not None:
+            try:
+                df.unpersist(False)
+            except Exception:  # noqa: BLE001 — session may already be stopped
+                pass
+    _PERSISTED = []
