@@ -1,12 +1,17 @@
-"""Streaming queries for the driver contract (SURVEY.md §2.8). Structured
-Streaming results are not SQL-expressible for the DuckDB oracle, so these
-are rows-only checks — but each has a batch twin in the registry whose
-results they must equal (enforced by tests/test_streaming.py).
+"""Streaming queries for the driver contract (SURVEY.md §2.8).
 
 Each query materializes a bounded file stream from the sf_dir events table
 (JSON replay), runs the streaming plan with availableNow, and returns the
 drained result as a (batch) DataFrame.
-"""
+
+Oracle-ability: although Structured Streaming EXECUTION is not SQL, each
+query here is designed so its final drained result is a pure function of
+the event set — independent of micro-batch boundaries, partitioning, and
+replay. Sums use fixed-point micros (integer-valued doubles stay exact
+under any accumulation order), dedup emits only the deterministic key set,
+and joins/windows derive purely from event fields. That makes the results
+directly DuckDB-checkable; batch-twin equivalence is additionally
+pytest-enforced (tests/test_streaming.py)."""
 
 from __future__ import annotations
 
@@ -78,20 +83,25 @@ def s_kernel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def s_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked tumbling-window aggregation on the replayed stream."""
+    """Watermarked tumbling-window aggregation on the replayed stream.
+
+    The value sum is fixed-point (round(v·1e6) int64): integer sums are
+    exact under ANY micro-batch order or partitioning, so the drained
+    result is a pure function of the event set — oracle-checkable, and the
+    property that matters when a 100 TB stream replays or re-shards."""
     src = _stream(spark, sf_dir).withColumn(
         "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("event_id") * 60)
-    )
+    ).withColumn("value_fp", F.round(F.col("value") * 1e6).cast("long"))
     res = runner.windowed_agg_stream(
         src, "ts", window="1 hour", watermark="2 hours",
-        group_cols=("event_type",), aggs={"value": "sum"},
+        group_cols=("event_type",), aggs={"value_fp": "sum"},
     )
     out = runner.run_windowed_stream_to_memory(res, "q_s_windowed_stream", spark)
     return out.select(
         F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
         "event_type",
         "n_events",
-        F.round("sum_value", 6).alias("sum_value"),
+        (F.col("sum_value_fp").cast("double") / F.lit(1e6)).alias("sum_value"),
     )
 
 
@@ -101,9 +111,15 @@ def s_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     final per-key state (update-mode rows with the largest n per key)."""
     src = _stream(spark, sf_dir).withColumn(
         "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("event_id") * 60)
-    ).withColumn("bucket", F.col("event_id") % 7)
+    ).withColumn("bucket", F.col("event_id") % 7).withColumn(
+        # fixed-point micros: the state handler's per-batch pandas sums and
+        # the cross-batch float adds all accumulate integer-valued doubles
+        # (< 2^53), which are EXACT in any order — the final state is a
+        # pure function of the event set, so it is oracle-checkable
+        "value_fp", F.round(F.col("value") * 1e6).cast("long")
+    )
     res = runner.stateful_running_totals(
-        src, key_col="bucket", value_col="value", ts_col="ts"
+        src, key_col="bucket", value_col="value_fp", ts_col="ts"
     )
     out = runner.run_stream_to_memory(
         res, "q_s_stateful_totals", spark, output_mode="update"
@@ -114,7 +130,7 @@ def s_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         out.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") == 1)
-        .select("key", "n", F.round("total", 6).alias("total"))
+        .select("key", "n", (F.col("total") / F.lit(1e6)).alias("total"))
     )
 
 
@@ -175,10 +191,10 @@ def s_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions and bounds state."""
     src = _stream(spark, sf_dir).withColumn(
         "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("event_id") * 60)
-    )
+    ).withColumn("value_fp", F.round(F.col("value") * 1e6).cast("long"))
     res = runner.session_window_stream(
         src, "ts", gap="10 minutes", watermark="2 hours",
-        group_cols=("event_type",), aggs={"value": "sum"},
+        group_cols=("event_type",), aggs={"value_fp": "sum"},
     )
     out = runner.run_windowed_stream_to_memory(res, "q_s_session_stream", spark)
     return out.select(
@@ -186,7 +202,7 @@ def s_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         "event_type",
         "n_events",
-        F.round("sum_value", 6).alias("sum_value"),
+        (F.col("sum_value_fp").cast("double") / F.lit(1e6)).alias("sum_value"),
     )
 
 
@@ -231,11 +247,102 @@ QUERIES = {
     "s_cdc_apply": s_cdc_apply,
 }
 
-# Structured Streaming execution is mostly not SQL-expressible — rows-only
-# checks with batch equivalence pytest-enforced instead
-# (tests/test_streaming.py). Exception: the CDC apply's seq-aware merge
-# makes its final table a pure function of the change set, so it carries a
-# real DuckDB oracle.
+# Each query's drained result is a pure function of the event set (module
+# docstring), so the oracles below express the STREAM SEMANTICS — window
+# assignment, session merging, watermarked join bounds, final state — in
+# plain SQL over the same events table. Only s_kernel_stream's doubler is
+# trivial; the others reproduce the stateful operator's contract exactly.
+
+ORACLE_KERNEL_STREAM = """
+SELECT event_id, value * 2.0 AS out
+FROM events WHERE value > 100.0
+"""
+
+# tumbling 1-hour windows are epoch-aligned: bucket = ts - ts % 3600
+ORACLE_WINDOWED_STREAM = """
+WITH e AS (
+  SELECT event_type,
+         1700000000 + event_id * 60 AS ts,
+         CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS vfp
+  FROM events
+)
+SELECT strftime(make_timestamp((ts - ts % 3600) * 1000000),
+                '%Y-%m-%d %H:%M:%S') AS bucket,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(vfp) AS DOUBLE) / 1000000.0 AS sum_value
+FROM e GROUP BY 1, 2
+"""
+
+ORACLE_STATEFUL_TOTALS = """
+SELECT event_id % 7 AS key,
+       count(*) AS n,
+       CAST(sum(CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT))
+            AS DOUBLE) / 1000000.0 AS total
+FROM events GROUP BY 1
+"""
+
+ORACLE_STREAM_JOIN = """
+WITH e AS (
+  SELECT event_id, event_type, value,
+         1700000000 + event_id * 60 AS ts,
+         event_id % 13 AS ukey
+  FROM events
+),
+c AS (SELECT ukey, event_id AS click_id, ts AS click_ts
+      FROM e WHERE event_type = 'click'),
+p AS (SELECT ukey, event_id AS purchase_id, ts AS purchase_ts, value
+      FROM e WHERE event_type = 'purchase')
+SELECT c.ukey AS jkey, click_id, purchase_id, round(value, 6) AS purchase_value
+FROM c JOIN p ON c.ukey = p.ukey
+ AND p.purchase_ts >= c.click_ts
+ AND p.purchase_ts <= c.click_ts + 3600
+"""
+
+ORACLE_DEDUP_STREAM = """
+SELECT DISTINCT event_type, event_id % 50 AS bucket
+FROM events ORDER BY event_type, bucket
+"""
+
+# session windows: islands split where the time since the previous event in
+# the group is STRICTLY > gap (verified against Spark: an event arriving
+# exactly `gap` after the latest still merges into the session);
+# end = last event + gap
+ORACLE_SESSION_STREAM = """
+WITH e AS (
+  SELECT event_type,
+         1700000000 + event_id * 60 AS ts,
+         CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS vfp
+  FROM events
+),
+g AS (
+  SELECT *,
+    CASE WHEN coalesce(ts - lag(ts) OVER (PARTITION BY event_type ORDER BY ts),
+                       601) > 600
+         THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY event_type ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT strftime(make_timestamp(min(ts) * 1000000),
+                '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(make_timestamp((max(ts) + 600) * 1000000),
+                '%Y-%m-%d %H:%M:%S') AS session_end,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(vfp) AS DOUBLE) / 1000000.0 AS sum_value
+FROM s GROUP BY event_type, sid
+"""
+
 ORACLE: dict[str, str] = {
+    "s_kernel_stream": ORACLE_KERNEL_STREAM,
+    "s_windowed_stream": ORACLE_WINDOWED_STREAM,
+    "s_stateful_totals": ORACLE_STATEFUL_TOTALS,
+    "s_stream_join": ORACLE_STREAM_JOIN,
+    "s_dedup_stream": ORACLE_DEDUP_STREAM,
+    "s_session_stream": ORACLE_SESSION_STREAM,
     "s_cdc_apply": ORACLE_CDC_APPLY,
 }
