@@ -31,9 +31,11 @@ def test_relational_query_matches_oracle(spark, duck, name):
 def test_q53_sketch_error_bounds(spark):
     """The sketch forms (HLL++ distinct, approx percentile) must track
     their exact twins within tight bounds — the contract that justifies
-    swapping them in at 100 TB (SURVEY.md §9)."""
+    swapping them in at 100 TB (SURVEY.md §9). The query emits the bound
+    checks as booleans (so the driver oracle can assert them too); this
+    test pins them all TRUE."""
     rows = relational.QUERIES["q53_sketch_stats"](spark, SF_DIR_CORRECTNESS).collect()
     assert rows
     for r in rows:
-        assert abs(r["approx_orders"] - r["exact_orders"]) <= 0.05 * r["exact_orders"]
-        assert abs(r["approx_p50"] - r["exact_p50"]) <= 0.02 * abs(r["exact_p50"])
+        assert r["approx_orders_ok"], r
+        assert r["approx_p50_ok"], r

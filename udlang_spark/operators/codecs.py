@@ -28,6 +28,37 @@ class UnsupportedMedia(ValueError):
     """Raised when bytes are not a media format this module can parse."""
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def split_png_stream(data: bytes) -> list[bytes]:
+    """Split a concatenated-PNG stream (the 'multi-PNG video container')
+    into individual PNG byte strings by WALKING each image's chunk
+    structure to its IEND chunk — a real container parse over the
+    length-prefixed chunk framing, not a signature scan, so compressed
+    pixel data that happens to contain the 8-byte PNG magic cannot split
+    a frame in half."""
+    frames: list[bytes] = []
+    pos, n = 0, len(data)
+    while pos < n:
+        if data[pos : pos + 8] != PNG_SIG:
+            raise UnsupportedMedia(f"container: expected PNG magic at {pos}")
+        i = pos + 8
+        while True:
+            if i + 8 > n:
+                raise UnsupportedMedia("container: truncated PNG chunk")
+            (length,) = struct.unpack(">I", data[i : i + 4])
+            ctype = data[i + 4 : i + 8]
+            i += 12 + length  # len + type + body + crc
+            if ctype == b"IEND":
+                break
+        if i > n:
+            raise UnsupportedMedia("container: truncated final chunk")
+        frames.append(data[pos:i])
+        pos = i
+    return frames
+
+
 # ---------------------------------------------------------------------------
 # metadata sniffing
 # ---------------------------------------------------------------------------

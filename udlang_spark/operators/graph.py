@@ -22,6 +22,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# fixed-point rank unit: 1e-15. Ranks sum to ~1, so per-rank magnitude is
+# ≤ SCALE and the damped inflow product stays < 100·SCALE « 2^63.
+SCALE = 10**15
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -31,11 +36,21 @@ def pagerank(
 ) -> DataFrame:
     """Standard damped PageRank with dangling-mass redistribution.
 
-    Returns (id, rank) with Σrank = 1 (up to float associativity — rank
-    sums are parallel float adds, so exact determinism is NOT claimed;
-    tests check against a numpy reference to 1e-9, and the contract query
-    rounds to 6 decimals).
+    Rank arithmetic is fixed-point int64 in 1e-15 units: contributions are
+    floor divisions (rank div out_deg), damping is integer percent
+    arithmetic, and all sums are exact integer adds — the result is
+    BIT-DETERMINISTIC under any partitioning, accumulation order, or
+    replay (and therefore DuckDB-oracle-checkable via an unrolled CTE
+    chain), unlike a float power iteration whose parallel adds drift.
+    Quantization costs ≤ ~in_deg·n_iter units of 1e-15 per rank — far
+    inside the 1e-9 agreement the numpy pytest asserts. Σrank falls short
+    of 1 by the total floor loss (~1e-12), not by float error.
+
+    Returns (id, rank double = fp/1e15).
     """
+    if not (0 < damping < 1):
+        raise ValueError("damping must be in (0, 1)")
+    dnum = int(round(damping * 100))  # damping as integer percent
     nodes = (
         edges.select(F.col(src).alias("id"))
         .unionByName(edges.select(F.col(dst).alias("id")))
@@ -46,20 +61,21 @@ def pagerank(
     out_deg = edges.groupBy(F.col(src).alias("id")).agg(
         F.count(F.lit(1)).alias("deg")
     ).persist()
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (100 - dnum) * SCALE // (100 * n)
+    ranks = nodes.withColumn("r", F.lit(SCALE // n).cast("long"))
     e = edges.select(F.col(src).alias("id"), F.col(dst).alias("dst")).persist()
     for _ in range(n_iter):
         with_deg = ranks.join(out_deg, "id", "left")
         # dangling mass: ranks of nodes with no out-edges, redistributed
         # uniformly — one O(1) scalar to the driver per iteration
-        dangling = (
+        dangling = int(
             with_deg.filter(F.col("deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .agg(F.coalesce(F.sum("r"), F.lit(0)))
             .collect()[0][0]
         )
         contribs = (
             e.join(with_deg.filter(F.col("deg").isNotNull()), "id")
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .select("dst", F.expr("r div deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
@@ -67,12 +83,14 @@ def pagerank(
             nodes.join(contribs, nodes.id == contribs.dst, "left")
             .select(
                 "id",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
-                ).alias("rank"),
+                F.expr(
+                    f"CAST({base} AS BIGINT) + (CAST({dnum} AS BIGINT) * "
+                    f"(coalesce(inflow, CAST(0 AS BIGINT)) + "
+                    f"CAST({dangling // n} AS BIGINT))) div 100"
+                ).alias("r"),
             )
             .localCheckpoint(eager=True)  # truncate lineage each iteration
         )
-    return ranks
+    return ranks.select(
+        "id", (F.col("r").cast("double") / F.lit(float(SCALE))).alias("rank")
+    )

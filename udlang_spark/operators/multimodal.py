@@ -259,9 +259,14 @@ def sample_frames(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",
     n_frames: int = 3,
 ) -> DataFrame:
-    """1→N frame sampling shape: each payload yields n_frames fake frames
-    (deterministic slices). A real video pipeline swaps the slicer for an
-    ffmpeg keyframe extractor with the identical Spark plumbing."""
+    """1→N frame sampling via mapInPandas. Payloads that are a
+    concatenated-PNG container (codecs.split_png_stream — real chunk-walk
+    parsing) yield n_frames REAL frames, uniformly sampled in temporal
+    order (source frame (i·N_src)//n_frames — the keyframe-stride shape an
+    ffmpeg extractor would use); any other payload falls back to
+    deterministic byte slices so the 1→N plumbing is exercised on
+    arbitrary binaries too. Identical Spark plumbing either way."""
+    from udlang_spark.operators import codecs
 
     def sample(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -270,11 +275,102 @@ def sample_frames(
             rows = {"doc_id": [], "frame_idx": [], "frame": []}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload)
-                step = max(len(data) // n_frames, 1)
-                for i in range(n_frames):
+                if data[: len(codecs.PNG_SIG)] == codecs.PNG_SIG:
+                    src = codecs.split_png_stream(data)
+                    picks = [
+                        src[(i * len(src)) // n_frames] for i in range(n_frames)
+                    ]
+                else:
+                    step = max(len(data) // n_frames, 1)
+                    picks = [
+                        data[i * step : (i + 1) * step] for i in range(n_frames)
+                    ]
+                for i, fr in enumerate(picks):
                     rows["doc_id"].append(doc_id)
                     rows["frame_idx"].append(i)
-                    rows["frame"].append(data[i * step : (i + 1) * step])
+                    rows["frame"].append(fr)
             yield pd.DataFrame(rows)
 
     return df.select(id_col, payload_col).mapInPandas(sample, FRAME_SCHEMA)
+
+
+VIDEO_N_FRAMES = 5
+VIDEO_W = VIDEO_H = 4
+
+
+def attach_video(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL multi-PNG video container per row: 5 frames of
+    4×4 RGB whose 48 pixel bytes are the md5 digests of
+    f\"{id}:{frame}:{j}\" for j in 0..2, each frame encoded with
+    codecs.encode_png (zlib DEFLATE, CRC chunks) and concatenated. The
+    container round-trips through the real PNG codec, and because the
+    pixels derive from md5 alone, a SQL oracle can reproduce the decoded
+    bytes independently (m_video_frames)."""
+    import numpy as np
+    import pandas as pd
+
+    from udlang_spark.operators import codecs
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("video", BinaryType())]
+    )
+
+    def make(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            vids = []
+            for doc_id in pdf[id_col]:
+                frames = []
+                for f in range(VIDEO_N_FRAMES):
+                    raw = b"".join(
+                        hashlib.md5(f"{doc_id}:{f}:{j}".encode()).digest()
+                        for j in range(3)
+                    )
+                    px = np.frombuffer(raw, dtype=np.uint8).reshape(
+                        VIDEO_H, VIDEO_W, 3
+                    )
+                    frames.append(codecs.encode_png(px))
+                vids.append(b"".join(frames))
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "video": vids})
+
+    return df.select(id_col).mapInPandas(make, schema)
+
+
+FRAME_DIGEST_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("px_hex", StringType()),
+    ]
+)
+
+
+def decode_frame_digests(df: DataFrame, frame_col: str = "frame") -> DataFrame:
+    """Fully decode each sampled frame (codecs.decode_pixels — real PNG
+    unfilter + inflate) and emit its dimensions plus the hex of the raw
+    pixel bytes: a value-stable, SQL-comparable witness that the decode
+    recovered the exact pixel content."""
+    from udlang_spark.operators import codecs
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ws, hs, hexes = [], [], []
+            for fb in pdf[frame_col]:
+                px = codecs.decode_pixels(bytes(fb))
+                hs.append(int(px.shape[0]))
+                ws.append(int(px.shape[1]))
+                hexes.append(px.tobytes().hex())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "frame_idx": pdf["frame_idx"].values,
+                    "width": ws,
+                    "height": hs,
+                    "px_hex": hexes,
+                }
+            )
+
+    return df.mapInPandas(run, FRAME_DIGEST_SCHEMA)

@@ -566,9 +566,11 @@ SELECT label, n, array_to_string([{_CENTROID_LIST}], ',') AS centroid_micros FRO
 
 
 def e_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-round deterministic k-means (k=8, seeded with vec_ids 0..7) —
-    iterative algorithm, not SQL-expressible in one statement: rows-only
-    driver check; exact equivalence to a numpy reference implementation is
+    """3-round deterministic k-means (k=8, seeded with the first k vectors
+    by id). Iterative, but every round is deterministic (round-6 cosine
+    assignment, fixed-point centroid update), so the loop unrolls into a
+    chained-CTE DuckDB oracle (ORACLE_KMEANS via _kmeans_cte); exact
+    equivalence to a numpy reference implementation is additionally
     pytest-enforced (tests/test_llm_oracle.py)."""
     emb = load_table(spark, "embeddings", sf_dir)
     return similarity.kmeans_assign(emb, "embedding", "vec_id", k=8, n_iter=3)
@@ -609,12 +611,84 @@ GROUP BY tok ORDER BY n DESC, tok LIMIT 20
 def e_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup: k-means clusters bound the quadratic
     cosine compare; within a cluster, lower id wins at cosine ≥ 0.5.
-    Iterative k-means inside → rows-only driver check; exact equivalence
-    to a numpy reference is pytest-enforced (tests/test_llm_oracle.py)."""
+    The iterative k-means inside is nonetheless oracle-checkable: every
+    round is deterministic (round-6 cosine assignment, fixed-point centroid
+    update), so the whole loop unrolls into chained CTEs (ORACLE_SEMDEDUP).
+    Exact equivalence to a numpy reference is additionally pytest-enforced
+    (tests/test_llm_oracle.py)."""
     emb = load_table(spark, "embeddings", sf_dir)
     return dedup.semantic_dedup(
         emb, "embedding", "vec_id", k=8, n_iter=3, threshold=0.5
     ).orderBy("vec_id")
+
+
+def _kmeans_cte(k: int = 8, n_iter: int = 3) -> str:
+    """Unrolled DuckDB CTE chain reproducing operators.similarity.
+    kmeans_assign bit-for-bit: every step is either exact integer
+    arithmetic (fixed-point centroid sums), a correctly-rounded IEEE op
+    identical in both engines, or a round-6 comparison. a{i} is the
+    assignment of round i (against centroids c{i-1}); c{i} the post-round
+    centroids, with empty clusters keeping their previous centroid."""
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+  FROM e ORDER BY vec_id LIMIT {k}
+)""",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""s{i} AS (
+  SELECT e.vec_id, c.cid,
+    round(list_dot_product(e.v, c.cv) /
+          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6)
+      AS cos
+  FROM e, c{i - 1} c
+)""")
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, cid, cos FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+    FROM s{i}
+  ) WHERE rk = 1
+)""")
+        if i < n_iter:
+            parts.append(f"""u{i} AS (
+  SELECT cid, d, sum(CAST(round(x * 1000000) AS BIGINT)) AS s, count(*) AS n
+  FROM (
+    SELECT a.cid, generate_subscripts(e.v, 1) AS d, unnest(e.v) AS x
+    FROM a{i} a JOIN e USING (vec_id)
+  ) GROUP BY 1, 2
+)""")
+            parts.append(f"""c{i} AS (
+  SELECT p.cid, coalesce(q.cv, p.cv) AS cv
+  FROM c{i - 1} p LEFT JOIN (
+    SELECT cid, list(CAST(s AS DOUBLE) / 1000000.0 / n ORDER BY d) AS cv
+    FROM u{i} GROUP BY cid
+  ) q ON p.cid = q.cid
+)""")
+    return "WITH " + ",\n".join(parts)
+
+
+ORACLE_KMEANS = (
+    _kmeans_cte()
+    + "\nSELECT vec_id, cid AS centroid, cos AS cos_sim FROM a3\n"
+)
+
+ORACLE_SEMDEDUP = (
+    _kmeans_cte()
+    + """,
+dr AS (
+  SELECT DISTINCT bb.vec_id
+  FROM a3 aa JOIN a3 bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+  JOIN e ea ON ea.vec_id = aa.vec_id
+  JOIN e eb ON eb.vec_id = bb.vec_id
+  WHERE round(list_dot_product(ea.v, eb.v) /
+        (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))),
+        6) >= 0.5
+)
+SELECT a3.vec_id, a3.cid AS centroid, (dr.vec_id IS NULL) AS keep
+FROM a3 LEFT JOIN dr ON a3.vec_id = dr.vec_id
+"""
+)
 
 
 def e_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -748,16 +822,67 @@ FROM documents
 
 
 def m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1→N frame sampling via mapInPandas (rows-only: binary frame payloads)."""
+    """1→N frame sampling via mapInPandas over arbitrary binaries (text
+    payloads here → the deterministic byte-slicer path). The slice
+    arithmetic is pure integer math on the byte length, so the DuckDB
+    oracle reproduces every frame length exactly."""
     docs = multimodal.attach_payload(load_table(spark, "documents", sf_dir))
     return multimodal.sample_frames(docs, n_frames=3).select(
         "doc_id", "frame_idx", F.octet_length("frame").alias("frame_len")
     )
 
 
+ORACLE_M_FRAMES = """
+WITH d AS (
+  SELECT doc_id, octet_length(encode(text)) AS len,
+         greatest(octet_length(encode(text)) // 3, 1) AS s
+  FROM documents
+)
+SELECT doc_id, CAST(f.i AS INTEGER) AS frame_idx,
+       greatest(least((f.i + 1) * s, len) - f.i * s, 0) AS frame_len
+FROM d, (SELECT unnest([0, 1, 2]) AS i) f
+"""
+
+
+def m_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-frame sampling end to end: synthesize a multi-PNG
+    container per document (real zlib/CRC PNG encode of md5-derived 4×4
+    RGB frames), chunk-walk it apart (codecs.split_png_stream), uniformly
+    sample 3 of 5 frames, and fully re-decode each sampled frame
+    (inflate + unfilter) to its pixel bytes. The output witnesses the
+    decoded pixels as hex; the oracle reproduces them from md5 alone, so
+    any corruption anywhere in encode → container → split → decode
+    mismatches.
+
+    Scale: everything is Arrow-batched mapInPandas over doc_id
+    partitions; payload bytes never leave the executors — only the tiny
+    (doc, frame, hex) witness relation comes back."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    vids = multimodal.attach_video(docs)
+    frames = multimodal.sample_frames(
+        vids, payload_col="video", n_frames=3
+    )
+    return multimodal.decode_frame_digests(frames)
+
+
+# sampled source frame for output index i is (i*5)//3 → 0, 1, 3; each
+# frame's 48 pixel bytes are md5(doc:frame:j) for j in 0..2, so px_hex is
+# the concatenation of the three digest hex strings
+ORACLE_M_VIDEO_FRAMES = """
+SELECT doc_id, CAST(f.i AS INTEGER) AS frame_idx,
+       4 AS width, 4 AS height,
+       md5(doc_id || ':' || ((f.i * 5) // 3) || ':0')
+       || md5(doc_id || ':' || ((f.i * 5) // 3) || ':1')
+       || md5(doc_id || ':' || ((f.i * 5) // 3) || ':2') AS px_hex
+FROM documents, (SELECT unnest([0, 1, 2]) AS i) f
+"""
+
+
 def m_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """payload → FEATURE_DIM float vector via mapInPandas; surfaced as the
-    vector norm + dim so the check is value-stable (rows-only)."""
+    vector norm + dim. The fake-mode features are md5-digest bytes /255 in
+    float32, so the DuckDB oracle reproduces the norm from md5(text)
+    with matching float32 casts."""
     docs = multimodal.attach_payload(load_table(spark, "documents", sf_dir))
     feats = multimodal.extract_features(docs)
     return feats.select(
@@ -774,6 +899,21 @@ def m_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("norm"),
     )
+
+
+ORACLE_M_FEATURES = """
+WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+b AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, 15), j ->
+      CAST(CAST(CAST(concat('0x', substr(hx, j * 2 + 1, 2)) AS INTEGER)
+                / 255.0 AS REAL) AS DOUBLE)) AS xs
+  FROM h
+)
+SELECT doc_id, 16 AS dim,
+       round(sqrt(list_sum(list_transform(xs, x -> x * x))), 6) AS norm
+FROM b
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -987,9 +1127,11 @@ def e_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the directed 3-NN cosine graph of the embeddings —
     graph centrality as a data-quality/representativeness signal (hub
     documents in a near-dup graph are over-represented content). Iterative
-    driver loop, data stays distributed (operators/graph.py); rank sums
-    are parallel float adds so this is a rows-only contract entry with the
-    numpy-exactness check in pytest (tests/test_llm_oracle.py)."""
+    driver loop, data stays distributed (operators/graph.py). Rank
+    arithmetic is fixed-point int64 (graph.pagerank), so the iteration is
+    bit-deterministic and unrolls into a chained-CTE DuckDB oracle
+    (ORACLE_PAGERANK); a numpy power-iteration check additionally runs in
+    pytest (tests/test_llm_oracle.py)."""
     from udlang_spark.operators import graph
 
     emb = load_table(spark, "embeddings", sf_dir)
@@ -1000,6 +1142,65 @@ def e_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("id", F.round("rank", 6).alias("rank")).orderBy(
         F.col("rank").desc(), "id"
     ).limit(50)
+
+
+def _pagerank_oracle(n_iter: int = 10, dnum: int = 85, k: int = 3) -> str:
+    """Unrolled CTE chain reproducing operators.graph.pagerank bit-for-bit
+    over the k-NN cosine edge set: all rank math is integer (1e-15 units,
+    floor divisions, integer-percent damping), so every iteration is
+    exact in both engines."""
+    from udlang_spark.operators.graph import SCALE
+
+    parts = [
+        "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        """p AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+    round(list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+      AS cos_sim
+  FROM e a, e b WHERE a.vec_id <> b.vec_id
+)""",
+        f"""ed AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst) AS rnk
+    FROM p
+  ) WHERE rnk <= {k}
+)""",
+        """nodes AS MATERIALIZED (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM ed UNION ALL SELECT dst FROM ed)
+)""",
+        "meta AS MATERIALIZED (SELECT count(*) AS n FROM nodes)",
+        "deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM ed GROUP BY 1)",
+        f"r0 AS MATERIALIZED (SELECT id, {SCALE} // n AS r FROM nodes, meta)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""d{i} AS MATERIALIZED (
+  SELECT coalesce(sum(r), 0) AS dang
+  FROM r{i - 1} rr LEFT JOIN deg ON rr.id = deg.id WHERE deg.deg IS NULL
+)""")
+        parts.append(f"""f{i} AS MATERIALIZED (
+  SELECT ed.dst AS id, sum(rr.r // dg.deg) AS inflow
+  FROM ed JOIN r{i - 1} rr ON ed.src = rr.id JOIN deg dg ON ed.src = dg.id
+  GROUP BY 1
+)""")
+        parts.append(f"""r{i} AS MATERIALIZED (
+  SELECT nodes.id,
+    ({(100 - dnum) * SCALE}) // (100 * meta.n)
+    + ({dnum} * (coalesce(f.inflow, 0) + d{i}.dang // meta.n)) // 100 AS r
+  FROM nodes CROSS JOIN meta CROSS JOIN d{i}
+       LEFT JOIN f{i} f ON nodes.id = f.id
+)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT id, round(CAST(r AS DOUBLE) / {float(SCALE)}, 6) AS rank
+FROM r{n_iter} ORDER BY rank DESC, id LIMIT 50
+"""
+    )
+
+
+ORACLE_PAGERANK = _pagerank_oracle()
 
 
 def e_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1641,6 +1842,7 @@ QUERIES = {
     "m_image_meta": m_image_meta,
     "m_real_decode": m_real_decode,
     "m_frames": m_frames,
+    "m_video_frames": m_video_frames,
     "m_features": m_features,
 }
 
@@ -1674,9 +1876,16 @@ ORACLE = {
     "e_label_centroids": ORACLE_LABEL_CENTROIDS,
     "e_cosine_topk": ORACLE_COSINE_TOPK,
     "e_near_dups": ORACLE_E_NEAR_DUPS,
+    "e_kmeans": ORACLE_KMEANS,
+    "e_semdedup": ORACLE_SEMDEDUP,
+    "e_pagerank": ORACLE_PAGERANK,
     "m_payload_meta": ORACLE_PAYLOAD_META,
     "m_image_meta": ORACLE_IMAGE_META,
     "m_real_decode": ORACLE_REAL_DECODE,
-    # e_ann_lsh, m_frames, m_features: rows-only (approximate / binary /
-    # float-vector Python stages)
+    "m_frames": ORACLE_M_FRAMES,
+    "m_video_frames": ORACLE_M_VIDEO_FRAMES,
+    "m_features": ORACLE_M_FEATURES,
+    # e_near_dups_lsh, e_ann_lsh, e_ivf_ann: rows-only — the bucket
+    # assignment hashes (xxhash64 sign-projections / IVF routing) have no
+    # DuckDB twin; recall-vs-exact bounds are pytest-enforced instead
 }

@@ -2057,17 +2057,50 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # shuffles every distinct key, exact percentiles sort — the sketches are
 # fixed-size, mergeable partial states (map-side combine ships ~KB per
 # partition regardless of cardinality). Sketch internals are
-# engine-specific, so this is a rows-only contract entry; the error bound
-# vs the exact twin is pytest-enforced (tests/test_relational_oracle.py).
+# engine-specific, so the contract output is the exact twins plus
+# WITHIN-BOUND booleans for the sketches: DuckDB reproduces the exact
+# values and asserts TRUE for the bounds, making the sketch path
+# driver-checkable; the raw sketch-vs-exact bound is also pytest-enforced
+# (tests/test_relational_oracle.py). Percentiles run in integer cents so
+# midpoint interpolation is exact in both engines regardless of each
+# engine's interpolation formula.
 # ---------------------------------------------------------------------------
 def q53_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
-        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("approx_p50"),
+        F.expr(
+            "percentile(CAST(l_extendedprice * 100 AS BIGINT), 0.5)"
+        ).alias("exact_p50_cents"),
+        F.expr(
+            "approx_percentile(CAST(l_extendedprice * 100 AS BIGINT), 0.5, 10000)"
+        ).alias("approx_p50_cents"),
     )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        (F.col("exact_p50_cents") / F.lit(100.0)).alias("exact_p50"),
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= 0.05 * F.col("exact_orders")
+        ).alias("approx_orders_ok"),
+        (
+            F.abs(F.col("approx_p50_cents") - F.col("exact_p50_cents"))
+            <= 0.02 * F.abs(F.col("exact_p50_cents"))
+        ).alias("approx_p50_ok"),
+    )
+
+
+ORACLE_SKETCH_STATS = """
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       quantile_cont(CAST(l_extendedprice * 100 AS BIGINT), 0.5) / 100.0
+         AS exact_p50,
+       TRUE AS approx_orders_ok,
+       TRUE AS approx_p50_ok
+FROM lineitem GROUP BY 1
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2771,6 +2804,7 @@ ORACLE = {
     "q50_funnel": ORACLE_Q50,
     "q51_transitions": ORACLE_Q51,
     "q52_retention": ORACLE_Q52,
+    "q53_sketch_stats": ORACLE_SKETCH_STATS,
     "q54_pattern_match": ORACLE_Q54,
     "q55_user_ema": ORACLE_Q55,
     "q56_nation_trade_volume": ORACLE_Q56,
