@@ -57,6 +57,7 @@ HEADLINE = [
     "t_decontam",
     "t_corpus_pipeline",
     "t_bm25_topk",
+    "t_pii_scrub",
     "e_cosine_topk",
     "e_centroid_assign",
     "e_label_centroids",
@@ -66,6 +67,7 @@ HEADLINE = [
     # multimodal (Arrow-batched mapInPandas decode)
     "m_image_meta",
     "m_real_decode",
+    "m_video_frames",
 ]
 
 

@@ -77,6 +77,17 @@ def test_parquet_typed_projection(spark, tmpdir):
         formats.read_parquet(spark, f"{tmpdir}/ev_pq", narrow)
 
 
+def test_orc_roundtrip_typed_projection(spark, tmpdir):
+    ev = load_table(spark, "events", SF_DIR_SMOKE)
+    formats.write_orc(ev.select("event_id", "event_type", "value"), f"{tmpdir}/ev_orc")
+    back = formats.read_orc(spark, f"{tmpdir}/ev_orc", RECORD_T)
+    assert [f.name for f in back.schema.fields] == ["event_id", "event_type", "value"]
+    assert back.count() == ev.count()
+    with pytest.raises(ValueError, match="lacks declared fields"):
+        narrow = ast.TRecord((ast.TRecordField("nope", ast.T_INT),))
+        formats.read_orc(spark, f"{tmpdir}/ev_orc", narrow)
+
+
 # msgpack is no longer a stub — see the codec/framing tests below.
 
 

@@ -38,9 +38,11 @@ for mod in (kernels, llm, streaming, relational):
 # array-output queries, and the round-5 oracle conversions (e_kmeans,
 # e_semdedup, e_pagerank via unrolled CTEs; all six remaining streaming
 # queries via order-exact fixed-point sums; q53's sketch-bounds form; the
-# multimodal m_frames/m_video_frames/m_features) — plus 17
+# multimodal m_frames/m_video_frames/m_features; the three ANN paths,
+# SQL-expressible once the LSH planes moved to md5 derivation) — plus 14
 # re-confirmations spread across every category, biased toward queries
-# whose code changed this round.
+# whose code changed this round. EVERY registered query now carries an
+# oracle; none are rows-only.
 _PRIORITY: list[str] = [
     # -- never driver-checked (28) --
     "q54_pattern_match",
@@ -76,14 +78,14 @@ _PRIORITY: list[str] = [
     "m_frames",
     "m_video_frames",
     "m_features",
-    # -- re-confirmations (17) --
+    "e_near_dups_lsh",
+    "e_ann_lsh",
+    "e_ivf_ann",
+    "t_pii_scrub",
+    # -- re-confirmations (13) --
     "k_hello",
     "k_count",
     "k_match_union",
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q05_region_volume",
-    "q18_asof_join",
     "q19_cube",
     "q34_upsert",
     "q41_min_cost_supplier",

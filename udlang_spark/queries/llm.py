@@ -710,32 +710,148 @@ WHERE a.vec_id < b.vec_id AND cos >= 0.45
 def e_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale form of e_near_dups: LSH-bucketed in-bucket scoring — the pair
     search never goes quadratic in the corpus, only in the bucket.
-    Approximate by bucketing, so rows-only; recall vs the exact scorer is
-    pytest-measured (tests/test_llm_oracle.py)."""
+    Approximate RELATIVE TO the exact scorer, but fully deterministic in
+    itself: the md5-derived hyperplanes are a pure function of
+    (table, plane, dim), so DuckDB re-derives the buckets and the oracle
+    checks the LSH result exactly; recall vs the exact scorer is
+    additionally pytest-measured (tests/test_llm_oracle.py)."""
     emb = load_table(spark, "embeddings", sf_dir)
     return dedup.embedding_near_dups_lsh(
         emb, "embedding", "vec_id", threshold=0.45, n_planes=4, n_tables=4
     )
 
 
+def _lsh_sig_cte(n_planes: int, n_tables: int, n_dims: int = 64) -> str:
+    """CTEs reproducing similarity.lsh_bucket_rows in DuckDB: the plane
+    matrix from md5 (verified bit-equal to the Python derivation), one
+    dot-product per (vector, table, plane), sign bits folded into the
+    't{t}:<bits>' bucket keys."""
+    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pl AS MATERIALIZED (
+  SELECT t.t, p.p, d.d,
+    (CAST(concat('0x', substr(md5('plane:' || (t.t * 1000 + p.p) || ':' || d.d),
+                              1, 16)) AS UBIGINT) % 20000006)
+      / 10000003.0 - 1 AS c
+  FROM generate_series(0, {n_tables - 1}) t(t),
+       generate_series(0, {n_planes - 1}) p(p),
+       generate_series(0, {n_dims - 1}) d(d)
+),
+plv AS MATERIALIZED (SELECT t, p, list(c ORDER BY d) AS pv FROM pl GROUP BY t, p),
+sig AS MATERIALIZED (
+  SELECT vec_id, t,
+         't' || t || ':'
+           || string_agg(CASE WHEN bit THEN '1' ELSE '0' END, '' ORDER BY p)
+           AS bucket
+  FROM (SELECT e.vec_id, plv.t, plv.p,
+               list_dot_product(e.v, plv.pv) >= 0 AS bit
+        FROM e, plv)
+  GROUP BY vec_id, t
+)"""
+
+
+_COS_PAIR = (
+    "round(list_dot_product(ea.v, eb.v) / "
+    "(sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6)"
+)
+
+ORACLE_E_NEAR_DUPS_LSH = f"""
+WITH {_lsh_sig_cte(4, 4)},
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos FROM (
+  SELECT p.id_a, p.id_b, {_COS_PAIR} AS cos
+  FROM pairs p JOIN e ea ON p.id_a = ea.vec_id JOIN e eb ON p.id_b = eb.vec_id
+) WHERE cos >= 0.45
+"""
+
+
 def e_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (coarse quantizer + n_probe cell search) —
-    approximate by design, rows-only check; recall vs brute force is
-    pytest-measured (tests/test_llm_oracle.py)."""
+    """IVF-bucketed ANN (coarse quantizer + n_probe cell search).
+    Approximate RELATIVE TO brute force, but deterministic in itself:
+    routing (argmax/top-probe cosine vs the first-16-by-id centroids) and
+    in-cell scoring are pure functions of the data, so the DuckDB oracle
+    reproduces the IVF result exactly; recall vs brute force is
+    additionally pytest-measured (tests/test_llm_oracle.py)."""
     emb = load_table(spark, "embeddings", sf_dir)
     return similarity.ivf_ann_topk(
         emb, "embedding", "vec_id", k=5, n_cells=16, n_probe=6
     )
 
 
+# routing replicates ivf_ann_topk: centroid cosine in the same op order
+# (dot / |q| / |c|, unrounded), member = rank-1 cell, probes = rank ≤ 6;
+# candidates = members of probed cells; in-cell top-k pruning is lossless
+# for the final per-query top-k, so the oracle ranks the full candidate set
+ORACLE_E_IVF_ANN = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+  FROM e ORDER BY vec_id LIMIT 16
+),
+qc AS MATERIALIZED (
+  SELECT e.vec_id, c.cell,
+         list_dot_product(e.v, c.cv)
+           / sqrt(list_dot_product(e.v, e.v))
+           / sqrt(list_dot_product(c.cv, c.cv)) AS qcos
+  FROM e, cent c
+),
+ranked AS MATERIALIZED (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY qcos DESC, cell) AS rk
+  FROM qc
+),
+member AS (SELECT vec_id, cell FROM ranked WHERE rk = 1),
+probe AS (SELECT vec_id, cell FROM ranked WHERE rk <= 6),
+cand AS (
+  SELECT p.vec_id, m.vec_id AS nbr
+  FROM probe p JOIN member m ON p.cell = m.cell AND p.vec_id <> m.vec_id
+),
+scored AS (
+  SELECT c.vec_id, c.nbr,
+    round(list_dot_product(ea.v, eb.v) /
+          (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6)
+      AS cos_sim
+  FROM cand c JOIN e ea ON c.vec_id = ea.vec_id JOIN e eb ON c.nbr = eb.vec_id
+)
+SELECT vec_id, nbr, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+
 def e_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN — approximate by design, so no SQL oracle; the
-    driver records a rows-only check and tests/test_llm_oracle.py measures
-    recall against the brute-force baseline."""
+    """LSH-bucketed ANN. Approximate RELATIVE TO brute force, but
+    deterministic in itself — the DuckDB oracle re-derives the md5 planes
+    and buckets and checks the LSH top-k exactly;
+    tests/test_llm_oracle.py additionally measures recall against the
+    brute-force baseline."""
     emb = load_table(spark, "embeddings", sf_dir)
     return similarity.lsh_ann_topk(
         emb, "embedding", "vec_id", k=5, n_planes=4, n_tables=4
     )
+
+
+# the in-bucket per-vector top-k pruning in lsh_ann_topk is lossless for
+# the final top-k (any global winner ranks ≤ k inside every bucket it
+# shares with the query), so the oracle ranks the full bucket-mate set
+ORACLE_E_ANN_LSH = f"""
+WITH {_lsh_sig_cte(4, 4)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr
+  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT c.vec_id, c.nbr, {_COS_PAIR} AS cos_sim
+  FROM cand c JOIN e ea ON c.vec_id = ea.vec_id JOIN e eb ON c.nbr = eb.vec_id
+)
+SELECT vec_id, nbr, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1467,6 +1583,85 @@ ORDER BY doc
 """
 
 
+# PII patterns kept to constructs whose match spans agree between Java
+# regex (Spark) and RE2 (DuckDB): character classes, bounded repeats, \\b
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_NUM = "\\b\\d{7,}\\b"
+
+
+def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance pass every pretraining corpus runs:
+    emails, IPv4 addresses, and ≥7-digit identifier runs are counted and
+    replaced with typed sentinels. The synthetic corpus is PII-free, so a
+    deterministic PII suffix (email + IP + long id derived from doc_id) is
+    injected first to exercise every pattern; the scrubbed text is
+    witnessed as md5 so any span difference shows up in the hash.
+
+    Scale: pure per-row regexp Column work — map-side, codegen, no
+    shuffle; at 100 TB this pass rides along any scan. Replacement order
+    (emails → IPs → digit runs) is part of the contract: each later
+    pattern sees the earlier sentinels, never raw spans they consumed."""
+    docs = load_table(spark, "documents", sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.format_string(
+            " contact user%d@mail%d.example.com from 10.%d.%d.%d ref %d",
+            F.col("doc_id"),
+            F.col("doc_id") % 7,
+            (F.col("doc_id") / 256).cast("long") % 256,
+            F.col("doc_id") % 256,
+            F.col("doc_id") % 100,
+            F.col("doc_id") * 977 + 1000000,
+        ),
+    )
+    d = docs.select("doc_id", aug.alias("t"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "[EMAIL]"),
+            _PII_IP,
+            "[IP]",
+        ),
+        _PII_NUM,
+        "[NUM]",
+    )
+    # regexp_extract_all is expr-only; Spark SQL string literals strip
+    # unknown escapes, so backslashes must be doubled in the SQL text
+    def _n(pat: str, name: str):
+        sql_pat = pat.replace("\\", "\\\\")
+        return F.expr(f"size(regexp_extract_all(t, '{sql_pat}', 0))").alias(name)
+
+    return d.select(
+        "doc_id",
+        _n(_PII_EMAIL, "n_emails"),
+        _n(_PII_IP, "n_ips"),
+        _n(_PII_NUM, "n_ids"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+ORACLE_PII_SCRUB = f"""
+WITH d AS (
+  SELECT doc_id,
+         text || printf(' contact user%d@mail%d.example.com from 10.%d.%d.%d ref %d',
+                        doc_id, doc_id % 7, (doc_id // 256) % 256,
+                        doc_id % 256, doc_id % 100,
+                        doc_id * 977 + 1000000) AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(t, '{_PII_IP}')) AS n_ips,
+       len(regexp_extract_all(t, '{_PII_NUM}')) AS n_ids,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+               '{_PII_IP}', '[IP]', 'g'),
+             '{_PII_NUM}', '[NUM]', 'g')) AS scrubbed_md5
+FROM d
+"""
+
+
 def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical pretraining-data pipeline, end to end in ONE plan:
     language-ID gate → quality gate → exact dedup → per-source sequence
@@ -1822,6 +2017,7 @@ QUERIES = {
     "t_span_corrupt": t_span_corrupt,
     "t_decontam": t_decontam,
     "t_corpus_pipeline": t_corpus_pipeline,
+    "t_pii_scrub": t_pii_scrub,
     "t_bm25_topk": t_bm25_topk,
     "d_split_leakage": d_split_leakage,
     "t_domain_mix": t_domain_mix,
@@ -1866,6 +2062,7 @@ ORACLE = {
     "t_span_corrupt": ORACLE_SPAN_CORRUPT,
     "t_decontam": ORACLE_DECONTAM,
     "t_corpus_pipeline": ORACLE_CORPUS_PIPELINE,
+    "t_pii_scrub": ORACLE_PII_SCRUB,
     "t_bm25_topk": ORACLE_BM25,
     "d_split_leakage": ORACLE_SPLIT_LEAKAGE,
     "t_domain_mix": ORACLE_DOMAIN_MIX,
@@ -1885,7 +2082,9 @@ ORACLE = {
     "m_frames": ORACLE_M_FRAMES,
     "m_video_frames": ORACLE_M_VIDEO_FRAMES,
     "m_features": ORACLE_M_FEATURES,
-    # e_near_dups_lsh, e_ann_lsh, e_ivf_ann: rows-only — the bucket
-    # assignment hashes (xxhash64 sign-projections / IVF routing) have no
-    # DuckDB twin; recall-vs-exact bounds are pytest-enforced instead
+    "e_near_dups_lsh": ORACLE_E_NEAR_DUPS_LSH,
+    "e_ann_lsh": ORACLE_E_ANN_LSH,
+    "e_ivf_ann": ORACLE_E_IVF_ANN,
+    # every registered query is oracle-checked: the ANN paths became
+    # SQL-expressible once the LSH planes moved to md5 derivation
 }

@@ -107,6 +107,33 @@ def write_parquet(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) 
     w.parquet(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, input_type: ast.Type | None = None
+) -> DataFrame:
+    """ORC scan with the same ingest-time schema enforcement as parquet —
+    ORC is the other splittable columnar format warehouses hand over, with
+    the same pushdown/pruning behavior under Catalyst."""
+    df = spark.read.orc(path)
+    if input_type is not None:
+        want = input_schema(input_type)
+        missing = [f.name for f in want.fields if f.name not in df.columns]
+        if missing:
+            raise ValueError(f"orc at {path} lacks declared fields {missing}")
+        from pyspark.sql import functions as F
+
+        df = df.select(
+            *[F.col(f.name).cast(f.dataType) for f in want.fields]
+        )
+    return df
+
+
+def write_orc(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def read_msgpack(
     spark: SparkSession, path: str, input_type: ast.Type, policy: str = "abort"
 ) -> DataFrame:
