@@ -386,3 +386,37 @@ def test_domain_mix_quota_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pii_scrub_is_pure_map(spark):
+    """PII scrubbing must ride along a scan: regexp Column work only —
+    no exchange, no Python, at any corpus size."""
+    from udlang_spark.queries import llm
+
+    plan = plan_of(llm.QUERIES["t_pii_scrub"](spark, SF_DIR_CORRECTNESS))
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no UDF fallback — stays JVM-side
+    assert "codegen id" in plan  # whole-stage codegen spans the projections
+
+
+def test_video_frames_no_shuffle(spark):
+    """attach_video → sample_frames → decode_frame_digests are chained
+    narrow mapInPandas stages: payload bytes never cross an exchange."""
+    from udlang_spark.queries import llm
+
+    plan = plan_of(llm.QUERIES["m_video_frames"](spark, SF_DIR_CORRECTNESS))
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") >= 3
+
+
+def test_lsh_near_dups_single_bucket_shuffle(spark):
+    """The LSH near-dup plan shuffles on bucket keys and dedups pairs —
+    never a cartesian/broadcast-nested-loop pair join, and the bucket
+    stage is one narrow GEMM mapInPandas."""
+    from udlang_spark.queries import llm
+
+    plan = plan_of(llm.QUERIES["e_near_dups_lsh"](spark, SF_DIR_CORRECTNESS))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan  # GEMM bucket stage
+    assert "FlatMapGroupsInPandas" in plan  # in-bucket scorer
