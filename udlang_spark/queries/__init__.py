@@ -82,11 +82,11 @@ _PRIORITY: list[str] = [
     "e_ann_lsh",
     "e_ivf_ann",
     "t_pii_scrub",
-    # -- re-confirmations (13) --
+    "q66_salted_join",
+    # -- re-confirmations (12) --
     "k_hello",
     "k_count",
     "k_match_union",
-    "q19_cube",
     "q34_upsert",
     "q41_min_cost_supplier",
     "q44_fuzzy_part_pairs",

@@ -2683,6 +2683,35 @@ WHERE status <> 'unchanged' ORDER BY o_orderkey
 """
 
 
+# ---------------------------------------------------------------------------
+# q66 — skew-safe salted join (operators/skew.py): the explicit form for
+# PLANNED skew, when one key's fan-in is known pathological. The salt only
+# changes shuffle distribution — the result is exactly the plain join, which
+# is what the oracle checks.
+# ---------------------------------------------------------------------------
+def q66_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udlang_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, "user_id", n_salts=8)
+    return joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+ORACLE_Q66 = """
+SELECT c_mktsegment, event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_forecast_revenue": q02_forecast_revenue,
@@ -2749,6 +2778,7 @@ QUERIES = {
     "q63_running_distinct": q63_running_distinct,
     "q64_global_seq": q64_global_seq,
     "q65_snapshot_diff": q65_snapshot_diff,
+    "q66_salted_join": q66_salted_join,
 }
 
 ORACLE = {
@@ -2817,4 +2847,5 @@ ORACLE = {
     "q63_running_distinct": ORACLE_Q63,
     "q64_global_seq": ORACLE_Q64,
     "q65_snapshot_diff": ORACLE_Q65,
+    "q66_salted_join": ORACLE_Q66,
 }
