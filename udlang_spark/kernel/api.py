@@ -7,7 +7,8 @@ unchanged on `spark.readStream` inputs (see udlang_spark/streaming/).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -30,6 +31,13 @@ class Kernel:
     max_depth: int = MAX_RECURSION_DEPTH
     # pre-parsed lib programs for `import` linking (name -> lib AST)
     libs: dict[str, ast.Program] | None = None
+    # compiled-expression cache: Column trees are immutable and independent
+    # of any particular DataFrame (they resolve by column NAME), so the
+    # expensive symbolic compile + py4j tree construction — measured ~1 s
+    # for a depth-48 recursion unroll, more than the query's own execution
+    # at sf0.1 — runs once per (input_col, keep, out_name, mode), not once
+    # per apply(). A long-running engine compiles each kernel shape once.
+    _expr_cache: dict = field(default_factory=dict, repr=False, compare=False)
 
     @property
     def input_type(self) -> ast.Type:
@@ -118,6 +126,22 @@ class Kernel:
 
         return df.select(*keep, in_col).mapInPandas(run, schema)
 
+    def _resolved_input_col(self, df: DataFrame, input_col: str | None) -> str | None:
+        """The column name `in` binds to — the only df-dependent part of
+        expression construction (and only when input_col defaults)."""
+        it = Compiler(self.program, self.max_depth, self.libs).resolve_type(
+            self.program.input
+        )
+        if isinstance(it, ast.TRecord):
+            return None  # record inputs bind by field names, not input_col
+        if input_col is None:
+            if len(df.columns) != 1:
+                raise KernelTypeError(
+                    "scalar-input kernel on a multi-column DataFrame: pass input_col"
+                )
+            return df.columns[0]
+        return input_col
+
     def _filter_select_fastpath(
         self, df: DataFrame, input_col: str | None, keep: tuple[str, ...],
         out_name: str,
@@ -127,15 +151,39 @@ class Kernel:
         instead of posexplode(when(...)). This keeps the predicate a plain
         Filter node, so Catalyst pushes it into the parquet scan — at scale
         the difference between reading a partition and skipping it."""
+        key = ("fast", self._resolved_input_col(df, input_col), keep, out_name)
+        cached = self._expr_cache.get(key)
+        if cached is not None:
+            if cached[0] == "none":
+                return None
+            if cached[0] == "out":
+                return df.select(
+                    *[F.col(c) for c in keep], cached[1].alias(out_name)
+                )
+            return df.filter(cached[1]).select(
+                *[F.col(c) for c in keep], cached[2].alias(out_name)
+            )
+        result = self._fastpath_columns(df, input_col)
+        self._expr_cache[key] = result
+        if result[0] == "none":
+            return None
+        if result[0] == "out":
+            return df.select(*[F.col(c) for c in keep], result[1].alias(out_name))
+        return df.filter(result[1]).select(
+            *[F.col(c) for c in keep], result[2].alias(out_name)
+        )
+
+    def _fastpath_columns(self, df: DataFrame, input_col: str | None):
+        """("none",) | ("out", out_col) | ("filter", pred_col, out_col)."""
         body = [s for s in self.program.body]
         decls = self.program.decls
         # declarations must be pure (no `out` at init time) — funcs/lets are;
         # conservative: allow any decls, they contribute no rows unless they
         # contain Out/iteration statements
         if any(isinstance(s, (ast.Out, ast.ListIter, ast.MapIter, ast.Suppose)) for s in decls):
-            return None
+            return ("none",)
         if len(body) != 1:
-            return None
+            return ("none",)
         comp = Compiler(self.program, self.max_depth, self.libs)
         env: dict = {**BUILTINS, "in": self._in_sval(df, input_col)}
         for d in decls:
@@ -144,9 +192,9 @@ class Kernel:
         if isinstance(stmt, ast.Out):
             val, outs = comp.compile_expr(stmt.value, env)
             if outs is not None:
-                return None
+                return ("none",)
             out_col = comp.coerce_to(val, comp.resolve_type(self.program.output))
-            return df.select(*[F.col(c) for c in keep], out_col.alias(out_name))
+            return ("out", out_col)
         if (
             isinstance(stmt, ast.ExprStmt)
             and isinstance(stmt.expr, ast.Cond)
@@ -160,18 +208,16 @@ class Kernel:
                 and len(block.stmts) == 1
                 and isinstance(block.stmts[0], ast.Out)
             ):
-                return None
+                return ("none",)
             pval, pouts = comp.compile_expr(pred_ast, env)
             oval, oouts = comp.compile_expr(block.stmts[0].value, env)
             if pouts is not None or oouts is not None:
-                return None
+                return ("none",)
             out_col = comp.coerce_to(oval, comp.resolve_type(self.program.output))
             from udlang_spark.kernel.compiler import as_col
 
-            return df.filter(as_col(pval)).select(
-                *[F.col(c) for c in keep], out_col.alias(out_name)
-            )
-        return None
+            return ("filter", as_col(pval), out_col)
+        return ("none",)
 
     def apply(
         self,
@@ -214,7 +260,12 @@ class Kernel:
             fast = self._filter_select_fastpath(df, input_col, keep, out_name)
             if fast is not None:
                 return fast
-        outs, dbg = self._outputs_and_debug(self._in_sval(df, input_col))
+        key = ("main", self._resolved_input_col(df, input_col))
+        cached = self._expr_cache.get(key)
+        if cached is None:
+            cached = self._outputs_and_debug(self._in_sval(df, input_col))
+            self._expr_cache[key] = cached
+        outs, dbg = cached
         exploded = F.posexplode(outs)
         cols = [F.col(c) for c in keep]
         if debug and dbg is not None:
@@ -229,15 +280,29 @@ class Kernel:
         return to_spark(Compiler(self.program, libs=self.libs).resolve_type(self.program.output))
 
 
+@lru_cache(maxsize=256)
+def _compile_kernel_cached(
+    source: str, max_depth: int, libs_items: tuple[tuple[str, str], ...]
+) -> Kernel:
+    parsed_libs = {name: parse(src) for name, src in libs_items}
+    return Kernel(parse(source), max_depth=max_depth, libs=parsed_libs or None)
+
+
 def compile_kernel(
     source: str,
     max_depth: int = MAX_RECURSION_DEPTH,
     libs: dict[str, str] | None = None,
 ) -> Kernel:
     """Compile kernel source; `libs` maps importable module names to lib
-    source text (compile-time linking — SURVEY.md §2.10 modules row)."""
-    parsed_libs = {name: parse(src) for name, src in (libs or {}).items()}
-    return Kernel(parse(source), max_depth=max_depth, libs=parsed_libs or None)
+    source text (compile-time linking — SURVEY.md §2.10 modules row).
+
+    Memoized on (source, max_depth, libs): recompiling the same kernel
+    text returns the SAME Kernel, whose compiled-expression cache then
+    makes repeat apply() calls skip parse + symbolic compile + py4j
+    Column-tree construction entirely — the engine's query-plan cache."""
+    return _compile_kernel_cached(
+        source, max_depth, tuple(sorted((libs or {}).items()))
+    )
 
 
 def compile_kernel_file(
