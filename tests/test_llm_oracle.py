@@ -315,3 +315,31 @@ def test_lsh_near_dups_recall_vs_exact(spark):
     recall = len(hit) / max(len(exact), 1)
     assert recall > 0.5, f"LSH near-dup recall too low: {recall:.2f}"
     assert all(abs(exact[p] - approx[p]) < 1e-9 for p in hit)
+
+
+def test_lsh_buckets_partition_invariant(spark):
+    """Bucket assignment must be a pure function of the row — identical
+    under any partitioning (the property that makes LSH results stable
+    across retries, speculative execution, and cluster resizes)."""
+    from udlang_spark.operators.similarity import lsh_bucket_rows
+    from udlang_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", SF_DIR_CORRECTNESS)
+    a = lsh_bucket_rows(emb.repartition(1), "embedding", "vec_id", 4, 64, 2)
+    b = lsh_bucket_rows(emb.repartition(32), "embedding", "vec_id", 4, 64, 2)
+    sa = {(r["id"], r["bucket"]) for r in a.select("id", "bucket").collect()}
+    sb = {(r["id"], r["bucket"]) for r in b.select("id", "bucket").collect()}
+    assert sa == sb and len(sa) == emb.count() * 2
+
+
+def test_release_caches_unpersists(spark):
+    """persist_tracked registers with the session cache registry and
+    release_caches() actually drops the blocks."""
+    from udlang_spark.session import persist_tracked, release_caches
+    from udlang_spark.sources.tables import load_table
+
+    df = persist_tracked(load_table(spark, "region", SF_DIR_CORRECTNESS))
+    df.count()
+    assert df.storageLevel.useMemory or df.storageLevel.useDisk
+    release_caches()
+    assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)
