@@ -67,6 +67,17 @@ def test_explain_query():
     assert "q01_pricing_summary" in listing and "d_minhash_lsh" in listing
 
 
+def test_query_subcommand(tmp_path):
+    got = _cli("query", "q27_grouping_sets", "--limit", "5")
+    import json
+
+    rows = [json.loads(l) for l in got.strip().splitlines() if l.startswith("{")]
+    assert 1 <= len(rows) <= 5
+    out = tmp_path / "q27_out"
+    got2 = _cli("query", "q27_grouping_sets", "--output", str(out))
+    assert "wrote" in got2 and out.exists()
+
+
 def test_lift_lower_pipeline(tmp_path):
     """udlift | udlower parity: json frames → typed parquet → msgpack
     frame-stream, decoded back losslessly with the codec."""

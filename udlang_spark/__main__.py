@@ -189,6 +189,31 @@ def _explain(query: str, sf_dir: str) -> int:
     return 0
 
 
+def _query(query: str, sf_dir: str, limit: int, output: str | None) -> int:
+    """Execute a registered query against a testdata scale-factor dir and
+    emit JSON lines (or write parquet with --output) — the run-anything
+    surface a user switching from the reference drives first."""
+    from udlang_spark.queries import QUERIES
+    from udlang_spark.session import get_spark, release_caches
+
+    if query not in QUERIES:
+        print(f"unknown query {query!r}; `explain list` shows all", file=sys.stderr)
+        return 2
+    spark = get_spark("udlang_query")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = QUERIES[query](spark, sf_dir)
+    try:
+        if output:
+            df.write.mode("overwrite").parquet(output)
+            print(f"wrote {output}")
+            return 0
+        for line in df.limit(limit).toJSON().collect():
+            print(line)
+        return 0
+    finally:
+        release_caches()
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="udlang_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -204,6 +229,11 @@ def main(argv: list[str] | None = None) -> int:
     e = sub.add_parser("explain")
     e.add_argument("query", help="registered query name, or `list`")
     e.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q = sub.add_parser("query")
+    q.add_argument("name", help="registered query name (`explain list` shows all)")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=20)
+    q.add_argument("--output", default=None, help="write full result as parquet")
     lf = sub.add_parser("lift")
     lf.add_argument("script")
     lf.add_argument("--input", required=True)
@@ -228,6 +258,8 @@ def main(argv: list[str] | None = None) -> int:
         return _dump_expr()
     if a.cmd == "explain":
         return _explain(a.query, a.sf_dir)
+    if a.cmd == "query":
+        return _query(a.name, a.sf_dir, a.limit, a.output)
     if a.cmd == "lift":
         return _lift(a.script, a.input, a.format, a.output, a.policy)
     if a.cmd == "lower":
