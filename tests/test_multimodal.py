@@ -228,3 +228,16 @@ def test_video_pipeline_end_to_end(spark):
         )
         assert (r["width"], r["height"]) == (4, 4)
         assert r["px_hex"] == want
+
+
+def test_sample_frames_corrupt_container_falls_back(spark):
+    """A payload starting with the PNG magic but truncated/corrupt must not
+    abort the job — it falls back to deterministic byte slices."""
+    junk = codecs.PNG_SIG + b"\x00\x01garbage-not-chunks"
+    df = spark.createDataFrame([(9, bytearray(junk))], "doc_id long, payload binary")
+    rows = multimodal.sample_frames(df, n_frames=3).collect()
+    assert len(rows) == 3
+    step = max(len(junk) // 3, 1)
+    for r in rows:
+        i = r["frame_idx"]
+        assert bytes(r["frame"]) == junk[i * step : (i + 1) * step]

@@ -152,19 +152,10 @@ class Kernel:
         Filter node, so Catalyst pushes it into the parquet scan — at scale
         the difference between reading a partition and skipping it."""
         key = ("fast", self._resolved_input_col(df, input_col), keep, out_name)
-        cached = self._expr_cache.get(key)
-        if cached is not None:
-            if cached[0] == "none":
-                return None
-            if cached[0] == "out":
-                return df.select(
-                    *[F.col(c) for c in keep], cached[1].alias(out_name)
-                )
-            return df.filter(cached[1]).select(
-                *[F.col(c) for c in keep], cached[2].alias(out_name)
-            )
-        result = self._fastpath_columns(df, input_col)
-        self._expr_cache[key] = result
+        result = self._expr_cache.get(key)
+        if result is None:
+            result = self._fastpath_columns(df, input_col)
+            self._expr_cache[key] = result
         if result[0] == "none":
             return None
         if result[0] == "out":

@@ -51,6 +51,15 @@ def pagerank(
     if not (0 < damping < 1):
         raise ValueError("damping must be in (0, 1)")
     dnum = int(round(damping * 100))  # damping as integer percent
+    if not (0 < dnum < 100) or abs(dnum - damping * 100) > 1e-9:
+        # the fixed-point iteration runs damping as an integer percent;
+        # refuse values it cannot represent rather than silently computing
+        # a different algorithm (0.857 → 0.86) or a degenerate one
+        # (0.004 → pure teleport, 0.999 → no teleport mass)
+        raise ValueError(
+            f"damping={damping} is not an exact integer percent in (0, 1); "
+            "use a two-decimal damping (e.g. 0.85)"
+        )
     nodes = (
         edges.select(F.col(src).alias("id"))
         .unionByName(edges.select(F.col(dst).alias("id")))

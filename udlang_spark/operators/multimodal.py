@@ -275,12 +275,20 @@ def sample_frames(
             rows = {"doc_id": [], "frame_idx": [], "frame": []}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload)
+                picks = None
                 if data[: len(codecs.PNG_SIG)] == codecs.PNG_SIG:
-                    src = codecs.split_png_stream(data)
-                    picks = [
-                        src[(i * len(src)) // n_frames] for i in range(n_frames)
-                    ]
-                else:
+                    try:
+                        src = codecs.split_png_stream(data)
+                        picks = [
+                            src[(i * len(src)) // n_frames]
+                            for i in range(n_frames)
+                        ]
+                    except codecs.UnsupportedMedia:
+                        # starts with the PNG magic but isn't a well-formed
+                        # container (truncated/corrupt) — a bad row must not
+                        # abort the job; fall through to the byte slicer
+                        picks = None
+                if picks is None:
                     step = max(len(data) // n_frames, 1)
                     picks = [
                         data[i * step : (i + 1) * step] for i in range(n_frames)

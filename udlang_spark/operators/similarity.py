@@ -363,8 +363,13 @@ def kmeans_assign(
 
 def _plane_matrix(n_planes: int, n_dims: int, table: int):
     """(n_dims, n_planes) float64 hyperplane matrix with deterministic
-    md5-derived components in [-1, 1) — a pure function of (table, plane,
-    dim), so every executor, retry, and engine derives identical planes."""
+    md5-derived INTEGER components in [-1e7, 1e7) — a pure function of
+    (table, plane, dim), so every executor, retry, and engine derives
+    identical planes. Integer components (the plane's scale is irrelevant
+    to a sign test) make the projection of a 1e6-quantized vector an exact
+    integer: |Σ x_fp·c| ≤ 64·1e6·1e7 < 2^53, so every partial sum is exact
+    in float64 under ANY accumulation order — BLAS blocking, FMA, or a
+    sequential SQL loop all produce the identical sign."""
     import hashlib
 
     import numpy as np
@@ -376,7 +381,7 @@ def _plane_matrix(n_planes: int, n_dims: int, table: int):
                 hashlib.md5(f"plane:{table * 1000 + p}:{d}".encode()).digest()[:8],
                 "big",
             )
-            vals[d, p] = (h % 20_000_006) / 10_000_003.0 - 1.0
+            vals[d, p] = float(h % 20_000_006 - 10_000_003)
     return vals
 
 
@@ -419,7 +424,11 @@ def lsh_bucket_rows(
             if len(pdf) == 0:
                 continue
             mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-            bits = (mat @ planes) >= 0  # (n, n_tables*n_planes)
+            # quantize to 1e6 fixed-point: integer×integer projections are
+            # exact in float64 (see _plane_matrix), so the sign bit is
+            # bit-stable across BLAS variants, retries, and engines
+            mat_fp = np.round(mat * 1e6)
+            bits = (mat_fp @ planes) >= 0  # (n, n_tables*n_planes)
             parts = []
             for t in range(n_tables):
                 seg = bits[:, t * n_planes : (t + 1) * n_planes]
@@ -557,6 +566,9 @@ def ivf_ann_topk(
             a_mat = np.stack(pb["vec"].to_numpy()).astype(np.float64)
             a_norm = np.sqrt((a_mat * a_mat).sum(axis=1))
             qc = (a_mat @ cent_.T) / a_norm[:, None] / cent_norm_[None, :]
+            # round-6 before ranking: routing must agree across engines
+            # and BLAS variants; raw-float ordering is 1-ulp fragile
+            np.round(qc, 6, out=qc)
             # index membership: first-max argmax (ties → lowest cell id);
             # probe set: stable argsort, so ties also break low
             member = np.argmax(qc, axis=1).astype(np.int32)

@@ -44,7 +44,7 @@ for mod in (kernels, llm, streaming, relational):
 # whose code changed this round. EVERY registered query now carries an
 # oracle; none are rows-only.
 _PRIORITY: list[str] = [
-    # -- never driver-checked (28) --
+    # -- never driver-checked (38) --
     "q54_pattern_match",
     "q55_user_ema",
     "q56_nation_trade_volume",

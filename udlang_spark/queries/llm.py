@@ -722,16 +722,19 @@ def e_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_sig_cte(n_planes: int, n_tables: int, n_dims: int = 64) -> str:
-    """CTEs reproducing similarity.lsh_bucket_rows in DuckDB: the plane
-    matrix from md5 (verified bit-equal to the Python derivation), one
-    dot-product per (vector, table, plane), sign bits folded into the
-    't{t}:<bits>' bucket keys."""
-    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    """CTEs reproducing similarity.lsh_bucket_rows in DuckDB: the integer
+    plane matrix from md5 (verified bit-equal to the Python derivation),
+    one EXACT integer dot-product per (vector, table, plane) — 1e6-
+    quantized vector × integer plane stays < 2^53, so any accumulation
+    order yields the identical sign — folded into 't{t}:<bits>' keys."""
+    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_transform(embedding::DOUBLE[], x -> round(x * 1000000)) AS vq
+      FROM embeddings),
 pl AS MATERIALIZED (
   SELECT t.t, p.p, d.d,
-    (CAST(concat('0x', substr(md5('plane:' || (t.t * 1000 + p.p) || ':' || d.d),
-                              1, 16)) AS UBIGINT) % 20000006)
-      / 10000003.0 - 1 AS c
+    CAST(CAST(CAST(concat('0x', substr(md5('plane:' || (t.t * 1000 + p.p) || ':' || d.d),
+                              1, 16)) AS UBIGINT) % 20000006 AS BIGINT)
+         - 10000003 AS DOUBLE) AS c
   FROM generate_series(0, {n_tables - 1}) t(t),
        generate_series(0, {n_planes - 1}) p(p),
        generate_series(0, {n_dims - 1}) d(d)
@@ -743,7 +746,7 @@ sig AS MATERIALIZED (
            || string_agg(CASE WHEN bit THEN '1' ELSE '0' END, '' ORDER BY p)
            AS bucket
   FROM (SELECT e.vec_id, plv.t, plv.p,
-               list_dot_product(e.v, plv.pv) >= 0 AS bit
+               list_dot_product(e.vq, plv.pv) >= 0 AS bit
         FROM e, plv)
   GROUP BY vec_id, t
 )"""
@@ -792,9 +795,9 @@ cent AS MATERIALIZED (
 ),
 qc AS MATERIALIZED (
   SELECT e.vec_id, c.cell,
-         list_dot_product(e.v, c.cv)
+         round(list_dot_product(e.v, c.cv)
            / sqrt(list_dot_product(e.v, e.v))
-           / sqrt(list_dot_product(c.cv, c.cv)) AS qcos
+           / sqrt(list_dot_product(c.cv, c.cv)), 6) AS qcos
   FROM e, cent c
 ),
 ranked AS MATERIALIZED (

@@ -2070,11 +2070,15 @@ def q53_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        # round() before the BIGINT cast: the raw double×100 is rarely
+        # integral, and Spark's double→int cast TRUNCATES while DuckDB's
+        # ROUNDS — without the explicit round the two engines take
+        # percentiles over different cent multisets
         F.expr(
-            "percentile(CAST(l_extendedprice * 100 AS BIGINT), 0.5)"
+            "percentile(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)"
         ).alias("exact_p50_cents"),
         F.expr(
-            "approx_percentile(CAST(l_extendedprice * 100 AS BIGINT), 0.5, 10000)"
+            "approx_percentile(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5, 10000)"
         ).alias("approx_p50_cents"),
     )
     return agg.select(
@@ -2095,7 +2099,7 @@ def q53_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SKETCH_STATS = """
 SELECT l_returnflag,
        count(DISTINCT l_orderkey) AS exact_orders,
-       quantile_cont(CAST(l_extendedprice * 100 AS BIGINT), 0.5) / 100.0
+       quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) / 100.0
          AS exact_p50,
        TRUE AS approx_orders_ok,
        TRUE AS approx_p50_ok

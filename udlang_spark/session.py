@@ -59,28 +59,31 @@ def stop_spark() -> None:
 # long-lived driver session (an oracle sweep, a notebook, a service) that is
 # a slow leak bounded only by LRU eviction. Operators register their persists
 # here; sweep drivers call ``release_caches()`` between queries.
+#
+# The registry holds STRONG references on purpose: derived DataFrames keep
+# no Python reference to their persisted parent, so the wrapper's refcount
+# hits zero as soon as the operator returns — a weakref registry would be
+# empty by the time release_caches() runs while the JVM-side cache entry
+# (which is what leaks) lives on. The Python wrappers held here are a few
+# hundred bytes each and are dropped at every release.
 # ---------------------------------------------------------------------------
 
-import weakref  # noqa: E402
-
-_PERSISTED: list[weakref.ref] = []
+_PERSISTED: list = []
 
 
 def persist_tracked(df, storage_level=None):
     """persist() a DataFrame and register it for later release_caches()."""
     df.persist() if storage_level is None else df.persist(storage_level)
-    _PERSISTED.append(weakref.ref(df))
+    _PERSISTED.append(df)
     return df
 
 
 def release_caches() -> None:
-    """Unpersist every tracked DataFrame still alive (non-blocking)."""
+    """Unpersist every tracked DataFrame (non-blocking)."""
     global _PERSISTED
-    for ref in _PERSISTED:
-        df = ref()
-        if df is not None:
-            try:
-                df.unpersist(False)
-            except Exception:  # noqa: BLE001 — session may already be stopped
-                pass
+    for df in _PERSISTED:
+        try:
+            df.unpersist(False)
+        except Exception:  # noqa: BLE001 — session may already be stopped
+            pass
     _PERSISTED = []

@@ -80,24 +80,28 @@ def write_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def _typed_projection(
+    df: DataFrame, input_type: ast.Type | None, fmt: str, path: str
+) -> DataFrame:
+    """Project/validate a columnar scan to a declared input type (schema
+    enforcement at ingest — the reference's abort-on-mismatch posture,
+    manual.md:47-49). Shared by the parquet and ORC readers."""
+    if input_type is None:
+        return df
+    want = input_schema(input_type)
+    missing = [f.name for f in want.fields if f.name not in df.columns]
+    if missing:
+        raise ValueError(f"{fmt} at {path} lacks declared fields {missing}")
+    from pyspark.sql import functions as F
+
+    return df.select(*[F.col(f.name).cast(f.dataType) for f in want.fields])
+
+
 def read_parquet(
     spark: SparkSession, path: str, input_type: ast.Type | None = None
 ) -> DataFrame:
-    """Parquet scan; when an input type is given, project/validate to it
-    (schema enforcement at ingest — the reference's abort-on-mismatch
-    posture, manual.md:47-49)."""
-    df = spark.read.parquet(path)
-    if input_type is not None:
-        want = input_schema(input_type)
-        missing = [f.name for f in want.fields if f.name not in df.columns]
-        if missing:
-            raise ValueError(f"parquet at {path} lacks declared fields {missing}")
-        from pyspark.sql import functions as F
-
-        df = df.select(
-            *[F.col(f.name).cast(f.dataType) for f in want.fields]
-        )
-    return df
+    """Parquet scan with ingest-time schema enforcement."""
+    return _typed_projection(spark.read.parquet(path), input_type, "parquet", path)
 
 
 def write_parquet(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> None:
@@ -113,18 +117,7 @@ def read_orc(
     """ORC scan with the same ingest-time schema enforcement as parquet —
     ORC is the other splittable columnar format warehouses hand over, with
     the same pushdown/pruning behavior under Catalyst."""
-    df = spark.read.orc(path)
-    if input_type is not None:
-        want = input_schema(input_type)
-        missing = [f.name for f in want.fields if f.name not in df.columns]
-        if missing:
-            raise ValueError(f"orc at {path} lacks declared fields {missing}")
-        from pyspark.sql import functions as F
-
-        df = df.select(
-            *[F.col(f.name).cast(f.dataType) for f in want.fields]
-        )
-    return df
+    return _typed_projection(spark.read.orc(path), input_type, "orc", path)
 
 
 def write_orc(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> None:
