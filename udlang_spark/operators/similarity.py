@@ -8,8 +8,10 @@
   broadcast neighbor matrix with BLAS — ~50× faster than per-pair Column
   folds. O(n²) work: the correctness baseline at small n, the exact
   verification layer at scale (where B must be a candidate subset).
-- `lsh_ann_topk`: sign-random-projection LSH — deterministic hyperplanes
-  derived from xxhash64, bucket by signature, compare only bucket-mates.
+- `lsh_ann_topk`: sign-random-projection LSH — deterministic integer
+  hyperplanes derived from md5, exact fixed-point projections (sign bits
+  identical under any accumulation order or engine), bucket by signature,
+  compare only bucket-mates.
   The 100 TB path: one shuffle on the bucket key, per-bucket quadratic
   bounded by bucket size; recall tunable via n_planes/n_tables.
 
