@@ -160,6 +160,16 @@ def _expr_strategy():
         bins = st.tuples(st.sampled_from(["+", "-", "*"]), kids, kids).map(
             lambda t: A.Bin(t[0], t[1], t[2])
         )
+        # division / truncated modulo with a NONZERO literal divisor (the
+        # reference's int semantics; zero divisors are a separate trap path)
+        divs = st.tuples(
+            st.sampled_from(["/", "%"]),
+            kids,
+            st.one_of(
+                st.integers(min_value=1, max_value=9),
+                st.integers(min_value=-9, max_value=-1),
+            ),
+        ).map(lambda t: A.Bin(t[0], t[1], A.Lit(t[2])))
         negs = kids.map(lambda e: A.Un("-", e))
         conds = st.tuples(
             st.integers(min_value=-5, max_value=5), kids, kids
@@ -168,7 +178,7 @@ def _expr_strategy():
                 clauses=((A.Bin(">", A.In(), A.Lit(t[0])), t[1]),), default=t[2]
             )
         )
-        return st.one_of(bins, negs, conds)
+        return st.one_of(bins, divs, negs, conds)
 
     return st.recursive(leaves, compound, max_leaves=8)
 
