@@ -343,3 +343,20 @@ def test_release_caches_unpersists(spark):
     assert df.storageLevel.useMemory or df.storageLevel.useDisk
     release_caches()
     assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+
+
+def test_operators_degenerate_inputs(spark):
+    """Empty/degenerate inputs return empty results, never crash — library
+    callers hit parameterizations the registry queries don't."""
+    from udlang_spark.operators import dedup, graph, similarity
+
+    emb = spark.createDataFrame(
+        [(1, [1.0] * 4), (2, [2.0] * 4)], "vec_id long, embedding array<double>"
+    )
+    empty = emb.filter("vec_id < 0")
+    assert similarity.cosine_topk(empty, "embedding", "vec_id", k=2).count() == 0
+    assert dedup.embedding_near_dups(empty, "embedding", "vec_id").count() == 0
+    pr = graph.pagerank(spark.createDataFrame([], "src long, dst long"))
+    assert pr.count() == 0 and pr.columns == ["id", "rank"]
+    # k larger than the corpus still works (seeds reduce to what exists)
+    assert similarity.kmeans_assign(emb, "embedding", "vec_id", k=8, n_iter=2).count() == 2

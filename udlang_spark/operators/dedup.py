@@ -339,6 +339,18 @@ def embedding_near_dups(
     b_sdf = b_src.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     sdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     pdf = _sim._guarded_to_pandas(b_sdf, cap, "embedding_near_dups", "lsh_ann_topk")
+    if len(pdf) == 0:  # empty neighbor side → no pairs (np.stack would raise)
+        id_t = sdf.schema["id"].dataType
+        return df.sparkSession.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("id_a", id_t, True),
+                    StructField("id_b", id_t, True),
+                    StructField("cos", DoubleType(), True),
+                ]
+            ),
+        )
     b_ids = pdf["id"].to_numpy()
     b_mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
     b_norm = np.sqrt((b_mat * b_mat).sum(axis=1))

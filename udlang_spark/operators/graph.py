@@ -67,6 +67,8 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
+    if n == 0:  # empty graph → empty ranks (not a ZeroDivisionError)
+        return nodes.withColumn("rank", F.lit(0.0))
     out_deg = edges.groupBy(F.col(src).alias("id")).agg(
         F.count(F.lit(1)).alias("deg")
     ).persist()

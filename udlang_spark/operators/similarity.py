@@ -126,6 +126,9 @@ def cosine_topk(
     pdf = _guarded_to_pandas(
         b_sdf, max_broadcast_rows, "cosine_topk", "lsh_ann_topk/ivf_ann_topk"
     )
+    id_type_ = sdf.schema["id"].dataType
+    if len(pdf) == 0:  # empty neighbor side → no pairs (np.stack would raise)
+        return df.sparkSession.createDataFrame([], _topk_schema(id_type_))
     b_ids = pdf["id"].to_numpy()
     b_mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
     b_norm = np.sqrt((b_mat * b_mat).sum(axis=1))
