@@ -246,3 +246,35 @@ def test_msgpack_invalid_record_policies(spark, tmp_path):
     rows = warn.collect()
     assert sorted(r.value for r in rows if r.value is not None) == [1, 2]
     assert sum(1 for r in rows if r._corrupt is not None) == 1
+
+
+def test_msgpack_truncated_payload_raises():
+    from udlang_spark.sources import msgpack_codec as mp
+
+    with pytest.raises(ValueError, match="truncated"):
+        mp.unpack_stream(mp.packb("hello world")[:6])
+    with pytest.raises(ValueError, match="truncated"):
+        mp.unpack_stream(mp.packb(b"\x00" * 300)[:20])
+
+
+def test_msgpack_missing_field_is_mis_shaped(spark, tmp_path):
+    """A record frame missing a declared field aborts under policy='abort'
+    (strict wire format) instead of silently null-filling."""
+    from udlang_spark.sources import msgpack_codec as mp
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    (d / "part-00000.bin").write_bytes(mp.packb({"event_id": 1}))
+    with pytest.raises(Exception, match="input shape"):
+        formats.read_msgpack(spark, str(d), RECORD_T, policy="abort").collect()
+    assert formats.read_msgpack(spark, str(d), RECORD_T, policy="ignore").count() == 0
+
+
+def test_write_msgpack_overwrites_stale_parts(spark, tmp_path):
+    ev = load_table(spark, "events", SF_DIR_SMOKE).select("event_id").limit(20)
+    out = str(tmp_path / "mp")
+    formats.write_msgpack(ev.repartition(8), ("event_id",), out)
+    formats.write_msgpack(ev.repartition(1), ("event_id",), out)
+    assert formats.read_msgpack(
+        spark, out, ast.TRecord((ast.TRecordField("event_id", ast.T_INT),))
+    ).count() == 20

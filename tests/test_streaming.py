@@ -467,3 +467,51 @@ def test_cdc_apply_matches_duckdb_oracle(spark, duck):
     compare(
         spark, duck, "s_cdc_apply", s_cdc_apply, ORACLE_CDC_APPLY, SF_DIR_CORRECTNESS
     )
+
+
+def test_stateful_totals_string_keys(spark, tmp_path):
+    """The stateful operator must work for non-long keys (the output/state
+    schema derives the key type from the input)."""
+    from pyspark.sql import functions as F
+
+    src_dir = str(tmp_path / "skeys")
+    spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 2.0, 2), ("b", 5.0, 3)], "k string, v double, i long"
+    ).write.json(src_dir)
+    stream = (
+        spark.readStream.schema("k string, v double, i long")
+        .json(src_dir)
+        .withColumn("ts", F.timestamp_seconds(F.lit(1700000000) + F.col("i")))
+    )
+    res = runner.stateful_running_totals(stream, key_col="k", value_col="v", ts_col="ts")
+    out = runner.run_stream_to_memory(
+        res, "q_skeys_totals", spark, output_mode="update"
+    )
+    got = {r["key"]: (r["n"], r["total"]) for r in out.collect()}
+    assert got == {"a": (2, 3.0), "b": (1, 5.0)}
+
+
+def test_cdc_apply_recovers_interrupted_swap(spark, tmp_path):
+    """If a crash left the base table renamed to .__old (swap interrupted
+    between the two renames), the next apply restores it instead of
+    silently rebuilding from one batch."""
+    import os
+
+    target = str(tmp_path / "cdc_target")
+    ckpt1 = str(tmp_path / "ckpt1")
+    src1 = spark.createDataFrame([(1, 10.0, 1), (2, 20.0, 2)], "k long, v double, seq long")
+    d1 = str(tmp_path / "in1"); src1.write.json(d1)
+    stream1 = spark.readStream.schema("k long, v double, seq long").json(d1)
+    runner.run_cdc_apply_stream(spark, stream1, target, ckpt1, key="k", seq_col="seq")
+    assert spark.read.parquet(target).count() == 2
+    # simulate the crash window: target renamed away, second rename not done
+    os.rename(target, target + ".__old")
+    src2 = spark.createDataFrame([(3, 30.0, 3)], "k long, v double, seq long")
+    d2 = str(tmp_path / "in2"); src2.write.json(d2)
+    stream2 = spark.readStream.schema("k long, v double, seq long").json(d2)
+    runner.run_cdc_apply_stream(
+        spark, stream2, target, str(tmp_path / "ckpt2"), key="k", seq_col="seq"
+    )
+    got = {r["k"] for r in spark.read.parquet(target).collect()}
+    assert got == {1, 2, 3}  # base rows recovered, not lost
+    assert not os.path.exists(target + ".__old")

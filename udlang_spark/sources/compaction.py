@@ -60,13 +60,16 @@ def compact(
     """
     df = spark.read.parquet(in_path)
     n = plan_file_count(_dir_bytes(in_path), target_bytes)
-    writer = df.repartition(n).write.mode("overwrite")
     if partition_by:
-        # partitionBy splits each of the n tasks per distinct key present;
-        # repartition on the partition columns first so each output
-        # partition is written by few tasks (fewer, bigger files).
-        writer = df.repartition(n, *partition_by).write.mode("overwrite").partitionBy(
-            *partition_by
-        )
+        # repartition on the partition columns so each output partition is
+        # written by few tasks (fewer, bigger files). NOTE: with
+        # partition_by the total FILE count is up to n × distinct keys per
+        # task — the returned n is the task count, not a file count.
+        rep = df.repartition(n, *partition_by)
+    else:
+        rep = df.repartition(n)
+    writer = rep.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
     writer.parquet(out_path)
     return n

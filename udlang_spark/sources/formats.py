@@ -173,9 +173,18 @@ def read_msgpack(
                         rows.append({n: None for n in names} | {"_corrupt": data.hex()})
                     continue
                 for fr in frames:
+                    # scalar inputs: a structured frame (map/array) where a
+                    # scalar is declared is mis-shaped — wrapping it blindly
+                    # would crash the Arrow conversion OUTSIDE the policy.
+                    # record inputs: extra AND missing keys are mis-shaped
+                    # (the wire format is strict, manual.md:47-49) — silently
+                    # null-filling missing fields would hide corruption from
+                    # policy='abort'.
                     rec = {"value": fr} if scalar else fr
-                    if not isinstance(rec, dict) or (
-                        not scalar and set(rec) - set(names)
+                    if (
+                        not isinstance(rec, dict)
+                        or (scalar and isinstance(fr, (dict, list)))
+                        or (not scalar and set(rec) != set(names))
                     ):
                         if policy == "abort":
                             raise ValueError(f"frame does not match input shape: {fr!r}")
@@ -208,11 +217,16 @@ def write_msgpack(df: DataFrame, cols: tuple[str, ...], path: str) -> None:
     actual unix-pipe variant of udlower is a driver-side iterator over
     toLocalIterator() instead."""
     import os
+    import shutil
 
     from pyspark import TaskContext
 
     from udlang_spark.sources import msgpack_codec as mp
 
+    # overwrite semantics like every other writer here: stale part files
+    # from a previous (wider) write must not survive — the binaryFile scan
+    # reads EVERY file under the path, so leftovers would mix old rows in
+    shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     names = list(cols)
 

@@ -74,9 +74,19 @@ def lower_json(df: DataFrame, cols: tuple[str, ...], out_col: str = "json") -> D
 
 def read_json_stream(spark, path: str, input_type: ast.Type, policy: str = "abort"):
     """Streaming file source of JSON frames with the invalid-record policy
-    applied at the reader (native mode support)."""
-    return (
-        spark.readStream.schema(input_schema(input_type))
-        .option("mode", POLICY_TO_MODE[policy])
-        .json(path)
-    )
+    applied at the reader (native mode support). policy='warn' carries the
+    raw malformed line in a `_corrupt` column — PERMISSIVE without that
+    column in the schema would silently null-fill bad rows,
+    indistinguishable from valid null data."""
+    if policy not in POLICY_TO_MODE:
+        raise ValueError(f"unknown policy {policy!r} (abort|ignore|warn)")
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = input_schema(input_type)
+    reader = spark.readStream
+    if policy == "warn":
+        schema = StructType(
+            list(schema.fields) + [StructField("_corrupt", StringType())]
+        )
+        reader = reader.option("columnNameOfCorruptRecord", "_corrupt")
+    return reader.schema(schema).option("mode", POLICY_TO_MODE[policy]).json(path)

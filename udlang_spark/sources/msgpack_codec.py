@@ -128,6 +128,16 @@ def unpack_stream(data: bytes) -> list[Any]:
     return out
 
 
+def _take(b: bytes, p: int, n: int) -> tuple[bytes, int]:
+    """Slice n payload bytes, REFUSING truncation: b[p:p+n] would silently
+    shorten a str/bin whose declared length runs past the buffer."""
+    if p + n > len(b):
+        raise ValueError(
+            f"msgpack: truncated payload (need {n} bytes at {p}, have {len(b) - p})"
+        )
+    return b[p : p + n], p + n
+
+
 def _unpack(b: bytes, p: int) -> tuple[Any, int]:
     t = b[p]
     p += 1
@@ -140,8 +150,8 @@ def _unpack(b: bytes, p: int) -> tuple[Any, int]:
     if 0x90 <= t <= 0x9F:
         return _unpack_arr(b, p, t & 0x0F)
     if 0xA0 <= t <= 0xBF:
-        n = t & 0x1F
-        return b[p : p + n].decode("utf-8"), p + n
+        raw, p = _take(b, p, t & 0x1F)
+        return raw.decode("utf-8"), p
     if t == 0xC0:
         return None, p
     if t == 0xC2:
@@ -151,8 +161,8 @@ def _unpack(b: bytes, p: int) -> tuple[Any, int]:
     if t in (0xC4, 0xC5, 0xC6):
         w = {0xC4: ">B", 0xC5: ">H", 0xC6: ">I"}[t]
         n = struct.unpack_from(w, b, p)[0]
-        p += struct.calcsize(w)
-        return bytes(b[p : p + n]), p + n
+        raw, p = _take(b, p + struct.calcsize(w), n)
+        return bytes(raw), p
     if t == 0xCA:
         return struct.unpack_from(">f", b, p)[0], p + 4
     if t == 0xCB:
@@ -166,8 +176,8 @@ def _unpack(b: bytes, p: int) -> tuple[Any, int]:
     if t in (0xD9, 0xDA, 0xDB):
         w = {0xD9: ">B", 0xDA: ">H", 0xDB: ">I"}[t]
         n = struct.unpack_from(w, b, p)[0]
-        p += struct.calcsize(w)
-        return b[p : p + n].decode("utf-8"), p + n
+        raw, p = _take(b, p + struct.calcsize(w), n)
+        return raw.decode("utf-8"), p
     if t in (0xDC, 0xDD):
         w = ">H" if t == 0xDC else ">I"
         n = struct.unpack_from(w, b, p)[0]

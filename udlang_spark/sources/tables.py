@@ -70,6 +70,11 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         # since ns epoch values exceed 2^53; DuckDB's ns→µs cast truncates
         # the same). Micros: parquet reads as TIMESTAMP_NTZ, which the UTC
         # session timezone makes value-identical under a plain cast.
+        # CAVEAT: the conf is session-global and stays set (restoring it
+        # after this lazy read would re-resolve the scan under the restored
+        # value) — any OTHER table with INT64(NANOS) columns read after
+        # events will also surface them as longs. None of this repo's
+        # tables besides events carry nanos columns.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         from pyspark.sql import functions as F

@@ -98,8 +98,18 @@ def stateful_running_totals(
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import DoubleType, LongType, StructField
 
-    out_schema = "key long, n long, total double"
+    # the key column keeps ITS type (a hardcoded long would fail Arrow
+    # conversion for e.g. string keys); the output key is named "key"
+    key_type = stream.schema[key_col].dataType
+    out_schema = StructType(
+        [
+            StructField("key", key_type),
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
     state_schema = "n long, total double"
 
     def update(key, pdfs, state: GroupState):
@@ -204,7 +214,9 @@ def run_stream_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"stream did not finish in {timeout_s}s")
 
 
 def run_stream_to_memory(
@@ -224,7 +236,11 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    # an ignored False here would silently return a PARTIAL table while the
+    # query keeps running (and holds memory-sink state for the session)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"stream {query_name!r} did not finish in {timeout_s}s")
     return spark.table(query_name)
 
 
@@ -238,7 +254,11 @@ def run_windowed_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    # an ignored False here would silently return a PARTIAL table while the
+    # query keeps running (and holds memory-sink state for the session)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"stream {query_name!r} did not finish in {timeout_s}s")
     return spark.table(query_name)
 
 
@@ -271,7 +291,23 @@ def run_cdc_apply_stream(
 
     from pyspark.sql.window import Window
 
+    old = target_path + ".__old"
+
+    def recover() -> None:
+        """Crash recovery for the two-rename swap. Interruption points:
+        after rename(target→old) but before rename(tmp→target) the base
+        table would otherwise be silently LOST (the next batch would
+        rebuild from itself alone); after the second rename, a leftover
+        .__old would make the next swap's rename fail ENOTEMPTY. Restore
+        or clean accordingly before touching anything."""
+        if os.path.exists(old):
+            if os.path.exists(target_path):
+                shutil.rmtree(old, ignore_errors=True)  # swap completed
+            else:
+                os.rename(old, target_path)  # swap interrupted mid-way
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        recover()
         if os.path.exists(target_path):
             base = spark.read.parquet(target_path)
             combined = base.unionByName(batch_df.select(*base.columns))
@@ -284,17 +320,20 @@ def run_cdc_apply_stream(
             .drop("__rn")
         )
         tmp = target_path + f".__stage_{batch_id}"
+        shutil.rmtree(tmp, ignore_errors=True)  # stale stage from a crash
         merged.write.mode("overwrite").parquet(tmp)
-        old = target_path + ".__old"
         if os.path.exists(target_path):
             os.rename(target_path, old)
         os.rename(tmp, target_path)
         shutil.rmtree(old, ignore_errors=True)
 
+    recover()
     q = (
         stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"CDC apply stream did not finish in {timeout_s}s")
