@@ -360,3 +360,48 @@ def test_operators_degenerate_inputs(spark):
     assert pr.count() == 0 and pr.columns == ["id", "rank"]
     # k larger than the corpus still works (seeds reduce to what exists)
     assert similarity.kmeans_assign(emb, "embedding", "vec_id", k=8, n_iter=2).count() == 2
+
+
+def test_operator_edge_semantics(spark):
+    """Review-pass regression pins: fractional/negative range-join buckets,
+    salted outer-join refusal, lang argmax, CC convergence refusal."""
+    import pytest as _pytest
+
+    from udlang_spark.functions import text as TXT
+    from udlang_spark.operators import skew
+    from udlang_spark.operators.dedup import connected_components
+    from udlang_spark.operators.joins import range_join
+
+    # fractional interval bounds and negative fractional points bucket right
+    left = spark.createDataFrame([(1, 10.2), (2, -0.5)], "id long, p double")
+    right = spark.createDataFrame(
+        [("a", 9.5, 10.5), ("b", -50.0, 0.0)], "tag string, lo double, hi double"
+    )
+    got = {
+        (r["id"], r["tag"])
+        for r in range_join(left, "p", right, "lo", "hi", bucket_width=10).collect()
+    }
+    assert got == {(1, "a"), (2, "b")}
+
+    # salted_join refuses join types the salt replication would corrupt
+    ev = spark.createDataFrame([(1, 2)], "k long, v long")
+    with _pytest.raises(ValueError, match="inner/left"):
+        skew.salted_join(ev, ev, "k", how="full")
+
+    # lang_predict is a true argmax: 1 German marker must not beat 5 Spanish
+    row = (
+        spark.createDataFrame([("der el la que los y",)], "text string")
+        .select(*TXT.lang_scores("text"))
+        .withColumn("predicted", TXT.lang_predict())
+        .collect()[0]
+    )
+    assert row["score_es"] > row["score_de"] and row["predicted"] == "es"
+
+    # connected_components refuses to return split components silently
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=3)
+    comp = connected_components(chain, max_iter=20)
+    assert {r["component"] for r in comp.collect()} == {0}

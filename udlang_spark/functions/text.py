@@ -26,9 +26,14 @@ LANG_PRIORITY = ("en", "de", "es", "fr", "zh")
 
 
 def words(col: Column | str) -> Column:
-    """Whitespace tokenization, lowercased."""
+    """Whitespace tokenization, lowercased — NON-EMPTY tokens only
+    (regexp_extract_all of \\S+ runs, not split on \\s+): split keeps
+    leading/trailing empty strings, so a doc differing only by a trailing
+    newline would get a different token count, shingle set, and simhash
+    than its trimmed twin — silently missed near-dups. DuckDB's 2-arg
+    regexp_extract_all has identical semantics for the oracle side."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.lower(c), r"\s+")
+    return F.regexp_extract_all(F.lower(c), F.lit(r"\S+"), 0)
 
 
 def token_count(col: Column | str) -> Column:
@@ -52,17 +57,24 @@ def mean_token_len(col: Column | str) -> Column:
 
 
 def quality_features(col: Column | str) -> list[Column]:
-    """Length/stopword/char-class quality signals, one aliased column each."""
+    """Length/stopword/char-class quality signals, one aliased column each.
+    Ratios are NULL for empty/whitespace-only docs (words() yields no
+    tokens) — guarded explicitly so both engines agree instead of relying
+    on engine-specific divide-by-zero behavior."""
     c = F.col(col) if isinstance(col, str) else col
     n_tok = token_count(c)
     return [
         F.length(c).alias("n_chars_calc"),
         n_tok.alias("n_tokens"),
-        (stopword_count(c).cast("double") / n_tok).alias("stop_ratio"),
-        mean_token_len(c).alias("mean_token_len"),
-        (F.length(F.regexp_replace(c, r"[^0-9]", "")).cast("double") / F.length(c)).alias(
-            "digit_ratio"
+        F.when(n_tok > 0, stopword_count(c).cast("double") / n_tok).alias(
+            "stop_ratio"
         ),
+        F.when(n_tok > 0, mean_token_len(c)).alias("mean_token_len"),
+        F.when(
+            F.length(c) > 0,
+            F.length(F.regexp_replace(c, r"[^0-9]", "")).cast("double")
+            / F.length(c),
+        ).alias("digit_ratio"),
         ((n_tok >= 10) & (n_tok <= 10000) & (stopword_count(c) > 0)).alias("quality_ok"),
     ]
 
@@ -75,17 +87,44 @@ def lang_scores(col: Column | str) -> list[Column]:
     ]
 
 
+def _lang_win_conds(lang: str) -> tuple[list[str], list[str]]:
+    """(strictly-beaten earlier langs, tied-or-beaten later langs) for the
+    argmax win condition of `lang`."""
+    i = LANG_PRIORITY.index(lang)
+    return LANG_PRIORITY[:i], LANG_PRIORITY[i + 1 :]
+
+
 def lang_predict() -> Column:
-    """argmax over score_* columns with fixed priority tie-break: a language
-    wins only if it strictly beats every earlier-priority language."""
+    """TRUE argmax over the score_* columns with fixed priority tie-break:
+    the winner strictly beats every earlier-priority language AND at least
+    ties every later one — exactly one language satisfies this, the
+    maximum scorer (ties resolve to the earliest priority). The earlier
+    form compared each language only against HIGHER-priority ones, so one
+    German marker could out-vote five Spanish markers."""
     pred: Column = F.lit(LANG_PRIORITY[0])
     for lang in reversed(LANG_PRIORITY[1:]):
-        earlier = LANG_PRIORITY[: LANG_PRIORITY.index(lang)]
+        earlier, later = _lang_win_conds(lang)
         cond = F.lit(True)
         for e in earlier:
             cond = cond & (F.col(f"score_{lang}") > F.col(f"score_{e}"))
+        for lt in later:
+            cond = cond & (F.col(f"score_{lang}") >= F.col(f"score_{lt}"))
         pred = F.when(cond, F.lit(lang)).otherwise(pred)
     return pred
+
+
+def lang_predict_case_sql() -> str:
+    """The identical argmax as lang_predict(), as an ANSI CASE expression
+    over score_* columns — the single source both DuckDB oracle builders
+    use, so Spark and oracle semantics cannot drift."""
+    cases = []
+    for lang in LANG_PRIORITY[1:]:
+        earlier, later = _lang_win_conds(lang)
+        conds = [f"score_{lang} > score_{e}" for e in earlier] + [
+            f"score_{lang} >= score_{lt}" for lt in later
+        ]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{LANG_PRIORITY[0]}' END"
 
 
 URL_RE = r"https?://\S+"

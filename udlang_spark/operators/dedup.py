@@ -329,6 +329,7 @@ def embedding_near_dups(
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     from udlang_spark.operators import similarity as _sim
+    from udlang_spark.operators.similarity import _safe_norms
 
     cap = (
         max_broadcast_rows
@@ -353,7 +354,7 @@ def embedding_near_dups(
         )
     b_ids = pdf["id"].to_numpy()
     b_mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-    b_norm = np.sqrt((b_mat * b_mat).sum(axis=1))
+    b_norm = _safe_norms(b_mat)
     bc = df.sparkSession.sparkContext.broadcast((b_ids, b_mat, b_norm))
 
     def score(batches):
@@ -363,7 +364,7 @@ def embedding_near_dups(
                 continue
             a_ids = pb["id"].to_numpy()
             a_mat = np.stack(pb["vec"].to_numpy()).astype(np.float64)
-            a_norm = np.sqrt((a_mat * a_mat).sum(axis=1))
+            a_norm = _safe_norms(a_mat)
             cos = a_mat @ b_mat_.T
             cos /= a_norm[:, None]
             cos /= b_norm_[None, :]
@@ -407,7 +408,7 @@ def embedding_near_dups_lsh(
 
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    from udlang_spark.operators.similarity import lsh_bucket_rows
+    from udlang_spark.operators.similarity import _safe_norms, lsh_bucket_rows
 
     buckets = lsh_bucket_rows(df, vec_col, id_col, n_planes, n_dims, n_tables)
 
@@ -416,7 +417,7 @@ def embedding_near_dups_lsh(
             return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
         ids = pdf["id"].to_numpy()
         mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-        nrm = np.sqrt((mat * mat).sum(axis=1))
+        nrm = _safe_norms(mat)
         cos = mat @ mat.T
         cos /= nrm[:, None]
         cos /= nrm[None, :]
@@ -450,9 +451,13 @@ def connected_components(
     Iterative min-label propagation: each round every node takes the min of
     its own label and its neighbors' labels; converges within the component
     diameter (near-dup clusters are shallow — a handful of rounds). Each
-    round is one join + partial-min aggregate, persisted so lineage stays
-    flat; early-exits when no label changes. This is the standard
-    dedup-cluster step after MinHash pair generation at corpus scale."""
+    round is one join + partial-min aggregate, localCheckpoint'ed so the
+    LOGICAL PLAN stays O(1) deep (persist alone caches data but leaves an
+    O(iterations)-nested plan that OOMs the analyzer past ~8 rounds);
+    early-exits when no label changes, and REFUSES to return silently
+    split components if max_iter is exhausted before convergence. This is
+    the standard dedup-cluster step after MinHash pair generation at
+    corpus scale."""
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -477,7 +482,7 @@ def connected_components(
                     labels["label"], F.coalesce("nbr_label", labels["label"])
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)  # truncate lineage each round
         )
         changed = (
             new_labels.alias("n")
@@ -489,6 +494,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausting max_iter with labels still moving means components
+        # with diameter > max_iter would be SILENTLY split (duplicates
+        # retained downstream) — refuse instead
+        labels.unpersist()
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(a component's diameter exceeds max_iter); raise max_iter"
+        )
     edges.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("component"))
 

@@ -56,10 +56,13 @@ def asof_join(
         *[c for c in left.columns if c != by],
     )
     u = l_side.unionByName(r_side)
-    # right rows sort before left rows at equal ts, so equality is inclusive
+    # right rows sort before left rows at equal ts, so equality is inclusive;
+    # `_r` (the payload struct) joins the ordering so ties among right rows
+    # at the SAME ts resolve deterministically (struct order = field order:
+    # ts, then value_cols) instead of by shuffle arrival
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col("_ts"), F.col("_is_left"))
+        .orderBy(F.col("_ts"), F.col("_is_left"), F.col("_r"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
@@ -91,15 +94,21 @@ def range_join(
         cond = cond & extra_on
     if bucket_width is None:
         return left.join(right, cond)
+    # floor/ceil bucket arithmetic, NOT long-cast truncation: truncation
+    # toward zero mis-buckets negative fractional points, and a fractional
+    # interval bound (e.g. [9.5, 10.5) at width 10) would silently lose its
+    # upper bucket. floor(lo/w)..ceil(hi/w)-1 covers [lo, hi) exactly for
+    # any real-valued bounds; empty intervals are dropped (Spark's sequence
+    # would otherwise DESCEND when start > stop).
     lb = left.withColumn(
-        "_bucket", (F.col(point_col).cast("long") / bucket_width).cast("long")
+        "_bucket", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
     )
-    rb = right.withColumn(
+    rb = right.filter(F.col(lo_col) < F.col(hi_col)).withColumn(
         "_bucket",
         F.explode(
             F.sequence(
-                (F.col(lo_col).cast("long") / bucket_width).cast("long"),
-                ((F.col(hi_col).cast("long") - 1) / bucket_width).cast("long"),
+                F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("long"),
+                (F.ceil(F.col(hi_col) / F.lit(bucket_width)) - 1).cast("long"),
             )
         ),
     )

@@ -121,6 +121,18 @@ def decode_images(
 FEATURE_DIM = 16
 
 
+def _as_rgb(px):
+    """Normalize decoded pixels to 3 channels: gray (1) and gray+alpha (2)
+    replicate the gray plane; RGBA (4) drops alpha. A plain [:, :, :3]
+    slice left gray+alpha at TWO channels and per-channel loops then
+    indexed channel 2 out of bounds."""
+    import numpy as np
+
+    if px.shape[2] in (1, 2):
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]
+
+
 def _real_features(payload: bytes):
     """Deterministic FEATURE_DIM pixel/sample statistics — the stand-in for
     a learned encoder, over genuinely decoded media. Images: per-channel
@@ -144,9 +156,7 @@ def _real_features(payload: bytes):
         tail = (hist / max(len(mono), 1)).tolist()
     else:
         px = codecs.decode_pixels(payload).astype(np.float64)
-        if px.shape[2] == 1:
-            px = np.repeat(px, 3, axis=2)
-        px = px[:, :, :3]  # drop alpha for the stats
+        px = _as_rgb(px)
         head = [float(px[:, :, c].mean()) / 255.0 for c in range(3)] + [
             float(px[:, :, c].std()) / 255.0 for c in range(3)
         ]
@@ -201,9 +211,7 @@ def _real_resize(payload: bytes, width: int, height: int) -> bytes:
 
     px = codecs.decode_pixels(payload)
     h, w = px.shape[0], px.shape[1]
-    if px.shape[2] == 1:
-        px = np.repeat(px, 3, axis=2)
-    px = px[:, :, :3]
+    px = _as_rgb(px)
     rows = (np.arange(height) * h) // height
     cols = (np.arange(width) * w) // width
     return codecs.encode_ppm(np.ascontiguousarray(px[rows][:, cols]))

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -85,6 +86,18 @@ def _guarded_to_pandas(sdf: DataFrame, cap: int, op: str, alternative: str):
     return pdf
 
 
+def _safe_norms(mat):
+    """Row L2 norms with zeros replaced by inf: a zero vector then scores
+    cos 0.0 against everything instead of NaN — Spark sorts NaN ABOVE all
+    doubles, so a single zero-norm row would otherwise rank its NaN pairs
+    into every top-k ahead of real neighbors."""
+    import numpy as np
+
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    nrm[nrm == 0] = np.inf
+    return nrm
+
+
 def _topk_schema(id_type) -> StructType:
     return StructType(
         [
@@ -131,7 +144,7 @@ def cosine_topk(
         return df.sparkSession.createDataFrame([], _topk_schema(id_type_))
     b_ids = pdf["id"].to_numpy()
     b_mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-    b_norm = np.sqrt((b_mat * b_mat).sum(axis=1))
+    b_norm = _safe_norms(b_mat)
     bc = df.sparkSession.sparkContext.broadcast((b_ids, b_mat, b_norm))
 
     def score(batches):
@@ -143,7 +156,7 @@ def cosine_topk(
                 continue
             a_ids = pb["id"].to_numpy()
             a_mat = np.stack(pb["vec"].to_numpy()).astype(np.float64)
-            a_norm = np.sqrt((a_mat * a_mat).sum(axis=1))
+            a_norm = _safe_norms(a_mat)
             cos = a_mat @ b_mat_.T
             cos /= a_norm[:, None]
             cos /= b_norm_[None, :]
@@ -231,7 +244,7 @@ def centroid_assign(
     cent = cent.sort_values("vec_id")
     c_ids = cent["vec_id"].to_numpy()
     c_mat = np.stack(cent["vec"].to_numpy()).astype(np.float64)
-    c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+    c_norm = _safe_norms(c_mat)
     bc = df.sparkSession.sparkContext.broadcast((c_ids, c_mat, c_norm))
 
     def assign(batches):
@@ -243,7 +256,7 @@ def centroid_assign(
                 continue
             a_ids = pb["vec_id"].to_numpy()
             a_mat = np.stack(pb["vec"].to_numpy()).astype(np.float64)
-            a_norm = np.sqrt((a_mat * a_mat).sum(axis=1))
+            a_norm = _safe_norms(a_mat)
             cos = a_mat @ c_mat_.T
             cos /= a_norm[:, None]
             cos /= c_norm_[None, :]
@@ -311,7 +324,7 @@ def kmeans_assign(
                 if len(pb) == 0:
                     continue
                 a_mat = np.stack(pb["vec"].to_numpy()).astype(np.float64)
-                a_norm = np.sqrt((a_mat * a_mat).sum(axis=1))
+                a_norm = _safe_norms(a_mat)
                 cos = a_mat @ c_mat_.T
                 cos /= a_norm[:, None]
                 cos /= c_norm_[None, :]
@@ -329,10 +342,18 @@ def kmeans_assign(
 
     sc = df.sparkSession.sparkContext
     dim = c_mat.shape[1]
-    out_schema = "vec_id long, centroid long, cos_sim double"
+    # derive the id type (like cosine_topk/centroid_assign) — a hardcoded
+    # long would fail Arrow conversion for string/other id columns
+    out_schema = StructType(
+        [
+            StructField("vec_id", sdf.schema["vec_id"].dataType, True),
+            StructField("centroid", LongType(), True),
+            StructField("cos_sim", DoubleType(), True),
+        ]
+    )
     assigned = None
     for _ in range(n_iter):
-        c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+        c_norm = _safe_norms(c_mat)
         bc = sc.broadcast((c_ids, c_mat, c_norm))
         assigned = sdf.mapInPandas(make_assign(bc), out_schema)
         # exact fixed-point update (see e_label_centroids): int64 sums per
@@ -483,7 +504,7 @@ def lsh_ann_topk(
             return pd.DataFrame({"vec_id": [], "nbr": [], "cos_sim": []})
         ids = pdf["id"].to_numpy()
         mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-        nrm = np.sqrt((mat * mat).sum(axis=1))
+        nrm = _safe_norms(mat)
         cos = mat @ mat.T
         cos /= nrm[:, None]
         cos /= nrm[None, :]
@@ -557,7 +578,7 @@ def ivf_ann_topk(
     # the ONLY driver-side collect: bounded by n_cells, not |df|
     cent_pdf = sdf.orderBy("id").limit(n_cells).toPandas().sort_values("id")
     cent = np.stack(cent_pdf["vec"].to_numpy()).astype(np.float64)
-    cent_norm = np.sqrt((cent * cent).sum(axis=1))
+    cent_norm = _safe_norms(cent)
     bc = df.sparkSession.sparkContext.broadcast((cent, cent_norm))
 
     def route(batches):
@@ -569,7 +590,7 @@ def ivf_ann_topk(
                 continue
             a_ids = pb["id"].to_numpy()
             a_mat = np.stack(pb["vec"].to_numpy()).astype(np.float64)
-            a_norm = np.sqrt((a_mat * a_mat).sum(axis=1))
+            a_norm = _safe_norms(a_mat)
             qc = (a_mat @ cent_.T) / a_norm[:, None] / cent_norm_[None, :]
             # round-6 before ranking: routing must agree across engines
             # and BLAS variants; raw-float ordering is 1-ulp fragile
@@ -612,10 +633,10 @@ def ivf_ann_topk(
             return pd.DataFrame({"vec_id": [], "nbr": [], "cos_sim": []})
         b_ids = idx["id"].to_numpy()
         b_mat = np.stack(idx["vec"].to_numpy()).astype(np.float64)
-        b_norm = np.sqrt((b_mat * b_mat).sum(axis=1))
+        b_norm = _safe_norms(b_mat)
         q_ids = qs["id"].to_numpy()
         q_mat = np.stack(qs["vec"].to_numpy()).astype(np.float64)
-        q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+        q_norm = _safe_norms(q_mat)
         cos = q_mat @ b_mat.T
         cos /= q_norm[:, None]
         cos /= b_norm[None, :]

@@ -35,7 +35,14 @@ def salted_join(
     """Equi-join with the left side's hot keys split across n_salts
     reducers. The right side is replicated n_salts× — use only when right
     is the small side (dimension-ish); result equals `left.join(right, on,
-    how)` exactly."""
+    how)` exactly for inner/left joins. right/full outer are REFUSED: an
+    unmatched right key's n_salts replicas would each emit a null-padded
+    row, n_salts-plicating the plain join's single row."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, not {how!r} — right/full "
+            "outer would duplicate unmatched right rows once per salt"
+        )
     l_salted = left.withColumn("_salt", _salt_of(left.columns, n_salts))
     r_replicated = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

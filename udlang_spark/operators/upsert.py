@@ -25,8 +25,14 @@ from pyspark.sql.window import Window
 
 
 def upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
-    """Latest-wins merge: every key in `updates` replaces its row in
-    `base`; unmatched base rows pass through. Columns must match."""
+    """Merge: every key in `updates` replaces its row in `base`; unmatched
+    base rows pass through. Columns must match.
+
+    PRECONDITION: `updates` must carry at most ONE row per key — no
+    reduction is applied, so a batch with several rows for a key keeps
+    them all. For multi-row change batches, reduce first (e.g. the
+    seq-aware latest-wins in streaming.runner.run_cdc_apply_stream, or a
+    row_number window on your ordering column)."""
     if set(base.columns) != set(updates.columns):
         raise ValueError("upsert requires identical schemas")
     untouched = base.join(updates.select(key), key, "left_anti")

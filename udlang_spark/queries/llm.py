@@ -21,7 +21,7 @@ from udlang_spark.operators import dedup, multimodal, similarity
 from udlang_spark.session import persist_tracked
 from udlang_spark.sources.tables import load_table
 
-_WL = "regexp_split_to_array(lower(text), '\\s+')"
+_WL = "regexp_extract_all(lower(text), '\\S+')"  # non-empty tokens, = words()
 _STOPS = "['" + "','".join(TXT.STOPWORDS) + "']"
 
 # shared DuckDB CTE: distinct 3-word shingles per doc (docs with <3 words drop)
@@ -261,9 +261,15 @@ WITH w AS (SELECT doc_id, text, {_WL} AS wl FROM documents)
 SELECT doc_id,
   length(text) AS n_chars_calc,
   len(wl) AS n_tokens,
-  len(list_filter(wl, x -> list_contains({_STOPS}, x)))::DOUBLE / len(wl) AS stop_ratio,
-  list_sum(list_transform(wl, x -> length(x)))::DOUBLE / len(wl) AS mean_token_len,
-  length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text) AS digit_ratio,
+  CASE WHEN len(wl) > 0 THEN
+    len(list_filter(wl, x -> list_contains({_STOPS}, x)))::DOUBLE / len(wl)
+  END AS stop_ratio,
+  CASE WHEN len(wl) > 0 THEN
+    list_sum(list_transform(wl, x -> length(x)))::DOUBLE / len(wl)
+  END AS mean_token_len,
+  CASE WHEN length(text) > 0 THEN
+    length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)
+  END AS digit_ratio,
   (len(wl) >= 10 AND len(wl) <= 10000
    AND len(list_filter(wl, x -> list_contains({_STOPS}, x))) > 0) AS quality_ok
 FROM w
@@ -284,12 +290,7 @@ def _langid_oracle() -> str:
         score_cols.append(
             f"len(list_filter(wl, x -> list_contains({lst}, x))) AS score_{lang}"
         )
-    cases = []
-    prio = TXT.LANG_PRIORITY
-    for i, lang in enumerate(prio[1:], start=1):
-        conds = " AND ".join(f"score_{lang} > score_{e}" for e in prio[:i])
-        cases.append(f"WHEN {conds} THEN '{lang}'")
-    case_sql = "CASE " + " ".join(cases) + f" ELSE '{prio[0]}' END"
+    case_sql = TXT.lang_predict_case_sql()
     return (
         f"WITH w AS (SELECT doc_id, lang, {_WL} AS wl FROM documents),\n"
         "s AS (SELECT doc_id, lang, " + ", ".join(score_cols) + " FROM w)\n"
@@ -1712,12 +1713,7 @@ def _corpus_pipeline_oracle() -> str:
         score_cols.append(
             f"len(list_filter(wl, x -> list_contains({lst}, x))) AS score_{lang}"
         )
-    cases = []
-    prio = TXT.LANG_PRIORITY
-    for i, lang in enumerate(prio[1:], start=1):
-        conds = " AND ".join(f"score_{lang} > score_{e}" for e in prio[:i])
-        cases.append(f"WHEN {conds} THEN '{lang}'")
-    case_sql = "CASE " + " ".join(cases) + f" ELSE '{prio[0]}' END"
+    case_sql = TXT.lang_predict_case_sql()
     return f"""
 WITH w AS (SELECT doc_id, source, text, {_WL} AS wl FROM documents),
 s AS (SELECT *, {", ".join(score_cols)} FROM w),
