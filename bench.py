@@ -58,6 +58,11 @@ HEADLINE = [
     "t_corpus_pipeline",
     "t_bm25_topk",
     "t_pii_scrub",
+    # corpus cleaning (round 5)
+    "t_gopher_rules",
+    "d_duplicate_spans",
+    "t_bigram_lm",
+    "t_wordpiece",
     "e_cosine_topk",
     "e_centroid_assign",
     "e_label_centroids",

@@ -16,14 +16,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from udlang_spark.queries import kernels, llm, relational, streaming
+from udlang_spark.queries import cleaning, kernels, llm, relational, streaming
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _ALL_QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
-for mod in (kernels, llm, streaming, relational):
+for mod in (kernels, llm, streaming, relational, cleaning):
     _ALL_QUERIES.update(mod.QUERIES)
     ORACLE.update(mod.ORACLE)
 
@@ -83,16 +83,18 @@ _PRIORITY: list[str] = [
     "e_ivf_ann",
     "t_pii_scrub",
     "q66_salted_join",
-    # -- re-confirmations (12) --
-    "k_hello",
+    # -- round-5 additions (corpus cleaning), driver-checked immediately --
+    "t_gopher_rules",
+    "t_dedup_words",
+    "d_duplicate_spans",
+    "t_bigram_lm",
+    "t_wordpiece",
+    # -- re-confirmations (7) -- (k_hello/k_match_union/q34/q44/t_heavy_hitters
+    # rotated out: each already has two green driver rows across r3+r4)
     "k_count",
-    "k_match_union",
-    "q34_upsert",
     "q41_min_cost_supplier",
-    "q44_fuzzy_part_pairs",
     "d_minhash_lsh",
     "d_simhash_neardup",
-    "t_heavy_hitters",
     "t_corpus_pipeline",
     "e_cosine_topk",
     "s_cdc_apply",
