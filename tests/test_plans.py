@@ -420,3 +420,48 @@ def test_lsh_near_dups_single_bucket_shuffle(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "MapInPandas" in plan  # GEMM bucket stage
     assert "FlatMapGroupsInPandas" in plan  # in-bucket scorer
+
+
+def test_gopher_rules_pure_map(spark):
+    """Quality-rule scoring must ride along a scan: Column folds over the
+    token array only — no exchange, no Python worker, at any corpus size."""
+    from udlang_spark.queries import cleaning
+
+    plan = plan_of(cleaning.QUERIES["t_gopher_rules"](spark, SF_DIR_CORRECTNESS))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_dedup_words_pure_map(spark):
+    """Consecutive-duplicate collapse is row-local zip_with work: no
+    exchange, no Python worker."""
+    from udlang_spark.queries import cleaning
+
+    plan = plan_of(cleaning.QUERIES["t_dedup_words"](spark, SF_DIR_CORRECTNESS))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_duplicate_spans_never_all_pairs(spark):
+    """Duplicated-span stats shuffle on gram/doc keys only — no
+    cartesian/nested-loop pair join anywhere in the plan."""
+    from udlang_spark.queries import cleaning
+
+    plan = plan_of(cleaning.QUERIES["d_duplicate_spans"](spark, SF_DIR_CORRECTNESS))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan  # shingle + agg work stays JVM-side
+
+
+def test_wordpiece_segments_word_domain_only(spark):
+    """The Python segmentation loop runs over the DISTINCT word domain
+    (one MapInPandas downstream of the word agg), never over the corpus
+    token stream; the corpus re-attaches via equi-join."""
+    from udlang_spark.queries import cleaning
+
+    plan = plan_of(cleaning.QUERIES["t_wordpiece"](spark, SF_DIR_CORRECTNESS))
+    # one tree node ("MapInPandas (n)"); the bare name also appears once more
+    # in the per-node detail section of the formatted plan
+    assert plan.count("MapInPandas (") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -370,7 +370,13 @@ def _wp_vocab_df(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     words_rel = docs.select(
         "doc_id", F.explode(TXT.words("text")).alias("word")
     )
-    word_counts = words_rel.groupBy("word").agg(F.count("*").alias("wc"))
+    # persisted: the distinct-word relation feeds three consumers (the gram
+    # pipeline behind the vocab top-k, the segmentation input, and nothing
+    # else directly — but without the persist the vocab .collect() and the
+    # tokenized scan each re-run the corpus explode + word agg)
+    word_counts = persist_tracked(
+        words_rel.groupBy("word").agg(F.count("*").alias("wc"))
+    )
     grams = None
     for n in range(2, _WP_MAX + 1):
         # sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty (DuckDB's
