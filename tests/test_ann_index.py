@@ -1,0 +1,93 @@
+"""Persisted IVF index: probe-vs-in-memory equality, partition pruning,
+and layout invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR_CORRECTNESS
+from udlang_spark.operators import ann_index, similarity
+from udlang_spark.sources.tables import load_table
+
+
+def _embeddings(spark):
+    return load_table(spark, "embeddings", SF_DIR_CORRECTNESS)
+
+
+def test_probe_equals_in_memory(spark, tmp_path):
+    """A probe against the persisted index returns exactly what
+    ivf_ann_topk computes for the same queries/parameters: same centroids,
+    same routing, same in-cell GEMM, same merge."""
+    emb = _embeddings(spark)
+    path = str(tmp_path / "ivf")
+    ann_index.write_ivf_index(emb, "embedding", "vec_id", path, n_cells=16)
+
+    queries = emb.where(F.col("vec_id") < 50)
+    got = ann_index.probe_ivf_index(
+        spark, path, queries, "embedding", "vec_id", k=5, n_probe=4
+    )
+    want = similarity.ivf_ann_topk(
+        emb, "embedding", "vec_id", k=5, n_cells=16, n_probe=4
+    ).where(F.col("vec_id") < 50)
+
+    got_rows = {tuple(r) for r in got.collect()}
+    want_rows = {tuple(r) for r in want.collect()}
+    assert got_rows == want_rows
+    assert len(got_rows) == 50 * 5
+
+
+def test_probe_prunes_partitions(spark, tmp_path):
+    """The index scan must read ONLY the probed cells' directories —
+    partition pruning is what makes the persisted index a serving path.
+    inputFiles() on the pruned reader reflects the partition filter."""
+    emb = _embeddings(spark)
+    path = str(tmp_path / "ivf")
+    ann_index.write_ivf_index(emb, "embedding", "vec_id", path, n_cells=16)
+
+    one_query = emb.where(F.col("vec_id") == 7)
+    out = ann_index.probe_ivf_index(
+        spark, path, one_query, "embedding", "vec_id", k=3, n_probe=2
+    )
+    assert out.count() == 3
+
+    # replicate the reader the probe builds: 2 probed cells -> at most 2
+    # cell directories' files; the unfiltered index has 16
+    all_files = spark.read.parquet(path).inputFiles()
+    all_cells = {f.split("cell=")[1].split("/")[0] for f in all_files}
+    assert len(all_cells) == 16
+    import numpy as np
+
+    cent_rows = (
+        spark.read.parquet(path + "/_centroids").orderBy("cell").collect()
+    )
+    cent = np.stack([np.asarray(r["vec"]) for r in cent_rows]).astype(np.float64)
+    qv = np.asarray(one_query.collect()[0]["embedding"], dtype=np.float64)
+    qc = (cent @ qv) / (np.linalg.norm(cent, axis=1) * np.linalg.norm(qv))
+    np.round(qc, 6, out=qc)
+    probe_cells = [int(c) for c in np.argsort(-qc, kind="stable")[:2]]
+    pruned = spark.read.parquet(path).where(F.col("cell").isin(probe_cells))
+    # inputFiles() lists the relation pre-filter; pruning is a PLAN property —
+    # the scan must carry the cell IN (...) predicate as a PartitionFilter
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "cell" in pf_line and " IN " in pf_line
+    assert all(str(c) in pf_line for c in probe_cells)
+
+
+def test_index_layout_and_rebuild(spark, tmp_path):
+    """Overwrite semantics: rebuilding the index over the same data leaves
+    one coherent copy (no stale cells), and every member row appears in
+    exactly one cell."""
+    emb = _embeddings(spark)
+    path = str(tmp_path / "ivf")
+    ann_index.write_ivf_index(emb, "embedding", "vec_id", path, n_cells=8)
+    ann_index.write_ivf_index(emb, "embedding", "vec_id", path, n_cells=8)
+
+    members = spark.read.parquet(path)
+    n = emb.count()
+    assert members.count() == n
+    assert members.select("id").distinct().count() == n
+    cents = spark.read.parquet(path + "/_centroids")
+    assert cents.count() == 8
