@@ -91,3 +91,34 @@ def test_index_layout_and_rebuild(spark, tmp_path):
     assert members.select("id").distinct().count() == n
     cents = spark.read.parquet(path + "/_centroids")
     assert cents.count() == 8
+
+
+def test_append_equals_rebuild(spark, tmp_path):
+    """Building on the first 400 vectors then appending the last 100 must
+    equal a full rebuild, because the frozen quantizer (first n_cells ids)
+    is identical either way — so probes agree bit-for-bit."""
+    emb = _embeddings(spark)
+    base = emb.where(F.col("vec_id") < 400)
+    extra = emb.where(F.col("vec_id") >= 400)
+
+    p_inc = str(tmp_path / "ivf_inc")
+    ann_index.write_ivf_index(base, "embedding", "vec_id", p_inc, n_cells=16)
+    ann_index.append_to_ivf_index(extra, "embedding", "vec_id", p_inc)
+
+    p_full = str(tmp_path / "ivf_full")
+    ann_index.write_ivf_index(emb, "embedding", "vec_id", p_full, n_cells=16)
+
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    got = {
+        tuple(r)
+        for r in ann_index.probe_ivf_index(
+            spark, p_inc, queries, "embedding", "vec_id", k=5, n_probe=4
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in ann_index.probe_ivf_index(
+            spark, p_full, queries, "embedding", "vec_id", k=5, n_probe=4
+        ).collect()
+    }
+    assert got == want and len(got) == queries.count() * 5

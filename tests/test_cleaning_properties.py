@@ -1,0 +1,133 @@
+"""Crafted-input and randomized invariants for the cleaning operators
+(operators/cleaning.py) — semantics the sf0.01 oracle differential can't
+exercise: degenerate inputs, idempotence, symmetry, greedy-match parity."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from udlang_spark.operators import cleaning as OPS
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+
+def _random_texts(n=200, seed=5):
+    rng = random.Random(seed)
+    vocab = ["a", "ab", "the", "zzz", "x9", "!", "naïve", "", "  "]
+    out = []
+    for _ in range(n):
+        k = rng.randrange(0, 40)
+        out.append(" ".join(rng.choice(vocab) for _ in range(k)))
+    return out
+
+
+def test_collapse_idempotent_and_run_free(spark):
+    """Collapsing is idempotent: re-collapsing the cleaned text removes
+    nothing, and the cleaned token stream has no adjacent repeats."""
+    texts = _random_texts()
+    docs = _docs(spark, texts)
+    first = OPS.collapse_repeat_tokens(docs).collect()
+    by_id = {r["doc_id"]: r for r in first}
+    # reconstruct cleaned text per doc by re-deriving kept tokens in Python
+    for doc_id, text in enumerate(texts):
+        toks = text.lower().split()
+        kept = [t for i, t in enumerate(toks) if i == 0 or toks[i - 1] != t]
+        r = by_id[doc_id]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_kept"] == len(kept)
+        assert all(a != b for a, b in zip(kept, kept[1:]))
+    # idempotence: collapse the cleaned texts; n_removed must be 0 everywhere
+    cleaned_texts = []
+    for doc_id, text in enumerate(texts):
+        toks = text.lower().split()
+        cleaned_texts.append(
+            " ".join(
+                t for i, t in enumerate(toks) if i == 0 or toks[i - 1] != t
+            )
+        )
+    second = OPS.collapse_repeat_tokens(_docs(spark, cleaned_texts))
+    assert second.where(F.col("n_removed") != 0).count() == 0
+
+
+def test_gopher_rules_on_degenerate_docs(spark):
+    docs = _docs(spark, ["", "   ", "the " * 25, "zzz " * 25, "ab " * 30])
+    rows = {r["doc_id"]: r for r in OPS.gopher_rules(docs).collect()}
+    assert rows[0]["failed_rule"] == "word_count"  # empty: 0 words
+    assert rows[1]["failed_rule"] == "word_count"  # whitespace-only
+    assert rows[2]["keep"]  # 25x "the": all rules pass
+    assert rows[3]["failed_rule"] == "stopwords"  # no stopword hits
+    assert rows[4]["failed_rule"] == "stopwords"  # alpha ok, no stopwords
+
+
+def test_duplicate_spans_crafted_symmetry(spark):
+    """Two docs sharing an 8-token span both get flagged; an unrelated doc
+    gets zero duplicated grams."""
+    span = "one two three four five six seven eight"
+    docs = _docs(
+        spark,
+        [
+            f"intro {span} outro alpha",
+            f"different head {span} tail words here",
+            "totally unrelated content with enough words to form grams "
+            "nine ten eleven twelve",
+        ],
+    )
+    rows = {r["doc_id"]: r for r in OPS.duplicate_span_stats(docs, k=8).collect()}
+    assert rows[0]["n_dup_grams"] >= 1
+    assert rows[1]["n_dup_grams"] >= 1
+    assert rows[2]["n_dup_grams"] == 0
+    assert rows[2]["n_grams"] > 0
+
+
+def test_bigram_familiarity_extremes(spark):
+    """A doc duplicated verbatim is fully familiar; a doc with unique words
+    is fully unfamiliar; a sub-bigram doc lands in the 'empty' band."""
+    docs = _docs(
+        spark,
+        [
+            "alpha beta gamma delta",
+            "alpha beta gamma delta",
+            "unique1 unique2 unique3",
+            "solo",
+        ],
+    )
+    rows = {r["doc_id"]: r for r in OPS.bigram_familiarity(docs).collect()}
+    assert rows[0]["familiar_ratio"] == 1.0 and rows[0]["band"] == "top"
+    assert rows[1]["familiar_ratio"] == 1.0
+    assert rows[2]["familiar_ratio"] == 0.0 and rows[2]["band"] == "low"
+    assert rows[3]["band"] == "empty" and rows[3]["n_bigrams"] == 0
+
+
+def test_wordpiece_greedy_matches_python_reference(spark):
+    """The distributed segmentation agrees with an independent greedy
+    reference on random words over the derived vocab."""
+    texts = _random_texts(n=100, seed=11)
+    docs = _docs(spark, texts)
+    word_counts, vocab = OPS.wordpiece_vocab(docs, n_vocab=16, max_len=4)
+    vset = frozenset(r["gram"] for r in vocab.collect())
+    seg = {
+        r["word"]: r["n_sub"]
+        for r in OPS.segment_words(word_counts, vset, max_len=4).collect()
+    }
+
+    def ref(word):
+        pos, n = 0, 0
+        while pos < len(word):
+            for m in (4, 3, 2, 1):
+                if m == 1 or (
+                    pos + m <= len(word) and word[pos : pos + m] in vset
+                ):
+                    pos += m
+                    n += 1
+                    break
+        return n
+
+    assert seg  # non-empty domain
+    for word, n_sub in seg.items():
+        assert n_sub == ref(word), word

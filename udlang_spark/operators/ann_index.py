@@ -216,3 +216,57 @@ def probe_ivf_index(
         .filter(F.col("rnk") <= k)
         .withColumn("rnk", F.col("rnk").cast("int"))
     )
+
+
+def append_to_ivf_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+) -> None:
+    """Incrementally add members to an existing index: new rows route
+    against the PERSISTED centroids (the quantizer is frozen — the
+    production contract for serving indexes; re-quantizing would silently
+    invalidate every cached probe) and append into their cell partitions.
+    One narrow map + an append-mode partitioned write; existing files are
+    untouched. Periodic rebuild (write_ivf_index) re-balances cells when
+    drift makes the frozen quantizer a bad fit."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    cent_rows = (
+        spark.read.parquet(path + "/_centroids").orderBy("cell").collect()
+    )
+    cent = np.stack([np.asarray(r["vec"]) for r in cent_rows]).astype(np.float64)
+    cent_norm = _safe_norms(cent)
+    bc = spark.sparkContext.broadcast((cent, cent_norm))
+    sdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+
+    def route_members(batches):
+        cent_, cent_norm_ = bc.value
+        for pb in batches:
+            if len(pb) == 0:
+                continue
+            mat = np.stack(pb["vec"].to_numpy()).astype(np.float64)
+            nrm = _safe_norms(mat)
+            qc = (mat @ cent_.T) / nrm[:, None] / cent_norm_[None, :]
+            np.round(qc, 6, out=qc)
+            yield pd.DataFrame(
+                {
+                    "cell": np.argmax(qc, axis=1).astype(np.int32),
+                    "id": pb["id"].to_numpy(),
+                    "vec": pb["vec"].to_numpy(),
+                }
+            )
+
+    routed_schema = StructType(
+        [
+            StructField("cell", IntegerType(), False),
+            StructField("id", sdf.schema["id"].dataType, True),
+            StructField("vec", sdf.schema["vec"].dataType, True),
+        ]
+    )
+    sdf.mapInPandas(route_members, routed_schema).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(path)

@@ -1,0 +1,300 @@
+"""Corpus-cleaning operators: quality rules, normalization, duplicated
+spans, LM-familiarity scoring, subword tokenization. DataFrame -> DataFrame
+functions over any relation with (doc_id, <text_col>) — the query layer
+(queries/cleaning.py) wires them to the `documents` table and carries the
+DuckDB oracles.
+
+Scale design (why these shapes for 100 TB):
+- gopher_rules / collapse_repeat_tokens are pure row-local Column work —
+  zero shuffles, they ride along any scan.
+- duplicate_span_stats / bigram_familiarity shuffle on gram keys only
+  (agg + join + per-doc agg on a persisted gram relation) — never
+  all-pairs; boilerplate grams shared by millions of docs are the AQE
+  skew-join case.
+- wordpiece_stats runs its data-dependent segmentation loop in Python on
+  the DISTINCT word domain only (Arrow-batched mapInPandas) and re-attaches
+  by equi-join — per-string work scales with |vocabulary|, not corpus size
+  (the q44 domain-trick, applied to tokenization).
+
+Published rule sets these follow: Gopher's document-quality heuristics
+(Rae et al. 2021, table A1) and the duplicated-span analysis of Lee et al.
+2021, re-expressed transcendental-free (integer counts and IEEE-exact
+divisions) so cross-engine differentials hash bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from udlang_spark.functions import text as TXT
+from udlang_spark.session import persist_tracked
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher quality-rule diagnostics per document: word count in
+    [20, 100000], mean word length in [2, 12], >= 80% of words contain an
+    alphabetic character, >= 2 stopword hits. Emits each measured signal
+    plus the first failed rule (or NULL) and the final keep flag.
+
+    The word array is computed once; every signal folds over the bound
+    value (no per-signal re-tokenization). One whole-stage-codegen span."""
+    w = TXT.words(text_col)
+    d = docs.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.aggregate(F.transform(w, F.length), F.lit(0), lambda a, x: a + x).alias(
+            "_chars"
+        ),
+        F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).alias("n_alpha_words"),
+        F.size(F.filter(w, lambda x: x.isin(*TXT.STOPWORDS))).alias("n_stop"),
+    )
+    rule = (
+        F.when(
+            (F.col("n_words") < 20) | (F.col("n_words") > 100000), "word_count"
+        )
+        .when(
+            (F.col("_chars") / F.col("n_words") < 2)
+            | (F.col("_chars") / F.col("n_words") > 12),
+            "mean_word_len",
+        )
+        .when(F.col("n_alpha_words") * 5 < F.col("n_words") * 4, "alpha_frac")
+        .when(F.col("n_stop") < 2, "stopwords")
+        .alias("failed_rule")
+    )
+    # the ratio columns need the n_words > 0 guard the CASE arms get for
+    # free from short-circuiting: an empty doc divides by zero under ANSI
+    # mode otherwise (caught by the degenerate-input pytest — the corpus
+    # differential never sees an empty doc)
+    nz = F.col("n_words") > 0
+    return d.select(
+        "doc_id",
+        "n_words",
+        F.when(nz, F.col("_chars") / F.col("n_words")).alias("mean_word_len"),
+        F.when(nz, F.col("n_alpha_words") / F.col("n_words")).alias("alpha_frac"),
+        F.col("n_stop"),
+        rule,
+        rule.isNull().alias("keep"),
+    )
+
+
+def collapse_repeat_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Collapse runs of consecutive repeated tokens ("a a the" -> "a the")
+    and emit before/after counts plus an md5 witness of the cleaned text.
+
+    The kept-token array is built by zipping the token array with its
+    shifted self (two HOF *arguments*, so the regex tokenization runs twice
+    per row total); the naive `filter(w, (x, i) -> w[i-1] != x)` form puts
+    `w` INSIDE the lambda, re-running the regex per element — the measured
+    ~50x trap from functions/text.py shingles."""
+    w = TXT.words(text_col)
+    sz = F.size(w)
+    prev = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(w, 1, F.greatest(sz - 1, F.lit(0))),
+    )
+    kept = F.array_compact(
+        F.zip_with(w, prev, lambda c, p: F.when(p.isNull() | (c != p), c))
+    )
+    return docs.select(
+        "doc_id",
+        sz.alias("n_tokens"),
+        F.size(kept).alias("n_kept"),
+        (sz - F.size(kept)).alias("n_removed"),
+        F.md5(F.array_join(kept, " ")).alias("cleaned_md5"),
+    )
+
+
+def duplicate_span_stats(
+    docs: DataFrame, k: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Per-document duplicated-span statistics: the fraction of a doc's
+    distinct k-token grams that also appear in at least one OTHER document
+    (the k-gram approximation of substring-level dedup from Lee et al. 2021
+    — a span duplicated across docs shares all its k-grams)."""
+    grams = persist_tracked(
+        docs.select(
+            "doc_id", F.explode(TXT.shingles(text_col, n=k)).alias("gram")
+        )
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    totals = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    dups = (
+        grams.join(dup, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_grams"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(dups, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.coalesce("n_dup_grams", F.lit(0))
+                / F.col("n_grams").cast("double"),
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def bigram_familiarity(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """LM-style quality proxy without a model: the fraction of a doc's
+    distinct bigrams occurring in >= 2 documents ("familiar" under a corpus
+    bigram LM). The CCNet pipeline uses a KenLM perplexity for this slot;
+    the familiarity ratio is the transcendental-free analogue. Band
+    thresholds are fixed constants, not corpus quantiles — a corpus-wide
+    ntile would serialize through one window partition."""
+    bg = persist_tracked(
+        docs.select("doc_id", F.explode(TXT.shingles(text_col, n=2)).alias("bg"))
+    )
+    familiar = (
+        bg.groupBy("bg")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("bg")
+    )
+    per_doc = bg.groupBy("doc_id").agg(F.count("*").alias("n_bigrams"))
+    fam = (
+        bg.join(familiar, "bg")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_familiar"))
+    )
+    ratio = F.when(
+        F.col("n_bigrams") > 0,
+        F.coalesce("n_familiar", F.lit(0)) / F.col("n_bigrams").cast("double"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(fam, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_familiar", F.lit(0)).alias("n_familiar"),
+            ratio.alias("familiar_ratio"),
+            F.when(ratio.isNull(), "empty")
+            .when(ratio < 0.25, "low")
+            .when(ratio < 0.5, "mid")
+            .when(ratio < 0.75, "high")
+            .otherwise("top")
+            .alias("band"),
+        )
+    )
+
+
+def wordpiece_vocab(
+    docs: DataFrame, n_vocab: int = 64, max_len: int = 4, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """(word_counts, vocab) — vocab = top-n_vocab character 2..max_len grams
+    by corpus occurrence (gram occurrences within a word x word frequency),
+    tie-broken by gram text. Computed on the DISTINCT word domain, so gram
+    extraction cost scales with |corpus vocabulary|, not corpus size.
+    word_counts is persisted: the vocab top-k collect and the segmentation
+    scan are separate consumers."""
+    words_rel = docs.select(
+        "doc_id", F.explode(TXT.words(text_col)).alias("word")
+    )
+    word_counts = persist_tracked(
+        words_rel.groupBy("word").agg(F.count("*").alias("wc"))
+    )
+    grams = None
+    for n in range(2, max_len + 1):
+        # sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty
+        # (DuckDB's generate_series(1, 0) is) — words shorter than n must be
+        # gated out explicitly or they contribute junk grams to the count
+        idx = F.when(
+            F.length("word") >= n,
+            F.sequence(F.lit(1), F.length("word") - (n - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        g = word_counts.select(
+            F.explode(
+                F.transform(idx, lambda i: F.substring(F.col("word"), i, F.lit(n)))
+            ).alias("gram"),
+            "wc",
+        )
+        grams = g if grams is None else grams.unionAll(g)
+    vocab = (
+        grams.groupBy("gram")
+        .agg(F.sum("wc").alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(n_vocab)
+    )
+    return word_counts, vocab
+
+
+def segment_words(
+    word_counts: DataFrame, vocab_set: frozenset[str], max_len: int = 4
+) -> DataFrame:
+    """Greedy longest-match segmentation of the distinct word domain:
+    at each position take the longest vocab match (<= max_len), single
+    character as the unconditional fallback. Arrow-batched; the vocab is a
+    closure constant on the executors."""
+
+    def seg(batches):
+        for pdf in batches:
+            counts = []
+            for word in pdf["word"]:
+                pos, n = 0, 0
+                ln = len(word)
+                while pos < ln:
+                    step = 1
+                    for m in range(max_len, 1, -1):
+                        if pos + m <= ln and word[pos : pos + m] in vocab_set:
+                            step = m
+                            break
+                    pos += step
+                    n += 1
+                counts.append(n)
+            pdf = pdf[["word"]].copy()
+            pdf["n_sub"] = counts
+            yield pdf
+
+    return word_counts.select("word").mapInPandas(seg, "word string, n_sub long")
+
+
+def wordpiece_stats(
+    docs: DataFrame,
+    n_vocab: int = 64,
+    max_len: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc word/subword counts and mean subwords-per-word (fertility —
+    the statistic every tokenizer-design loop monitors) under greedy
+    longest-match subword tokenization with a corpus-derived vocabulary.
+    The only driver materialization is the n_vocab-row vocab collect."""
+    word_counts, vocab = wordpiece_vocab(docs, n_vocab, max_len, text_col)
+    vset = frozenset(r["gram"] for r in vocab.collect())
+    tokenized = segment_words(word_counts, vset, max_len)
+    words_rel = docs.select(
+        "doc_id", F.explode(TXT.words(text_col)).alias("word")
+    )
+    per_doc = (
+        words_rel.join(tokenized, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").alias("n_subwords"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_subwords", F.lit(0)).alias("n_subwords"),
+            F.when(
+                F.coalesce("n_words", F.lit(0)) > 0,
+                F.col("n_subwords") / F.col("n_words").cast("double"),
+            ).alias("fertility"),
+        )
+    )
