@@ -57,7 +57,13 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Zero-norm-safe: a zero vector scores 0 against everything — the same
+    convention as the GEMM paths' _safe_norms (norm 0 -> divisor 1, so the
+    zero numerator wins); a raw divide crashes under ANSI mode the first
+    time a corpus contains an all-zero embedding (caught by the degenerate
+    data sweep, via semantic_dedup's join condition)."""
+    nn = norm(a) * norm(b)
+    return F.when(nn > 0, dot(a, b) / nn).otherwise(F.lit(0.0))
 
 
 # Hard cap on rows allowed onto the driver/broadcast side of the exact
