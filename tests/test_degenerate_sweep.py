@@ -95,3 +95,36 @@ def test_all_queries_survive_degenerate_inputs(spark, degenerate_sf):
         finally:
             release_caches()
     assert not fails, "\n".join(fails)
+
+
+@pytest.fixture(scope="session")
+def empty_sf(tmp_path_factory):
+    out = tmp_path_factory.mktemp("sf_empty")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{_SRC}/{t}.parquet') WHERE 1=0) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    return str(out)
+
+
+def test_all_queries_survive_empty_tables(spark, empty_sf):
+    """Zero-row tables are the harshest degenerate case: empty seed
+    collects (np.stack), zero denominators in grand-total ratios, empty
+    Arrow batches. Caught on first run: four np.stack-on-empty centroid
+    seeds and q50's funnel ratios."""
+    fails = []
+    for name, fn in QUERIES.items():
+        try:
+            fn(spark, empty_sf).collect()
+        except Exception as e:  # noqa: BLE001 — collecting the full list
+            first = str(e).splitlines()[0][:200] if str(e) else type(e).__name__
+            fails.append(f"{name}: {first}")
+        finally:
+            release_caches()
+    assert not fails, "\n".join(fails)

@@ -46,6 +46,11 @@ def _centroids(sdf: DataFrame, n_cells: int):
     import numpy as np
 
     cent_pdf = sdf.orderBy("id").limit(n_cells).toPandas().sort_values("id")
+    if len(cent_pdf) == 0:
+        raise ValueError(
+            "write_ivf_index: cannot build an IVF index over an empty "
+            "relation (no rows to seed the coarse quantizer)"
+        )
     cent = np.stack(cent_pdf["vec"].to_numpy()).astype(np.float64)
     return cent_pdf, cent, _safe_norms(cent)
 

@@ -115,6 +115,18 @@ def _topk_schema(id_type) -> StructType:
     )
 
 
+def _assign_schema(id_type, centroid_type=None) -> StructType:
+    """(vec_id, centroid, cos_sim) — the assignment result shape, used by
+    the empty-relation short-circuits (np.stack cannot stack zero rows)."""
+    return StructType(
+        [
+            StructField("vec_id", id_type, True),
+            StructField("centroid", centroid_type or id_type, True),
+            StructField("cos_sim", DoubleType(), True),
+        ]
+    )
+
+
 def cosine_topk(
     df: DataFrame,
     vec_col: str,
@@ -248,6 +260,10 @@ def centroid_assign(
     sdf = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
     cent = sdf.filter(F.col("vec_id").isin(*centroid_ids)).toPandas()
     cent = cent.sort_values("vec_id")
+    if len(cent) == 0:  # empty relation / no seed rows: empty assignment
+        return df.sparkSession.createDataFrame(
+            [], _assign_schema(sdf.schema["vec_id"].dataType)
+        )
     c_ids = cent["vec_id"].to_numpy()
     c_mat = np.stack(cent["vec"].to_numpy()).astype(np.float64)
     c_norm = _safe_norms(c_mat)
@@ -318,8 +334,14 @@ def kmeans_assign(
     seed = (
         sdf.orderBy("vec_id").limit(k).toPandas().sort_values("vec_id")
     )
+    if len(seed) == 0:  # empty relation: empty assignment, no driver GEMM
+        return df.sparkSession.createDataFrame(
+            [], _assign_schema(sdf.schema["vec_id"].dataType, LongType())
+        )
     c_mat = np.stack(seed["vec"].to_numpy()).astype(np.float64)
-    c_ids = np.arange(k)
+    # len(seed) may be < k on tiny relations — the id range must match the
+    # actual centroid matrix or the assignment would reference ghost cells
+    c_ids = np.arange(len(seed))
 
     def make_assign(bc):
         def assign(batches):
@@ -583,6 +605,19 @@ def ivf_ann_topk(
     sdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     # the ONLY driver-side collect: bounded by n_cells, not |df|
     cent_pdf = sdf.orderBy("id").limit(n_cells).toPandas().sort_values("id")
+    if len(cent_pdf) == 0:  # empty relation: empty top-k
+        id_type = sdf.schema["id"].dataType
+        return df.sparkSession.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("vec_id", id_type, True),
+                    StructField("nbr", id_type, True),
+                    StructField("cos_sim", DoubleType(), True),
+                    StructField("rnk", IntegerType(), True),
+                ]
+            ),
+        )
     cent = np.stack(cent_pdf["vec"].to_numpy()).astype(np.float64)
     cent_norm = _safe_norms(cent)
     bc = df.sparkSession.sparkContext.broadcast((cent, cent_norm))

@@ -1928,14 +1928,24 @@ def q50_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         totals.crossJoin(nv)
         .crossJoin(nc)
         .crossJoin(np_)
+        # zero-stage guards: an empty funnel stage must yield NULL ratios,
+        # not an ANSI divide-by-zero — matching DuckDB, whose double x/0 IS
+        # NULL (verified; the oracle needs no change)
         .withColumn(
             "view_to_click",
-            F.col("reached_click").cast("double") / F.col("reached_view").cast("double"),
+            F.when(
+                F.col("reached_view") > 0,
+                F.col("reached_click").cast("double")
+                / F.col("reached_view").cast("double"),
+            ),
         )
         .withColumn(
             "click_to_purchase",
-            F.col("reached_purchase").cast("double")
-            / F.col("reached_click").cast("double"),
+            F.when(
+                F.col("reached_click") > 0,
+                F.col("reached_purchase").cast("double")
+                / F.col("reached_click").cast("double"),
+            ),
         )
     )
 
