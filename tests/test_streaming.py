@@ -515,3 +515,28 @@ def test_cdc_apply_recovers_interrupted_swap(spark, tmp_path):
     got = {r["k"] for r in spark.read.parquet(target).collect()}
     assert got == {1, 2, 3}  # base rows recovered, not lost
     assert not os.path.exists(target + ".__old")
+
+
+def test_neardup_stream_equals_batch_fpset(spark, duck):
+    """Streaming SimHash near-dedup drains to exactly the batch distinct
+    fingerprint set (micro-batch boundaries must not change WHICH
+    fingerprints survive — only which arrival represents each)."""
+    from udlang_spark.operators import dedup as dedup_ops
+    from udlang_spark.queries import streaming as squeries
+    from udlang_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_CORRECTNESS
+
+    got = [
+        r["simhash"]
+        for r in squeries.s_neardup_stream(spark, SF_DIR_CORRECTNESS).collect()
+    ]
+    docs = load_table(spark, "documents", SF_DIR_CORRECTNESS)
+    want = sorted(
+        r["simhash"]
+        for r in dedup_ops.simhash_fingerprints(docs, "text", "doc_id")
+        .select("simhash")
+        .distinct()
+        .collect()
+    )
+    assert got == want
+    assert len(got) < docs.count()  # the corpus has fp-identical near-dups

@@ -22,8 +22,10 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from udlang_spark.functions import text as TXT
 from udlang_spark.kernel import ast
 from udlang_spark.kernel.api import compile_kernel
+from udlang_spark.queries import llm as _llm
 from udlang_spark.sources import json_lift
 from udlang_spark.sources.tables import load_table
 from udlang_spark.streaming import runner
@@ -185,6 +187,41 @@ def s_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "bucket").orderBy("event_type", "bucket")
 
 
+def s_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-time NEAR-dedup: each document gets a row-local
+    16-bit SimHash fingerprint (pure Column fold — computable on a stream
+    with no state), and dropDuplicatesWithinWatermark keys on the
+    fingerprint, so near-identical documents arriving within the watermark
+    collapse to one. This is the stream-side counterpart of d_simhash's
+    batch dedup: the fingerprint state is bounded by the watermark horizon
+    (at 100 TB/day the fp key space, not the corpus, is what the state
+    store holds). Which ARRIVAL survives is racy across micro-batches, so
+    the contract output is the deterministic surviving fingerprint set."""
+    docs = load_table(spark, "documents", sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    tmp = os.path.join(tempfile.gettempdir(), f"udlang_stream_docs_{tag}")
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp, ignore_errors=True)
+    json_lift.lower_json(
+        docs.select("doc_id", "text"), ("doc_id", "text")
+    ).select("json").coalesce(4).write.mode("overwrite").text(tmp)
+    doc_t = ast.TRecord(
+        (ast.TRecordField("doc_id", ast.T_INT), ast.TRecordField("text", ast.T_STR))
+    )
+    src = (
+        spark.readStream.schema(json_lift.input_schema(doc_t))
+        .option("mode", "FAILFAST")
+        .json(tmp)
+        .withColumn(
+            "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") * 60)
+        )
+        .withColumn("simhash", TXT.simhash16("text"))
+    )
+    deduped = runner.streaming_dedup(src, ("simhash",), "ts", watermark="2 hours")
+    out = runner.run_stream_to_memory(deduped, "q_s_neardup_stream", spark)
+    return out.select("simhash").distinct().orderBy("simhash")
+
+
 def s_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-window aggregation on the replayed stream: events within 10
     minutes of each other merge per event_type; the watermark closes
@@ -243,6 +280,7 @@ QUERIES = {
     "s_stateful_totals": s_stateful_totals,
     "s_stream_join": s_stream_join,
     "s_dedup_stream": s_dedup_stream,
+    "s_neardup_stream": s_neardup_stream,
     "s_session_stream": s_session_stream,
     "s_cdc_apply": s_cdc_apply,
 }
@@ -308,6 +346,11 @@ FROM events ORDER BY event_type, bucket
 # the group is STRICTLY > gap (verified against Spark: an event arriving
 # exactly `gap` after the latest still merges into the session);
 # end = last event + gap
+ORACLE_NEARDUP_STREAM = (
+    "WITH s AS (" + _llm._simhash_oracle() + ")\n"
+    "SELECT DISTINCT simhash FROM s ORDER BY simhash"
+)
+
 ORACLE_SESSION_STREAM = """
 WITH e AS (
   SELECT event_type,
@@ -343,6 +386,7 @@ ORACLE: dict[str, str] = {
     "s_stateful_totals": ORACLE_STATEFUL_TOTALS,
     "s_stream_join": ORACLE_STREAM_JOIN,
     "s_dedup_stream": ORACLE_DEDUP_STREAM,
+    "s_neardup_stream": ORACLE_NEARDUP_STREAM,
     "s_session_stream": ORACLE_SESSION_STREAM,
     "s_cdc_apply": ORACLE_CDC_APPLY,
 }
