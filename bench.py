@@ -57,6 +57,7 @@ HEADLINE = [
     "t_decontam",
     "t_corpus_pipeline",
     "t_bm25_topk",
+    "t_hybrid_rrf",
     "t_pii_scrub",
     # corpus cleaning (round 5)
     "t_gopher_rules",

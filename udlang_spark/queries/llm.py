@@ -1856,6 +1856,112 @@ ORDER BY bm25 DESC, doc_id LIMIT 20
 ORACLE_BM25 = _bm25_oracle()
 
 
+def t_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: the BM25 lexical top-20
+    (t_bm25_topk's fixed query) and the vector top-20 (cosine against the
+    embedding of id 0) merge by RRF score 1/(60+rank) summed across
+    branches — the standard hybrid-search serving shape (sparse pre-filter
+    + dense ranker, fused without score calibration).
+
+    Determinism: RRF works on integer RANKS, never raw scores, so the fused
+    ordering is immune to float-score drift between engines; the 1/(60+r)
+    terms are single IEEE divisions summed in a fixed order.
+
+    Scale: both branches are top-k pipelines (BM25: scan-level tf + 1-row
+    stats broadcast; vector: one broadcast query row, per-row Column fold,
+    TakeOrdered); the fusion joins two 20-row relations — driver-trivial at
+    any corpus size. The ranking windows sort 20 rows, not the corpus."""
+    lex = (
+        t_bm25_topk(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+            .alias("lex_rank"),
+        )
+    )
+    emb = load_table(spark, "embeddings", sf_dir)
+    qv = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    vec = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(similarity.cosine(F.col("embedding"), F.col("qvec")), 6).alias(
+                "cos"
+            ),
+        )
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(20)
+        .select(
+            "vec_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("cos").desc(), "vec_id"))
+            .alias("vec_rank"),
+        )
+    )
+    fused = (
+        lex.join(vec, lex["doc_id"] == vec["vec_id"], "full_outer")
+        .select(
+            F.coalesce(lex["doc_id"], vec["vec_id"]).alias("id"),
+            "lex_rank",
+            "vec_rank",
+            (
+                F.coalesce(1.0 / (F.lit(60) + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(60) + F.col("vec_rank")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "id")
+        .limit(10)
+    )
+    return fused.select(
+        "id",
+        "lex_rank",
+        "vec_rank",
+        F.round("rrf", 9).alias("rrf"),
+        F.row_number()
+        .over(Window.orderBy(F.col("rrf").desc(), "id"))
+        .alias("rnk"),
+    )
+
+
+ORACLE_HYBRID_RRF = (
+    "WITH lex0 AS ("
+    + _bm25_oracle()
+    + """),
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+  FROM lex0
+),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+vec0 AS (
+  SELECT b.vec_id,
+    round(list_dot_product(b.embedding::DOUBLE[], qv.v) /
+          (sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(qv.v, qv.v))), 6) AS cos
+  FROM embeddings b, qv WHERE b.vec_id <> 0
+  ORDER BY cos DESC, vec_id LIMIT 20
+),
+vec AS (
+  SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS vec_rank
+  FROM vec0
+),
+fused AS (
+  SELECT coalesce(l.doc_id, v.vec_id) AS id, l.lex_rank, v.vec_rank,
+    coalesce(1.0::DOUBLE / (60 + l.lex_rank), 0.0)
+      + coalesce(1.0::DOUBLE / (60 + v.vec_rank), 0.0) AS rrf
+  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.vec_id
+  ORDER BY rrf DESC, id LIMIT 10
+)
+SELECT id, lex_rank, vec_rank, round(rrf, 9) AS rrf,
+  CAST(row_number() OVER (ORDER BY rrf DESC, id) AS INTEGER) AS rnk
+FROM fused
+"""
+)
+
+
 def d_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/valid/test split: every near-dup CLUSTER lands
     wholly in one split, so no eval document has a training near-duplicate
@@ -2018,6 +2124,7 @@ QUERIES = {
     "t_corpus_pipeline": t_corpus_pipeline,
     "t_pii_scrub": t_pii_scrub,
     "t_bm25_topk": t_bm25_topk,
+    "t_hybrid_rrf": t_hybrid_rrf,
     "d_split_leakage": d_split_leakage,
     "t_domain_mix": t_domain_mix,
     "e_semdedup": e_semdedup,
@@ -2063,6 +2170,7 @@ ORACLE = {
     "t_corpus_pipeline": ORACLE_CORPUS_PIPELINE,
     "t_pii_scrub": ORACLE_PII_SCRUB,
     "t_bm25_topk": ORACLE_BM25,
+    "t_hybrid_rrf": ORACLE_HYBRID_RRF,
     "d_split_leakage": ORACLE_SPLIT_LEAKAGE,
     "t_domain_mix": ORACLE_DOMAIN_MIX,
     "t_heavy_hitters": ORACLE_HEAVY_HITTERS,
