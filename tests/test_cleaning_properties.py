@@ -131,3 +131,17 @@ def test_wordpiece_greedy_matches_python_reference(spark):
     assert seg  # non-empty domain
     for word, n_sub in seg.items():
         assert n_sub == ref(word), word
+
+
+def test_gram_stats_partition_invariant(spark):
+    """Duplicated-span and familiarity stats must not depend on input
+    partitioning — the property that makes results stable under cluster
+    re-sharding, AQE coalescing, and retries."""
+    from tests.conftest import SF_DIR_CORRECTNESS
+    from udlang_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", SF_DIR_CORRECTNESS)
+    for op in (OPS.duplicate_span_stats, OPS.bigram_familiarity):
+        a = sorted(tuple(r) for r in op(docs).collect())
+        b = sorted(tuple(r) for r in op(docs.repartition(7, "doc_id")).collect())
+        assert a == b, op.__name__
