@@ -122,3 +122,35 @@ def test_append_equals_rebuild(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == queries.count() * 5
+
+
+def test_double_precision_vectors_round_trip(spark, tmp_path):
+    """The centroid sidecar must preserve the source element type: with
+    array<double> vectors a float32 sidecar would route append/probe
+    against truncated centroids, breaking parity with the in-memory path."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    emb = _embeddings(spark).select(
+        "vec_id", F.col("embedding").cast(ArrayType(DoubleType())).alias("embedding")
+    )
+    path = str(tmp_path / "ivf_double")
+    ann_index.write_ivf_index(emb, "embedding", "vec_id", path, n_cells=16)
+    cents = spark.read.parquet(path + "/_centroids")
+    assert isinstance(cents.schema["vec"].dataType.elementType, DoubleType)
+
+    queries = emb.where(F.col("vec_id") < 30)
+    got = {
+        tuple(r)
+        for r in ann_index.probe_ivf_index(
+            spark, path, queries, "embedding", "vec_id", k=5, n_probe=4
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in similarity.ivf_ann_topk(
+            emb, "embedding", "vec_id", k=5, n_cells=16, n_probe=4
+        )
+        .where(F.col("vec_id") < 30)
+        .collect()
+    }
+    assert got == want and len(got) == 30 * 5

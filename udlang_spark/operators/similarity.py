@@ -104,6 +104,36 @@ def _safe_norms(mat):
     return nrm
 
 
+def gemm_topk_pairs(q_ids, q_mat, b_ids, b_mat, k):
+    """The parity-critical in-group scorer shared by ivf_ann_topk and the
+    persisted-index probe (operators/ann_index.py): float64 GEMM cosine,
+    round-6 BEFORE ranking, self-pairs masked, per-query top-k by
+    (cos desc, neighbor id asc). Exists exactly once so a tie-break or
+    rounding change cannot silently break the probe==in-memory equality
+    the pytests assert."""
+    import numpy as np
+    import pandas as pd
+
+    b_norm = _safe_norms(b_mat)
+    q_norm = _safe_norms(q_mat)
+    cos = q_mat @ b_mat.T
+    cos /= q_norm[:, None]
+    cos /= b_norm[None, :]
+    np.round(cos, 6, out=cos)
+    cos[q_ids[:, None] == b_ids[None, :]] = -np.inf
+    order = np.lexsort((b_ids[None, :].repeat(len(q_ids), 0), -cos), axis=1)
+    m = min(k, cos.shape[1])
+    top = order[:, :m]
+    out = pd.DataFrame(
+        {
+            "vec_id": np.repeat(q_ids, m),
+            "nbr": b_ids[top].ravel(),
+            "cos_sim": np.take_along_axis(cos, top, 1).ravel(),
+        }
+    )
+    return out[out["cos_sim"] != -np.inf]
+
+
 def _topk_schema(id_type) -> StructType:
     return StructType(
         [
@@ -672,28 +702,13 @@ def ivf_ann_topk(
         qs = pdf[pdf["role"] == 1]
         if len(idx) == 0 or len(qs) == 0:
             return pd.DataFrame({"vec_id": [], "nbr": [], "cos_sim": []})
-        b_ids = idx["id"].to_numpy()
-        b_mat = np.stack(idx["vec"].to_numpy()).astype(np.float64)
-        b_norm = _safe_norms(b_mat)
-        q_ids = qs["id"].to_numpy()
-        q_mat = np.stack(qs["vec"].to_numpy()).astype(np.float64)
-        q_norm = _safe_norms(q_mat)
-        cos = q_mat @ b_mat.T
-        cos /= q_norm[:, None]
-        cos /= b_norm[None, :]
-        np.round(cos, 6, out=cos)
-        cos[q_ids[:, None] == b_ids[None, :]] = -np.inf
-        order = np.lexsort((b_ids[None, :].repeat(len(q_ids), 0), -cos), axis=1)
-        m = min(k, cos.shape[1])
-        top = order[:, :m]
-        out = pd.DataFrame(
-            {
-                "vec_id": np.repeat(q_ids, m),
-                "nbr": b_ids[top].ravel(),
-                "cos_sim": np.take_along_axis(cos, top, 1).ravel(),
-            }
+        return gemm_topk_pairs(
+            qs["id"].to_numpy(),
+            np.stack(qs["vec"].to_numpy()).astype(np.float64),
+            idx["id"].to_numpy(),
+            np.stack(idx["vec"].to_numpy()).astype(np.float64),
+            k,
         )
-        return out[out["cos_sim"] != -np.inf]
 
     pair_schema = StructType(
         [

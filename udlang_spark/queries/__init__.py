@@ -32,17 +32,15 @@ for mod in (kernels, llm, streaming, relational, cleaning):
 # Round-3 window: relational q01–q50 (50/50 green). Round-4 window: kernel +
 # oracled-LLM + s_cdc_apply + q51/q52 (47 green + 3 array-output harness errs,
 # adjudicated value-correct and since serialized to sortable strings). This
-# round the window covers every oracled query that has NEVER had a driver row
-# — q54–q65, the round-4 late additions (k_attempt, m_real_decode,
-# t_bm25_topk, d_split_leakage, t_domain_mix), the three re-serialized
-# array-output queries, and the round-5 oracle conversions (e_kmeans,
-# e_semdedup, e_pagerank via unrolled CTEs; all six remaining streaming
-# queries via order-exact fixed-point sums; q53's sketch-bounds form; the
-# multimodal m_frames/m_video_frames/m_features; the three ANN paths,
-# SQL-expressible once the LSH planes moved to md5 derivation) — plus 14
-# re-confirmations spread across every category, biased toward queries
-# whose code changed this round. EVERY registered query now carries an
-# oracle; none are rows-only.
+# round the window covers every oracled query that had NEVER had a driver row
+# entering round 5 (38 entries: q54–q65, the round-4 late additions, the
+# re-serialized array-output queries, and the round-5 oracle conversions —
+# iterative/streaming/sketch/multimodal/ANN), the five corpus-cleaning
+# queries added mid-round (driver-checked immediately), and 7
+# re-confirmations. EVERY registered query carries an oracle; none are
+# rows-only. Still outside the window (for the next rotation): the
+# mid-round additions t_hybrid_rrf and s_neardup_stream — both already
+# strict-checked by tools/strict_oracle_check.py and pytest.
 _PRIORITY: list[str] = [
     # -- never driver-checked (38) --
     "q54_pattern_match",

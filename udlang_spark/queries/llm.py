@@ -461,8 +461,10 @@ ORACLE_COSINE_TOPK = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 p AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
-    round(list_dot_product(a.v, b.v) /
-          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+    CASE WHEN list_dot_product(a.v, a.v) > 0 AND list_dot_product(b.v, b.v) > 0
+       THEN round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+       ELSE 0.0 END
       AS cos_sim
   FROM e a, e b WHERE a.vec_id <> b.vec_id
 )
@@ -488,8 +490,10 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 0 AND 7),
 scored AS (
   SELECT e.vec_id, c.cid,
-    round(list_dot_product(e.v, c.cv) /
-          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6)
+    CASE WHEN list_dot_product(e.v, e.v) > 0 AND list_dot_product(c.cv, c.cv) > 0
+       THEN round(list_dot_product(e.v, c.cv) /
+            (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6)
+       ELSE 0.0 END
       AS cos_sim
   FROM e, c
 )
@@ -640,8 +644,10 @@ def _kmeans_cte(k: int = 8, n_iter: int = 3) -> str:
     for i in range(1, n_iter + 1):
         parts.append(f"""s{i} AS (
   SELECT e.vec_id, c.cid,
-    round(list_dot_product(e.v, c.cv) /
-          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6)
+    CASE WHEN list_dot_product(e.v, e.v) > 0 AND list_dot_product(c.cv, c.cv) > 0
+       THEN round(list_dot_product(e.v, c.cv) /
+            (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6)
+       ELSE 0.0 END
       AS cos
   FROM e, c{i - 1} c
 )""")
@@ -682,9 +688,11 @@ dr AS (
   FROM a3 aa JOIN a3 bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
   JOIN e ea ON ea.vec_id = aa.vec_id
   JOIN e eb ON eb.vec_id = bb.vec_id
-  WHERE round(list_dot_product(ea.v, eb.v) /
-        (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))),
-        6) >= 0.5
+  WHERE CASE WHEN list_dot_product(ea.v, ea.v) > 0
+              AND list_dot_product(eb.v, eb.v) > 0
+         THEN round(list_dot_product(ea.v, eb.v) /
+              (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6)
+         ELSE 0.0 END >= 0.5
 )
 SELECT a3.vec_id, a3.cid AS centroid, (dr.vec_id IS NULL) AS keep
 FROM a3 LEFT JOIN dr ON a3.vec_id = dr.vec_id
@@ -700,8 +708,10 @@ def e_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_E_NEAR_DUPS = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  round(list_dot_product(a.v, b.v) /
-        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+  CASE WHEN list_dot_product(a.v, a.v) > 0 AND list_dot_product(b.v, b.v) > 0
+       THEN round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+       ELSE 0.0 END
     AS cos
 FROM e a, e b
 WHERE a.vec_id < b.vec_id AND cos >= 0.45
@@ -814,8 +824,10 @@ cand AS (
 ),
 scored AS (
   SELECT c.vec_id, c.nbr,
-    round(list_dot_product(ea.v, eb.v) /
-          (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6)
+    CASE WHEN list_dot_product(ea.v, ea.v) > 0 AND list_dot_product(eb.v, eb.v) > 0
+       THEN round(list_dot_product(ea.v, eb.v) /
+            (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6)
+       ELSE 0.0 END
       AS cos_sim
   FROM cand c JOIN e ea ON c.vec_id = ea.vec_id JOIN e eb ON c.nbr = eb.vec_id
 )
@@ -1275,8 +1287,10 @@ def _pagerank_oracle(n_iter: int = 10, dnum: int = 85, k: int = 3) -> str:
         "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         """p AS (
   SELECT a.vec_id AS src, b.vec_id AS dst,
-    round(list_dot_product(a.v, b.v) /
-          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+    CASE WHEN list_dot_product(a.v, a.v) > 0 AND list_dot_product(b.v, b.v) > 0
+       THEN round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+       ELSE 0.0 END
       AS cos_sim
   FROM e a, e b WHERE a.vec_id <> b.vec_id
 )""",
@@ -1938,9 +1952,12 @@ lex AS (
 qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
 vec0 AS (
   SELECT b.vec_id,
-    round(list_dot_product(b.embedding::DOUBLE[], qv.v) /
-          (sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))
-           * sqrt(list_dot_product(qv.v, qv.v))), 6) AS cos
+    CASE WHEN list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0
+              AND list_dot_product(qv.v, qv.v) > 0
+         THEN round(list_dot_product(b.embedding::DOUBLE[], qv.v) /
+              (sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(qv.v, qv.v))), 6)
+         ELSE 0.0 END AS cos
   FROM embeddings b, qv WHERE b.vec_id <> 0
   ORDER BY cos DESC, vec_id LIMIT 20
 ),

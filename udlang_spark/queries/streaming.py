@@ -49,17 +49,22 @@ if (in > 100.0) {
 """
 
 
-def _replay_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Write events rows as JSON files for a replayable file stream."""
+def _replay_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "events",
+    cols: tuple[str, ...] = ("event_id", "event_type", "value"),
+    prefix: str = "udlang_stream_replay",
+) -> str:
+    """Write a table's rows as JSON files for a replayable file stream."""
     tag = os.path.basename(sf_dir.rstrip("/"))
-    tmp = os.path.join(tempfile.gettempdir(), f"udlang_stream_replay_{tag}")
+    tmp = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
     if os.path.isdir(tmp):
         shutil.rmtree(tmp, ignore_errors=True)
-    ev = load_table(spark, "events", sf_dir)
-    json_lift.lower_json(
-        ev.select("event_id", "event_type", "value"),
-        ("event_id", "event_type", "value"),
-    ).select("json").coalesce(4).write.mode("overwrite").text(tmp)
+    rel = load_table(spark, table, sf_dir)
+    json_lift.lower_json(rel.select(*cols), cols).select("json").coalesce(
+        4
+    ).write.mode("overwrite").text(tmp)
     return tmp
 
 
@@ -197,14 +202,10 @@ def s_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (at 100 TB/day the fp key space, not the corpus, is what the state
     store holds). Which ARRIVAL survives is racy across micro-batches, so
     the contract output is the deterministic surviving fingerprint set."""
-    docs = load_table(spark, "documents", sf_dir)
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    tmp = os.path.join(tempfile.gettempdir(), f"udlang_stream_docs_{tag}")
-    if os.path.isdir(tmp):
-        shutil.rmtree(tmp, ignore_errors=True)
-    json_lift.lower_json(
-        docs.select("doc_id", "text"), ("doc_id", "text")
-    ).select("json").coalesce(4).write.mode("overwrite").text(tmp)
+    tmp = _replay_dir(
+        spark, sf_dir, table="documents", cols=("doc_id", "text"),
+        prefix="udlang_stream_docs",
+    )
     doc_t = ast.TRecord(
         (ast.TRecordField("doc_id", ast.T_INT), ast.TRecordField("text", ast.T_STR))
     )
@@ -342,15 +343,15 @@ SELECT DISTINCT event_type, event_id % 50 AS bucket
 FROM events ORDER BY event_type, bucket
 """
 
-# session windows: islands split where the time since the previous event in
-# the group is STRICTLY > gap (verified against Spark: an event arriving
-# exactly `gap` after the latest still merges into the session);
-# end = last event + gap
 ORACLE_NEARDUP_STREAM = (
     "WITH s AS (" + _llm._simhash_oracle() + ")\n"
     "SELECT DISTINCT simhash FROM s ORDER BY simhash"
 )
 
+# session windows: islands split where the time since the previous event in
+# the group is STRICTLY > gap (verified against Spark: an event arriving
+# exactly `gap` after the latest still merges into the session);
+# end = last event + gap
 ORACLE_SESSION_STREAM = """
 WITH e AS (
   SELECT event_type,
