@@ -211,3 +211,83 @@ def test_compiled_equals_interp_on_random_exprs(spark, expr, inputs):
     interp = Interp(prog)
     expect = {out for v in inputs for out in interp.run(v)}
     assert compiled == expect
+
+
+def _str_expr_strategy():
+    """Random STRING expressions over the string builtins: In() (the input
+    row), literals, concat, upper/lower/trim, replace, substr (non-negative
+    literal ranges — the documented 0-based contract; negative starts are
+    Python-slice in the interp and unspecified in the language).
+
+    Alphabet note: whitespace is plain spaces only — the interp's trim is
+    Python strip (unicode whitespace) while the compiled path is Spark trim
+    (ASCII space); the language only promises space-trimming."""
+    from udlang_spark.kernel import ast as A
+
+    lit = st.sampled_from(["", "a", "ab ", " xY", "12,", "é字", "zz"]).map(A.Lit)
+    leaves = st.one_of(st.just(A.In()), lit)
+
+    def compound(kids):
+        concat = st.tuples(kids, kids).map(lambda t: A.Bin("+", t[0], t[1]))
+        un1 = st.sampled_from(["upper", "lower", "trim"])
+        call1 = st.tuples(un1, kids).map(
+            lambda t: A.Call(A.Id(t[0]), (t[1],))
+        )
+        repl = st.tuples(
+            kids,
+            st.sampled_from(["a", "b ", "xY"]),
+            st.sampled_from(["", "Q", "12"]),
+        ).map(
+            lambda t: A.Call(A.Id("replace"), (t[0], A.Lit(t[1]), A.Lit(t[2])))
+        )
+        sub = st.tuples(
+            kids,
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=6),
+        ).map(
+            lambda t: A.Call(A.Id("substr"), (t[0], A.Lit(t[1]), A.Lit(t[2])))
+        )
+        return st.one_of(concat, call1, repl, sub)
+
+    return st.recursive(leaves, compound, max_leaves=6)
+
+
+@given(
+    expr=_str_expr_strategy(),
+    inputs=st.lists(
+        st.sampled_from(["", "abc", "A b C", "  pad  ", "é字 mix", "x,y"]),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+    as_length=st.booleans(),
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_compiled_equals_interp_on_string_exprs(spark, expr, inputs, as_length):
+    """Compiled-vs-interpreted differential over the STRING builtin surface
+    (the int/float surface has its own fuzz above)."""
+    from udlang_spark.kernel import ast as A
+    from udlang_spark.kernel.api import Kernel
+    from udlang_spark.kernel.interp import Interp
+
+    out_t = A.T_INT if as_length else A.T_STR
+    body_expr = A.Call(A.Id("length"), (expr,)) if as_length else expr
+    prog = A.Program(
+        kind="script",
+        desc="strfuzz",
+        decls=(),
+        input=A.T_STR,
+        output=out_t,
+        body=(A.Out(body_expr),),
+    )
+    df = spark.createDataFrame([(v,) for v in inputs], "value string")
+    compiled = sorted(
+        r[0] for r in Kernel(program=prog).apply(df, input_col="value").collect()
+    )
+    interp = Interp(prog)
+    expect = sorted(out for v in inputs for out in interp.run(v))
+    assert compiled == expect
