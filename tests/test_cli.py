@@ -110,3 +110,40 @@ def test_compact_cli(tmp_path):
     import glob
 
     assert glob.glob(f"{out}/*.parquet")
+
+
+def test_cli_index_lifecycle(tmp_path):
+    """build → append → probe from the CLI; probe output is valid JSON rows
+    with the (vec_id, nbr, cos_sim, rnk) schema."""
+    import json
+    import duckdb
+
+    from udlang_spark.__main__ import main
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    base = str(tmp_path / "base.parquet")
+    extra = str(tmp_path / "extra.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{src}') WHERE vec_id < 400) "
+        f"TO '{base}' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{src}') WHERE vec_id >= 400) "
+        f"TO '{extra}' (FORMAT PARQUET)"
+    )
+    con.close()
+    idx = str(tmp_path / "ivf")
+    assert main(["index", "build", idx, "--data", base]) == 0
+    assert main(["index", "append", idx, "--data", extra]) == 0
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(
+            ["index", "probe", idx, "--data", src, "--limit", "5", "--k", "3"]
+        )
+    assert rc == 0
+    rows = [json.loads(l) for l in buf.getvalue().strip().splitlines() if l.startswith("{")]
+    assert rows and set(rows[0]) == {"vec_id", "nbr", "cos_sim", "rnk"}

@@ -214,6 +214,37 @@ def _query(query: str, sf_dir: str, limit: int, output: str | None) -> int:
         release_caches()
 
 
+def _index(action: str, data: str, path: str, vec_col: str, id_col: str,
+           n_cells: int, k: int, n_probe: int, queries_path: str | None,
+           limit: int) -> int:
+    """Persisted-IVF-index lifecycle from the CLI: build/append/probe."""
+    from udlang_spark.operators import ann_index
+    from udlang_spark.session import get_spark, release_caches
+
+    spark = get_spark("udlang_index")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        if action == "build":
+            df = spark.read.parquet(data)
+            ann_index.write_ivf_index(df, vec_col, id_col, path, n_cells=n_cells)
+            print(f"built {path} ({n_cells} cells)")
+            return 0
+        if action == "append":
+            df = spark.read.parquet(data)
+            ann_index.append_to_ivf_index(df, vec_col, id_col, path)
+            print(f"appended into {path}")
+            return 0
+        q = spark.read.parquet(queries_path or data)
+        out = ann_index.probe_ivf_index(
+            spark, path, q, vec_col, id_col, k=k, n_probe=n_probe
+        )
+        for line in out.limit(limit).toJSON().collect():
+            print(line)
+        return 0
+    finally:
+        release_caches()
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="udlang_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -249,6 +280,17 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--output", required=True)
     cp.add_argument("--target-mb", type=int, default=128)
     cp.add_argument("--partition-by", default="")
+    ix = sub.add_parser("index")
+    ix.add_argument("action", choices=["build", "append", "probe"])
+    ix.add_argument("path", help="index directory")
+    ix.add_argument("--data", required=True, help="parquet with id + vector columns")
+    ix.add_argument("--vec-col", default="embedding")
+    ix.add_argument("--id-col", default="vec_id")
+    ix.add_argument("--n-cells", type=int, default=16)
+    ix.add_argument("--k", type=int, default=5)
+    ix.add_argument("--n-probe", type=int, default=4)
+    ix.add_argument("--queries", default=None, help="parquet of query rows (probe; defaults to --data)")
+    ix.add_argument("--limit", type=int, default=20)
     a = p.parse_args(argv)
     if a.cmd == "dump-ast":
         return _dump_ast(a.script)
@@ -264,6 +306,9 @@ def main(argv: list[str] | None = None) -> int:
         return _lift(a.script, a.input, a.format, a.output, a.policy)
     if a.cmd == "lower":
         return _lower(a.parquet, a.format, a.output)
+    if a.cmd == "index":
+        return _index(a.action, a.data, a.path, a.vec_col, a.id_col,
+                      a.n_cells, a.k, a.n_probe, a.queries, a.limit)
     if a.cmd == "compact":
         return _compact(a.parquet, a.output, a.target_mb, a.partition_by)
     return _run(a.script, a.input, a.format, a.input_col, a.output)
