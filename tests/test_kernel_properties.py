@@ -291,3 +291,111 @@ def test_compiled_equals_interp_on_string_exprs(spark, expr, inputs, as_length):
     interp = Interp(prog)
     expect = sorted(out for v in inputs for out in interp.run(v))
     assert compiled == expect
+
+
+def _list_expr_strategy():
+    """Random LIST-of-int expressions over the collection builtins:
+    In() (array input), list literals, map (affine lambda), filter
+    (threshold lambda) — consumed by reduce/length at the top level."""
+    from udlang_spark.kernel import ast as A
+
+    def ilit(vs):
+        return A.ListExpr(tuple(A.Lit(v) for v in vs))
+
+    leaves = st.one_of(
+        st.just(A.In()),
+        st.lists(
+            st.integers(min_value=-5, max_value=5), min_size=0, max_size=4
+        ).map(ilit),
+    )
+
+    def lam1(body):
+        return A.Lambda(params=(("x", A.T_INT),), ret=A.T_INT, body=body)
+
+    def lamb(body):
+        return A.Lambda(params=(("x", A.T_INT),), ret=A.T_BOOL, body=body)
+
+    def compound(kids):
+        mapped = st.tuples(
+            kids,
+            st.integers(min_value=-3, max_value=3),
+            st.integers(min_value=-3, max_value=3),
+        ).map(
+            lambda t: A.Call(
+                A.Id("map"),
+                (
+                    t[0],
+                    lam1(A.Bin("+", A.Bin("*", A.Id("x"), A.Lit(t[1])), A.Lit(t[2]))),
+                ),
+            )
+        )
+        filtered = st.tuples(
+            kids, st.integers(min_value=-4, max_value=4)
+        ).map(
+            lambda t: A.Call(
+                A.Id("filter"), (t[0], lamb(A.Bin(">", A.Id("x"), A.Lit(t[1]))))
+            )
+        )
+        return st.one_of(mapped, filtered)
+
+    return st.recursive(leaves, compound, max_leaves=5)
+
+
+@given(
+    xs_expr=_list_expr_strategy(),
+    inputs=st.lists(
+        st.lists(st.integers(min_value=-6, max_value=6), min_size=0, max_size=5),
+        min_size=1,
+        max_size=2,
+    ),
+    reducer=st.sampled_from(["sum", "length"]),
+)
+@settings(
+    max_examples=50,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_compiled_equals_interp_on_hof_exprs(spark, xs_expr, inputs, reducer):
+    """Compiled-vs-interpreted differential over the collection-HOF surface
+    (map / filter / reduce / length with real lambdas)."""
+    from udlang_spark.kernel import ast as A
+    from udlang_spark.kernel.api import Kernel
+    from udlang_spark.kernel.interp import Interp
+
+    if reducer == "sum":
+        top = A.Call(
+            A.Id("reduce"),
+            (
+                xs_expr,
+                A.Lit(0),
+                A.Lambda(
+                    params=(("acc", A.T_INT), ("x", A.T_INT)),
+                    ret=A.T_INT,
+                    body=A.Bin("+", A.Id("acc"), A.Id("x")),
+                ),
+            ),
+        )
+    else:
+        top = A.Call(A.Id("length"), (xs_expr,))
+    prog = A.Program(
+        kind="script",
+        desc="hoffuzz",
+        decls=(),
+        input=A.TList(A.T_INT),
+        output=A.T_INT,
+        body=(A.Out(top),),
+    )
+    # unique-ify by tuple (hypothesis may generate duplicate lists)
+    seen, uniq = set(), []
+    for v in inputs:
+        t = tuple(v)
+        if t not in seen:
+            seen.add(t)
+            uniq.append(v)
+    df = spark.createDataFrame([(v,) for v in uniq], "value array<long>")
+    compiled = sorted(
+        r[0] for r in Kernel(program=prog).apply(df, input_col="value").collect()
+    )
+    interp = Interp(prog)
+    expect = sorted(out for v in uniq for out in interp.run(v))
+    assert compiled == expect
