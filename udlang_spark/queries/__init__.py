@@ -38,9 +38,10 @@ for mod in (kernels, llm, streaming, relational, cleaning):
 # iterative/streaming/sketch/multimodal/ANN), the five corpus-cleaning
 # queries added mid-round (driver-checked immediately), and 7
 # re-confirmations. EVERY registered query carries an oracle; none are
-# rows-only. Still outside the window (for the next rotation): the
-# mid-round additions t_hybrid_rrf and s_neardup_stream — both already
-# strict-checked by tools/strict_oracle_check.py and pytest.
+# rows-only. The mid-round additions t_hybrid_rrf and s_neardup_stream
+# took the window slots of two twice-confirmed re-confirmations
+# (q41_min_cost_supplier, d_minhash_lsh — both green in r3): a first
+# driver row is worth more than a third confirmation.
 _PRIORITY: list[str] = [
     # -- never driver-checked (38) --
     "q54_pattern_match",
@@ -87,11 +88,13 @@ _PRIORITY: list[str] = [
     "d_duplicate_spans",
     "t_bigram_lm",
     "t_wordpiece",
-    # -- re-confirmations (7) -- (k_hello/k_match_union/q34/q44/t_heavy_hitters
-    # rotated out: each already has two green driver rows across r3+r4)
+    # -- late round-5 additions, driver-checked immediately --
+    "t_hybrid_rrf",
+    "s_neardup_stream",
+    # -- re-confirmations (5) -- (k_hello/k_match_union/q34/q44/
+    # t_heavy_hitters/q41/d_minhash_lsh rotated out: green driver rows
+    # already on record from r3/r4)
     "k_count",
-    "q41_min_cost_supplier",
-    "d_minhash_lsh",
     "d_simhash_neardup",
     "t_corpus_pipeline",
     "e_cosine_topk",
