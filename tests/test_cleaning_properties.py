@@ -145,3 +145,56 @@ def test_gram_stats_partition_invariant(spark):
         a = sorted(tuple(r) for r in op(docs).collect())
         b = sorted(tuple(r) for r in op(docs.repartition(7, "doc_id")).collect())
         assert a == b, op.__name__
+
+
+def test_bpe_learn_matches_python_reference(spark):
+    """The distributed BPE loop (pair counts -> best pair -> greedy merge)
+    agrees with a pure-Python Sennrich-style reference on a crafted corpus:
+    same merge sequence, same final per-doc subword counts."""
+    from collections import Counter
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "low new lowest newest",
+    ]
+    docs = _docs(spark, texts)
+
+    # pure-Python reference over the word-frequency relation
+    wc = Counter(w for t in texts for w in t.lower().split())
+    state = {w: [c for c in w] for w in wc}
+
+    def one_round():
+        pairs = Counter()
+        for w, toks in state.items():
+            for i in range(len(toks) - 1):
+                pairs[(toks[i], toks[i + 1])] += wc[w]
+        if not pairs:
+            return None
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        a, b = best
+        for w, toks in state.items():
+            res, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(toks[i])
+                    i += 1
+            state[w] = res
+        return best
+
+    for _ in range(8):
+        one_round()
+
+    expect = {}
+    for doc_id, t in enumerate(texts):
+        ws = t.lower().split()
+        expect[doc_id] = (len(ws), sum(len(state[w]) for w in ws))
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"])
+        for r in OPS.bpe_learn_stats(docs, n_merges=8).collect()
+    }
+    assert got == expect

@@ -298,3 +298,121 @@ def wordpiece_stats(
             ).alias("fertility"),
         )
     )
+
+
+def bpe_learn_stats(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn a BPE merge table (Sennrich et al. 2016) over the corpus and
+    emit per-doc subword statistics under the learned segmentation.
+
+    BPE's sufficient statistic is the word-frequency relation: each round
+    counts adjacent token pairs weighted by word frequency, picks the most
+    frequent pair (ties: lexicographic), and greedily merges it left-to-
+    right within every word. The iterative shape on Spark is the kmeans
+    pattern: the DRIVER loops n_merges times; each round is one pair-key
+    aggregate (tiny — pair space, not corpus) plus a narrow Arrow-batched
+    re-segmentation over the DISTINCT word domain. Only the single best
+    pair ever reaches the driver per round. State is persisted per round so
+    round r's aggregate does not recompute rounds 1..r-1's lineage.
+
+    At 100 TB: the word-domain relation is the only corpus-derived state
+    (billions of rows, key-partitioned); pair aggregates are map-side
+    combined; re-segmentation cost is |vocabulary| x word length per round.
+    """
+    words_rel = docs.select(
+        "doc_id", F.explode(TXT.words(text_col)).alias("word")
+    )
+    word_counts = words_rel.groupBy("word").agg(F.count("*").alias("wc"))
+    state = persist_tracked(
+        word_counts.select(
+            "word",
+            "wc",
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.substring(F.col("word"), i, F.lit(1)),
+            ).alias("toks"),
+        )
+    )
+
+    def merge_fn(a: str, b: str):
+        def seg(batches):
+            for pdf in batches:
+                out = []
+                for toks in pdf["toks"]:
+                    toks = list(toks)
+                    res = []
+                    i = 0
+                    n = len(toks)
+                    while i < n:
+                        if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+                            res.append(a + b)
+                            i += 2
+                        else:
+                            res.append(toks[i])
+                            i += 1
+                    out.append(res)
+                pdf = pdf.copy()
+                pdf["toks"] = out
+                yield pdf
+
+        return seg
+
+    schema = "word string, wc long, toks array<string>"
+    sz = F.size("toks")
+    prev = None
+    for _ in range(n_merges):
+        pairs = (
+            state.select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("toks", 1, F.greatest(sz - 1, F.lit(0))),
+                        F.slice(
+                            F.col("toks"), 2, F.greatest(sz - 1, F.lit(0))
+                        ),
+                    )
+                ).alias("p"),
+                "wc",
+            )
+            .select(
+                F.col("p").getItem("0").alias("a"),
+                F.col("p").getItem("1").alias("b"),
+                "wc",
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("wc").alias("n"))
+        )
+        best = pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1).collect()
+        # the collect materialized the CURRENT state's cache, so the state
+        # from two rounds ago is no longer reachable — drop it now rather
+        # than accumulating n_merges cached copies of the word domain
+        if prev is not None:
+            prev.unpersist(False)
+        if not best:
+            break
+        prev = state
+        state = persist_tracked(
+            state.mapInPandas(merge_fn(best[0]["a"], best[0]["b"]), schema)
+        )
+
+    nsub = state.select("word", F.size("toks").alias("n_sub"))
+    per_doc = (
+        words_rel.join(nsub, "word")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_words"), F.sum("n_sub").alias("n_subwords"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_subwords", F.lit(0)).alias("n_subwords"),
+            F.when(
+                F.coalesce("n_words", F.lit(0)) > 0,
+                F.col("n_subwords") / F.col("n_words").cast("double"),
+            ).alias("fertility"),
+        )
+    )

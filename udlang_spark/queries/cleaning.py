@@ -260,12 +260,109 @@ FROM documents d LEFT JOIN per_doc USING (doc_id)
 ORACLE_WORDPIECE = _wordpiece_oracle()
 
 
+# ---------------------------------------------------------------------------
+# BPE merge learning (Sennrich et al. 2016)
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 8
+
+
+def t_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn {n} BPE merges over the corpus word-frequency relation and emit
+    per-doc subword stats under the learned segmentation. Logic (and the
+    kmeans-shaped driver loop): operators/cleaning.bpe_learn_stats. The
+    oracle unrolls all {n} rounds into chained CTEs (the e_kmeans
+    technique): pair counts -> best pair (count desc, pair asc) -> greedy
+    left-to-right merge expressed as run-parity over exploded positions
+    (within a run of consecutive pair hits, the 1st, 3rd, ... merge and the
+    following position is consumed — exactly the sequential greedy scan).
+    """.format(n=_BPE_MERGES)
+    return OPS.bpe_learn_stats(
+        load_table(spark, "documents", sf_dir), n_merges=_BPE_MERGES
+    )
+
+
+def _bpe_round(r: int) -> str:
+    p = r - 1
+    return f"""
+pc{r} AS (
+  SELECT toks[i] AS a, toks[i+1] AS b, sum(wc) AS n
+  FROM st{p}, LATERAL (SELECT unnest(generate_series(1, len(toks)-1)) AS i) s
+  GROUP BY 1, 2
+),
+best{r} AS MATERIALIZED (SELECT a, b FROM pc{r} ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+ex{r} AS (
+  SELECT word, wc, i AS pos, toks[i] AS tok, len(toks) AS sz
+  FROM st{p}, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) s
+),
+m{r} AS (
+  SELECT e.*,
+    CASE WHEN e.pos < e.sz AND e.tok = (SELECT a FROM best{r})
+          AND lead(e.tok) OVER (PARTITION BY word ORDER BY pos)
+              = (SELECT b FROM best{r})
+         THEN 1 ELSE 0 END AS hit
+  FROM ex{r} e
+),
+r{r} AS (
+  SELECT *, CASE WHEN hit = 1
+    THEN pos - row_number() OVER (PARTITION BY word, hit ORDER BY pos) END AS runid
+  FROM m{r}
+),
+g{r} AS (
+  SELECT *, CASE WHEN hit = 1
+    AND (row_number() OVER (PARTITION BY word, runid ORDER BY pos)) % 2 = 1
+    THEN 1 ELSE 0 END AS mrg
+  FROM r{r}
+),
+n{r} AS (
+  SELECT word, wc, pos,
+    CASE WHEN mrg = 1
+      THEN tok || lead(tok) OVER (PARTITION BY word ORDER BY pos)
+      ELSE tok END AS tok,
+    coalesce(lag(mrg) OVER (PARTITION BY word ORDER BY pos), 0) AS consumed
+  FROM g{r}
+),
+st{r} AS MATERIALIZED (
+  SELECT word, any_value(wc) AS wc, list(tok ORDER BY pos) AS toks
+  FROM n{r} WHERE consumed = 0 GROUP BY word
+)"""
+
+
+def _bpe_oracle(n_merges: int = _BPE_MERGES) -> str:
+    rounds = ",".join(_bpe_round(r) for r in range(1, n_merges + 1))
+    return f"""
+WITH w AS (SELECT doc_id, {_WL} AS wl FROM documents),
+wr AS (SELECT doc_id, unnest(wl) AS word FROM w),
+wc_rel AS (SELECT word, count(*) AS wc FROM wr GROUP BY word),
+st0 AS (
+  SELECT word, wc,
+    list_transform(generate_series(1, length(word)), i -> word[i:i]) AS toks
+  FROM wc_rel
+),{rounds},
+nsub AS (SELECT word, len(toks) AS n_sub FROM st{n_merges}),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_words, sum(n_sub) AS n_subwords
+  FROM wr JOIN nsub USING (word) GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(n_words, 0) AS n_words,
+  coalesce(n_subwords, 0)::BIGINT AS n_subwords,
+  CASE WHEN coalesce(n_words, 0) > 0
+    THEN n_subwords / n_words::DOUBLE END AS fertility
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+"""
+
+
+ORACLE_BPE_LEARN = _bpe_oracle()
+
+
 QUERIES = {
     "t_gopher_rules": t_gopher_rules,
     "t_dedup_words": t_dedup_words,
     "d_duplicate_spans": d_duplicate_spans,
     "t_bigram_lm": t_bigram_lm,
     "t_wordpiece": t_wordpiece,
+    "t_bpe_learn": t_bpe_learn,
 }
 
 ORACLE = {
@@ -274,4 +371,5 @@ ORACLE = {
     "d_duplicate_spans": ORACLE_DUPLICATE_SPANS,
     "t_bigram_lm": ORACLE_BIGRAM_LM,
     "t_wordpiece": ORACLE_WORDPIECE,
+    "t_bpe_learn": ORACLE_BPE_LEARN,
 }
