@@ -405,3 +405,22 @@ def test_operator_edge_semantics(spark):
         connected_components(chain, max_iter=3)
     comp = connected_components(chain, max_iter=20)
     assert {r["component"] for r in comp.collect()} == {0}
+
+
+def test_dedup_keeper_invariants(spark):
+    """Exactly one keeper per component, and no cluster-mate strictly
+    beats its keeper on (n_stop, n_words, -doc)."""
+    from udlang_spark.queries import llm
+
+    rows = llm.QUERIES["d_dedup_keeper"](spark, SF_DIR_CORRECTNESS).collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    assert len(rows) == 500
+    for comp, members in by_comp.items():
+        keepers = [r for r in members if r["keeper"]]
+        assert len(keepers) == 1, comp
+        k = keepers[0]
+        best = max(members, key=lambda r: (r["n_stop"], r["n_words"], -r["doc"]))
+        assert k["doc"] == best["doc"]
+    assert any(len(m) > 1 for m in by_comp.values())  # real clusters exist

@@ -146,6 +146,84 @@ FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
 )
 
 
+def d_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection per near-dup cluster: instead of
+    d_dedup_corpus's lowest-id keeper, retain the HIGHEST-QUALITY member
+    (most stopword hits, then most words, then lowest id) — the keeper
+    policy real pipelines want, since near-dup clusters often mix a clean
+    original with truncated/mangled copies.
+
+    Scale: composition of two existing pipelines — the MinHash cluster
+    assignment (band-bucket shuffle + iterative min-label propagation) and
+    row-local quality signals — plus one component-keyed argmax via the
+    struct-max trick (q41's measured shape: one hash agg with map-side
+    partials, no window sort)."""
+    docs = load_table(spark, "documents", sf_dir)
+    corpus = dedup.minhash_dedup_corpus(docs, "text", "doc_id", threshold=0.8)
+    w = TXT.words("text")
+    qual = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.size(F.filter(w, lambda x: x.isin(*TXT.STOPWORDS))).alias("n_stop"),
+        F.size(w).alias("n_words"),
+    )
+    j = corpus.select("doc", "component").join(qual, "doc")
+    best = j.groupBy("component").agg(
+        F.max(
+            F.struct(
+                F.col("n_stop"), F.col("n_words"), (-F.col("doc")).alias("negdoc")
+            )
+        ).alias("b")
+    ).select("component", (-F.col("b.negdoc")).alias("bdoc"))
+    return j.join(best, "component").select(
+        "doc",
+        "component",
+        "n_stop",
+        "n_words",
+        (F.col("doc") == F.col("bdoc")).alias("keeper"),
+    )
+
+
+ORACLE_DEDUP_KEEPER = (
+    _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + ","
+    + _MINHASH_PAIRS_CTES
+    + f""",
+pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.8),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (SELECT src AS doc, min(dst) AS component FROM reach GROUP BY src),
+base AS (
+  SELECT d.doc_id AS doc, coalesce(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
+),
+q AS (
+  SELECT doc_id AS doc,
+    len(list_filter(wl, x -> list_contains({_STOPS}, x))) AS n_stop,
+    len(wl) AS n_words
+  FROM w
+),
+j AS (SELECT base.doc, component, n_stop, n_words FROM base JOIN q USING (doc)),
+ranked AS (
+  SELECT component, doc AS bdoc,
+    row_number() OVER (
+      PARTITION BY component ORDER BY n_stop DESC, n_words DESC, doc ASC
+    ) AS rn
+  FROM j
+)
+SELECT j.doc, j.component, j.n_stop, j.n_words, (j.doc = b.bdoc) AS keeper
+FROM j JOIN (SELECT component, bdoc FROM ranked WHERE rn = 1) b USING (component)
+"""
+)
+
+
 def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", "lang", threshold=0.5)
@@ -2124,6 +2202,7 @@ QUERIES = {
     "d_fingerprint": d_fingerprint,
     "d_minhash_lsh": d_minhash_lsh,
     "d_dedup_corpus": d_dedup_corpus,
+    "d_dedup_keeper": d_dedup_keeper,
     "d_ngram_jaccard": d_ngram_jaccard,
     "d_simhash": d_simhash,
     "t_token_stats": t_token_stats,
@@ -2170,6 +2249,7 @@ ORACLE = {
     "d_fingerprint": ORACLE_FINGERPRINT,
     "d_minhash_lsh": ORACLE_MINHASH,
     "d_dedup_corpus": ORACLE_DEDUP_CORPUS,
+    "d_dedup_keeper": ORACLE_DEDUP_KEEPER,
     "d_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "d_simhash": ORACLE_SIMHASH,
     "t_token_stats": ORACLE_TOKEN_STATS,
