@@ -91,11 +91,11 @@ _PRIORITY: list[str] = [
     # -- late round-5 additions, driver-checked immediately --
     "t_hybrid_rrf",
     "s_neardup_stream",
-    # -- re-confirmations (5) -- (k_hello/k_match_union/q34/q44/
-    # t_heavy_hitters/q41/d_minhash_lsh rotated out: green driver rows
-    # already on record from r3/r4)
-    "k_count",
-    "d_simhash_neardup",
+    "t_bpe_learn",
+    "d_dedup_keeper",
+    # -- re-confirmations (3) -- (k_hello/k_match_union/q34/q44/
+    # t_heavy_hitters/q41/d_minhash_lsh/k_count/d_simhash_neardup rotated
+    # out: green driver rows already on record from r3/r4)
     "t_corpus_pipeline",
     "e_cosine_topk",
     "s_cdc_apply",
