@@ -198,3 +198,61 @@ def test_bpe_learn_matches_python_reference(spark):
         for r in OPS.bpe_learn_stats(docs, n_merges=8).collect()
     }
     assert got == expect
+
+
+def test_bpe_encode_matches_fixpoint_reference(spark):
+    """Encode applies each merge rule as ONE greedy left-to-right pass; the
+    docstring claims that pass is already the rule's fixpoint. Verify
+    against a reference that re-applies each rule until no change, on
+    adversarial inputs (runs of identical pairs, overlapping rule
+    prefixes)."""
+    texts = [
+        "table value scan agg",
+        "tata tatab ttab aagg aag gg",
+        "aaaa tttt scsc valval",
+        "tabtab tabletable valuevalue",
+        "t a b l e",
+        "",
+    ]
+    docs = _docs(spark, texts)
+    rules = OPS.BPE_MERGES
+
+    def encode_fix(word):
+        toks = list(word)
+        for a, b in rules:
+            while True:
+                res, i, merged = [], 0, False
+                while i < len(toks):
+                    if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                        merged = True
+                    else:
+                        res.append(toks[i])
+                        i += 1
+                toks = res
+                if not merged:
+                    break
+        return toks
+
+    import hashlib
+
+    expect = {}
+    for doc_id, t in enumerate(texts):
+        ws = t.lower().split()
+        segs = [encode_fix(w) for w in ws]
+        n_sub = sum(len(s) for s in segs)
+        md5 = (
+            hashlib.md5(
+                " ".join("+".join(s) for s in segs).encode()
+            ).hexdigest()
+            if ws
+            else None
+        )
+        expect[doc_id] = (len(ws), n_sub, md5)
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"], r["enc_md5"])
+        for r in OPS.bpe_encode_stats(docs).collect()
+    }
+    assert got == expect

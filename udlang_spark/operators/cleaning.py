@@ -416,3 +416,106 @@ def bpe_learn_stats(
             ).alias("fertility"),
         )
     )
+
+
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "a"),
+    ("ta", "b"),
+    ("tab", "l"),
+    ("tabl", "e"),
+    ("v", "a"),
+    ("va", "l"),
+    ("val", "u"),
+    ("valu", "e"),
+    ("s", "c"),
+    ("sc", "a"),
+    ("a", "g"),
+    ("ag", "g"),
+)
+"""Default fixed merge table for bpe_encode_stats — a shipped-artifact
+tokenizer, the way production encode works (merges are model artifacts,
+not re-learned at encode time)."""
+
+
+def bpe_encode_stats(
+    docs: DataFrame,
+    merges: tuple[tuple[str, str], ...] = BPE_MERGES,
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a FIXED BPE merge table (the encode side of Sennrich et al.
+    2016; bpe_learn_stats is the learn side) and emit per-doc token stats
+    plus an md5 witness of the full segmentation.
+
+    Each merge rule (a, b) is applied as one greedy left-to-right pass over
+    the token sequence (merge, then skip past the merged token). A single
+    pass per rule is already its fixpoint: a merged token "ab" can never
+    equal a (b is non-empty), so no new (a, b) adjacency is created —
+    which is what lets the DuckDB oracle unroll the rules as a fixed CTE
+    chain (run-parity merge per round, the t_bpe_learn machinery with the
+    learned best-pair subquery replaced by the rule's constants).
+
+    Scale shape: merges apply over the DISTINCT word domain only (one
+    Arrow-batched mapInPandas — per-string work scales with |vocabulary|,
+    not corpus size), re-attached by equi-join; the per-doc agg is the only
+    corpus shuffle beyond the word explode. Unlike bpe_learn_stats there is
+    no driver loop at all — the merge table is a closure constant."""
+    words_rel = docs.select(
+        "doc_id", F.posexplode(TXT.words(text_col)).alias("pos", "word")
+    )
+    vocab = words_rel.select("word").distinct()
+    rules = tuple(merges)
+
+    def enc(batches):
+        for pdf in batches:
+            segs, subs = [], []
+            for word in pdf["word"]:
+                toks = list(word)
+                for a, b in rules:
+                    res, i, n = [], 0, len(toks)
+                    while i < n:
+                        if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+                            res.append(a + b)
+                            i += 2
+                        else:
+                            res.append(toks[i])
+                            i += 1
+                    toks = res
+                segs.append("+".join(toks))
+                subs.append(len(toks))
+            out = pdf[["word"]].copy()
+            out["seg"] = segs
+            out["n_sub"] = subs
+            yield out
+
+    segmented = vocab.mapInPandas(enc, "word string, seg string, n_sub int")
+    per_doc = (
+        words_rel.join(segmented, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").alias("n_subwords"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                        lambda s: s["seg"],
+                    ),
+                    " ",
+                )
+            ).alias("enc_md5"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_subwords", F.lit(0)).cast("long").alias("n_subwords"),
+            F.when(
+                F.coalesce("n_words", F.lit(0)) > 0,
+                F.col("n_subwords") / F.col("n_words").cast("double"),
+            ).alias("fertility"),
+            "enc_md5",
+        )
+    )

@@ -356,6 +356,103 @@ FROM documents d LEFT JOIN per_doc USING (doc_id)
 ORACLE_BPE_LEARN = _bpe_oracle()
 
 
+# ---------------------------------------------------------------------------
+# BPE encode with a fixed merge table (the production encode path)
+# ---------------------------------------------------------------------------
+
+
+def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the fixed merge table operators/cleaning.BPE_MERGES to every
+    document (tokenizer-as-artifact encode — the complement of
+    t_bpe_learn's data-derived learning) and emit per-doc word/subword
+    counts, fertility, and an md5 witness of the full ordered segmentation.
+    Logic and scale shape: operators/cleaning.bpe_encode_stats (distinct-
+    word-domain mapInPandas, no driver loop). The oracle unrolls the merge
+    rules as constant-pair run-parity rounds — t_bpe_learn's merge
+    machinery minus the best-pair selection."""
+    return OPS.bpe_encode_stats(load_table(spark, "documents", sf_dir))
+
+
+def _bpe_apply_round(r: int, a: str, b: str) -> str:
+    p = r - 1
+    qa, qb = a.replace("'", "''"), b.replace("'", "''")
+    return f"""
+ex{r} AS (
+  SELECT word, i AS pos, toks[i] AS tok, len(toks) AS sz
+  FROM st{p}, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) s
+),
+m{r} AS (
+  SELECT e.*,
+    CASE WHEN e.pos < e.sz AND e.tok = '{qa}'
+          AND lead(e.tok) OVER (PARTITION BY word ORDER BY pos) = '{qb}'
+         THEN 1 ELSE 0 END AS hit
+  FROM ex{r} e
+),
+r{r} AS (
+  SELECT *, CASE WHEN hit = 1
+    THEN pos - row_number() OVER (PARTITION BY word, hit ORDER BY pos) END AS runid
+  FROM m{r}
+),
+g{r} AS (
+  SELECT *, CASE WHEN hit = 1
+    AND (row_number() OVER (PARTITION BY word, runid ORDER BY pos)) % 2 = 1
+    THEN 1 ELSE 0 END AS mrg
+  FROM r{r}
+),
+n{r} AS (
+  SELECT word, pos,
+    CASE WHEN mrg = 1
+      THEN tok || lead(tok) OVER (PARTITION BY word ORDER BY pos)
+      ELSE tok END AS tok,
+    coalesce(lag(mrg) OVER (PARTITION BY word ORDER BY pos), 0) AS consumed
+  FROM g{r}
+),
+st{r} AS MATERIALIZED (
+  SELECT word, list(tok ORDER BY pos) AS toks
+  FROM n{r} WHERE consumed = 0 GROUP BY word
+)"""
+
+
+def _bpe_encode_oracle() -> str:
+    from udlang_spark.operators.cleaning import BPE_MERGES
+
+    n = len(BPE_MERGES)
+    rounds = ",".join(
+        _bpe_apply_round(r, a, b) for r, (a, b) in enumerate(BPE_MERGES, 1)
+    )
+    return f"""
+WITH w AS (SELECT doc_id, {_WL} AS wl FROM documents),
+wr AS (
+  SELECT doc_id, i AS pos, wl[i] AS word
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(wl))) AS i) s
+),
+st0 AS (
+  SELECT word,
+    list_transform(generate_series(1, length(word)), i -> word[i:i]) AS toks
+  FROM (SELECT DISTINCT word FROM wr)
+),{rounds},
+seg AS (
+  SELECT word, array_to_string(toks, '+') AS seg, len(toks) AS n_sub
+  FROM st{n}
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_words, sum(n_sub) AS n_subwords,
+         md5(string_agg(seg, ' ' ORDER BY pos)) AS enc_md5
+  FROM wr JOIN seg USING (word) GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(n_words, 0) AS n_words,
+  coalesce(n_subwords, 0)::BIGINT AS n_subwords,
+  CASE WHEN coalesce(n_words, 0) > 0
+    THEN n_subwords / n_words::DOUBLE END AS fertility,
+  enc_md5
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+"""
+
+
+ORACLE_BPE_ENCODE = _bpe_encode_oracle()
+
+
 QUERIES = {
     "t_gopher_rules": t_gopher_rules,
     "t_dedup_words": t_dedup_words,
@@ -363,6 +460,7 @@ QUERIES = {
     "t_bigram_lm": t_bigram_lm,
     "t_wordpiece": t_wordpiece,
     "t_bpe_learn": t_bpe_learn,
+    "t_bpe_encode": t_bpe_encode,
 }
 
 ORACLE = {
@@ -372,4 +470,5 @@ ORACLE = {
     "t_bigram_lm": ORACLE_BIGRAM_LM,
     "t_wordpiece": ORACLE_WORDPIECE,
     "t_bpe_learn": ORACLE_BPE_LEARN,
+    "t_bpe_encode": ORACLE_BPE_ENCODE,
 }
