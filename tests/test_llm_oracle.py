@@ -424,3 +424,35 @@ def test_dedup_keeper_invariants(spark):
         best = max(members, key=lambda r: (r["n_stop"], r["n_words"], -r["doc"]))
         assert k["doc"] == best["doc"]
     assert any(len(m) > 1 for m in by_comp.values())  # real clusters exist
+
+
+def test_random_proj_preserves_neighborhoods(spark):
+    """JL property check: ±1 sign projection 64→8 keeps nearby vectors
+    nearby — top-1 exact cosine neighbors are recovered in the projected
+    space's top-10 well above the 10/499 ≈ 0.02 chance level (deterministic
+    corpus + md5 signs, so the measured recall is a constant: 0.212 at 16
+    dims; the synthetic embeddings are near-isotropic, which caps it)."""
+    import numpy as np
+
+    from udlang_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", SF_DIR_CORRECTNESS)
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+
+    proj = llm.QUERIES["e_random_proj"](spark, SF_DIR_CORRECTNESS).collect()
+    by_id = {r.vec_id: [r[f"p{j}"] for j in range(16)] for r in proj}
+    P = np.array([by_id[i] for i in ids])
+
+    def topk(M, k):
+        N = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        S = N @ N.T
+        np.fill_diagonal(S, -2)
+        return np.argsort(-S, axis=1)[:, :k]
+
+    exact1 = topk(X, 1)[:, 0]
+    proj10 = topk(P, 10)
+    hits = sum(exact1[i] in proj10[i] for i in range(len(ids)))
+    recall = hits / len(ids)
+    assert recall > 0.12, f"projected recall@10 too low: {recall:.2f}"

@@ -724,3 +724,55 @@ def ivf_ann_topk(
         .filter(F.col("rnk") <= k)
         .withColumn("rnk", F.col("rnk").cast("int"))
     )
+
+
+def _sign_matrix(out_dim: int, n_dims: int) -> list[list[float]]:
+    """(out_dim, n_dims) ±1 sign matrix with md5-derived entries — a pure
+    function of (component, dim), so every executor, retry, and engine
+    derives the identical matrix (the _plane_matrix convention)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"rproj:{j}:{d}".encode()).digest()[0] & 1 else -1.0
+            for d in range(n_dims)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_project(
+    emb: DataFrame,
+    vec_col: str,
+    id_col: str,
+    out_dim: int = 16,
+    n_dims: int = 64,
+) -> DataFrame:
+    """Johnson–Lindenstrauss sign random projection (Achlioptas 2001,
+    database-friendly ±1 variant): compress an n_dims embedding to out_dim
+    components p_j = Σ_i sign(j,i)·v_i — the standard pre-ANN compression
+    step (distances are preserved to (1±ε) w.h.p.; the conventional
+    1/√out_dim scale factor is omitted as cosine ranking is
+    scale-invariant).
+
+    Scale shape: pure row-local Column work — zero shuffles, the
+    projection rides along any scan; at 100 TB this is a free map stage
+    fused into whole-stage codegen (out_dim sequential folds per row).
+    Each component is a left-to-right double fold rounded to 6 decimals
+    (the module's cross-engine float convention)."""
+    signs = _sign_matrix(out_dim, n_dims)
+    v = F.col(vec_col)
+    cols: list[Column] = [F.col(id_col)]
+    for j in range(out_dim):
+        sj = F.array(*[F.lit(s) for s in signs[j]])
+        cols.append(
+            F.round(
+                F.aggregate(
+                    F.zip_with(v, sj, lambda x, s: x.cast("double") * s),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                6,
+            ).alias(f"p{j}")
+        )
+    return emb.select(*cols)

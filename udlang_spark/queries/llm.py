@@ -948,6 +948,35 @@ SELECT vec_id, nbr, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
 """
 
 
+def e_random_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss ±1 random projection 64→16 dims (Achlioptas
+    2001) — the standard compression step ahead of ANN indexing. Logic and
+    scale shape (row-local, zero shuffles): operators/similarity.
+    random_project; the md5-derived sign matrix is a pure function of
+    (component, dim) so the oracle re-derives it bit-identically."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.random_project(emb, "embedding", "vec_id", out_dim=16)
+
+
+def _random_proj_oracle(out_dim: int = 16, n_dims: int = 64) -> str:
+    signs = similarity._sign_matrix(out_dim, n_dims)
+    comps = ",\n  ".join(
+        "round(list_dot_product(v, ["
+        + ", ".join(str(s) for s in signs[j])
+        + "]::DOUBLE[]), 6) AS p" + str(j)
+        for j in range(out_dim)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id,
+  {comps}
+FROM e
+"""
+
+
+ORACLE_E_RANDOM_PROJ = _random_proj_oracle()
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
@@ -2235,6 +2264,7 @@ QUERIES = {
     "e_near_dups_lsh": e_near_dups_lsh,
     "e_ann_lsh": e_ann_lsh,
     "e_ivf_ann": e_ivf_ann,
+    "e_random_proj": e_random_proj,
     "e_pagerank": e_pagerank,
     "m_payload_meta": m_payload_meta,
     "m_image_meta": m_image_meta,
@@ -2289,6 +2319,7 @@ ORACLE = {
     "e_near_dups_lsh": ORACLE_E_NEAR_DUPS_LSH,
     "e_ann_lsh": ORACLE_E_ANN_LSH,
     "e_ivf_ann": ORACLE_E_IVF_ANN,
+    "e_random_proj": ORACLE_E_RANDOM_PROJ,
     # every registered query is oracle-checked: the ANN paths became
     # SQL-expressible once the LSH planes moved to md5 derivation
 }
