@@ -456,3 +456,42 @@ def test_random_proj_preserves_neighborhoods(spark):
     hits = sum(exact1[i] in proj10[i] for i in range(len(ids)))
     recall = hits / len(ids)
     assert recall > 0.12, f"projected recall@10 too low: {recall:.2f}"
+
+
+def test_mmr_is_more_diverse_than_topk(spark):
+    """MMR's defining property: the selected set trades relevance for
+    diversity. Over the 4 fixed queries, the mean pairwise cosine among
+    MMR's 5 picks must not exceed the mean among the plain top-5-by-rel,
+    and rank 1 must equal the relevance argmax (no penalty term yet)."""
+    import numpy as np
+
+    from udlang_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", SF_DIR_CORRECTNESS)
+    rows = emb.select("vec_id", "embedding").collect()
+    vec = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+
+    def cosm(ids):
+        X = np.array([vec[i] for i in ids])
+        n = np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        S = (X / n) @ (X / n).T
+        iu = np.triu_indices(len(ids), 1)
+        return float(S[iu].mean())
+
+    mmr = llm.QUERIES["e_mmr_rerank"](spark, SF_DIR_CORRECTNESS).collect()
+    topk = llm.QUERIES["e_cosine_topk"](spark, SF_DIR_CORRECTNESS).collect()
+    by_q = {}
+    for r in mmr:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+    top_by_q = {}
+    for r in topk:
+        if r.vec_id in by_q and r.rnk <= 5:
+            top_by_q.setdefault(r.vec_id, []).append(r.nbr)
+    assert set(by_q) == {0, 1, 2, 3}
+    for q, picks in by_q.items():
+        picks.sort()
+        assert [p[0] for p in picks] == [1, 2, 3, 4, 5]
+        sel = [p[1] for p in picks]
+        # rank 1 == relevance argmax == brute-force nearest neighbor
+        assert sel[0] == top_by_q[q][0]
+        assert cosm(sel) <= cosm(top_by_q[q]) + 1e-12, q

@@ -465,3 +465,20 @@ def test_wordpiece_segments_word_domain_only(spark):
     assert plan.count("MapInPandas (") == 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mmr_corpus_never_shuffles_on_query_keys(spark):
+    """e_mmr_rerank: relevance is a broadcast nested-loop against the |Q|
+    query vectors (the corpus side stays map-local), the candidate cut is a
+    narrow mapInPandas, and the ONLY hash exchange carries the
+    ≤ n_candidates·n_batches·|Q| candidate rows into the per-query greedy
+    (FlatMapGroupsInPandas). The corpus itself never hash-partitions onto
+    the |Q| skew keys."""
+    from udlang_spark.queries import llm
+
+    plan = plan_of(llm.QUERIES["e_mmr_rerank"](spark, SF_DIR_CORRECTNESS))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan
+    # "- Exchange (" excludes BroadcastExchange (the |Q|-row dim build)
+    assert plan.count("- Exchange (") <= 1, plan

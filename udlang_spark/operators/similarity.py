@@ -776,3 +776,118 @@ def random_project(
             ).alias(f"p{j}")
         )
     return emb.select(*cols)
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_ids: tuple[int, ...],
+    k: int = 5,
+    n_candidates: int = 20,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein
+    1998): per query, greedily select k results maximizing
+    lam·rel(c) − (1−lam)·max_{s∈selected} sim(c, s) — the standard
+    redundancy-aware re-rank after a similarity search.
+
+    Scale shape (one shuffle):
+    1. relevance — the |Q| query vectors broadcast against the corpus;
+       row-local Column cosine (round-6), linear in |Q|·n, rides the scan;
+    2. candidate top-n per query — batch-local partial top-n (narrow Arrow
+       mapInPandas): every global top-n row survives its batch's top-n, so
+       only ≤ n_candidates·n_batches·|Q| rows ever shuffle — the corpus
+       itself never shuffles onto the |Q| skew keys;
+    3. greedy MMR per query group (applyInPandas) — O(k·n_candidates)
+       in-group work on the exact top-n (re-derived post-shuffle).
+
+    Determinism: rel and pairwise sims are rounded to 6 decimals before
+    any comparison (np.round in-group, matching gemm_topk_pairs); scores
+    are doubles derived from those rounded inputs with the literal
+    constants lam and mu=1-lam (so an oracle can reproduce them
+    bit-for-bit); every argmax tie-breaks by ascending id."""
+    import pandas as pd
+
+    mu = 1.0 - lam
+    id_t = emb.schema[id_col].dataType.simpleString()
+    vec_t = emb.schema[vec_col].dataType.simpleString()
+    qdf = F.broadcast(
+        emb.where(F.col(id_col).isin(*query_ids)).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        )
+    )
+    rel = (
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+        .join(qdf, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "_v",
+            F.round(cosine(F.col("_v"), F.col("_qv")), 6).alias("rel"),
+        )
+    )
+
+    mid_schema = f"query_id {id_t}, vec_id {id_t}, _v {vec_t}, rel double"
+
+    def partial_topn(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(
+                        ["query_id", "rel", "vec_id"],
+                        ascending=[True, False, True],
+                    )
+                    .groupby("query_id", sort=False)
+                    .head(n_candidates)
+                )
+
+    cand = rel.mapInPandas(partial_topn, mid_schema)
+
+    def greedy(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(
+            ["rel", "vec_id"], ascending=[False, True]
+        ).head(n_candidates)
+        ids = pdf["vec_id"].to_numpy()
+        rel_v = pdf["rel"].to_numpy(dtype=np.float64)
+        X = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+        )
+        nrm = _safe_norms(X)
+        S = X @ X.T
+        S /= nrm[:, None]
+        S /= nrm[None, :]
+        np.round(S, 6, out=S)
+        n = len(ids)
+        # the first pick has no redundancy term (score = lam*rel - mu*0);
+        # afterwards maxsim is the TRUE max sim over the selected set — it
+        # can be negative, giving anti-correlated candidates a bonus, so it
+        # must not be clamped at 0 by folding into a zeros-initialized max
+        maxsim = np.zeros(n)
+        avail = np.ones(n, dtype=bool)
+        qid = pdf["query_id"].iloc[0]
+        rows = []
+        for r in range(1, min(k, n) + 1):
+            best_i, best_key = -1, None
+            for i in range(n):
+                if not avail[i]:
+                    continue
+                key = (-(lam * rel_v[i] - mu * maxsim[i]), ids[i])
+                if best_key is None or key < best_key:
+                    best_key, best_i = key, i
+            avail[best_i] = False
+            rows.append(
+                (qid, r, ids[best_i], lam * rel_v[best_i] - mu * maxsim[best_i])
+            )
+            if r == 1:
+                maxsim = S[:, best_i].copy()
+            else:
+                np.maximum(maxsim, S[:, best_i], out=maxsim)
+        return pd.DataFrame(
+            rows, columns=["query_id", "rank", "vec_id", "mmr_score"]
+        )
+
+    out_schema = f"query_id {id_t}, rank int, vec_id {id_t}, mmr_score double"
+    return cand.groupBy("query_id").applyInPandas(greedy, out_schema)

@@ -977,6 +977,122 @@ FROM e
 ORACLE_E_RANDOM_PROJ = _random_proj_oracle()
 
 
+_MMR_QUERY_IDS = (0, 1, 2, 3)
+_MMR_K = 5
+_MMR_NCAND = 20
+_MMR_LAM = 0.7
+
+
+def e_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-{k} for query vectors
+    {q} over {nc} cosine candidates (λ={lam}). Logic and scale shape
+    (broadcast relevance → batch-local partial top-n → per-query greedy):
+    operators/similarity.mmr_rerank. The oracle unrolls the greedy
+    selection as {k} chained CTE steps — each step anti-joins the selected
+    set, takes max sim against it, and picks argmax(λ·rel − (1−λ)·maxsim)
+    with an ascending-id tie-break, exactly the in-group loop.""".format(
+        k=_MMR_K, q=_MMR_QUERY_IDS, nc=_MMR_NCAND, lam=_MMR_LAM
+    )
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.mmr_rerank(
+        emb,
+        "embedding",
+        "vec_id",
+        _MMR_QUERY_IDS,
+        k=_MMR_K,
+        n_candidates=_MMR_NCAND,
+        lam=_MMR_LAM,
+    )
+
+
+def _mmr_step(r: int, lam: float, mu: float) -> str:
+    p = r - 1
+    return f"""
+sc{r} AS (
+  SELECT c.qid, c.vec_id, c.rel, max(s.s) AS msim
+  FROM mcand c
+  JOIN selu{p} u ON u.qid = c.qid
+  JOIN msim s ON s.qid = c.qid AND s.a = c.vec_id AND s.b = u.vec_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM selu{p} x WHERE x.qid = c.qid AND x.vec_id = c.vec_id
+  )
+  GROUP BY c.qid, c.vec_id, c.rel
+),
+sel{r} AS MATERIALIZED (
+  SELECT qid, vec_id, {r} AS rank, {lam!r}*rel - {mu!r}*msim AS score
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY qid ORDER BY ({lam!r}*rel - {mu!r}*msim) DESC, vec_id
+    ) AS rk
+    FROM sc{r}
+  ) WHERE rk = 1
+),
+selu{r} AS (
+  SELECT qid, vec_id FROM selu{p}
+  UNION ALL SELECT qid, vec_id FROM sel{r}
+)"""
+
+
+def _mmr_oracle(
+    query_ids=_MMR_QUERY_IDS, k=_MMR_K, nc=_MMR_NCAND, lam=_MMR_LAM
+) -> str:
+    mu = 1.0 - lam
+    qlist = ", ".join(str(q) for q in query_ids)
+    steps = ",".join(_mmr_step(r, lam, mu) for r in range(2, k + 1))
+    union = "\n  UNION ALL ".join(
+        f"SELECT * FROM sel{r}" for r in range(1, k + 1)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({qlist})),
+mrel AS (
+  SELECT q.qid, e.vec_id,
+    CASE WHEN list_dot_product(e.v, e.v) > 0
+          AND list_dot_product(q.qv, q.qv) > 0
+       THEN round(list_dot_product(e.v, q.qv) /
+            (sqrt(list_dot_product(e.v, e.v)) *
+             sqrt(list_dot_product(q.qv, q.qv))), 6)
+       ELSE 0.0 END AS rel
+  FROM e, q WHERE e.vec_id <> q.qid
+),
+mcand AS MATERIALIZED (
+  SELECT qid, vec_id, rel FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY qid ORDER BY rel DESC, vec_id
+    ) AS rk FROM mrel
+  ) WHERE rk <= {nc}
+),
+msim AS MATERIALIZED (
+  SELECT c1.qid, c1.vec_id AS a, c2.vec_id AS b,
+    CASE WHEN list_dot_product(ea.v, ea.v) > 0
+          AND list_dot_product(eb.v, eb.v) > 0
+       THEN round(list_dot_product(ea.v, eb.v) /
+            (sqrt(list_dot_product(ea.v, ea.v)) *
+             sqrt(list_dot_product(eb.v, eb.v))), 6)
+       ELSE 0.0 END AS s
+  FROM mcand c1
+  JOIN mcand c2 ON c1.qid = c2.qid AND c1.vec_id <> c2.vec_id
+  JOIN e ea ON ea.vec_id = c1.vec_id
+  JOIN e eb ON eb.vec_id = c2.vec_id
+),
+sel1 AS MATERIALIZED (
+  SELECT qid, vec_id, 1 AS rank, {lam!r}*rel - {mu!r}*0.0 AS score
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY qid ORDER BY rel DESC, vec_id
+    ) AS rk FROM mcand
+  ) WHERE rk = 1
+),
+selu1 AS (SELECT qid, vec_id FROM sel1),{steps}
+SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+       score AS mmr_score
+FROM ({union})
+"""
+
+
+ORACLE_E_MMR_RERANK = _mmr_oracle()
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
@@ -2265,6 +2381,7 @@ QUERIES = {
     "e_ann_lsh": e_ann_lsh,
     "e_ivf_ann": e_ivf_ann,
     "e_random_proj": e_random_proj,
+    "e_mmr_rerank": e_mmr_rerank,
     "e_pagerank": e_pagerank,
     "m_payload_meta": m_payload_meta,
     "m_image_meta": m_image_meta,
@@ -2320,6 +2437,7 @@ ORACLE = {
     "e_ann_lsh": ORACLE_E_ANN_LSH,
     "e_ivf_ann": ORACLE_E_IVF_ANN,
     "e_random_proj": ORACLE_E_RANDOM_PROJ,
+    "e_mmr_rerank": ORACLE_E_MMR_RERANK,
     # every registered query is oracle-checked: the ANN paths became
     # SQL-expressible once the LSH planes moved to md5 derivation
 }
