@@ -70,6 +70,10 @@ HEADLINE = [
     "e_int8_quantize",
     "e_ivf_ann",
     "e_near_dups_lsh",
+    # round-5 late additions
+    "t_bpe_encode",
+    "e_random_proj",
+    "e_mmr_rerank",
     # multimodal (Arrow-batched mapInPandas decode)
     "m_image_meta",
     "m_real_decode",

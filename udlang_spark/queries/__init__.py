@@ -93,12 +93,13 @@ _PRIORITY: list[str] = [
     "s_neardup_stream",
     "t_bpe_learn",
     "d_dedup_keeper",
-    # -- re-confirmations (3) -- (k_hello/k_match_union/q34/q44/
-    # t_heavy_hitters/q41/d_minhash_lsh/k_count/d_simhash_neardup rotated
-    # out: green driver rows already on record from r3/r4)
-    "t_corpus_pipeline",
-    "e_cosine_topk",
-    "s_cdc_apply",
+    "t_bpe_encode",
+    "e_random_proj",
+    "e_mmr_rerank",
+    # (re-confirmation slots exhausted: t_corpus_pipeline / e_cosine_topk /
+    # s_cdc_apply rotated out for the three newest operators — all three
+    # already have green driver rows on record from r3/r4, and a first
+    # driver row is worth more than a repeat confirmation)
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50
