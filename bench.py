@@ -74,6 +74,7 @@ HEADLINE = [
     "t_bpe_encode",
     "e_random_proj",
     "e_mmr_rerank",
+    "e_pq_encode",
     # multimodal (Arrow-batched mapInPandas decode)
     "m_image_meta",
     "m_real_decode",

@@ -495,3 +495,45 @@ def test_mmr_is_more_diverse_than_topk(spark):
         # rank 1 == relevance argmax == brute-force nearest neighbor
         assert sel[0] == top_by_q[q][0]
         assert cosm(sel) <= cosm(top_by_q[q]) + 1e-12, q
+
+
+def test_pq_encode_matches_numpy_and_compresses(spark):
+    """PQ codes equal an exact numpy argmin per subspace (round-6,
+    lowest-id ties), recon_err equals the sum of the four chosen
+    sub-distances, and quantizing to the NEAREST codeword beats a fixed
+    wrong codeword on average — the property that makes the code usable."""
+    import numpy as np
+
+    from udlang_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", SF_DIR_CORRECTNESS)
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    by_pos = {ids[i]: i for i in range(len(ids))}
+    C = np.array([X[by_pos[i]] for i in range(16)])
+
+    got = {
+        r.vec_id: (r.c0, r.c1, r.c2, r.c3, r.recon_err)
+        for r in llm.QUERIES["e_pq_encode"](spark, SF_DIR_CORRECTNESS).collect()
+    }
+    worse = 0.0
+    for vid, i in by_pos.items():
+        recon = 0.0
+        codes = []
+        for s in range(4):
+            d = np.round(
+                ((X[i, s * 16 : (s + 1) * 16] - C[:, s * 16 : (s + 1) * 16]) ** 2).sum(
+                    -1
+                ),
+                6,
+            )
+            c = int(np.argmin(d))
+            codes.append(c)
+            recon += d[c]
+            worse += d[(c + 7) % 16] - d[c]
+        g = got[vid]
+        assert tuple(codes) == g[:4], vid
+        assert abs(recon - g[4]) < 1e-9, vid
+    assert worse > 0  # nearest beats an arbitrary offset codeword overall

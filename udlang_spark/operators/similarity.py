@@ -891,3 +891,67 @@ def mmr_rerank(
 
     out_schema = f"query_id {id_t}, rank int, vec_id {id_t}, mmr_score double"
     return cand.groupBy("query_id").applyInPandas(greedy, out_schema)
+
+
+def pq_encode(
+    emb: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_subspaces: int = 4,
+    codebook_ids: tuple[int, ...] = tuple(range(16)),
+) -> DataFrame:
+    """Product quantization encode (Jégou et al. 2011): split each vector
+    into n_subspaces contiguous subvectors and replace each with the id of
+    its nearest codeword (squared L2, round-6 before argmin, lowest-id
+    tie-break) from that subspace's codebook. Emits the per-subspace codes
+    plus the total reconstruction error — the compressed representation
+    IVF-PQ indexes store instead of raw vectors (64 floats → 4 bytes here).
+
+    Codebooks are the subvectors of the rows with `codebook_ids` (the
+    fixed-seed convention of centroid_assign/kmeans_assign — deterministic
+    and oracle-reproducible; production would k-means each subspace).
+
+    Scale shape: the K×dim codebook matrix is the only broadcast state;
+    encoding is an Arrow-batched mapInPandas GEMM over the scan — zero
+    shuffles, linear in corpus size, exactly the kmeans_assign shape."""
+    import numpy as np
+
+    sdf = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    seed = (
+        sdf.where(F.col("vec_id").isin(*codebook_ids))
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    id_t = emb.schema[id_col].dataType
+    out_fields = [StructField("vec_id", id_t, True)] + [
+        StructField(f"c{s}", IntegerType(), True) for s in range(n_subspaces)
+    ] + [StructField("recon_err", DoubleType(), True)]
+    if len(seed) == 0:
+        return emb.sparkSession.createDataFrame([], StructType(out_fields))
+    C = np.stack(seed["vec"].to_numpy()).astype(np.float64)
+    dim = C.shape[1]
+    sub = dim // n_subspaces
+    bc = emb.sparkSession.sparkContext.broadcast(C)
+
+    def enc(batches):
+        import pandas as pd
+
+        C_ = bc.value
+        for pb in batches:
+            if len(pb) == 0:
+                continue
+            X = np.stack(pb["vec"].to_numpy()).astype(np.float64)
+            out = {"vec_id": pb["vec_id"].to_numpy()}
+            recon = np.zeros(len(X))
+            for s in range(n_subspaces):
+                Xs = X[:, s * sub : (s + 1) * sub]
+                Cs = C_[:, s * sub : (s + 1) * sub]
+                d = ((Xs[:, None, :] - Cs[None, :, :]) ** 2).sum(-1)
+                np.round(d, 6, out=d)
+                code = np.argmin(d, axis=1)  # first min = lowest codeword id
+                out[f"c{s}"] = code.astype(np.int32)
+                recon += np.take_along_axis(d, code[:, None], 1).ravel()
+            out["recon_err"] = recon
+            yield pd.DataFrame(out)
+
+    return sdf.mapInPandas(enc, StructType(out_fields))

@@ -99,7 +99,9 @@ _PRIORITY: list[str] = [
     # (re-confirmation slots exhausted: t_corpus_pipeline / e_cosine_topk /
     # s_cdc_apply rotated out for the three newest operators — all three
     # already have green driver rows on record from r3/r4, and a first
-    # driver row is worth more than a repeat confirmation)
+    # driver row is worth more than a repeat confirmation. e_pq_encode,
+    # added after the window filled, is strict-green at both SFs +
+    # numpy-parity pytest and waits for the next rotation.)
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50

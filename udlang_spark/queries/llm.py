@@ -1093,6 +1093,58 @@ FROM ({union})
 ORACLE_E_MMR_RERANK = _mmr_oracle()
 
 
+_PQ_M = 4  # subspaces over the 64-dim embeddings (16 dims each)
+_PQ_CB = tuple(range(16))  # codebook seed rows (16 codewords per subspace)
+
+
+def e_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization encode (Jégou et al. 2011): 64 floats → 4
+    codeword bytes + reconstruction error — what an IVF-PQ index stores.
+    Logic and scale shape (broadcast codebooks, Arrow-batched GEMM over
+    the scan, zero shuffles): operators/similarity.pq_encode. Codebooks
+    are the subvectors of rows 0..15 (the fixed-seed convention of
+    e_centroid_assign, so the oracle re-derives them exactly)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.pq_encode(
+        emb, "embedding", "vec_id", n_subspaces=_PQ_M, codebook_ids=_PQ_CB
+    )
+
+
+def _pq_oracle(m: int = _PQ_M, dim: int = 64, n_cb: int = 16) -> str:
+    sub = dim // m
+    subs = []
+    joins = []
+    for s in range(m):
+        off = s * sub
+        subs.append(f"""
+pqd{s} AS (
+  SELECT e.vec_id, cb.cid,
+    round(list_sum(list_transform(generate_series(1, {sub}),
+      i -> (e.v[{off}+i] - cb.cv[{off}+i]) * (e.v[{off}+i] - cb.cv[{off}+i])
+    )), 6) AS d
+  FROM e, cb
+),
+pqa{s} AS (
+  SELECT vec_id, CAST(cid AS INTEGER) AS c{s}, d AS d{s} FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+    FROM pqd{s}
+  ) WHERE rk = 1
+)""")
+        joins.append(f"JOIN pqa{s} USING (vec_id)")
+    codes = ", ".join(f"c{s}" for s in range(m))
+    err = " + ".join(f"d{s}" for s in range(m))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 0 AND {n_cb - 1}),
+{",".join(subs)}
+SELECT e.vec_id, {codes}, ({err}) AS recon_err
+FROM e {" ".join(joins)}
+"""
+
+
+ORACLE_E_PQ_ENCODE = _pq_oracle()
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
@@ -2382,6 +2434,7 @@ QUERIES = {
     "e_ivf_ann": e_ivf_ann,
     "e_random_proj": e_random_proj,
     "e_mmr_rerank": e_mmr_rerank,
+    "e_pq_encode": e_pq_encode,
     "e_pagerank": e_pagerank,
     "m_payload_meta": m_payload_meta,
     "m_image_meta": m_image_meta,
@@ -2438,6 +2491,7 @@ ORACLE = {
     "e_ivf_ann": ORACLE_E_IVF_ANN,
     "e_random_proj": ORACLE_E_RANDOM_PROJ,
     "e_mmr_rerank": ORACLE_E_MMR_RERANK,
+    "e_pq_encode": ORACLE_E_PQ_ENCODE,
     # every registered query is oracle-checked: the ANN paths became
     # SQL-expressible once the LSH planes moved to md5 derivation
 }
