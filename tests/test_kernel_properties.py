@@ -399,3 +399,80 @@ def test_compiled_equals_interp_on_hof_exprs(spark, xs_expr, inputs, reducer):
     interp = Interp(prog)
     expect = sorted(out for v in uniq for out in interp.run(v))
     assert compiled == expect
+
+
+def _match_strategy():
+    """Random `match` expressions over an Int subject: literal arms in a
+    random order, an optional Float round-trip cast on the subject, and a
+    catch-all bind whose body may reference the bound name — the §2.2
+    surface (k_match_lit/k_match_union run it e2e; this fuzzes arm order,
+    overlap, and fall-through against the interpreter)."""
+    from udlang_spark.kernel import ast as A
+
+    body = st.one_of(
+        st.integers(min_value=-9, max_value=9).map(A.Lit),
+        st.just(A.In()),
+        st.integers(min_value=-3, max_value=3).map(
+            lambda v: A.Bin("+", A.In(), A.Lit(v))
+        ),
+    )
+
+    def build(t):
+        subj_k, cast_subj, arm_vals, bodies, bind_body = t
+        subj = A.Bin("%", A.In(), A.Lit(subj_k))
+        if cast_subj:  # Int -> Float -> Int round-trip is identity
+            subj = A.Cast(A.Cast(subj, A.T_FLOAT), A.T_INT)
+        arms = tuple(
+            A.MatchArm(A.PLit(v), b) for v, b in zip(arm_vals, bodies)
+        )
+        catch = A.MatchArm(
+            A.PBind("m", None),
+            A.Bin("*", A.Id("m"), A.Lit(2)) if bind_body else A.Lit(-99),
+        )
+        return A.Match(subject=subj, arms=arms + (catch,))
+
+    return st.tuples(
+        st.integers(min_value=1, max_value=5),
+        st.booleans(),
+        st.lists(
+            st.integers(min_value=-4, max_value=4),
+            min_size=1,
+            max_size=4,
+            unique=True,
+        ),
+        st.lists(body, min_size=4, max_size=4),
+        st.booleans(),
+    ).map(build)
+
+
+@given(
+    expr=_match_strategy(),
+    inputs=st.lists(
+        st.integers(min_value=-7, max_value=7), min_size=1, max_size=3, unique=True
+    ),
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_compiled_equals_interp_on_match_exprs(spark, expr, inputs):
+    from udlang_spark.kernel import ast as A
+    from udlang_spark.kernel.api import Kernel
+    from udlang_spark.kernel.interp import Interp
+
+    prog = A.Program(
+        kind="script",
+        desc="fuzz-match",
+        decls=(),
+        input=A.T_INT,
+        output=A.T_INT,
+        body=(A.Out(expr),),
+    )
+    df = spark.createDataFrame([(v,) for v in inputs], "value long")
+    compiled = {
+        r[0] for r in Kernel(program=prog).apply(df, input_col="value").collect()
+    }
+    interp = Interp(prog)
+    expect = {out for v in inputs for out in interp.run(v)}
+    assert compiled == expect

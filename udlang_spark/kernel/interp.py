@@ -228,7 +228,71 @@ class Interp:
                 raise InterpError(f"index error: {exc}") from exc
         if isinstance(e, ast.Cast):
             return self._cast(self.eval(e.expr, env, in_value, outs), e.type)
+        if isinstance(e, ast.Match):
+            return self._match(e, env, in_value, outs)
         raise InterpError(f"unsupported expression in interp fallback: {type(e).__name__}")
+
+    def _match(self, e: ast.Match, env, in_value, outs):
+        """Mirror compiler.compile_match arm-for-arm: literal patterns are
+        equality tests with cross-type-False (bool never equals a number —
+        unify raises — while Int/Float compare numerically), `None` is a
+        null test, an untyped bind always matches, and a typed bind matches
+        a tagged-struct subject by `_tag` (binding the variant branch) or a
+        plain subject by exact runtime type. No arm matched = InterpError,
+        the compiled path's poison."""
+        from udlang_spark.kernel.types import (
+            KernelTypeError,
+            python_type_of,
+            type_tag,
+            unify,
+        )
+
+        subj = self.eval(e.subject, env, in_value, outs)
+        for arm in e.arms:
+            pat = arm.pattern
+            if isinstance(pat, ast.PLit):
+                try:
+                    unify(python_type_of(subj), python_type_of(pat.value))
+                except KernelTypeError:
+                    continue  # cross-type (or null-subject) equality: false
+                if subj == pat.value:
+                    return self.eval(arm.body, env, in_value, outs)
+                continue
+            if isinstance(pat, ast.PNone):
+                if subj is None:
+                    return self.eval(arm.body, env, in_value, outs)
+                continue
+            if isinstance(pat, ast.PBind):
+                if pat.type is None:
+                    env2 = dict(env)
+                    env2[pat.name] = subj
+                    return self.eval(arm.body, env2, in_value, outs)
+                pt = pat.type
+                if isinstance(subj, dict) and "_tag" in subj:
+                    if subj["_tag"] != type_tag(pt):
+                        continue
+                    val = next(
+                        (
+                            v
+                            for k, v in subj.items()
+                            if k != "_tag" and v is not None
+                        ),
+                        None,
+                    )
+                    env2 = dict(env)
+                    env2[pat.name] = val
+                    return self.eval(arm.body, env2, in_value, outs)
+                try:
+                    ok = subj is not None and python_type_of(subj) == pt
+                except KernelTypeError:
+                    ok = False
+                if ok:
+                    env2 = dict(env)
+                    env2[pat.name] = subj
+                    return self.eval(arm.body, env2, in_value, outs)
+                continue
+            raise InterpError(f"unsupported pattern {pat!r}")
+        raise InterpError("match: no case matched")
 
     # -- reference operator semantics (src/ir.rs:429-696) ---------------
     @staticmethod
