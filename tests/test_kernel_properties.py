@@ -476,3 +476,69 @@ def test_compiled_equals_interp_on_match_exprs(spark, expr, inputs):
     interp = Interp(prog)
     expect = {out for v in inputs for out in interp.run(v)}
     assert compiled == expect
+
+
+def _attempt_source_strategy():
+    """Random SOURCE programs over the attempt/recover surface: a risky
+    function with 0-2 throw guards (first-throw-wins order matters), a
+    random arithmetic tail, a fallback that may use the bound message, and
+    optional nesting — fuzzing parser + compiler + interpreter together."""
+
+    def build(t):
+        k1, r1, thr, g1, g2, a, b, use_msg, nested = t
+        guards = ""
+        if g1:
+            guards += f'  if (n % {k1} == {r1}) {{\n    throw "mA";\n  }}\n'
+        if g2:
+            guards += f'  if (n > {thr}) {{\n    throw "bigger";\n  }}\n'
+        fb = "0 - length(m)" if use_msg else "77"
+        expr = f"attempt risky(in) recover (m) {fb}"
+        if nested:
+            expr = (
+                f"attempt (attempt risky(in) recover (m) "
+                f'(if (in > {thr}) {{ throw "deep"; 0 }} else {{ {fb} }})) '
+                f"recover (m2) 0 - length(m2)"
+            )
+        return (
+            "input Int;\noutput Int;\n"
+            f"func risky(n: Int) -> Int {{\n{guards}  n * {a} + {b}\n}}\n"
+            f"out {expr};\n"
+        )
+
+    return st.tuples(
+        st.integers(min_value=2, max_value=5),
+        st.integers(min_value=0, max_value=1),
+        st.integers(min_value=-3, max_value=6),
+        st.booleans(),
+        st.booleans(),
+        st.integers(min_value=-3, max_value=3),
+        st.integers(min_value=-5, max_value=5),
+        st.booleans(),
+        st.booleans(),
+    ).map(build)
+
+
+@given(
+    src=_attempt_source_strategy(),
+    inputs=st.lists(
+        st.integers(min_value=-7, max_value=7), min_size=1, max_size=3, unique=True
+    ),
+)
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_compiled_equals_interp_on_attempt_sources(spark, src, inputs):
+    from udlang_spark.kernel.api import compile_kernel
+    from udlang_spark.kernel.interp import Interp
+
+    hdr = 'version 0.1-pre_mvp;\nscript "fuzz";\n'
+    k = compile_kernel(hdr + src)
+    df = spark.createDataFrame([(v,) for v in inputs], "value long")
+    compiled = sorted(
+        r[0] for r in k.apply(df, input_col="value").collect()
+    )
+    interp = Interp(k.program)
+    expect = sorted(out for v in inputs for out in interp.run(v))
+    assert compiled == expect

@@ -613,10 +613,19 @@ class Compiler:
         if not frame.captures:
             # nothing in the body can throw: still compile the fallback so
             # type errors surface (under a scratch frame — its throws can
-            # never fire, so they must not leak to an outer attempt)
+            # never fire, so they must not leak to an outer attempt). The
+            # recover bind must exist in that scratch scope too: `recover
+            # (m) length(m)` around a throw-free body is legal, and was an
+            # "unbound identifier" crash before (found by the attempt fuzz
+            # via a nested attempt whose inner fallback held the only throw)
+            scratch_env = dict(env)
+            if expr.bind is not None:
+                scratch_env[expr.bind] = SCol(
+                    F.lit(None).cast("string"), ast.T_STR
+                )
             self._catch.append(_CatchFrame(len(self._path), self._hof_depth))
             try:
-                fval, _ = self.compile_expr(expr.fallback, dict(env))
+                fval, _ = self.compile_expr(expr.fallback, scratch_env)
             finally:
                 self._catch.pop()
             if vtype(bval) is not ast.T_VOID and vtype(fval) is not ast.T_VOID:
