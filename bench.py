@@ -75,6 +75,7 @@ HEADLINE = [
     "e_random_proj",
     "e_mmr_rerank",
     "e_pq_encode",
+    "e_pq_adc",
     # multimodal (Arrow-batched mapInPandas decode)
     "m_image_meta",
     "m_real_decode",

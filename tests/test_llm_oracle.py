@@ -537,3 +537,47 @@ def test_pq_encode_matches_numpy_and_compresses(spark):
         assert tuple(codes) == g[:4], vid
         assert abs(recon - g[4]) < 1e-9, vid
     assert worse > 0  # nearest beats an arbitrary offset codeword overall
+
+
+def test_pq_adc_lookup_machinery_exact_and_useful(spark):
+    """ADC distances equal an exact numpy table-lookup reference (the
+    lookup machinery is exact GIVEN the codes — quantization is the only
+    approximation), and aggregate recall@10 of exact-L2 neighbors is well
+    above the 0.02 chance level (0.325 measured with the fixed-seed
+    codebooks; production would k-means-train them)."""
+    import numpy as np
+
+    from udlang_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", SF_DIR_CORRECTNESS)
+    rows = emb.select("vec_id", "embedding").collect()
+    by_id = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    C = np.array([by_id[i] for i in range(16)])
+
+    codes = {
+        r.vec_id: (r.c0, r.c1, r.c2, r.c3)
+        for r in llm.QUERIES["e_pq_encode"](spark, SF_DIR_CORRECTNESS).collect()
+    }
+    adc = llm.QUERIES["e_pq_adc"](spark, SF_DIR_CORRECTNESS).collect()
+    hits = total = 0
+    sel = {}
+    for r in adc:
+        q = by_id[r.query_id]
+        expect = 0.0
+        for s in range(4):
+            d = np.round(
+                ((q[s * 16 : (s + 1) * 16] - C[:, s * 16 : (s + 1) * 16]) ** 2).sum(-1),
+                6,
+            )
+            expect += d[codes[r.vec_id][s]]
+        assert abs(expect - r.adc_dist) < 1e-9, (r.query_id, r.vec_id)
+        sel.setdefault(r.query_id, set()).add(r.vec_id)
+    ids = sorted(by_id)
+    X = np.array([by_id[i] for i in ids])
+    for qid, chosen in sel.items():
+        d = ((X - by_id[qid]) ** 2).sum(1)
+        d[ids.index(qid)] = np.inf
+        exact = {ids[i] for i in np.argsort(d)[:10]}
+        hits += len(exact & chosen)
+        total += 10
+    assert hits / total > 0.2, f"ADC recall too low: {hits / total:.2f}"

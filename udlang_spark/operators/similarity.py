@@ -955,3 +955,95 @@ def pq_encode(
             yield pd.DataFrame(out)
 
     return sdf.mapInPandas(enc, StructType(out_fields))
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_ids: tuple[int, ...],
+    k: int = 10,
+    n_subspaces: int = 4,
+    codebook_ids: tuple[int, ...] = tuple(range(16)),
+) -> DataFrame:
+    """Asymmetric distance computation over PQ codes (Jégou et al. 2011
+    §III): each query precomputes a (n_subspaces × n_codewords) table of
+    exact query-subvector→codeword distances; a compressed vector's
+    distance is then the SUM OF TABLE LOOKUPS picked by its codes — how an
+    IVF-PQ index scores billions of vectors without touching floats.
+
+    Scale shape: encode is pq_encode's broadcast-GEMM map; the lookup
+    tables are a |Q|-row broadcast dim; scoring is pure Column work
+    (element_at + 3 adds), and the top-k is a TakeOrdered per query over
+    ≤ |Q|·n rows — no corpus shuffle on data keys.
+
+    Determinism: table entries are round-6 float64 (identical literals on
+    both engines); a distance is a fixed-order sum of n_subspaces such
+    doubles; ranking ties break by ascending id."""
+    import numpy as np
+
+    codes = pq_encode(
+        emb, vec_col, id_col, n_subspaces=n_subspaces, codebook_ids=codebook_ids
+    )
+    sdf = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    seed = (
+        sdf.where(F.col("vec_id").isin(*codebook_ids))
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    qpd = (
+        sdf.where(F.col("vec_id").isin(*query_ids))
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    out_schema = StructType(
+        [
+            StructField("query_id", emb.schema[id_col].dataType, True),
+            StructField("vec_id", emb.schema[id_col].dataType, True),
+            StructField("adc_dist", DoubleType(), True),
+            StructField("rnk", IntegerType(), False),
+        ]
+    )
+    if len(seed) == 0 or len(qpd) == 0:
+        return emb.sparkSession.createDataFrame([], out_schema)
+    C = np.stack(seed["vec"].to_numpy()).astype(np.float64)
+    dim = C.shape[1]
+    sub = dim // n_subspaces
+    tab_rows = []
+    for qid, qv in zip(qpd["vec_id"], qpd["vec"]):
+        q = np.asarray(qv, dtype=np.float64)
+        row = [qid]
+        for s in range(n_subspaces):
+            d = np.round(
+                ((q[s * sub : (s + 1) * sub] - C[:, s * sub : (s + 1) * sub]) ** 2).sum(
+                    -1
+                ),
+                6,
+            )
+            row.append([float(x) for x in d])
+        tab_rows.append(tuple(row))
+    tab_schema = "query_id long, " + ", ".join(
+        f"t{s} array<double>" for s in range(n_subspaces)
+    )
+    tabs = F.broadcast(emb.sparkSession.createDataFrame(tab_rows, tab_schema))
+    from functools import reduce
+
+    dist = reduce(
+        lambda a, b: a + b,
+        [
+            F.element_at(F.col(f"t{s}"), F.col(f"c{s}") + 1)
+            for s in range(n_subspaces)
+        ],
+    )
+    scored = (
+        codes.join(tabs, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", dist.alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query_id", "vec_id", "adc_dist", F.col("rnk").cast("int").alias("rnk")
+        )
+    )

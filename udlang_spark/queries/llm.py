@@ -1145,6 +1145,79 @@ FROM e {" ".join(joins)}
 ORACLE_E_PQ_ENCODE = _pq_oracle()
 
 
+def e_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric distance top-10 over PQ codes for query vectors 0..3 —
+    how an IVF-PQ index scores a compressed corpus (table lookups + adds,
+    no floats per vector). Logic and scale shape (per-query lookup-table
+    broadcast, pure Column scoring): operators/similarity.pq_adc_topk."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.pq_adc_topk(
+        emb,
+        "embedding",
+        "vec_id",
+        _MMR_QUERY_IDS,
+        k=10,
+        n_subspaces=_PQ_M,
+        codebook_ids=_PQ_CB,
+    )
+
+
+def _pq_adc_oracle(
+    m: int = _PQ_M,
+    dim: int = 64,
+    n_cb: int = 16,
+    query_ids=_MMR_QUERY_IDS,
+    k: int = 10,
+) -> str:
+    sub = dim // m
+    qlist = ", ".join(str(q) for q in query_ids)
+    pieces = []
+    for s in range(m):
+        off = s * sub
+        pieces.append(f"""
+qd{s} AS (
+  SELECT q.qid, cb.cid,
+    round(list_sum(list_transform(generate_series(1, {sub}),
+      i -> (q.qv[{off}+i] - cb.cv[{off}+i]) * (q.qv[{off}+i] - cb.cv[{off}+i])
+    )), 6) AS d
+  FROM q, cb
+)""")
+    # reuse the PQ-encode CTE bodies for the per-vector codes
+    enc = _pq_oracle(m, dim, n_cb)
+    enc_ctes = enc.split("WITH ", 1)[1].rsplit("SELECT e.vec_id", 1)[0].rstrip()
+    enc_ctes = enc_ctes.rstrip()
+    code_cols = ", ".join(f"c{s}" for s in range(m))
+    code_joins = " ".join(f"JOIN pqa{s} USING (vec_id)" for s in range(m))
+    adc = " + ".join(f"qd{s}.d" for s in range(m))
+    tab_joins = " ".join(
+        f"JOIN qd{s} ON qd{s}.qid = q.qid AND qd{s}.cid = c.c{s}"
+        for s in range(m)
+    )
+    return f"""
+WITH {enc_ctes},
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({qlist})),
+{",".join(pieces)},
+pqcodes AS (
+  SELECT e.vec_id, {code_cols} FROM e {code_joins}
+),
+adcscored AS (
+  SELECT q.qid, c.vec_id, {adc} AS adc_dist
+  FROM pqcodes c
+  CROSS JOIN q
+  {tab_joins}
+  WHERE c.vec_id <> q.qid
+)
+SELECT qid AS query_id, vec_id, adc_dist, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY adc_dist, vec_id
+  ) AS rnk FROM adcscored
+) WHERE rnk <= {k}
+"""
+
+
+ORACLE_E_PQ_ADC = _pq_adc_oracle()
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
@@ -2435,6 +2508,7 @@ QUERIES = {
     "e_random_proj": e_random_proj,
     "e_mmr_rerank": e_mmr_rerank,
     "e_pq_encode": e_pq_encode,
+    "e_pq_adc": e_pq_adc,
     "e_pagerank": e_pagerank,
     "m_payload_meta": m_payload_meta,
     "m_image_meta": m_image_meta,
@@ -2492,6 +2566,7 @@ ORACLE = {
     "e_random_proj": ORACLE_E_RANDOM_PROJ,
     "e_mmr_rerank": ORACLE_E_MMR_RERANK,
     "e_pq_encode": ORACLE_E_PQ_ENCODE,
+    "e_pq_adc": ORACLE_E_PQ_ADC,
     # every registered query is oracle-checked: the ANN paths became
     # SQL-expressible once the LSH planes moved to md5 derivation
 }
