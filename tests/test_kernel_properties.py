@@ -542,3 +542,61 @@ def test_compiled_equals_interp_on_attempt_sources(spark, src, inputs):
     interp = Interp(k.program)
     expect = sorted(out for v in inputs for out in interp.run(v))
     assert compiled == expect
+
+
+def test_interp_match_resolves_typedefs_and_containers(spark):
+    """Review regressions: a typedef-aliased typed bind and a list-typed
+    bind must match on the interpreter exactly as they do compiled — the
+    unresolved TName used to skip the arm silently, and non-scalar
+    subjects raised inside python_type_of and fell through to the
+    catch-all."""
+    from udlang_spark.kernel import ast as A
+    from udlang_spark.kernel.api import compile_kernel
+    from udlang_spark.kernel.interp import Interp
+
+    hdr = 'version 0.1-pre_mvp;\nscript "t";\n'
+    src = """
+type MyNum: Int;
+input Int;
+output Int;
+out match in {
+  case v:MyNum: v * 10;
+  case w: 0 - 1;
+};
+"""
+    k = compile_kernel(hdr + src)
+    df = spark.createDataFrame([(3,)], "value long")
+    compiled = [r[0] for r in k.apply(df, input_col="value").collect()]
+    interp = [out for out in Interp(k.program).run(3)]
+    assert compiled == interp == [30]
+
+    # list-typed bind over a list subject, via a hand-built program (the
+    # grammar has no list-match sugar in the examples; semantics per §2.2)
+    prog = A.Program(
+        kind="script",
+        desc="t",
+        decls=(),
+        input=A.T_INT,
+        output=A.T_INT,
+        body=(
+            A.Out(
+                A.Match(
+                    subject=A.ListExpr((A.In(), A.Lit(2))),
+                    arms=(
+                        A.MatchArm(
+                            A.PBind("xs", A.TList(A.T_INT)),
+                            A.Call(A.Id("length"), (A.Id("xs"),)),
+                        ),
+                        A.MatchArm(A.PBind("m", None), A.Lit(-1)),
+                    ),
+                )
+            ),
+        ),
+    )
+    from udlang_spark.kernel.api import Kernel
+
+    compiled = [
+        r[0] for r in Kernel(program=prog).apply(df, input_col="value").collect()
+    ]
+    interp = [out for out in Interp(prog).run(3)]
+    assert compiled == interp == [2]

@@ -484,7 +484,8 @@ def test_mmr_is_more_diverse_than_topk(spark):
     for r in mmr:
         by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id))
     top_by_q = {}
-    for r in topk:
+    for r in sorted(topk, key=lambda r: (r.vec_id, r.rnk)):
+        # collect() order is a plan artifact — sort by rank explicitly
         if r.vec_id in by_q and r.rnk <= 5:
             top_by_q.setdefault(r.vec_id, []).append(r.nbr)
     assert set(by_q) == {0, 1, 2, 3}
@@ -581,3 +582,20 @@ def test_pq_adc_lookup_machinery_exact_and_useful(spark):
         hits += len(exact & chosen)
         total += 10
     assert hits / total > 0.2, f"ADC recall too low: {hits / total:.2f}"
+
+
+def test_pq_codes_are_positions_for_sparse_codebooks(spark):
+    """Codes are POSITIONS in the id-sorted codebook, not codebook-row ids
+    (review finding: the two coincide only for the default contiguous
+    0..15 ids). With ids (3, 7, 42) every code must be in {0, 1, 2}."""
+    from udlang_spark.operators import similarity
+    from udlang_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", SF_DIR_CORRECTNESS)
+    out = similarity.pq_encode(
+        emb, "embedding", "vec_id", n_subspaces=4, codebook_ids=(3, 7, 42)
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        for s in range(4):
+            assert 0 <= r[f"c{s}"] <= 2, r

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from udlang_spark.kernel import ast
 from udlang_spark.kernel.types import (
+    NUMERIC_ALIASES,
     KernelTypeError,
     python_type_of,
     to_spark,
@@ -240,14 +241,9 @@ class Compiler:
             self._hof_depth -= 1
 
     # -- type aliases ----------------------------------------------------
-    # documented numeric tower (manual.md:85-97) → our two numeric types;
-    # unsigned types have no Spark equivalent (SURVEY.md §1.2)
-    NUMERIC_ALIASES = {
-        "F32": ast.T_FLOAT, "F64": ast.T_FLOAT, "Number": ast.T_FLOAT,
-        "I8": ast.T_INT, "I16": ast.T_INT, "I32": ast.T_INT, "I64": ast.T_INT,
-        "U8": ast.T_INT, "U16": ast.T_INT, "U32": ast.T_INT, "U64": ast.T_INT,
-        "Nat": ast.T_INT,
-    }
+    # shared with the interpreter's pattern-type resolution (types.py) so
+    # the two execution paths alias the numeric tower identically
+    NUMERIC_ALIASES = NUMERIC_ALIASES
 
     def resolve_type(self, t: ast.Type) -> ast.Type:
         if isinstance(t, ast.TName):

@@ -267,7 +267,10 @@ class Interp:
                     env2 = dict(env)
                     env2[pat.name] = subj
                     return self.eval(arm.body, env2, in_value, outs)
-                pt = pat.type
+                # resolve typedef aliases / value types exactly like the
+                # compiler does — an unresolved TName would never tag-match
+                # (and type_tag would raise); found by review of the fuzz
+                pt = self._resolve_type(pat.type)
                 if isinstance(subj, dict) and "_tag" in subj:
                     if subj["_tag"] != type_tag(pt):
                         continue
@@ -282,17 +285,87 @@ class Interp:
                     env2 = dict(env)
                     env2[pat.name] = val
                     return self.eval(arm.body, env2, in_value, outs)
-                try:
-                    ok = subj is not None and python_type_of(subj) == pt
-                except KernelTypeError:
-                    ok = False
-                if ok:
+                if self._runtime_matches(subj, pt):
                     env2 = dict(env)
                     env2[pat.name] = subj
                     return self.eval(arm.body, env2, in_value, outs)
                 continue
             raise InterpError(f"unsupported pattern {pat!r}")
         raise InterpError("match: no case matched")
+
+    def _resolve_type(self, t: ast.Type) -> ast.Type:
+        """The compiler's resolve_type, re-expressed over the program's
+        TypeDef decls: alias names, the numeric tower, value types, and
+        recursive containers — so typed binds see the same resolved type on
+        both execution paths."""
+        from udlang_spark.kernel.types import (
+            NUMERIC_ALIASES,
+            python_type_of,
+        )
+
+        if isinstance(t, ast.TName):
+            td = self._typedefs().get(t.name)
+            if td is not None:
+                return self._resolve_type(td)
+            if t.name in NUMERIC_ALIASES:
+                return NUMERIC_ALIASES[t.name]
+            raise InterpError(f"unknown type name {t.name}")
+        if isinstance(t, ast.TValue):
+            return python_type_of(t.value)
+        if isinstance(t, ast.TOption):
+            return ast.TOption(self._resolve_type(t.inner))
+        if isinstance(t, ast.TList):
+            return ast.TList(self._resolve_type(t.item))
+        if isinstance(t, ast.TMap):
+            return ast.TMap(self._resolve_type(t.value))
+        if isinstance(t, ast.TTuple):
+            return ast.TTuple(tuple(self._resolve_type(i) for i in t.items))
+        if isinstance(t, ast.TUnion):
+            variants: list[ast.Type] = []
+            for v in t.variants:
+                rv = self._resolve_type(v)
+                if rv not in variants:
+                    variants.append(rv)
+            if len(variants) == 1:
+                return variants[0]
+            return ast.TUnion(tuple(variants))
+        return t
+
+    def _typedefs(self) -> dict:
+        cached = getattr(self, "_typedef_cache", None)
+        if cached is None:
+            cached = {}
+            for d in self.program.decls:
+                decl = d.decl if isinstance(d, ast.Export) else d
+                if isinstance(decl, ast.TypeDef):
+                    cached[decl.name] = decl.type
+            self._typedef_cache = cached
+        return cached
+
+    @staticmethod
+    def _runtime_matches(subj, pt: ast.Type) -> bool:
+        """Structural runtime check for typed binds over PLAIN (non-tagged)
+        subjects — the interp's stand-in for the compiler's static
+        `inner == pt` test: scalars by exact runtime type (Int never
+        matches a Float bind), containers by shape. Non-scalar subjects
+        previously raised inside python_type_of and silently skipped the
+        arm (review finding)."""
+        from udlang_spark.kernel.types import KernelTypeError, python_type_of
+
+        if isinstance(pt, ast.TOption):
+            return subj is None or Interp._runtime_matches(subj, pt.inner)
+        if subj is None:
+            return False
+        if isinstance(pt, ast.TList):
+            return isinstance(subj, list)
+        if isinstance(pt, (ast.TMap, ast.TRecord)):
+            return isinstance(subj, dict) and "_tag" not in subj
+        if isinstance(pt, ast.TTuple):
+            return isinstance(subj, (list, tuple))
+        try:
+            return python_type_of(subj) == pt
+        except KernelTypeError:
+            return False
 
     # -- reference operator semantics (src/ir.rs:429-696) ---------------
     @staticmethod

@@ -66,6 +66,18 @@ def to_spark(t: ast.Type) -> T.DataType:
     raise KernelTypeError(f"type {t!r} has no Spark data type")
 
 
+# documented numeric tower (reference manual.md:85-97) → our two numeric
+# types; unsigned types have no Spark equivalent (SURVEY.md §1.2). Shared by
+# the compiler's resolve_type and the interpreter's pattern-type resolution
+# so the two execution paths alias identically.
+NUMERIC_ALIASES = {
+    "F32": ast.T_FLOAT, "F64": ast.T_FLOAT, "Number": ast.T_FLOAT,
+    "I8": ast.T_INT, "I16": ast.T_INT, "I32": ast.T_INT, "I64": ast.T_INT,
+    "U8": ast.T_INT, "U16": ast.T_INT, "U32": ast.T_INT, "U64": ast.T_INT,
+    "Nat": ast.T_INT,
+}
+
+
 def type_tag(t: ast.Type) -> str:
     """Canonical tag string for a union variant (the `_tag` field of the
     tagged-struct encoding — SURVEY.md §7.5). Fully qualified so [Int] and

@@ -907,19 +907,34 @@ def mmr_rerank(
     return cand.groupBy("query_id").applyInPandas(greedy, out_schema)
 
 
+def _collect_codebook(sdf: DataFrame, codebook_ids: tuple[int, ...]):
+    """The id-sorted codebook rows as a pandas frame (bounded: |codebook|
+    rows to the driver) — shared by pq_encode and pq_adc_topk so callers
+    composing both pay the collection job once."""
+    return (
+        sdf.where(F.col("vec_id").isin(*codebook_ids))
+        .toPandas()
+        .sort_values("vec_id")
+    )
+
+
 def pq_encode(
     emb: DataFrame,
     vec_col: str,
     id_col: str,
     n_subspaces: int = 4,
     codebook_ids: tuple[int, ...] = tuple(range(16)),
+    with_error: bool = True,
+    _codebook=None,
 ) -> DataFrame:
     """Product quantization encode (Jégou et al. 2011): split each vector
-    into n_subspaces contiguous subvectors and replace each with the id of
-    its nearest codeword (squared L2, round-6 before argmin, lowest-id
-    tie-break) from that subspace's codebook. Emits the per-subspace codes
-    plus the total reconstruction error — the compressed representation
-    IVF-PQ indexes store instead of raw vectors (64 floats → 4 bytes here).
+    into n_subspaces contiguous subvectors and replace each with the
+    POSITION (0..K-1) of its nearest codeword in the id-sorted codebook
+    (squared L2, round-6 before argmin, lowest-position tie-break). Emits
+    the per-subspace codes plus (with_error) the total reconstruction
+    error — the compressed representation IVF-PQ indexes store instead of
+    raw vectors (64 floats → 4 bytes here). Codes are positions, NOT the
+    codebook rows' ids: consumers map back via the same id-sorted order.
 
     Codebooks are the subvectors of the rows with `codebook_ids` (the
     fixed-seed convention of centroid_assign/kmeans_assign — deterministic
@@ -932,14 +947,16 @@ def pq_encode(
 
     sdf = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
     seed = (
-        sdf.where(F.col("vec_id").isin(*codebook_ids))
-        .toPandas()
-        .sort_values("vec_id")
+        _codebook
+        if _codebook is not None
+        else _collect_codebook(sdf, codebook_ids)
     )
     id_t = emb.schema[id_col].dataType
     out_fields = [StructField("vec_id", id_t, True)] + [
         StructField(f"c{s}", IntegerType(), True) for s in range(n_subspaces)
-    ] + [StructField("recon_err", DoubleType(), True)]
+    ]
+    if with_error:
+        out_fields.append(StructField("recon_err", DoubleType(), True))
     if len(seed) == 0:
         return emb.sparkSession.createDataFrame([], StructType(out_fields))
     C = np.stack(seed["vec"].to_numpy()).astype(np.float64)
@@ -962,10 +979,12 @@ def pq_encode(
                 Cs = C_[:, s * sub : (s + 1) * sub]
                 d = ((Xs[:, None, :] - Cs[None, :, :]) ** 2).sum(-1)
                 np.round(d, 6, out=d)
-                code = np.argmin(d, axis=1)  # first min = lowest codeword id
+                code = np.argmin(d, axis=1)  # first min = lowest position
                 out[f"c{s}"] = code.astype(np.int32)
-                recon += np.take_along_axis(d, code[:, None], 1).ravel()
-            out["recon_err"] = recon
+                if with_error:
+                    recon += np.take_along_axis(d, code[:, None], 1).ravel()
+            if with_error:
+                out["recon_err"] = recon
             yield pd.DataFrame(out)
 
     return sdf.mapInPandas(enc, StructType(out_fields))
@@ -996,14 +1015,16 @@ def pq_adc_topk(
     doubles; ranking ties break by ascending id."""
     import numpy as np
 
-    codes = pq_encode(
-        emb, vec_col, id_col, n_subspaces=n_subspaces, codebook_ids=codebook_ids
-    )
     sdf = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
-    seed = (
-        sdf.where(F.col("vec_id").isin(*codebook_ids))
-        .toPandas()
-        .sort_values("vec_id")
+    seed = _collect_codebook(sdf, codebook_ids)
+    codes = pq_encode(
+        emb,
+        vec_col,
+        id_col,
+        n_subspaces=n_subspaces,
+        codebook_ids=codebook_ids,
+        with_error=False,  # ADC never reads recon_err — skip computing it
+        _codebook=seed,  # one codebook collection job, not two
     )
     qpd = (
         sdf.where(F.col("vec_id").isin(*query_ids))
@@ -1036,7 +1057,7 @@ def pq_adc_topk(
             )
             row.append([float(x) for x in d])
         tab_rows.append(tuple(row))
-    tab_schema = "query_id long, " + ", ".join(
+    tab_schema = f"query_id {emb.schema[id_col].dataType.simpleString()}, " + ", ".join(
         f"t{s} array<double>" for s in range(n_subspaces)
     )
     tabs = F.broadcast(emb.sparkSession.createDataFrame(tab_rows, tab_schema))

@@ -1118,15 +1118,15 @@ def _pq_oracle(m: int = _PQ_M, dim: int = 64, n_cb: int = 16) -> str:
         off = s * sub
         subs.append(f"""
 pqd{s} AS (
-  SELECT e.vec_id, cb.cid,
+  SELECT e.vec_id, cb.pos,
     round(list_sum(list_transform(generate_series(1, {sub}),
       i -> (e.v[{off}+i] - cb.cv[{off}+i]) * (e.v[{off}+i] - cb.cv[{off}+i])
     )), 6) AS d
   FROM e, cb
 ),
 pqa{s} AS (
-  SELECT vec_id, CAST(cid AS INTEGER) AS c{s}, d AS d{s} FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+  SELECT vec_id, pos AS c{s}, d AS d{s} FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, pos) AS rk
     FROM pqd{s}
   ) WHERE rk = 1
 )""")
@@ -1135,7 +1135,12 @@ pqa{s} AS (
     err = " + ".join(f"d{s}" for s in range(m))
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 0 AND {n_cb - 1}),
+cb AS (
+  SELECT vec_id AS cid,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS pos,
+         v AS cv
+  FROM e WHERE vec_id BETWEEN 0 AND {n_cb - 1}
+),
 {",".join(subs)}
 SELECT e.vec_id, {codes}, ({err}) AS recon_err
 FROM e {" ".join(joins)}
@@ -1176,7 +1181,7 @@ def _pq_adc_oracle(
         off = s * sub
         pieces.append(f"""
 qd{s} AS (
-  SELECT q.qid, cb.cid,
+  SELECT q.qid, cb.pos,
     round(list_sum(list_transform(generate_series(1, {sub}),
       i -> (q.qv[{off}+i] - cb.cv[{off}+i]) * (q.qv[{off}+i] - cb.cv[{off}+i])
     )), 6) AS d
@@ -1190,7 +1195,7 @@ qd{s} AS (
     code_joins = " ".join(f"JOIN pqa{s} USING (vec_id)" for s in range(m))
     adc = " + ".join(f"qd{s}.d" for s in range(m))
     tab_joins = " ".join(
-        f"JOIN qd{s} ON qd{s}.qid = q.qid AND qd{s}.cid = c.c{s}"
+        f"JOIN qd{s} ON qd{s}.qid = q.qid AND qd{s}.pos = c.c{s}"
         for s in range(m)
     )
     return f"""
