@@ -76,6 +76,7 @@ HEADLINE = [
     "e_mmr_rerank",
     "e_pq_encode",
     "e_pq_adc",
+    "t_cms_freq",
     # multimodal (Arrow-batched mapInPandas decode)
     "m_image_meta",
     "m_real_decode",

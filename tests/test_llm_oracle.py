@@ -599,3 +599,14 @@ def test_pq_codes_are_positions_for_sparse_codebooks(spark):
     for r in out:
         for s in range(4):
             assert 0 <= r[f"c{s}"] <= 2, r
+
+
+def test_cms_never_underestimates(spark):
+    """The CMS guarantee: est >= exact for every probe (collisions only
+    ADD), with equality for probes whose buckets happen collision-free;
+    at least one probe must estimate exactly at this vocab size."""
+    rows = llm.QUERIES["t_cms_freq"](spark, SF_DIR_CORRECTNESS).collect()
+    assert len(rows) == 10
+    assert all(r.overest >= 0 for r in rows)
+    assert all(r.est >= r.exact for r in rows)
+    assert any(r.overest == 0 for r in rows)

@@ -691,6 +691,127 @@ GROUP BY tok ORDER BY n DESC, tok LIMIT 20
 """
 
 
+_CMS_D = 4  # hash rows
+_CMS_W = 128  # buckets per row
+
+
+def t_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (Cormode & Muthukrishnan
+    2005): build a {d}×{w} sketch over the corpus token stream, then
+    estimate the frequency of each probe word (the stopword list) as the
+    min over rows of its bucket counts, alongside the exact count and the
+    guaranteed-nonnegative overestimate.
+
+    The sketch is THE mergeable distributed frequency state: per-partition
+    partial (row, bucket) counts map-side combine, and the full sketch is
+    d·w integers regardless of corpus size — the structure you keep when
+    the exact vocabulary groupBy (billions of distinct keys at 100 TB) is
+    the thing you're avoiding. Probing broadcasts the tiny sketch.
+    Buckets come from md5 (first 8 hex chars % w) — the LSH-plane
+    convention, bit-reproducible in SQL.""".format(d=_CMS_D, w=_CMS_W)
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(F.explode(TXT.words("text")).alias("tok"))
+
+    def bucket(col, i):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"cms{i}:"), col)), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    pairs = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        bucket(F.col("tok"), i).alias("bucket"),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("rb")
+    ).select(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    sketch = pairs.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("n"))
+
+    probes = spark.createDataFrame(
+        [(w,) for w in sorted(TXT.STOPWORDS)], "word string"
+    )
+    probe_cells = probes.select(
+        "word",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        bucket(F.col("word"), i).alias("bucket"),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("word", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    est = (
+        probe_cells.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("word")
+        .agg(F.min(F.coalesce("n", F.lit(0))).alias("est"))
+    )
+    exact = (
+        toks.groupBy(F.col("tok").alias("word"))
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return (
+        est.join(exact, "word", "left")
+        .select(
+            "word",
+            "est",
+            F.coalesce("exact", F.lit(0)).alias("exact"),
+            (F.col("est") - F.coalesce("exact", F.lit(0))).alias("overest"),
+        )
+    )
+
+
+def _cms_bucket_sql(key: str, i: int, w: int = _CMS_W) -> str:
+    return (
+        f"CAST(CAST(concat('0x', substr(md5('cms{i}:' || {key}), 1, 8)) "
+        f"AS UBIGINT) % {w} AS BIGINT)"
+    )
+
+
+def _cms_oracle(d: int = _CMS_D, w: int = _CMS_W) -> str:
+    stopvals = ", ".join(f"('{s}')" for s in sorted(TXT.STOPWORDS))
+    tok_cells = " UNION ALL ".join(
+        f"SELECT {i} AS row, {_cms_bucket_sql('tok', i, w)} AS bucket FROM t"
+        for i in range(d)
+    )
+    probe_cells = " UNION ALL ".join(
+        f"SELECT word, {i} AS row, {_cms_bucket_sql('word', i, w)} AS bucket FROM probes"
+        for i in range(d)
+    )
+    return f"""
+WITH t AS (SELECT unnest({_WL}) AS tok FROM documents),
+cells AS ({tok_cells}),
+sketch AS (SELECT row, bucket, count(*) AS n FROM cells GROUP BY row, bucket),
+probes AS (SELECT * FROM (VALUES {stopvals}) v(word)),
+pc AS ({probe_cells}),
+est AS (
+  SELECT word, min(coalesce(n, 0)) AS est
+  FROM pc LEFT JOIN sketch USING (row, bucket) GROUP BY word
+),
+exact AS (SELECT tok AS word, count(*) AS exact FROM t GROUP BY tok)
+SELECT word, est,
+  coalesce(exact, 0) AS exact,
+  est - coalesce(exact, 0) AS overest
+FROM est LEFT JOIN exact USING (word)
+"""
+
+
+ORACLE_CMS_FREQ = _cms_oracle()
+
+
 def e_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup: k-means clusters bound the quadratic
     cosine compare; within a cluster, lower id wins at cosine ≥ 0.5.
@@ -2500,6 +2621,7 @@ QUERIES = {
     "t_domain_mix": t_domain_mix,
     "e_semdedup": e_semdedup,
     "t_heavy_hitters": t_heavy_hitters,
+    "t_cms_freq": t_cms_freq,
     "e_int8_quantize": e_int8_quantize,
     "d_simhash_neardup": d_simhash_neardup,
     "e_centroid_assign": e_centroid_assign,
@@ -2550,6 +2672,7 @@ ORACLE = {
     "d_split_leakage": ORACLE_SPLIT_LEAKAGE,
     "t_domain_mix": ORACLE_DOMAIN_MIX,
     "t_heavy_hitters": ORACLE_HEAVY_HITTERS,
+    "t_cms_freq": ORACLE_CMS_FREQ,
     "e_int8_quantize": ORACLE_INT8_QUANT,
     "d_simhash_neardup": ORACLE_SIMHASH_NEARDUP,
     "e_centroid_assign": ORACLE_CENTROID_ASSIGN,
