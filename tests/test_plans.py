@@ -482,3 +482,16 @@ def test_mmr_corpus_never_shuffles_on_query_keys(spark):
     assert "SortMergeJoin" not in plan
     # "- Exchange (" excludes BroadcastExchange (the |Q|-row dim build)
     assert plan.count("- Exchange (") <= 1, plan
+
+
+def test_cms_probe_broadcasts_the_sketch(spark):
+    """t_cms_freq: the sketch side of the probe join is a broadcast (d·w
+    rows regardless of corpus size) and nothing sort-merge-joins — the
+    corpus contributes only explode + partial-aggregated (row, bucket)
+    counts."""
+    from udlang_spark.queries import llm
+
+    plan = plan_of(llm.QUERIES["t_cms_freq"](spark, SF_DIR_CORRECTNESS))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

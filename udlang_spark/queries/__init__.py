@@ -100,8 +100,9 @@ _PRIORITY: list[str] = [
     # s_cdc_apply rotated out for the three newest operators — all three
     # already have green driver rows on record from r3/r4, and a first
     # driver row is worth more than a repeat confirmation. e_pq_encode,
-    # added after the window filled, is strict-green at both SFs +
-    # numpy-parity pytest and waits for the next rotation.)
+    # e_pq_adc, and t_cms_freq, added after the window filled, are
+    # strict-green at both SFs + property pytests and wait for the next
+    # rotation.)
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50
