@@ -600,3 +600,49 @@ out match in {
     ]
     interp = [out for out in Interp(prog).run(3)]
     assert compiled == interp == [2]
+
+
+def test_interp_supports_dot_has_comprehension(spark):
+    """Fallback-path parity for the structural expressions a recursive
+    kernel plausibly contains: map/record literals + dot access, `.?.`
+    presence, and `[xs | f]` comprehensions — each compared compiled vs
+    interp on the same hand-built program."""
+    from udlang_spark.kernel import ast as A
+    from udlang_spark.kernel.api import Kernel
+    from udlang_spark.kernel.interp import Interp
+
+    df = spark.createDataFrame([(4,)], "value long")
+
+    def both(expr):
+        prog = A.Program(
+            kind="script",
+            desc="t",
+            decls=(),
+            input=A.T_INT,
+            output=A.T_INT,
+            body=(A.Out(expr),),
+        )
+        compiled = [
+            r[0]
+            for r in Kernel(program=prog).apply(df, input_col="value").collect()
+        ]
+        interp = list(Interp(prog).run(4))
+        assert compiled == interp, (expr, compiled, interp)
+        return compiled[0]
+
+    m = A.MapExpr((("a", A.In()), ("b", A.Lit(7))))
+    assert both(A.Bin("+", A.Dot(m, "a"), A.Dot(m, "b"))) == 11
+    assert (
+        both(
+            A.Cond(
+                clauses=((A.Has(m, "a"), A.Lit(1)),),
+                default=A.Lit(0),
+            )
+        )
+        == 1
+    )
+    comp = A.Comprehension(
+        seq=A.ListExpr((A.In(), A.Lit(2), A.Lit(3))),
+        fn=A.Lambda((("x", A.T_INT),), A.T_INT, A.Bin("*", A.Id("x"), A.Lit(2))),
+    )
+    assert both(A.Index(comp, A.Lit(0))) == 8

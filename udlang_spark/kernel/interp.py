@@ -230,6 +230,40 @@ class Interp:
             return self._cast(self.eval(e.expr, env, in_value, outs), e.type)
         if isinstance(e, ast.Match):
             return self._match(e, env, in_value, outs)
+        if isinstance(e, ast.MapExpr):
+            return {
+                k: self.eval(v, env, in_value, outs) for k, v in e.items
+            }
+        if isinstance(e, ast.TupleExpr):
+            # the compiled encoding: struct fields _1.._n (types.to_spark);
+            # a dict keeps Dot("_k") access uniform with records/maps
+            return {
+                f"_{i + 1}": self.eval(x, env, in_value, outs)
+                for i, x in enumerate(e.items)
+            }
+        if isinstance(e, ast.Dot):
+            obj = self.eval(e.obj, env, in_value, outs)
+            if isinstance(obj, dict):
+                # records always carry the field in a type-checked program;
+                # maps return NULL for absent keys (element_at semantics)
+                return obj.get(e.name)
+            raise InterpError(
+                f".{e.name} on a non-record/map value in interp fallback "
+                "(module members and method builtins are compile-time only)"
+            )
+        if isinstance(e, ast.Has):
+            obj = self.eval(e.obj, env, in_value, outs)
+            if isinstance(obj, dict):
+                # record: field present but NULL → False (isNotNull);
+                # map: key containment — on dicts both collapse to this
+                return obj.get(e.name) is not None
+            raise InterpError(".?. on a non-record/map value")
+        if isinstance(e, ast.Comprehension):
+            seq = self.eval(e.seq, env, in_value, outs)
+            if not isinstance(seq, list):
+                raise InterpError("comprehension over a non-list value")
+            fn = self.eval(e.fn, env, in_value, outs)
+            return [self.apply_fn(fn, [x], in_value, outs) for x in seq]
         raise InterpError(f"unsupported expression in interp fallback: {type(e).__name__}")
 
     def _match(self, e: ast.Match, env, in_value, outs):

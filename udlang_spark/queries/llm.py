@@ -712,10 +712,15 @@ def t_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(F.explode(TXT.words("text")).alias("tok"))
 
+    # one md5 per token, four independent 32-bit buckets from disjoint
+    # 8-hex-char slices of the digest — 4× fewer hash evaluations than one
+    # md5 per row (the digest's 128 bits fund all four hash functions)
     def bucket(col, i):
         return (
             F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"cms{i}:"), col)), 1, 8),
+                F.substring(
+                    F.md5(F.concat(F.lit("cms:"), col)), 1 + 8 * i, 8
+                ),
                 16,
                 10,
             ).cast("long")
@@ -759,8 +764,13 @@ def t_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.min(F.coalesce("n", F.lit(0))).alias("est"))
     )
+    # exact counts for the PROBES only: the isin filter prunes non-probe
+    # tokens right after the explode, so this branch shuffles ≤ |probes|
+    # distinct keys — the full-vocabulary groupBy is exactly what the
+    # sketch exists to avoid
     exact = (
-        toks.groupBy(F.col("tok").alias("word"))
+        toks.filter(F.col("tok").isin(*sorted(TXT.STOPWORDS)))
+        .groupBy(F.col("tok").alias("word"))
         .agg(F.count(F.lit(1)).alias("exact"))
     )
     return (
@@ -776,7 +786,7 @@ def t_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cms_bucket_sql(key: str, i: int, w: int = _CMS_W) -> str:
     return (
-        f"CAST(CAST(concat('0x', substr(md5('cms{i}:' || {key}), 1, 8)) "
+        f"CAST(CAST(concat('0x', substr(md5('cms:' || {key}), {1 + 8 * i}, 8)) "
         f"AS UBIGINT) % {w} AS BIGINT)"
     )
 
