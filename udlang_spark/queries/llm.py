@@ -711,67 +711,67 @@ def t_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention, bit-reproducible in SQL.""".format(d=_CMS_D, w=_CMS_W)
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(F.explode(TXT.words("text")).alias("tok"))
-
-    # one md5 per token, four independent 32-bit buckets from disjoint
-    # 8-hex-char slices of the digest — 4× fewer hash evaluations than one
-    # md5 per row (the digest's 128 bits fund all four hash functions)
-    def bucket(col, i):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("cms:"), col)), 1 + 8 * i, 8
-                ),
-                16,
-                10,
-            ).cast("long")
-            % _CMS_W
-        )
-
-    pairs = toks.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row"),
-                        bucket(F.col("tok"), i).alias("bucket"),
-                    )
-                    for i in range(_CMS_D)
-                ]
-            )
-        ).alias("rb")
-    ).select(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
-    sketch = pairs.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("n"))
-
-    probes = spark.createDataFrame(
-        [(w,) for w in sorted(TXT.STOPWORDS)], "word string"
+    sketch = _cms_cells(toks, "tok").groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
     )
-    probe_cells = probes.select(
-        "word",
+    exact = (
+        # exact counts for the PROBES only: the isin filter prunes
+        # non-probe tokens right after the explode, so this branch shuffles
+        # ≤ |probes| distinct keys — the full-vocabulary groupBy is exactly
+        # what the sketch exists to avoid
+        toks.filter(F.col("tok").isin(*sorted(TXT.STOPWORDS)))
+        .groupBy(F.col("tok").alias("word"))
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return _cms_probe_report(spark, sketch, exact)
+
+
+def _cms_bucket(col, i: int, w: int = _CMS_W):
+    """One md5 per key, four independent 32-bit buckets from disjoint
+    8-hex-char slices of the digest — 4× fewer hash evaluations than one
+    md5 per row (the digest's 128 bits fund all four hash functions)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("cms:"), col)), 1 + 8 * i, 8),
+            16,
+            10,
+        ).cast("long")
+        % w
+    )
+
+
+def _cms_cells(rel: DataFrame, key_col: str, extra: tuple[str, ...] = ()):
+    """(row, bucket) cell per hash row per input key — the sketch's
+    pre-aggregation relation (works on batch AND streaming inputs)."""
+    return rel.select(
+        *extra,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("row"),
-                        bucket(F.col("word"), i).alias("bucket"),
+                        _cms_bucket(F.col(key_col), i).alias("bucket"),
                     )
                     for i in range(_CMS_D)
                 ]
             )
         ).alias("rb"),
-    ).select("word", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    ).select(*extra, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+
+
+def _cms_probe_report(
+    spark: SparkSession, sketch: DataFrame, exact: DataFrame
+) -> DataFrame:
+    """Probe the (row, bucket, n) sketch with the stopword list: est = min
+    over rows of the probed bucket counts, beside the exact counts."""
+    probes = spark.createDataFrame(
+        [(w,) for w in sorted(TXT.STOPWORDS)], "word string"
+    )
+    probe_cells = _cms_cells(probes, "word", extra=("word",))
     est = (
         probe_cells.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy("word")
         .agg(F.min(F.coalesce("n", F.lit(0))).alias("est"))
-    )
-    # exact counts for the PROBES only: the isin filter prunes non-probe
-    # tokens right after the explode, so this branch shuffles ≤ |probes|
-    # distinct keys — the full-vocabulary groupBy is exactly what the
-    # sketch exists to avoid
-    exact = (
-        toks.filter(F.col("tok").isin(*sorted(TXT.STOPWORDS)))
-        .groupBy(F.col("tok").alias("word"))
-        .agg(F.count(F.lit(1)).alias("exact"))
     )
     return (
         est.join(exact, "word", "left")

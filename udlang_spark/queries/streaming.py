@@ -223,6 +223,46 @@ def s_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("simhash").distinct().orderBy("simhash")
 
 
+def s_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch: the (row, bucket) counts aggregate
+    incrementally across micro-batches (complete-mode groupBy over d·w =
+    512 keys — the state store holds the SKETCH, a constant-size object,
+    no matter how much text streams past). Because integer counts merge
+    associatively, the drained streaming sketch equals t_cms_freq's batch
+    sketch EXACTLY, so this query shares its DuckDB oracle verbatim —
+    mergeability demonstrated end-to-end, not asserted. Probing and the
+    exact-count comparison run batch-side on the drained state."""
+    tmp = _replay_dir(
+        spark, sf_dir, table="documents", cols=("doc_id", "text"),
+        prefix="udlang_stream_cms",
+    )
+    doc_t = ast.TRecord(
+        (ast.TRecordField("doc_id", ast.T_INT), ast.TRecordField("text", ast.T_STR))
+    )
+    src = (
+        spark.readStream.schema(json_lift.input_schema(doc_t))
+        .option("mode", "FAILFAST")
+        .json(tmp)
+    )
+    toks = src.select(F.explode(TXT.words("text")).alias("tok"))
+    sketch_stream = (
+        _llm._cms_cells(toks, "tok")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sketch = runner.run_stream_to_memory(
+        sketch_stream, "q_s_cms_stream", spark, output_mode="complete"
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    btoks = docs.select(F.explode(TXT.words("text")).alias("tok"))
+    exact = (
+        btoks.filter(F.col("tok").isin(*sorted(TXT.STOPWORDS)))
+        .groupBy(F.col("tok").alias("word"))
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return _llm._cms_probe_report(spark, sketch, exact)
+
+
 def s_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-window aggregation on the replayed stream: events within 10
     minutes of each other merge per event_type; the watermark closes
@@ -282,6 +322,7 @@ QUERIES = {
     "s_stream_join": s_stream_join,
     "s_dedup_stream": s_dedup_stream,
     "s_neardup_stream": s_neardup_stream,
+    "s_cms_stream": s_cms_stream,
     "s_session_stream": s_session_stream,
     "s_cdc_apply": s_cdc_apply,
 }
@@ -390,4 +431,7 @@ ORACLE: dict[str, str] = {
     "s_neardup_stream": ORACLE_NEARDUP_STREAM,
     "s_session_stream": ORACLE_SESSION_STREAM,
     "s_cdc_apply": ORACLE_CDC_APPLY,
+    # the streaming sketch equals the batch sketch exactly (associative
+    # integer counts), so the batch CMS oracle applies verbatim
+    "s_cms_stream": _llm.ORACLE_CMS_FREQ,
 }
