@@ -478,6 +478,143 @@ def test_compiled_equals_interp_on_match_exprs(spark, expr, inputs):
     assert compiled == expect
 
 
+def _structural_match_strategy():
+    """Random `match` over STRUCTURAL subjects (tuple / map / list built
+    from In()) with TYPED binds — the surface where the interp's runtime
+    type checks must agree with the compiler's static `inner == pt` test.
+    Covers the interp tuple encoding (dict _1.._n): a 2-tuple subject must
+    match `(Int, Int)` but not `(Int, Int, Int)`, `Map(Int)`, or
+    `List(Int)`; a map literal must match only `Map(Int)`; arm order is
+    shuffled so fall-through past non-matching typed binds is exercised."""
+    from udlang_spark.kernel import ast as A
+
+    t2 = A.TTuple((A.T_INT, A.T_INT))
+    t3 = A.TTuple((A.T_INT, A.T_INT, A.T_INT))
+    tmap = A.TMap(A.T_INT)
+    tlist = A.TList(A.T_INT)
+
+    subjects = {
+        "t2": A.TupleExpr((A.In(), A.Bin("+", A.In(), A.Lit(1)))),
+        "t3": A.TupleExpr((A.In(), A.Lit(5), A.Bin("*", A.In(), A.Lit(2)))),
+        "map": A.MapExpr((("a", A.In()), ("b", A.Lit(3)))),
+        "list": A.ListExpr((A.In(), A.Lit(2))),
+    }
+    # (key, pattern type, body over the bound name) — bodies are only
+    # compiled for arms that can statically match, so each can use its
+    # bound type freely
+    arm_pool = {
+        "t2": (t2, lambda x: A.Index(x, A.Lit(0))),
+        "t3": (t3, lambda x: A.Index(x, A.Lit(2))),
+        "map": (tmap, lambda x: A.Index(x, A.Lit("a"))),
+        "list": (tlist, lambda x: A.Call(A.Id("length"), (x,))),
+    }
+
+    def build(t):
+        subj_key, arm_keys, with_catch = t
+        arms = []
+        for k in arm_keys:
+            pt, body_fn = arm_pool[k]
+            arms.append(A.MatchArm(A.PBind("x", pt), body_fn(A.Id("x"))))
+        if with_catch or subj_key not in arm_keys:
+            arms.append(A.MatchArm(A.PBind("m", None), A.Lit(-99)))
+        return A.Match(subject=subjects[subj_key], arms=tuple(arms))
+
+    keys = st.sampled_from(["t2", "t3", "map", "list"])
+    return st.tuples(
+        keys,
+        st.lists(keys, min_size=1, max_size=4, unique=True),
+        st.booleans(),
+    ).map(build)
+
+
+@given(
+    expr=_structural_match_strategy(),
+    inputs=st.lists(
+        st.integers(min_value=-7, max_value=7), min_size=1, max_size=3, unique=True
+    ),
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_compiled_equals_interp_on_structural_match(spark, expr, inputs):
+    from udlang_spark.kernel import ast as A
+    from udlang_spark.kernel.api import Kernel
+    from udlang_spark.kernel.interp import Interp
+
+    prog = A.Program(
+        kind="script",
+        desc="fuzz-structmatch",
+        decls=(),
+        input=A.T_INT,
+        output=A.T_INT,
+        body=(A.Out(expr),),
+    )
+    df = spark.createDataFrame([(v,) for v in inputs], "value long")
+    compiled = {
+        r[0] for r in Kernel(program=prog).apply(df, input_col="value").collect()
+    }
+    interp = Interp(prog)
+    expect = {out for v in inputs for out in interp.run(v)}
+    assert compiled == expect
+
+
+def test_interp_map_has_is_key_containment():
+    """`.?.` on a map holding a NULL value: compiled = map_contains_key
+    (True); the interp must agree (ADVICE r5: it used to test value
+    nullness). Records keep isNotNull semantics."""
+    from udlang_spark.kernel import ast as A
+    from udlang_spark.kernel.interp import Interp
+
+    # map {"a": none-ish} — model a null value via a Cond with no default
+    # is awkward; instead bind the map and check both present/absent keys
+    prog = A.Program(
+        kind="script",
+        desc="has-map",
+        decls=(),
+        input=A.T_INT,
+        output=A.T_BOOL,
+        body=(
+            A.Out(A.Has(A.MapExpr((("a", A.In()),)), "a")),
+            A.Out(A.Has(A.MapExpr((("a", A.In()),)), "b")),
+        ),
+    )
+    assert Interp(prog).run(7) == [True, False]
+
+
+def test_interp_tuple_typed_bind_and_index():
+    """A 2-tuple subject takes the `(Int, Int)` arm (not Map/List/3-tuple)
+    and tuple indexing works on the interp's _1.._n encoding."""
+    from udlang_spark.kernel import ast as A
+    from udlang_spark.kernel.interp import Interp
+
+    subj = A.TupleExpr((A.In(), A.Bin("+", A.In(), A.Lit(1))))
+    m = A.Match(
+        subject=subj,
+        arms=(
+            A.MatchArm(A.PBind("x", A.TMap(A.T_INT)), A.Lit(-1)),
+            A.MatchArm(
+                A.PBind("x", A.TTuple((A.T_INT, A.T_INT, A.T_INT))), A.Lit(-2)
+            ),
+            A.MatchArm(
+                A.PBind("x", A.TTuple((A.T_INT, A.T_INT))),
+                A.Index(A.Id("x"), A.Lit(1)),
+            ),
+            A.MatchArm(A.PBind("m", None), A.Lit(-99)),
+        ),
+    )
+    prog = A.Program(
+        kind="script",
+        desc="tuple-bind",
+        decls=(),
+        input=A.T_INT,
+        output=A.T_INT,
+        body=(A.Out(m),),
+    )
+    assert Interp(prog).run(4) == [5]
+
+
 def _attempt_source_strategy():
     """Random SOURCE programs over the attempt/recover surface: a risky
     function with 0-2 throw guards (first-throw-wins order matters), a

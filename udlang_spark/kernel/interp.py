@@ -41,6 +41,27 @@ class InterpThrow(Exception):
         self.message = message
 
 
+class MapVal(dict):
+    """Runtime marker for map-typed dicts. The compiled path is statically
+    typed (compile_has branches on TMap vs TRecord); the interp is runtime-
+    typed, so map literals carry this subclass to keep `.?.` (key
+    containment, map_contains_key semantics: True for a key held with a
+    NULL value) distinguishable from record `.?.` (field isNotNull) and
+    from the tuple encoding (dict keyed _1.._n). Maps only ever originate
+    from ast.MapExpr in the interp subset, so the marker is total."""
+
+
+def _is_tuple_dict(v: dict, n: int | None = None) -> bool:
+    """True when `v` is the interp's tuple encoding: keys exactly _1.._k
+    (k = n when given), no _tag."""
+    k = n if n is not None else len(v)
+    return (
+        not isinstance(v, MapVal)
+        and len(v) == k
+        and all(f"_{i + 1}" in v for i in range(k))
+    )
+
+
 @dataclass
 class Closure:
     fn: ast.Lambda
@@ -222,6 +243,18 @@ class Interp:
         if isinstance(e, ast.Index):
             obj = self.eval(e.obj, env, in_value, outs)
             idx = self.eval(e.index, env, in_value, outs)
+            if (
+                isinstance(obj, dict)
+                and not isinstance(obj, MapVal)
+                and isinstance(idx, int)
+                and not isinstance(idx, bool)
+            ):
+                # tuple encoding (_1.._n): t[k] → getField("_{k+1}") on the
+                # compiled path (compile_index TTuple branch)
+                key = f"_{idx + 1}"
+                if key not in obj:
+                    raise InterpError(f"tuple index {idx} out of range")
+                return obj[key]
             try:
                 return obj[idx]
             except (IndexError, KeyError) as exc:
@@ -231,9 +264,9 @@ class Interp:
         if isinstance(e, ast.Match):
             return self._match(e, env, in_value, outs)
         if isinstance(e, ast.MapExpr):
-            return {
-                k: self.eval(v, env, in_value, outs) for k, v in e.items
-            }
+            return MapVal(
+                (k, self.eval(v, env, in_value, outs)) for k, v in e.items
+            )
         if isinstance(e, ast.TupleExpr):
             # the compiled encoding: struct fields _1.._n (types.to_spark);
             # a dict keeps Dot("_k") access uniform with records/maps
@@ -253,9 +286,12 @@ class Interp:
             )
         if isinstance(e, ast.Has):
             obj = self.eval(e.obj, env, in_value, outs)
+            if isinstance(obj, MapVal):
+                # map: key containment (map_contains_key, compiler.py
+                # compile_has) — True even when the held value is NULL
+                return e.name in obj
             if isinstance(obj, dict):
-                # record: field present but NULL → False (isNotNull);
-                # map: key containment — on dicts both collapse to this
+                # record: field present but NULL → False (isNotNull)
                 return obj.get(e.name) is not None
             raise InterpError(".?. on a non-record/map value")
         if isinstance(e, ast.Comprehension):
@@ -392,10 +428,23 @@ class Interp:
             return False
         if isinstance(pt, ast.TList):
             return isinstance(subj, list)
-        if isinstance(pt, (ast.TMap, ast.TRecord)):
-            return isinstance(subj, dict) and "_tag" not in subj
+        if isinstance(pt, ast.TMap):
+            # maps carry the MapVal marker — a tuple-dict (_1.._n) or a
+            # record must NOT satisfy a map bind (compiled path: static
+            # inner == pt fails)
+            return isinstance(subj, MapVal)
+        if isinstance(pt, ast.TRecord):
+            if not isinstance(subj, dict) or isinstance(subj, MapVal):
+                return False
+            if "_tag" in subj:
+                return False
+            return set(subj) == {f.name for f in pt.fields}
         if isinstance(pt, ast.TTuple):
-            return isinstance(subj, (list, tuple))
+            # interp tuples are dicts keyed _1.._n (TupleExpr eval above),
+            # matching the compiled struct encoding — never list/tuple
+            return isinstance(subj, dict) and _is_tuple_dict(
+                subj, len(pt.items)
+            )
         try:
             return python_type_of(subj) == pt
         except KernelTypeError:

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from udlang_spark.session import persist_tracked
+
 
 # fixed-point rank unit: 1e-15. Ranks sum to ~1, so per-rank magnitude is
 # ≤ SCALE and the damped inflow product stays < 100·SCALE « 2^63.
@@ -60,21 +62,26 @@ def pagerank(
             f"damping={damping} is not an exact integer percent in (0, 1); "
             "use a two-decimal damping (e.g. 0.85)"
         )
-    nodes = (
+    # tracked persists: released by session.release_caches() between
+    # queries (sweep drivers call it); raw .persist() would leak JVM-side
+    nodes = persist_tracked(
         edges.select(F.col(src).alias("id"))
         .unionByName(edges.select(F.col(dst).alias("id")))
         .distinct()
-        .persist()
     )
     n = nodes.count()
     if n == 0:  # empty graph → empty ranks (not a ZeroDivisionError)
         return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = edges.groupBy(F.col(src).alias("id")).agg(
-        F.count(F.lit(1)).alias("deg")
-    ).persist()
+    out_deg = persist_tracked(
+        edges.groupBy(F.col(src).alias("id")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+    )
     base = (100 - dnum) * SCALE // (100 * n)
     ranks = nodes.withColumn("r", F.lit(SCALE // n).cast("long"))
-    e = edges.select(F.col(src).alias("id"), F.col(dst).alias("dst")).persist()
+    e = persist_tracked(
+        edges.select(F.col(src).alias("id"), F.col(dst).alias("dst"))
+    )
     for _ in range(n_iter):
         with_deg = ranks.join(out_deg, "id", "left")
         # dangling mass: ranks of nodes with no out-edges, redistributed

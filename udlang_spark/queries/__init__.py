@@ -30,79 +30,70 @@ for mod in (kernels, llm, streaming, relational, cleaning):
 # Registration order matters: the external driver differentially verifies the
 # FIRST 50 registry entries against their DuckDB oracles each round.
 # Round-3 window: relational q01–q50 (50/50 green). Round-4 window: kernel +
-# oracled-LLM + s_cdc_apply + q51/q52 (47 green + 3 array-output harness errs,
-# adjudicated value-correct and since serialized to sortable strings). This
-# round the window covers every oracled query that had NEVER had a driver row
-# entering round 5 (38 entries: q54–q65, the round-4 late additions, the
-# re-serialized array-output queries, and the round-5 oracle conversions —
-# iterative/streaming/sketch/multimodal/ANN), the five corpus-cleaning
-# queries added mid-round (driver-checked immediately), and 7
-# re-confirmations. EVERY registered query carries an oracle; none are
-# rows-only. The mid-round additions t_hybrid_rrf and s_neardup_stream
-# took the window slots of two twice-confirmed re-confirmations
-# (q41_min_cost_supplier, d_minhash_lsh — both green in r3): a first
-# driver row is worth more than a third confirmation.
+# oracled-LLM queries (47 green + 3 harness errs, fixed and re-confirmed in
+# r5). Round-5 window: the 38 queries that had never had a driver row + the
+# mid-round additions — 50/50 green. Round-6 window: (a) the 4 queries that
+# have STILL never had a driver row (e_pq_encode, e_pq_adc, t_cms_freq,
+# s_cms_stream — judge-verified strict-green in r5, but the driver scoreboard
+# hasn't seen them); (b) new round-6 operators, driver-checked immediately;
+# (c) re-confirmation slots for the oldest greens — q01–q50 were last
+# confirmed in round 3, three rounds stale. Once (a) lands green, every query
+# ever registered has a driver-green row.
 _PRIORITY: list[str] = [
-    # -- never driver-checked (38) --
-    "q54_pattern_match",
-    "q55_user_ema",
-    "q56_nation_trade_volume",
-    "q57_product_profit",
-    "q58_returned_items",
-    "q59_promo_effect",
-    "q60_top_supplier",
-    "q61_large_volume_customers",
-    "q62_dominant_suppliers",
-    "q63_running_distinct",
-    "q64_global_seq",
-    "q65_snapshot_diff",
-    "k_attempt",
-    "m_real_decode",
-    "t_bm25_topk",
-    "d_split_leakage",
-    "t_domain_mix",
-    "k_comprehension",
-    "e_label_centroids",
-    "e_int8_quantize",
-    "e_kmeans",
-    "e_semdedup",
-    "s_kernel_stream",
-    "s_windowed_stream",
-    "s_stateful_totals",
-    "s_stream_join",
-    "s_dedup_stream",
-    "s_session_stream",
-    "e_pagerank",
-    "q53_sketch_stats",
-    "m_frames",
-    "m_video_frames",
-    "m_features",
-    "e_near_dups_lsh",
-    "e_ann_lsh",
-    "e_ivf_ann",
-    "t_pii_scrub",
-    "q66_salted_join",
-    # -- round-5 additions (corpus cleaning), driver-checked immediately --
-    "t_gopher_rules",
-    "t_dedup_words",
-    "d_duplicate_spans",
-    "t_bigram_lm",
-    "t_wordpiece",
-    # -- late round-5 additions, driver-checked immediately --
-    "t_hybrid_rrf",
-    "s_neardup_stream",
-    "t_bpe_learn",
-    "d_dedup_keeper",
-    "t_bpe_encode",
-    "e_random_proj",
-    "e_mmr_rerank",
-    # (re-confirmation slots exhausted: t_corpus_pipeline / e_cosine_topk /
-    # s_cdc_apply rotated out for the three newest operators — all three
-    # already have green driver rows on record from r3/r4, and a first
-    # driver row is worth more than a repeat confirmation. e_pq_encode,
-    # e_pq_adc, and t_cms_freq, added after the window filled, are
-    # strict-green at both SFs + property pytests and wait for the next
-    # rotation.)
+    # -- never driver-checked (4) --
+    "e_pq_encode",
+    "e_pq_adc",
+    "t_cms_freq",
+    "s_cms_stream",
+    # -- round-6 additions, driver-checked immediately --
+    # (slots taken from the tail re-confirmations as operators land)
+    # -- re-confirmations: oldest greens first (last confirmed r3) --
+    "q01_pricing_summary",
+    "q02_forecast_revenue",
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q05_region_volume",
+    "q06_customers_without_orders",
+    "q07_custdist",
+    "q08_topk_per_group",
+    "q09_running_totals",
+    "q10_set_ops",
+    "q11_distinct_counts",
+    "q12_rollup",
+    "q13_events_tumbling",
+    "q14_events_json",
+    "q15_orders_monthly",
+    "q16_part_strings",
+    "q17_supplier_by_region",
+    "q18_asof_join",
+    "q19_cube",
+    "q20_median_udaf",
+    "q21_range_join",
+    "q22_salted_agg",
+    "q23_percentiles",
+    "q24_lag_lead",
+    "q25_disjunctive_pricing",
+    "q26_small_qty_revenue",
+    "q27_grouping_sets",
+    "q28_pivot",
+    "q29_window_frames",
+    "q30_hash_sample",
+    "q31_gap_fill",
+    "q32_sessionize",
+    "q33_unpivot",
+    "q34_upsert",
+    "q35_scd2",
+    "q36_sql_passthrough",
+    "q37_data_audit",
+    "q38_histogram",
+    "q39_variant_json",
+    "q40_sole_latest_shipper",
+    "q41_min_cost_supplier",
+    "q42_important_parts",
+    "q43_market_share",
+    "q44_fuzzy_part_pairs",
+    "q45_zscore_outliers",
+    "q46_stratified_sample",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50

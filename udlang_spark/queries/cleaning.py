@@ -268,15 +268,16 @@ _BPE_MERGES = 8
 
 
 def t_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn {n} BPE merges over the corpus word-frequency relation and emit
-    per-doc subword stats under the learned segmentation. Logic (and the
-    kmeans-shaped driver loop): operators/cleaning.bpe_learn_stats. The
-    oracle unrolls all {n} rounds into chained CTEs (the e_kmeans
-    technique): pair counts -> best pair (count desc, pair asc) -> greedy
-    left-to-right merge expressed as run-parity over exploded positions
-    (within a run of consecutive pair hits, the 1st, 3rd, ... merge and the
-    following position is consumed — exactly the sequential greedy scan).
-    """.format(n=_BPE_MERGES)
+    """Learn _BPE_MERGES = 8 BPE merges over the corpus word-frequency
+    relation and emit per-doc subword stats under the learned segmentation.
+    Logic (and the kmeans-shaped driver loop):
+    operators/cleaning.bpe_learn_stats. The oracle unrolls all 8 rounds
+    into chained CTEs (the e_kmeans technique): pair counts -> best pair
+    (count desc, pair asc) -> greedy left-to-right merge expressed as
+    run-parity over exploded positions (within a run of consecutive pair
+    hits, the 1st, 3rd, ... merge and the following position is consumed —
+    exactly the sequential greedy scan).
+    """
     return OPS.bpe_learn_stats(
         load_table(spark, "documents", sf_dir), n_merges=_BPE_MERGES
     )

@@ -697,7 +697,8 @@ _CMS_W = 128  # buckets per row
 
 def t_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimation (Cormode & Muthukrishnan
-    2005): build a {d}×{w} sketch over the corpus token stream, then
+    2005): build a d×w = _CMS_D×_CMS_W (4×128) sketch over the corpus
+    token stream, then
     estimate the frequency of each probe word (the stopword list) as the
     min over rows of its bucket counts, alongside the exact count and the
     guaranteed-nonnegative overestimate.
@@ -708,7 +709,7 @@ def t_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact vocabulary groupBy (billions of distinct keys at 100 TB) is
     the thing you're avoiding. Probing broadcasts the tiny sketch.
     Buckets come from md5 (first 8 hex chars % w) — the LSH-plane
-    convention, bit-reproducible in SQL.""".format(d=_CMS_D, w=_CMS_W)
+    convention, bit-reproducible in SQL."""
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(F.explode(TXT.words("text")).alias("tok"))
     sketch = _cms_cells(toks, "tok").groupBy("row", "bucket").agg(
@@ -1115,15 +1116,14 @@ _MMR_LAM = 0.7
 
 
 def e_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal Marginal Relevance diversified top-{k} for query vectors
-    {q} over {nc} cosine candidates (λ={lam}). Logic and scale shape
-    (broadcast relevance → batch-local partial top-n → per-query greedy):
+    """Maximal Marginal Relevance diversified top-k (k = _MMR_K = 5) for
+    query vectors _MMR_QUERY_IDS over _MMR_NCAND = 20 cosine candidates
+    (λ = _MMR_LAM = 0.7). Logic and scale shape (broadcast relevance →
+    batch-local partial top-n → per-query greedy):
     operators/similarity.mmr_rerank. The oracle unrolls the greedy
-    selection as {k} chained CTE steps — each step anti-joins the selected
+    selection as k chained CTE steps — each step anti-joins the selected
     set, takes max sim against it, and picks argmax(λ·rel − (1−λ)·maxsim)
-    with an ascending-id tie-break, exactly the in-group loop.""".format(
-        k=_MMR_K, q=_MMR_QUERY_IDS, nc=_MMR_NCAND, lam=_MMR_LAM
-    )
+    with an ascending-id tie-break, exactly the in-group loop."""
     emb = load_table(spark, "embeddings", sf_dir)
     return similarity.mmr_rerank(
         emb,
