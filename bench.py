@@ -77,6 +77,8 @@ HEADLINE = [
     "e_pq_encode",
     "e_pq_adc",
     "t_cms_freq",
+    # round-6 additions
+    "e_ivfpq_ann",
     # multimodal (Arrow-batched mapInPandas decode)
     "m_image_meta",
     "m_real_decode",

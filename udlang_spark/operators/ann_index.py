@@ -36,7 +36,12 @@ from pyspark.sql.types import (
 )
 from pyspark.sql.window import Window
 
-from udlang_spark.operators.similarity import _safe_norms, gemm_topk_pairs
+from udlang_spark.operators.similarity import (
+    _safe_norms,
+    gemm_topk_pairs,
+    pq_adc_tables,
+    pq_code_block,
+)
 from udlang_spark.session import persist_tracked
 
 
@@ -264,6 +269,276 @@ def probe_ivf_index(
     w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("nbr"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .withColumn("rnk", F.col("rnk").cast("int"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the production ANN layout at 100 TB — cells store PQ CODES, not
+# raw vectors (64 float32 → n_subspaces int8-sized codes: ~64× less I/O per
+# probed cell), and probing scores them with per-query ADC lookup tables in
+# pure Column codegen. Composition of the persisted IVF machinery above
+# with operators/similarity's PQ kernels (pq_code_block / pq_adc_tables —
+# parity with the in-memory e_pq_* queries depends on sharing them).
+# ---------------------------------------------------------------------------
+
+
+def write_ivfpq_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    n_cells: int = 16,
+    n_subspaces: int = 4,
+    codebook_ids: tuple[int, ...] = tuple(range(16)),
+) -> None:
+    """Build and persist an IVF-PQ index: one narrow mapInPandas pass both
+    routes every member to its argmax-cosine coarse cell AND PQ-encodes it
+    (broadcast centroids + codebook, zero shuffle); the partitioned write
+    is the only wide op. Layout::
+
+        <path>/cell=<c>/*.parquet    -- (id, c0..c{m-1}) PQ codes
+        <path>/_centroids/*.parquet  -- coarse quantizer (cell, vec)
+        <path>/_codebook/*.parquet   -- PQ codebook (pos, vec), id-sorted
+
+    Quantizer/codebook seeding follows write_ivf_index / pq_encode: coarse
+    centroids = first n_cells rows by id; codebook = the rows with
+    `codebook_ids` (production would k-means both — the index machinery is
+    identical). Raw vectors are NOT stored: exact re-rank reads them from
+    the source relation (probe_ivfpq_index(rerank_src=...))."""
+    import numpy as np
+
+    spark = df.sparkSession
+    sdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    cent_pdf = sdf.orderBy("id").limit(n_cells).toPandas().sort_values("id")
+    if len(cent_pdf) == 0:
+        raise ValueError(
+            "write_ivfpq_index: cannot build an index over an empty relation"
+        )
+    cb_pdf = (
+        sdf.where(F.col("id").isin(*codebook_ids)).toPandas().sort_values("id")
+    )
+    if len(cb_pdf) == 0:
+        raise ValueError("write_ivfpq_index: no codebook rows found")
+    cent = np.stack(cent_pdf["vec"].to_numpy()).astype(np.float64)
+    C = np.stack(cb_pdf["vec"].to_numpy()).astype(np.float64)
+    bc = spark.sparkContext.broadcast((cent, _safe_norms(cent)))
+    bcb = spark.sparkContext.broadcast(C)
+
+    code_schema = StructType(
+        [
+            StructField("cell", IntegerType(), False),
+            StructField("id", sdf.schema["id"].dataType, True),
+        ]
+        + [
+            StructField(f"c{s}", IntegerType(), True)
+            for s in range(n_subspaces)
+        ]
+    )
+
+    def route_encode(batches):
+        import pandas as pd
+
+        for pb in batches:
+            if len(pb) == 0:
+                continue
+            qc = _routing_gemm(bc, pb)
+            X = np.stack(pb["vec"].to_numpy()).astype(np.float64)
+            codes, _ = pq_code_block(X, bcb.value, n_subspaces)
+            out = {
+                "cell": np.argmax(qc, axis=1).astype(np.int32),
+                "id": pb["id"].to_numpy(),
+            }
+            for s in range(n_subspaces):
+                out[f"c{s}"] = codes[:, s]
+            yield pd.DataFrame(out)
+
+    sdf.mapInPandas(route_encode, code_schema).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+
+    # sidecars LAST (same crash-consistency argument as write_ivf_index);
+    # element type mirrors the source vec column
+    elem_type = sdf.schema["vec"].dataType
+    assert isinstance(elem_type, ArrayType)
+    side_schema = StructType(
+        [
+            StructField("pos", IntegerType(), False),
+            StructField("vec", elem_type, False),
+        ]
+    )
+    cent_rows = [
+        (int(i), [float(x) for x in v])
+        for i, v in enumerate(cent_pdf["vec"].to_numpy())
+    ]
+    cb_rows = [
+        (int(i), [float(x) for x in v])
+        for i, v in enumerate(cb_pdf["vec"].to_numpy())
+    ]
+    cent_df = spark.createDataFrame(cent_rows, side_schema).withColumnRenamed(
+        "pos", "cell"
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(path + "/_centroids")
+    spark.createDataFrame(cb_rows, side_schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path + "/_codebook")
+
+
+def probe_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    n_probe: int = 4,
+    rerank_src: DataFrame | None = None,
+    rerank_r: int | None = None,
+) -> DataFrame:
+    """ADC top-k for each query against a persisted IVF-PQ index.
+
+    Plan shape (the 100 TB serving path): queries route against the
+    broadcast coarse quantizer (narrow map); the DISTINCT probed cells
+    (≤ n_cells ints to the driver) prune the code scan at PLAN time
+    (PartitionFilters); the tiny (query, cell) routing relation and the
+    per-query ADC lookup tables are BROADCAST joins against the pruned
+    codes; scoring is pure Column codegen (element_at + fixed-order adds —
+    no floats read per candidate); the only wide op is the per-query
+    top-k window over probed candidates. Query vectors are collected to
+    build the tables — bounded by the probe batch (the serving contract),
+    never the corpus.
+
+    Returns (query_id, vec_id, adc_dist, rnk). With `rerank_src` (a
+    relation carrying raw vectors for ids), the ADC top-`rerank_r`
+    (default 4k) are re-scored with exact cosine against the raw vectors —
+    the standard IVF-PQ accuracy backstop; returns
+    (query_id, vec_id, cos_sim, rnk) ranked by cosine."""
+    import numpy as np
+    import pandas as pd
+    from functools import reduce
+
+    cent_rows = (
+        spark.read.parquet(path + "/_centroids").orderBy("cell").collect()
+    )
+    if not cent_rows:
+        raise ValueError(f"{path}: index has an empty _centroids sidecar")
+    cent = np.stack([np.asarray(r["vec"]) for r in cent_rows]).astype(np.float64)
+    bc = spark.sparkContext.broadcast((cent, _safe_norms(cent)))
+    n_cells = len(cent_rows)
+    n_probe = min(n_probe, n_cells)
+    cb_rows = spark.read.parquet(path + "/_codebook").orderBy("pos").collect()
+    C = np.stack([np.asarray(r["vec"]) for r in cb_rows]).astype(np.float64)
+
+    q = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    routed_q = persist_tracked(
+        q.mapInPandas(_query_router(bc, n_probe), _routed_schema(q))
+    )
+    cells = sorted(
+        r["cell"] for r in routed_q.select("cell").distinct().collect()
+    )
+    codes = spark.read.parquet(path).where(
+        F.col("cell").isin([int(c) for c in cells])
+    )
+    n_subspaces = sum(1 for f in codes.schema.fields if f.name.startswith("c") and f.name != "cell")
+
+    # query vectors for the ADC tables — read from the persisted routing
+    # (no second execution of the queries lineage)
+    qpd = (
+        routed_q.select("id", "vec")
+        .dropDuplicates(["id"])
+        .toPandas()
+        .sort_values("id")
+    )
+    if len(qpd) == 0:
+        empty = StructType(
+            [
+                StructField("query_id", q.schema["id"].dataType, True),
+                StructField("vec_id", q.schema["id"].dataType, True),
+                StructField("adc_dist", DoubleType(), True),
+                StructField("rnk", IntegerType(), False),
+            ]
+        )
+        return spark.createDataFrame([], empty)
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qpd["vec"]])
+    tabs_np = pq_adc_tables(Q, C, n_subspaces)
+    id_sql = q.schema["id"].dataType.simpleString()
+    tab_schema = f"query_id {id_sql}, " + ", ".join(
+        f"t{s} array<double>" for s in range(n_subspaces)
+    )
+    tab_rows = [
+        tuple(
+            [qid] + [[float(x) for x in tabs_np[i, s]] for s in range(n_subspaces)]
+        )
+        for i, qid in enumerate(qpd["id"])
+    ]
+    tabs = F.broadcast(spark.createDataFrame(tab_rows, tab_schema))
+
+    routing = F.broadcast(
+        routed_q.select(F.col("id").alias("query_id"), "cell").distinct()
+    )
+    dist = reduce(
+        lambda a, b: a + b,
+        [
+            F.element_at(F.col(f"t{s}"), F.col(f"c{s}") + 1)
+            for s in range(n_subspaces)
+        ],
+    )
+    scored = (
+        codes.join(routing, "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .join(tabs, "query_id")
+        .select("query_id", F.col("id").alias("vec_id"), dist.alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    topr = rerank_r if rerank_r is not None else (4 * k if rerank_src is not None else k)
+    adc_top = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topr)
+        .withColumn("rnk", F.col("rnk").cast("int"))
+    )
+    if rerank_src is None:
+        return adc_top.filter(F.col("rnk") <= k)
+
+    # exact re-rank: raw vectors for the SHORT candidate list only —
+    # |Q|·topr rows against the source relation, never the corpus scan.
+    # Scoring goes through gemm_topk_pairs, the same parity-critical
+    # scorer probe_ivf_index uses, so reranking over ALL probed candidates
+    # is bit-equal to the uncompressed IVF probe (pytest-pinned).
+    src = rerank_src.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("nvec")
+    )
+    cand = adc_top.select("query_id", "vec_id").join(src, "vec_id")
+    qmap = {qid: np.asarray(v, dtype=np.float64) for qid, v in zip(qpd["id"], qpd["vec"])}
+    bq = spark.sparkContext.broadcast(qmap)
+
+    def rescore(gpdf: pd.DataFrame) -> pd.DataFrame:
+        qid = gpdf["query_id"].iloc[0]
+        qv = bq.value[qid]
+        out = gemm_topk_pairs(
+            np.asarray([qid]),
+            qv[None, :],
+            gpdf["vec_id"].to_numpy(),
+            np.stack(gpdf["nvec"].to_numpy()).astype(np.float64),
+            k,
+        )
+        return out.rename(columns={"vec_id": "query_id", "nbr": "vec_id"})
+
+    pair_schema = StructType(
+        [
+            StructField("query_id", q.schema["id"].dataType, True),
+            StructField("vec_id", q.schema["id"].dataType, True),
+            StructField("cos_sim", DoubleType(), True),
+        ]
+    )
+    rescored = cand.groupBy("query_id").applyInPandas(
+        lambda g: rescore(g), pair_schema
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        rescored.withColumn("rnk", F.row_number().over(rw))
         .filter(F.col("rnk") <= k)
         .withColumn("rnk", F.col("rnk").cast("int"))
     )

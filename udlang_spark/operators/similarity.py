@@ -907,6 +907,48 @@ def mmr_rerank(
     return cand.groupBy("query_id").applyInPandas(greedy, out_schema)
 
 
+def pq_code_block(X, C, n_subspaces: int, with_error: bool = False):
+    """The PQ encode kernel shared by pq_encode and the IVF-PQ index
+    writer (parity between the in-memory and persisted paths depends on
+    one implementation): per subspace, round-6 squared-L2 to every
+    codeword, argmin with lowest-position tie-break. Returns
+    (codes int32 [n, m], recon_err float64 [n] | None)."""
+    import numpy as np
+
+    dim = C.shape[1]
+    sub = dim // n_subspaces
+    codes = np.empty((len(X), n_subspaces), dtype=np.int32)
+    recon = np.zeros(len(X)) if with_error else None
+    for s in range(n_subspaces):
+        Xs = X[:, s * sub : (s + 1) * sub]
+        Cs = C[:, s * sub : (s + 1) * sub]
+        d = ((Xs[:, None, :] - Cs[None, :, :]) ** 2).sum(-1)
+        np.round(d, 6, out=d)
+        code = np.argmin(d, axis=1)  # first min = lowest position
+        codes[:, s] = code
+        if with_error:
+            recon += np.take_along_axis(d, code[:, None], 1).ravel()
+    return codes, recon
+
+
+def pq_adc_tables(Q, C, n_subspaces: int):
+    """Per-query ADC lookup tables: round-6 squared-L2 from each query
+    subvector to every codeword — [|Q|, m, K] float64. Shared by
+    pq_adc_topk and probe_ivfpq_index (one table convention)."""
+    import numpy as np
+
+    dim = C.shape[1]
+    sub = dim // n_subspaces
+    tabs = np.empty((len(Q), n_subspaces, len(C)))
+    for s in range(n_subspaces):
+        Qs = Q[:, s * sub : (s + 1) * sub]
+        Cs = C[:, s * sub : (s + 1) * sub]
+        d = ((Qs[:, None, :] - Cs[None, :, :]) ** 2).sum(-1)
+        np.round(d, 6, out=d)
+        tabs[:, s, :] = d
+    return tabs
+
+
 def _collect_codebook(sdf: DataFrame, codebook_ids: tuple[int, ...]):
     """The id-sorted codebook rows as a pandas frame (bounded: |codebook|
     rows to the driver) — shared by pq_encode and pq_adc_topk so callers
@@ -960,8 +1002,6 @@ def pq_encode(
     if len(seed) == 0:
         return emb.sparkSession.createDataFrame([], StructType(out_fields))
     C = np.stack(seed["vec"].to_numpy()).astype(np.float64)
-    dim = C.shape[1]
-    sub = dim // n_subspaces
     bc = emb.sparkSession.sparkContext.broadcast(C)
 
     def enc(batches):
@@ -972,17 +1012,10 @@ def pq_encode(
             if len(pb) == 0:
                 continue
             X = np.stack(pb["vec"].to_numpy()).astype(np.float64)
+            codes, recon = pq_code_block(X, C_, n_subspaces, with_error)
             out = {"vec_id": pb["vec_id"].to_numpy()}
-            recon = np.zeros(len(X))
             for s in range(n_subspaces):
-                Xs = X[:, s * sub : (s + 1) * sub]
-                Cs = C_[:, s * sub : (s + 1) * sub]
-                d = ((Xs[:, None, :] - Cs[None, :, :]) ** 2).sum(-1)
-                np.round(d, 6, out=d)
-                code = np.argmin(d, axis=1)  # first min = lowest position
-                out[f"c{s}"] = code.astype(np.int32)
-                if with_error:
-                    recon += np.take_along_axis(d, code[:, None], 1).ravel()
+                out[f"c{s}"] = codes[:, s]
             if with_error:
                 out["recon_err"] = recon
             yield pd.DataFrame(out)
@@ -1042,21 +1075,14 @@ def pq_adc_topk(
     if len(seed) == 0 or len(qpd) == 0:
         return emb.sparkSession.createDataFrame([], out_schema)
     C = np.stack(seed["vec"].to_numpy()).astype(np.float64)
-    dim = C.shape[1]
-    sub = dim // n_subspaces
-    tab_rows = []
-    for qid, qv in zip(qpd["vec_id"], qpd["vec"]):
-        q = np.asarray(qv, dtype=np.float64)
-        row = [qid]
-        for s in range(n_subspaces):
-            d = np.round(
-                ((q[s * sub : (s + 1) * sub] - C[:, s * sub : (s + 1) * sub]) ** 2).sum(
-                    -1
-                ),
-                6,
-            )
-            row.append([float(x) for x in d])
-        tab_rows.append(tuple(row))
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qpd["vec"]])
+    tabs_np = pq_adc_tables(Q, C, n_subspaces)
+    tab_rows = [
+        tuple(
+            [qid] + [[float(x) for x in tabs_np[i, s]] for s in range(n_subspaces)]
+        )
+        for i, qid in enumerate(qpd["vec_id"])
+    ]
     tab_schema = f"query_id {emb.schema[id_col].dataType.simpleString()}, " + ", ".join(
         f"t{s} array<double>" for s in range(n_subspaces)
     )

@@ -47,6 +47,7 @@ _PRIORITY: list[str] = [
     "s_cms_stream",
     # -- round-6 additions, driver-checked immediately --
     # (slots taken from the tail re-confirmations as operators land)
+    "e_ivfpq_ann",
     # -- re-confirmations: oldest greens first (last confirmed r3) --
     "q01_pricing_summary",
     "q02_forecast_revenue",
@@ -93,7 +94,6 @@ _PRIORITY: list[str] = [
     "q43_market_share",
     "q44_fuzzy_part_pairs",
     "q45_zscore_outliers",
-    "q46_stratified_sample",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50

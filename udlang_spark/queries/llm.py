@@ -1354,6 +1354,124 @@ SELECT qid AS query_id, vec_id, adc_dist, CAST(rnk AS INTEGER) AS rnk FROM (
 ORACLE_E_PQ_ADC = _pq_adc_oracle()
 
 
+def e_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the production ANN layout — a PERSISTED index whose cells
+    store PQ codes (not vectors), probed with per-query ADC lookup tables.
+    Builds the index (operators/ann_index.write_ivfpq_index: one narrow
+    route+encode pass, partitioned by cell, centroid+codebook sidecars),
+    then probes it for query vectors 0..3 with k=10, n_probe=6
+    (probe_ivfpq_index: plan-time partition pruning to the probed cells,
+    broadcast routing + LUT joins, pure-Column ADC scoring). Approximate
+    RELATIVE TO brute force but deterministic in itself; the oracle
+    re-derives coarse routing, PQ codes, and ADC tables exactly. Recall
+    vs the uncompressed IVF path is pytest-measured
+    (tests/test_ann_index.py)."""
+    import hashlib
+    import tempfile
+
+    from udlang_spark.operators import ann_index
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"{tempfile.gettempdir()}/udlang_spark_ivfpq_{tag}"
+    ann_index.write_ivfpq_index(
+        emb,
+        "embedding",
+        "vec_id",
+        path,
+        n_cells=16,
+        n_subspaces=_PQ_M,
+        codebook_ids=_PQ_CB,
+    )
+    queries = emb.where(F.col("vec_id").isin(*_MMR_QUERY_IDS))
+    return ann_index.probe_ivfpq_index(
+        spark, path, queries, "embedding", "vec_id", k=10, n_probe=6
+    )
+
+
+def _ivfpq_oracle(
+    m: int = _PQ_M,
+    dim: int = 64,
+    n_cb: int = 16,
+    n_cells: int = 16,
+    n_probe: int = 6,
+    query_ids=_MMR_QUERY_IDS,
+    k: int = 10,
+) -> str:
+    """IVF routing (ORACLE_E_IVF_ANN's CTEs) composed with PQ/ADC scoring
+    (_pq_adc_oracle's CTEs): candidates = members of the cells each query
+    probes, scored by summed LUT lookups on their PQ codes."""
+    sub = dim // m
+    qlist = ", ".join(str(q) for q in query_ids)
+    qd = []
+    for s in range(m):
+        off = s * sub
+        qd.append(f"""
+qd{s} AS MATERIALIZED (
+  SELECT q.qid, cb.pos,
+    round(list_sum(list_transform(generate_series(1, {sub}),
+      i -> (q.qv[{off}+i] - cb.cv[{off}+i]) * (q.qv[{off}+i] - cb.cv[{off}+i])
+    )), 6) AS d
+  FROM q, cb
+)""")
+    enc = _pq_oracle(m, dim, n_cb)
+    enc_ctes = enc.split("WITH ", 1)[1].rsplit("SELECT e.vec_id", 1)[0].rstrip()
+    code_cols = ", ".join(f"c{s}" for s in range(m))
+    code_joins = " ".join(f"JOIN pqa{s} USING (vec_id)" for s in range(m))
+    adc = " + ".join(f"qd{s}.d" for s in range(m))
+    tab_joins = " ".join(
+        f"JOIN qd{s} ON qd{s}.qid = c.qid AND qd{s}.pos = pc.c{s}"
+        for s in range(m)
+    )
+    return f"""
+WITH {enc_ctes},
+cent AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+  FROM e ORDER BY vec_id LIMIT {n_cells}
+),
+qcell AS MATERIALIZED (
+  SELECT e.vec_id, c.cell,
+         round(list_dot_product(e.v, c.cv)
+           / sqrt(list_dot_product(e.v, e.v))
+           / sqrt(list_dot_product(c.cv, c.cv)), 6) AS qcos
+  FROM e, cent c
+),
+cranked AS MATERIALIZED (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY qcos DESC, cell) AS rk
+  FROM qcell
+),
+member AS (SELECT vec_id, cell FROM cranked WHERE rk = 1),
+probe AS (
+  SELECT vec_id, cell FROM cranked
+  WHERE rk <= {n_probe} AND vec_id IN ({qlist})
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({qlist})),
+{",".join(qd)},
+pqcodes AS MATERIALIZED (
+  SELECT e.vec_id, {code_cols} FROM e {code_joins}
+),
+cand AS (
+  SELECT p.vec_id AS qid, mm.vec_id
+  FROM probe p JOIN member mm ON p.cell = mm.cell AND mm.vec_id <> p.vec_id
+),
+adcscored AS (
+  SELECT c.qid, c.vec_id, {adc} AS adc_dist
+  FROM cand c
+  JOIN pqcodes pc ON pc.vec_id = c.vec_id
+  {tab_joins}
+)
+SELECT qid AS query_id, vec_id, adc_dist, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY adc_dist, vec_id
+  ) AS rnk FROM adcscored
+) WHERE rnk <= {k}
+"""
+
+
+ORACLE_E_IVFPQ_ANN = _ivfpq_oracle()
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
@@ -2646,6 +2764,7 @@ QUERIES = {
     "e_mmr_rerank": e_mmr_rerank,
     "e_pq_encode": e_pq_encode,
     "e_pq_adc": e_pq_adc,
+    "e_ivfpq_ann": e_ivfpq_ann,
     "e_pagerank": e_pagerank,
     "m_payload_meta": m_payload_meta,
     "m_image_meta": m_image_meta,
@@ -2705,6 +2824,7 @@ ORACLE = {
     "e_mmr_rerank": ORACLE_E_MMR_RERANK,
     "e_pq_encode": ORACLE_E_PQ_ENCODE,
     "e_pq_adc": ORACLE_E_PQ_ADC,
+    "e_ivfpq_ann": ORACLE_E_IVFPQ_ANN,
     # every registered query is oracle-checked: the ANN paths became
     # SQL-expressible once the LSH planes moved to md5 derivation
 }
