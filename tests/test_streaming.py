@@ -540,3 +540,128 @@ def test_neardup_stream_equals_batch_fpset(spark, duck):
     )
     assert got == want
     assert len(got) < docs.count()  # the corpus has fp-identical near-dups
+
+
+def _docs_cells_replay(spark, tmp_path, n_files=3):
+    """documents replayed as n_files JSON files + the matching batch-side
+    (row, bucket) cell relation — shared by the CMS streaming tests."""
+    from udlang_spark.functions import text as TXT
+    from udlang_spark.kernel import ast as A
+    from udlang_spark.queries import llm as llm_q
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", SF_DIR_SMOKE)
+    rep = str(tmp_path / "docs_json")
+    # repartition, not coalesce: the smoke relation may hold fewer
+    # partitions than n_files, and coalesce cannot increase the count —
+    # the multi-batch forcing depends on ≥ n_files actual files
+    json_lift.lower_json(
+        docs.select("doc_id", "text"), ("doc_id", "text")
+    ).select("json").repartition(n_files).write.mode("overwrite").text(rep)
+    doc_t = A.TRecord(
+        (A.TRecordField("doc_id", A.T_INT), A.TRecordField("text", A.T_STR))
+    )
+    src = (
+        spark.readStream.schema(json_lift.input_schema(doc_t))
+        .option("mode", "FAILFAST")
+        .option("maxFilesPerTrigger", 1)
+        .json(rep)
+    )
+    stream_cells = llm_q._cms_cells(
+        src.select(F.explode(TXT.words("text")).alias("tok")), "tok"
+    )
+    batch_cells = llm_q._cms_cells(
+        docs.select(F.explode(TXT.words("text")).alias("tok")), "tok"
+    )
+    return stream_cells, batch_cells
+
+
+def test_cms_stream_multibatch_mergeability(spark, tmp_path):
+    """Complete-mode streaming sketch under FORCED multi-batch ingestion
+    (maxFilesPerTrigger=1 over a 3-file replay): the drained sketch must
+    equal the batch sketch whatever the micro-batching — the mergeability
+    claim s_cms_stream makes, pinned against any lucky single-batch run.
+    recentProgress proves ≥2 data-carrying micro-batches actually ran."""
+    from pyspark.sql import functions as F
+
+    stream_cells, batch_cells = _docs_cells_replay(spark, tmp_path)
+    sketch_stream = stream_cells.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    q = (
+        sketch_stream.writeStream.format("memory")
+        .queryName("t_cms_multibatch")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(data_batches) >= 2, "replay collapsed into one micro-batch"
+    got = {
+        (r["row"], r["bucket"]): r["n"]
+        for r in spark.table("t_cms_multibatch").collect()
+    }
+    want = {
+        (r["row"], r["bucket"]): r["n"]
+        for r in batch_cells.groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_cms_delta_merge_equals_batch(spark, tmp_path):
+    """The foreachBatch delta-merge sketch (run_sketch_merge_stream) under
+    forced multi-batch ingestion equals the batch sketch, and _last_batch
+    proves the merge folded ≥2 micro-batches."""
+    from pyspark.sql import functions as F
+
+    stream_cells, batch_cells = _docs_cells_replay(spark, tmp_path)
+    target = str(tmp_path / "sketch_target")
+    ckpt = str(tmp_path / "sketch_ckpt")
+    runner.run_sketch_merge_stream(spark, stream_cells, target, ckpt)
+
+    merged = spark.read.parquet(target)
+    assert merged.agg(F.max("_last_batch")).collect()[0][0] >= 1
+    got = {
+        (r["row"], r["bucket"]): r["n"]
+        for r in merged.drop("_last_batch").collect()
+    }
+    want = {
+        (r["row"], r["bucket"]): r["n"]
+        for r in batch_cells.groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_cms_delta_merge_restart_and_redelivery(spark, tmp_path):
+    """Counter merges are not idempotent, so the merge must not
+    double-count on (a) a restart over an unchanged source with the same
+    checkpoint (offsets skip everything) or (b) full redelivery with a
+    FRESH checkpoint (the _last_batch guard skips already-applied batch
+    ids)."""
+    stream_cells, _ = _docs_cells_replay(spark, tmp_path)
+    target = str(tmp_path / "sketch_target")
+    runner.run_sketch_merge_stream(
+        spark, stream_cells, target, str(tmp_path / "ckpt1")
+    )
+    before = {
+        (r["row"], r["bucket"]): r["n"]
+        for r in spark.read.parquet(target).drop("_last_batch").collect()
+    }
+    # (a) restart, same checkpoint
+    runner.run_sketch_merge_stream(
+        spark, stream_cells, target, str(tmp_path / "ckpt1")
+    )
+    # (b) redelivery, fresh checkpoint: batch ids restart at 0 <= applied
+    runner.run_sketch_merge_stream(
+        spark, stream_cells, target, str(tmp_path / "ckpt2")
+    )
+    after = {
+        (r["row"], r["bucket"]): r["n"]
+        for r in spark.read.parquet(target).drop("_last_batch").collect()
+    }
+    assert after == before

@@ -62,7 +62,13 @@ def _replay_dir(
     if os.path.isdir(tmp):
         shutil.rmtree(tmp, ignore_errors=True)
     rel = load_table(spark, table, sf_dir)
-    json_lift.lower_json(rel.select(*cols), cols).select("json").coalesce(
+    # repartition, not coalesce: coalesce cannot INCREASE the partition
+    # count, so a small source could collapse the replay to one file and
+    # make every run a single micro-batch — the multi-batch claims
+    # (s_cms_merge's maxFilesPerTrigger=1) need ≥4 actual files. All
+    # drained results are micro-batching-invariant by design, so the
+    # shuffled file assignment is immaterial.
+    json_lift.lower_json(rel.select(*cols), cols).select("json").repartition(
         4
     ).write.mode("overwrite").text(tmp)
     return tmp
@@ -263,6 +269,51 @@ def s_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _llm._cms_probe_report(spark, sketch, exact)
 
 
+def s_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch, DELTA-MERGE form (the generalizable
+    pattern for stateful aggregates too big to re-emit): the stream plan is
+    STATELESS — each micro-batch's (row, bucket) cells are aggregated to a
+    batch-local delta and folded into a persisted sketch table via
+    foreachBatch (runner.run_sketch_merge_stream), the persisted table
+    being the state, exactly like the CDC apply. maxFilesPerTrigger=1
+    forces one micro-batch per replay file, so the merge provably
+    accumulates across ≥2 batches on every run. Integer counts merge
+    associatively, so the final sketch equals t_cms_freq's batch sketch
+    and this query shares its DuckDB oracle verbatim — the same
+    mergeability statement as s_cms_stream, demonstrated through the
+    update-shaped path instead of complete-mode re-emission."""
+    tmp = _replay_dir(
+        spark, sf_dir, table="documents", cols=("doc_id", "text"),
+        prefix="udlang_stream_cmsmerge",
+    )
+    doc_t = ast.TRecord(
+        (ast.TRecordField("doc_id", ast.T_INT), ast.TRecordField("text", ast.T_STR))
+    )
+    src = (
+        spark.readStream.schema(json_lift.input_schema(doc_t))
+        .option("mode", "FAILFAST")
+        .option("maxFilesPerTrigger", 1)
+        .json(tmp)
+    )
+    toks = src.select(F.explode(TXT.words("text")).alias("tok"))
+    cells = _llm._cms_cells(toks, "tok")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    target = os.path.join(tempfile.gettempdir(), f"udlang_cms_target_{tag}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"udlang_cms_ckpt_{tag}")
+    shutil.rmtree(target, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    runner.run_sketch_merge_stream(spark, cells, target, ckpt)
+    sketch = spark.read.parquet(target).drop("_last_batch")
+    docs = load_table(spark, "documents", sf_dir)
+    btoks = docs.select(F.explode(TXT.words("text")).alias("tok"))
+    exact = (
+        btoks.filter(F.col("tok").isin(*sorted(TXT.STOPWORDS)))
+        .groupBy(F.col("tok").alias("word"))
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return _llm._cms_probe_report(spark, sketch, exact)
+
+
 def s_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-window aggregation on the replayed stream: events within 10
     minutes of each other merge per event_type; the watermark closes
@@ -323,6 +374,7 @@ QUERIES = {
     "s_dedup_stream": s_dedup_stream,
     "s_neardup_stream": s_neardup_stream,
     "s_cms_stream": s_cms_stream,
+    "s_cms_merge": s_cms_merge,
     "s_session_stream": s_session_stream,
     "s_cdc_apply": s_cdc_apply,
 }
@@ -431,7 +483,9 @@ ORACLE: dict[str, str] = {
     "s_neardup_stream": ORACLE_NEARDUP_STREAM,
     "s_session_stream": ORACLE_SESSION_STREAM,
     "s_cdc_apply": ORACLE_CDC_APPLY,
-    # the streaming sketch equals the batch sketch exactly (associative
-    # integer counts), so the batch CMS oracle applies verbatim
+    # the streaming sketches equal the batch sketch exactly (associative
+    # integer counts), so the batch CMS oracle applies verbatim to both
+    # the complete-mode and the delta-merge form
     "s_cms_stream": _llm.ORACLE_CMS_FREQ,
+    "s_cms_merge": _llm.ORACLE_CMS_FREQ,
 }

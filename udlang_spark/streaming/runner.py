@@ -262,6 +262,102 @@ def run_windowed_stream_to_memory(
     return spark.table(query_name)
 
 
+def _recover_swap(target_path: str) -> None:
+    """Crash recovery for the two-rename swap (shared by the CDC apply and
+    the sketch merge). Interruption points: after rename(target→old) but
+    before rename(tmp→target) the base table would otherwise be silently
+    LOST (the next batch would rebuild from itself alone); after the second
+    rename, a leftover .__old would make the next swap's rename fail
+    ENOTEMPTY. Restore or clean accordingly before touching anything."""
+    import os
+    import shutil
+
+    old = target_path + ".__old"
+    if os.path.exists(old):
+        if os.path.exists(target_path):
+            shutil.rmtree(old, ignore_errors=True)  # swap completed
+        else:
+            os.rename(old, target_path)  # swap interrupted mid-way
+
+
+def _atomic_replace(df: DataFrame, target_path: str, batch_id: int) -> None:
+    """Replace target_path with df via write-to-stage + two renames —
+    emulating the atomic commit a table format (Delta/Iceberg) provides
+    natively; at production scale use one of those."""
+    import os
+    import shutil
+
+    old = target_path + ".__old"
+    tmp = target_path + f".__stage_{batch_id}"
+    shutil.rmtree(tmp, ignore_errors=True)  # stale stage from a crash
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(target_path):
+        os.rename(target_path, old)
+    os.rename(tmp, target_path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def run_sketch_merge_stream(
+    spark: SparkSession,
+    cell_stream: DataFrame,
+    target_path: str,
+    checkpoint_path: str,
+    cell_cols: tuple[str, ...] = ("row", "bucket"),
+    timeout_s: int = 120,
+) -> None:
+    """Streaming sketch via foreachBatch DELTA-MERGE: each micro-batch
+    aggregates only ITS OWN (cell → partial count) delta — a map-side
+    combine over the batch, shuffling d·w keys — and folds it into a
+    persisted sketch table by summed union. The complete-mode alternative
+    (s_cms_stream) re-emits the whole aggregate state to the sink every
+    micro-batch; harmless at 512 cells, but this delta-merge is the
+    GENERALIZABLE form for stateful aggregates too big to re-emit — per
+    batch it writes O(sketch), and the stream plan itself is stateless
+    (the persisted table IS the state, the CDC-apply pattern).
+
+    Counter merges are NOT idempotent (unlike CDC's latest-wins), so
+    at-least-once foreachBatch redelivery would double-count. The table
+    therefore carries the last applied batch id (`_last_batch` column,
+    constant per version); a redelivered batch id ≤ that is skipped —
+    batch ids are monotonically increasing, making the merge effectively
+    exactly-once across restarts (pytest-verified via restart replay)."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        _recover_swap(target_path)
+        delta = batch_df.groupBy(*cell_cols).agg(F.count(F.lit(1)).alias("n"))
+        if os.path.exists(target_path):
+            base = spark.read.parquet(target_path)
+            applied = base.select(F.max("_last_batch")).collect()[0][0]
+            if applied is not None and batch_id <= applied:
+                return  # redelivered batch: already folded in
+            merged = (
+                base.drop("_last_batch")
+                .unionByName(delta)
+                .groupBy(*cell_cols)
+                .agg(F.sum("n").alias("n"))
+            )
+        else:
+            merged = delta
+        _atomic_replace(
+            merged.withColumn("_last_batch", F.lit(batch_id)),
+            target_path,
+            batch_id,
+        )
+
+    _recover_swap(target_path)
+    q = (
+        cell_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"sketch merge stream did not finish in {timeout_s}s")
+
+
 def run_cdc_apply_stream(
     spark: SparkSession,
     stream: DataFrame,
@@ -287,27 +383,11 @@ def run_cdc_apply_stream(
     key cardinality parquet can hold.
     """
     import os
-    import shutil
 
     from pyspark.sql.window import Window
 
-    old = target_path + ".__old"
-
-    def recover() -> None:
-        """Crash recovery for the two-rename swap. Interruption points:
-        after rename(target→old) but before rename(tmp→target) the base
-        table would otherwise be silently LOST (the next batch would
-        rebuild from itself alone); after the second rename, a leftover
-        .__old would make the next swap's rename fail ENOTEMPTY. Restore
-        or clean accordingly before touching anything."""
-        if os.path.exists(old):
-            if os.path.exists(target_path):
-                shutil.rmtree(old, ignore_errors=True)  # swap completed
-            else:
-                os.rename(old, target_path)  # swap interrupted mid-way
-
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        recover()
+        _recover_swap(target_path)
         if os.path.exists(target_path):
             base = spark.read.parquet(target_path)
             combined = base.unionByName(batch_df.select(*base.columns))
@@ -319,15 +399,9 @@ def run_cdc_apply_stream(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        tmp = target_path + f".__stage_{batch_id}"
-        shutil.rmtree(tmp, ignore_errors=True)  # stale stage from a crash
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(target_path):
-            os.rename(target_path, old)
-        os.rename(tmp, target_path)
-        shutil.rmtree(old, ignore_errors=True)
+        _atomic_replace(merged, target_path, batch_id)
 
-    recover()
+    _recover_swap(target_path)
     q = (
         stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_path)
