@@ -783,3 +783,98 @@ def test_interp_supports_dot_has_comprehension(spark):
         fn=A.Lambda((("x", A.T_INT),), A.T_INT, A.Bin("*", A.Id("x"), A.Lit(2))),
     )
     assert both(A.Index(comp, A.Lit(0))) == 8
+
+
+# ---------------------------------------------------------------------------
+# Numeric tower: sized integer types as range-checked views over i64
+# (SURVEY.md §1.2; reference manual.md:85-97 documents the tower without
+# implementing it)
+# ---------------------------------------------------------------------------
+def test_sized_cast_out_of_range_raises(spark):
+    from udlang_spark.kernel.api import compile_kernel
+
+    src = (
+        'version 0.1-pre_mvp;\nscript "u8";\ninput Int;\noutput Int;\n'
+        "out in as U8;\n"
+    )
+    k = compile_kernel(src)
+    ok = k.apply(spark.createDataFrame([(250,)], "v long"), input_col="v")
+    assert [r["out"] for r in ok.collect()] == [250]
+    bad = k.apply(spark.createDataFrame([(300,)], "v long"), input_col="v")
+    with pytest.raises(Exception, match="out of range for U8"):
+        bad.collect()
+
+
+def test_sized_constant_out_of_range_is_compile_error(spark):
+    from udlang_spark.kernel.api import compile_kernel
+    from udlang_spark.kernel.types import KernelTypeError
+
+    src = (
+        'version 0.1-pre_mvp;\nscript "u8";\ninput Int;\noutput Int;\n'
+        "out in + (256 as U8);\n"
+    )
+    k = compile_kernel(src)
+    with pytest.raises(KernelTypeError, match="out of range for U8"):
+        k.apply(
+            spark.createDataFrame([(1,)], "v long"), input_col="v"
+        ).collect()
+
+
+def test_sized_output_storage_types(spark):
+    """Sized outputs narrow to the SURVEY §1.2 storage mapping: U8→Short,
+    U16→Integer, U32→Long, U64→Decimal(20,0); sized inputs stored wider
+    than their logical range are range-checked on entry."""
+    from pyspark.sql.types import (
+        DecimalType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    from udlang_spark.kernel.api import compile_kernel
+
+    for name, want in (
+        ("U8", ShortType()),
+        ("U16", IntegerType()),
+        ("U32", LongType()),
+        ("U64", DecimalType(20, 0)),
+    ):
+        src = (
+            f'version 0.1-pre_mvp;\nscript "o";\ninput Int;\noutput {name};\n'
+            "out in;\n"
+        )
+        out = compile_kernel(src).apply(
+            spark.createDataFrame([(7,)], "v long"), input_col="v"
+        )
+        assert out.schema["out"].dataType == want, name
+        assert out.collect()[0]["out"] == 7
+
+    # negative value into an unsigned output raises, never wraps
+    src = (
+        'version 0.1-pre_mvp;\nscript "neg";\ninput Int;\noutput U32;\n'
+        "out in;\n"
+    )
+    bad = compile_kernel(src).apply(
+        spark.createDataFrame([(-1,)], "v long"), input_col="v"
+    )
+    with pytest.raises(Exception, match="out of range for U32"):
+        bad.collect()
+
+
+def test_sized_cast_interp_parity():
+    """The interp's sized cast range-checks identically to the compiled
+    path (in-range passes through as int, out-of-range raises)."""
+    from udlang_spark.kernel import ast as A
+    from udlang_spark.kernel.interp import Interp, InterpError
+
+    prog = A.Program(
+        kind="script",
+        desc="tower-interp",
+        decls=(),
+        input=A.T_INT,
+        output=A.T_INT,
+        body=(A.Out(A.Cast(A.In(), A.TName("U8"))),),
+    )
+    assert Interp(prog).run(200) == [200]
+    with pytest.raises(InterpError, match="out of range for U8"):
+        Interp(prog).run(300)

@@ -20,9 +20,10 @@ from udlang_spark.kernel.compiler import (
     Compiler,
     SCol,
     SVal,
+    sized_range_check,
 )
 from udlang_spark.kernel.parser import parse
-from udlang_spark.kernel.types import KernelTypeError, to_spark
+from udlang_spark.kernel.types import KernelTypeError, is_sized_int, to_spark
 
 
 @dataclass
@@ -74,6 +75,12 @@ class Kernel:
                     "scalar-input kernel on a multi-column DataFrame: pass input_col"
                 )
             input_col = df.columns[0]
+        if is_sized_int(it):
+            # sized input (SURVEY.md §1.2): the column's STORAGE type may be
+            # wider than the logical range (U8 rides in a Short; U64 in a
+            # Decimal(20,0)), so entry into i64 compute is range-checked —
+            # an out-of-range input record raises instead of wrapping
+            return SCol(sized_range_check(F.col(input_col), it.name), ast.T_INT)
         return SCol(F.col(input_col), it)
 
     def _apply_interp(

@@ -31,12 +31,31 @@ from pyspark.sql import functions as F
 from udlang_spark.kernel import ast
 from udlang_spark.kernel.types import (
     NUMERIC_ALIASES,
+    SIZED_INTS,
     KernelTypeError,
+    collapse_sized,
+    is_sized_int,
     python_type_of,
     to_spark,
     type_tag,
     unify,
 )
+
+
+def sized_range_check(col: Column, name: str) -> Column:
+    """Range-checked entry into / exit from a sized-int view (SURVEY.md
+    §1.2): rows whose value falls outside [lo, hi] raise at runtime
+    (assert_true poison — the same mechanism as match-no-case) instead of
+    silently wrapping. Returns the value as a LONG compute-domain column;
+    narrowing to the storage type (to_spark) is the caller's concern.
+    NULLs pass through (nullability is the Option layer's job)."""
+    _storage, lo, hi = SIZED_INTS[name]
+    as_long = col.cast("long")
+    ok = col.isNull() | ((col >= F.lit(lo)) & (col <= F.lit(min(hi, 2**63 - 1))))
+    poison = F.assert_true(
+        F.lit(False), F.concat(F.lit(f"value out of range for {name}: "), col.cast("string"))
+    ).cast("long")
+    return F.when(ok, as_long).otherwise(poison)
 
 # Unroll budget for recursive kernels. Each level costs ~20 py4j Column
 # calls at plan-build time and a guard at run time, so the default is the
@@ -1211,6 +1230,29 @@ class Compiler:
         vt = vtype(v)
         if vt == t:
             return v, outs
+        if is_sized_int(t):
+            # range-checked entry into a sized view (SURVEY.md §1.2): the
+            # value stays in the i64 compute domain; out-of-range raises
+            # instead of wrapping. Floats truncate toward zero first (the
+            # reference `as i64` semantics), then check.
+            name = t.name
+            if isinstance(v, SConst) and isinstance(v.value, (int, float)) and not isinstance(v.value, bool):
+                x = int(v.value)
+                _s, lo, hi = SIZED_INTS[name]
+                if not (lo <= x <= min(hi, 2**63 - 1)):
+                    raise KernelTypeError(
+                        f"constant {x} out of range for {name}"
+                    )
+                return SConst(x, ast.T_INT), outs
+            if vt is ast.T_FLOAT:
+                v = SCol(as_col(v).cast("long"), ast.T_INT)
+                vt = ast.T_INT
+            if vt is ast.T_BOOL:
+                v = SCol(as_col(v).cast("long"), ast.T_INT)
+                vt = ast.T_INT
+            if vt is not ast.T_INT:
+                raise KernelTypeError(f"cannot cast {vt!r} as {name}")
+            return SCol(sized_range_check(as_col(v), name), ast.T_INT), outs
         if isinstance(v, SConst) and not isinstance(v.value, (list, dict)):
             x = v.value
             if t is ast.T_INT:
@@ -1280,7 +1322,10 @@ class Compiler:
                     cond = None
                     bind_env[pat.name] = sval
                 else:
-                    pt = self.resolve_type(pat.type)
+                    # sized views match as their compute domain (a `x: U8`
+                    # bind behaves as `x: Int` — types.collapse_sized,
+                    # mirrored by the interp's pattern resolution)
+                    pt = collapse_sized(self.resolve_type(pat.type))
                     if isinstance(st, ast.TUnion):
                         idx = next(
                             (i for i, v in enumerate(st.variants) if v == pt), None
@@ -1424,6 +1469,15 @@ class Compiler:
             return F.lit(None).cast(to_spark(t))
         if vt == t or t is ast.T_ANY:
             return as_col(v)
+        if is_sized_int(t):
+            # sized OUTPUT/declared type: range check, then narrow to the
+            # storage type (ByteType..Decimal(20,0))
+            base = v
+            if vtype(base) is ast.T_FLOAT or vtype(base) is ast.T_BOOL:
+                base = SCol(as_col(base).cast("long"), ast.T_INT)
+            if vtype(base) is not ast.T_INT:
+                raise KernelTypeError(f"cannot coerce {vt!r} to {t!r}")
+            return sized_range_check(as_col(base), t.name).cast(to_spark(t))
         if isinstance(t, ast.TOption):
             return self.coerce_to(v, t.inner)
         if vt is ast.T_INT and t is ast.T_FLOAT:

@@ -378,7 +378,11 @@ class Interp:
             if td is not None:
                 return self._resolve_type(td)
             if t.name in NUMERIC_ALIASES:
-                return NUMERIC_ALIASES[t.name]
+                from udlang_spark.kernel.types import collapse_sized
+
+                # sized views match as Int (compiler.compile_match collapses
+                # pattern types identically)
+                return collapse_sized(NUMERIC_ALIASES[t.name])
             raise InterpError(f"unknown type name {t.name}")
         if isinstance(t, ast.TValue):
             return python_type_of(t.value)
@@ -507,6 +511,18 @@ class Interp:
 
     @staticmethod
     def _cast(v, t: ast.Type):
+        from udlang_spark.kernel.types import SIZED_INTS
+
+        if isinstance(t, ast.TName) and t.name in SIZED_INTS:
+            t = ast.TPrim(t.name)
+        if isinstance(t, ast.TPrim) and t.name in SIZED_INTS:
+            # range-checked sized view (compiler sized_range_check twin):
+            # value stays an i64-domain int; out-of-range raises
+            _s, lo, hi = SIZED_INTS[t.name]
+            x = int(v)
+            if not (lo <= x <= min(hi, 2**63 - 1)):
+                raise InterpError(f"value out of range for {t.name}: {x}")
+            return x
         if t is ast.T_INT:
             return int(v)  # Float→Int truncates, matching the compiled path
         if t is ast.T_FLOAT:

@@ -19,6 +19,8 @@ class KernelTypeError(TypeError):
 
 
 def to_spark(t: ast.Type) -> T.DataType:
+    if isinstance(t, ast.TPrim) and t.name in SIZED_INTS:
+        return SIZED_INTS[t.name][0]
     if t is ast.T_BOOL:
         return T.BooleanType()
     if t is ast.T_INT:
@@ -66,16 +68,45 @@ def to_spark(t: ast.Type) -> T.DataType:
     raise KernelTypeError(f"type {t!r} has no Spark data type")
 
 
-# documented numeric tower (reference manual.md:85-97) → our two numeric
-# types; unsigned types have no Spark equivalent (SURVEY.md §1.2). Shared by
-# the compiler's resolve_type and the interpreter's pattern-type resolution
-# so the two execution paths alias identically.
+# documented numeric tower (reference manual.md:85-97), SURVEY.md §1.2
+# mapping. Sized integer types are range-checked VIEWS over Int: values
+# always COMPUTE as i64 (the reference runtime is i64 — src/ast.rs:226),
+# while the sized name contributes (a) a narrower STORAGE type at the
+# input/output boundary and (b) a range check wherever a value enters or
+# leaves the sized domain (`as U8` casts, sized inputs, sized outputs) —
+# out-of-range raises instead of silently wrapping. U64's storage is
+# Decimal(20,0) (no unsigned 64-bit type exists in Spark); a U64 above
+# 2^63-1 is representable at the boundary but REFUSED (runtime error, not
+# a wrap) when it enters i64 compute.
+SIZED_INTS: dict[str, tuple[T.DataType, int, int]] = {
+    "I8": (T.ByteType(), -(2**7), 2**7 - 1),
+    "I16": (T.ShortType(), -(2**15), 2**15 - 1),
+    "I32": (T.IntegerType(), -(2**31), 2**31 - 1),
+    "U8": (T.ShortType(), 0, 2**8 - 1),
+    "U16": (T.IntegerType(), 0, 2**16 - 1),
+    "U32": (T.LongType(), 0, 2**32 - 1),
+    "U64": (T.DecimalType(20, 0), 0, 2**64 - 1),
+    "Nat": (T.LongType(), 0, 2**63 - 1),
+}
+
+T_SIZED = {name: ast.TPrim(name) for name in SIZED_INTS}
+
 NUMERIC_ALIASES = {
     "F32": ast.T_FLOAT, "F64": ast.T_FLOAT, "Number": ast.T_FLOAT,
-    "I8": ast.T_INT, "I16": ast.T_INT, "I32": ast.T_INT, "I64": ast.T_INT,
-    "U8": ast.T_INT, "U16": ast.T_INT, "U32": ast.T_INT, "U64": ast.T_INT,
-    "Nat": ast.T_INT,
+    "I64": ast.T_INT,  # exactly Int's representation — no view needed
+    **T_SIZED,
 }
+
+
+def is_sized_int(t: ast.Type) -> bool:
+    return isinstance(t, ast.TPrim) and t.name in SIZED_INTS
+
+
+def collapse_sized(t: ast.Type) -> ast.Type:
+    """The compute-domain type of a sized view (pattern matching and
+    unification treat U8..Nat as Int — shared by compiler and interp so
+    typed binds agree on both paths)."""
+    return ast.T_INT if is_sized_int(t) else t
 
 
 def type_tag(t: ast.Type) -> str:
@@ -111,6 +142,10 @@ def unify(a: ast.Type, b: ast.Type) -> ast.Type:
     where Float is declared (examples/function.us: `celcius_to_farenheit(in)`
     with `input Int`), so numeric promotion Int→Float is the intended
     semantics we implement."""
+    if a == b:
+        return a
+    # sized views unify through their compute domain (U8 ∪ Int = Int)
+    a, b = collapse_sized(a), collapse_sized(b)
     if a == b:
         return a
     if isinstance(a, ast.TOption):

@@ -49,6 +49,7 @@ _PRIORITY: list[str] = [
     # (slots taken from the tail re-confirmations as operators land)
     "e_ivfpq_ann",
     "s_cms_merge",
+    "k_tower",
     # -- re-confirmations: oldest greens first (last confirmed r3) --
     "q01_pricing_summary",
     "q02_forecast_revenue",
@@ -93,7 +94,6 @@ _PRIORITY: list[str] = [
     "q41_min_cost_supplier",
     "q42_important_parts",
     "q43_market_share",
-    "q44_fuzzy_part_pairs",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50

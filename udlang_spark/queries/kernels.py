@@ -335,6 +335,52 @@ def k_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "out")
 
 
+TOWER_KERNEL = """
+version 0.1-pre_mvp;
+script "numeric tower boundaries";
+input {field id: Int; field v: Float;};
+output U64;
+let b = (in.id % 256) as U8;
+let h = (in.id % 32768) as I16;
+let u = in.id as U32;
+let t = (in.v / 100.0) as I8;
+let n = in.id as Nat;
+let k = (255 as U8) + ((0 - 128) as I8) + (65535 as U16);
+out (b + h + u + t + n + k) as U64;
+"""
+
+
+def k_tower(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented numeric tower (reference manual.md:85-97, SURVEY.md
+    §1.2): sized integer types as range-checked views over i64 compute —
+    `as U8/I16/U32/Nat` casts range-check at runtime (out-of-range raises,
+    never wraps; kernel/compiler.sized_range_check), constants check at
+    compile time (255 as U8 folds, 256 as U8 is a compile error), and the
+    U64 output narrows to its Decimal(20,0) storage type, the SURVEY
+    mapping for the one width Spark has no signed home for."""
+    ev = load_table(spark, "events", sf_dir)
+    df = ev.select(
+        "event_id",
+        F.col("event_id").alias("id"),
+        F.col("value").alias("v"),
+    )
+    return compile_kernel(TOWER_KERNEL).apply(df, keep=("event_id",)).select(
+        "event_id", "out"
+    )
+
+
+# every term mirrors the kernel: truncating float→int, i64 compute, and the
+# folded boundary constants 255 - 128 + 65535 = 65662; the U64 output is
+# DECIMAL(20,0) on both engines
+ORACLE_TOWER = """
+SELECT event_id,
+  CAST((event_id % 256) + (event_id % 32768) + event_id
+       + CAST(trunc(value / 100.0) AS BIGINT) + event_id + 65662
+       AS DECIMAL(20,0)) AS out
+FROM events
+"""
+
+
 # Float→Int truncates toward zero; Str→Bool is non-emptiness; Bool→Int 1/0
 ORACLE_CAST = """
 SELECT event_id,
@@ -579,6 +625,7 @@ QUERIES = {
     "k_match_union": k_match_union,
     "k_comprehension": k_comprehension,
     "k_cast": k_cast,
+    "k_tower": k_tower,
     "k_builtins": k_builtins,
     "k_modules": k_modules,
     "k_methods": k_methods,
@@ -602,6 +649,7 @@ ORACLE = {
     "k_match_union": ORACLE_MATCH_UNION,
     "k_comprehension": ORACLE_COMPREHENSION,
     "k_cast": ORACLE_CAST,
+    "k_tower": ORACLE_TOWER,
     "k_builtins": ORACLE_BUILTINS,
     "k_modules": ORACLE_MODULES,
     "k_methods": ORACLE_METHODS,
