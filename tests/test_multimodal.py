@@ -241,3 +241,69 @@ def test_sample_frames_corrupt_container_falls_back(spark):
     for r in rows:
         i = r["frame_idx"]
         assert bytes(r["frame"]) == junk[i * step : (i + 1) * step]
+
+
+def _fake_jpeg(seed: bytes) -> bytes:
+    """Structurally valid baseline-JPEG bytes (SOI + APP0 + SOS + entropy
+    + EOI) whose entropy data exercises byte stuffing (FF00), an RST
+    marker, and arbitrary seed bytes (FF-sanitized per the stuffing rule).
+    Not pixel-decodable — the MJPEG splitter parses structure, not DCTs."""
+    app0_body = b"JFIF\x00" + seed[:9].ljust(9, b"\x00")
+    app0 = b"\xff\xe0" + struct.pack(">H", 2 + len(app0_body)) + app0_body
+    sos_body = b"\x01\x01\x00\x00\x3f\x00"
+    sos = b"\xff\xda" + struct.pack(">H", 2 + len(sos_body)) + sos_body
+    entropy = (
+        b"\x12\x34\xff\x00\x56"  # stuffed FF00 must not end the scan
+        + b"\xff\xd0\x78"        # RST0 inside the scan must not end it
+        + seed.replace(b"\xff", b"\xfe")
+    )
+    return b"\xff\xd8" + app0 + sos + entropy + b"\xff\xd9"
+
+
+def test_split_jpeg_stream_container():
+    """Marker-walk MJPEG parsing recovers each concatenated JPEG exactly
+    (byte stuffing and RST markers traversed, not mis-split), and rejects
+    corrupt containers."""
+    jpgs = [_fake_jpeg(bytes([i]) * (20 + i)) for i in range(4)]
+    frames = codecs.split_jpeg_stream(b"".join(jpgs))
+    assert frames == jpgs
+    for fb in frames:
+        # each recovered frame is itself sniffable as a JPEG stream head
+        assert fb[:2] == b"\xff\xd8" and fb[-2:] == b"\xff\xd9"
+    with pytest.raises(codecs.UnsupportedMedia):
+        codecs.split_jpeg_stream(b"".join(jpgs) + b"junk")
+    with pytest.raises(codecs.UnsupportedMedia):
+        codecs.split_jpeg_stream(jpgs[0][:-2])  # EOI missing
+
+
+def test_sample_frames_mjpeg_container_through_spark(spark):
+    """sample_frames on an MJPEG stream returns the REAL source JPEGs at
+    the uniform temporal positions (i*N)//n — not byte slices — through
+    the same mapInPandas plumbing as the PNG container path."""
+    jpgs = [_fake_jpeg(f"frame-{i}".encode() * 3) for i in range(5)]
+    container = b"".join(jpgs)
+    df = spark.createDataFrame(
+        [(1, bytearray(container))], "doc_id long, payload binary"
+    )
+    out = {
+        r["frame_idx"]: bytes(r["frame"])
+        for r in multimodal.sample_frames(df, n_frames=3).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    for i, fb in out.items():
+        assert fb == jpgs[(i * 5) // 3]
+
+
+def test_sample_frames_corrupt_mjpeg_falls_back(spark):
+    """A payload starting with SOI but not a well-formed JPEG stream falls
+    back to deterministic byte slices instead of aborting the job."""
+    junk = b"\xff\xd8" + b"not-markers-at-all"
+    df = spark.createDataFrame(
+        [(9, bytearray(junk))], "doc_id long, payload binary"
+    )
+    rows = multimodal.sample_frames(df, n_frames=3).collect()
+    assert len(rows) == 3
+    step = max(len(junk) // 3, 1)
+    for r in rows:
+        i = r["frame_idx"]
+        assert bytes(r["frame"]) == junk[i * step : (i + 1) * step]

@@ -59,6 +59,57 @@ def split_png_stream(data: bytes) -> list[bytes]:
     return frames
 
 
+JPEG_SOI = b"\xff\xd8"
+
+
+def split_jpeg_stream(data: bytes) -> list[bytes]:
+    """Split an MJPEG stream (concatenated baseline JPEGs — the classic
+    'motion JPEG' container) into individual JPEG byte strings by WALKING
+    each image's marker structure SOI→EOI. Entropy-coded scan data is
+    traversed per the byte-stuffing rule (a 0xFF inside the scan is
+    followed by 0x00 or an RST marker 0xD0–0xD7), so a literal FFD9 bit
+    pattern inside compressed data cannot split a frame in half — the same
+    guarantee split_png_stream gets from chunk framing."""
+    frames: list[bytes] = []
+    pos, n = 0, len(data)
+    while pos < n:
+        if data[pos : pos + 2] != JPEG_SOI:
+            raise UnsupportedMedia(f"container: expected JPEG SOI at {pos}")
+        i = pos + 2
+        while True:
+            if i + 2 > n:
+                raise UnsupportedMedia("container: truncated JPEG")
+            if data[i] != 0xFF:
+                raise UnsupportedMedia(f"container: expected marker at {i}")
+            marker = data[i + 1]
+            if marker == 0xD9:  # EOI — frame complete
+                i += 2
+                break
+            if marker == 0xFF:  # fill byte padding before a marker
+                i += 1
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # bare markers
+                i += 2
+                continue
+            if i + 4 > n:
+                raise UnsupportedMedia("container: truncated JPEG segment")
+            (seg_len,) = struct.unpack(">H", data[i + 2 : i + 4])
+            i += 2 + seg_len
+            if marker == 0xDA:  # SOS: skip entropy-coded data to next marker
+                while i < n:
+                    if (
+                        data[i] == 0xFF
+                        and i + 1 < n
+                        and data[i + 1] != 0x00
+                        and not (0xD0 <= data[i + 1] <= 0xD7)
+                    ):
+                        break
+                    i += 1
+        frames.append(data[pos:i])
+        pos = i
+    return frames
+
+
 # ---------------------------------------------------------------------------
 # metadata sniffing
 # ---------------------------------------------------------------------------

@@ -269,11 +269,13 @@ def sample_frames(
 ) -> DataFrame:
     """1→N frame sampling via mapInPandas. Payloads that are a
     concatenated-PNG container (codecs.split_png_stream — real chunk-walk
-    parsing) yield n_frames REAL frames, uniformly sampled in temporal
-    order (source frame (i·N_src)//n_frames — the keyframe-stride shape an
-    ffmpeg extractor would use); any other payload falls back to
-    deterministic byte slices so the 1→N plumbing is exercised on
-    arbitrary binaries too. Identical Spark plumbing either way."""
+    parsing) or an MJPEG stream (codecs.split_jpeg_stream — marker walk
+    with entropy-data byte-stuffing) yield n_frames REAL frames, uniformly
+    sampled in temporal order (source frame (i·N_src)//n_frames — the
+    keyframe-stride shape an ffmpeg extractor would use); any other
+    payload falls back to deterministic byte slices so the 1→N plumbing is
+    exercised on arbitrary binaries too. Identical Spark plumbing either
+    way."""
     from udlang_spark.operators import codecs
 
     def sample(batches: Iterator) -> Iterator:
@@ -284,17 +286,22 @@ def sample_frames(
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload)
                 picks = None
+                splitter = None
                 if data[: len(codecs.PNG_SIG)] == codecs.PNG_SIG:
+                    splitter = codecs.split_png_stream
+                elif data[: len(codecs.JPEG_SOI)] == codecs.JPEG_SOI:
+                    splitter = codecs.split_jpeg_stream
+                if splitter is not None:
                     try:
-                        src = codecs.split_png_stream(data)
+                        src = splitter(data)
                         picks = [
                             src[(i * len(src)) // n_frames]
                             for i in range(n_frames)
                         ]
                     except codecs.UnsupportedMedia:
-                        # starts with the PNG magic but isn't a well-formed
-                        # container (truncated/corrupt) — a bad row must not
-                        # abort the job; fall through to the byte slicer
+                        # starts with a container magic but isn't
+                        # well-formed (truncated/corrupt) — a bad row must
+                        # not abort the job; fall through to the byte slicer
                         picks = None
                 if picks is None:
                     step = max(len(data) // n_frames, 1)
