@@ -74,6 +74,34 @@ def test_q21_range_join_not_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_salted_join_salt_fanout_in_plan(spark):
+    """The salted join's PLAN must show the mitigation: the right side
+    fans out via explode(sequence(0, n_salts-1)) and the join keys carry
+    _salt, so each hot left key hashes across n_salts reducers. (If a
+    refactor dropped _salt from the join keys, results would still be
+    correct but the hot key would re-collapse onto one reducer — only a
+    plan assertion catches that.)"""
+    from udlang_spark.operators import skew
+    from udlang_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", SF_DIR_CORRECTNESS).select(
+        "event_id", "user_id"
+    )
+    users = ev.select("user_id").distinct()
+    plan = plan_of(skew.salted_join(ev, users, "user_id", n_salts=8))
+    # right-side salt replication: a Generate/explode producing _salt
+    # (the literal sequence(0,7) is constant-folded into an array literal)
+    gen_lines = [l for l in plan.splitlines() if "explode(" in l]
+    assert gen_lines and any("_salt" in l for l in gen_lines)
+    # the join hashes on (key, salt): every join-keys line carries _salt
+    key_lines = [
+        l for l in plan.splitlines()
+        if ("Left keys" in l or "Right keys" in l)
+    ]
+    assert key_lines and all("_salt" in l for l in key_lines)
+    assert all("user_id" in l for l in key_lines)
+
+
 def test_salted_join_and_agg_equivalence(spark):
     from pyspark.sql import functions as F
 
