@@ -79,6 +79,8 @@ HEADLINE = [
     "t_cms_freq",
     # round-6 additions
     "e_ivfpq_ann",
+    "e_hamming_topk",
+    "t_hll_distinct",
     # multimodal (Arrow-batched mapInPandas decode)
     "m_image_meta",
     "m_real_decode",

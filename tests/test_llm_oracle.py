@@ -610,3 +610,50 @@ def test_cms_never_underestimates(spark):
     assert all(r.overest >= 0 for r in rows)
     assert all(r.est >= r.exact for r in rows)
     assert any(r.overest == 0 for r in rows)
+
+
+def test_hll_registers_merge_by_max(spark):
+    """HLL mergeability: registers built on two disjoint halves of the
+    corpus and merged by MAX equal the whole-corpus registers — the
+    property that lets partial sketches combine across partitions, days,
+    or streams (the distinct-count analogue of the CMS sum-merge)."""
+    from pyspark.sql import functions as F
+
+    from udlang_spark.queries import llm as llm_q
+    from udlang_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", SF_DIR_CORRECTNESS)
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(llm_q._WORDS)).alias("key")
+    )
+    bucket, rank = llm_q._hll_bucket_rank(F.col("key"))
+    cells = toks.select("doc_id", bucket, rank)
+
+    def regs(rel):
+        return {
+            r["bucket"]: r["r"]
+            for r in rel.groupBy("bucket").agg(F.max("rank").alias("r")).collect()
+        }
+
+    whole = regs(cells)
+    a = regs(cells.where(F.col("doc_id") % 2 == 0))
+    b = regs(cells.where(F.col("doc_id") % 2 == 1))
+    merged = {k: max(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)}
+    assert merged == whole
+
+
+def test_hll_estimate_accuracy(spark):
+    """The bigram-domain estimate (raw harmonic regime) lands within 10%
+    of exact; the token-domain estimate (linear-counting regime) within
+    25% — the standard error bands for m=64 registers."""
+    from udlang_spark.queries import llm as llm_q
+
+    rows = {
+        (r["lang"], r["kind"]): r
+        for r in llm_q.t_hll_distinct(spark, SF_DIR_CORRECTNESS).collect()
+    }
+    for (lang, kind), r in rows.items():
+        tol = 0.10 if kind == "bigram" else 0.25
+        assert abs(r["hll_est"] - r["distinct_exact"]) <= tol * r["distinct_exact"], (
+            lang, kind, r["hll_est"], r["distinct_exact"],
+        )

@@ -523,3 +523,20 @@ def test_cms_probe_broadcasts_the_sketch(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hamming_topk_plan_pure_codegen(spark):
+    """The signature scan must be pure JVM Column work: no Python eval
+    nodes anywhere, the |Q| query signatures broadcast (the theta join is
+    the intended bounded BroadcastNestedLoopJoin), and exactly one wide
+    exchange (the per-query top-k window)."""
+    from udlang_spark.operators import similarity
+    from udlang_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", SF_DIR_CORRECTNESS)
+    plan = plan_of(
+        similarity.hamming_topk(emb, "embedding", "vec_id", (0, 1, 2, 3), k=5)
+    )
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert bad not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # |Q|-bounded by construction

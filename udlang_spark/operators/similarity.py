@@ -1108,3 +1108,85 @@ def pq_adc_topk(
             "query_id", "vec_id", "adc_dist", F.col("rnk").cast("int").alias("rnk")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Binarized embeddings + Hamming search: the cheapest ANN representation —
+# one sign bit per dimension, packed into 32-bit words (64 floats → 8
+# bytes: 32× smaller than even PQ codes, 128× smaller than float64).
+# Hamming distance between sign signatures is a monotone proxy for angular
+# distance (Charikar 2002 sign-LSH: P[bit differs] = angle/π), so a
+# signature scan is the classic FIRST-PASS filter before exact or PQ
+# re-scoring. Everything is integer Column codegen: xor + bit_count.
+# ---------------------------------------------------------------------------
+_SIGN_WORD_BITS = 32  # 32-bit words: bit j < 31 shifts never overflow a
+# signed i64 on either engine (DuckDB range-checks 1<<63; Spark ANSI would
+# range-check the additive form) — two words cover the 64-dim embeddings
+
+
+def sign_signatures(
+    emb: DataFrame, vec_col: str, id_col: str, dim: int = 64
+) -> DataFrame:
+    """(vec_id, sig array<long>): sign-bit signature of each vector, bit j
+    of word w set iff v[w·32+j] >= 0 (zero counts as positive — an exact
+    float comparison, identical on every engine). Pure Column work, zero
+    shuffles, linear scan."""
+    from functools import reduce as _red
+
+    words = []
+    for w in range(0, dim, _SIGN_WORD_BITS):
+        nbits = min(_SIGN_WORD_BITS, dim - w)
+        bits = [
+            F.when(
+                F.element_at(F.col(vec_col), w + j + 1) >= 0,
+                F.shiftleft(F.lit(1).cast("long"), j),
+            ).otherwise(F.lit(0).cast("long"))
+            for j in range(nbits)
+        ]
+        words.append(_red(Column.bitwiseOR, bits))
+    return emb.select(
+        F.col(id_col).alias("vec_id"), F.array(*words).alias("sig")
+    )
+
+
+def hamming_topk(
+    emb: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_ids: tuple[int, ...],
+    k: int = 10,
+    dim: int = 64,
+) -> DataFrame:
+    """Top-k nearest by Hamming distance over sign signatures. Scale
+    shape: the signature relation is |corpus| × 8 bytes; the |Q| query
+    signatures broadcast; scoring is xor + bit_count per word (pure
+    integer codegen — no floats touched per candidate); the only wide op
+    is the per-query top-k window. For corpus-×-corpus near-dup joins use
+    the banded form (operators/dedup.simhash_banded_near_pairs — same
+    trick, bucket join instead of scan). Ties break by ascending id.
+
+    Returns (query_id, vec_id, hamming, rnk)."""
+    from udlang_spark.session import persist_tracked
+
+    n_words = (dim + _SIGN_WORD_BITS - 1) // _SIGN_WORD_BITS
+    sigs = persist_tracked(sign_signatures(emb, vec_col, id_col, dim))
+    q = F.broadcast(
+        sigs.where(F.col("vec_id").isin(*query_ids)).select(
+            F.col("vec_id").alias("query_id"), F.col("sig").alias("qsig")
+        )
+    )
+    dist = sum(
+        F.bit_count(
+            F.element_at("sig", i).bitwiseXOR(F.element_at("qsig", i))
+        )
+        for i in range(1, n_words + 1)
+    ).cast("int")
+    scored = sigs.join(q, F.col("vec_id") != F.col("query_id")).select(
+        "query_id", "vec_id", dist.alias("hamming")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .withColumn("rnk", F.col("rnk").cast("int"))
+    )

@@ -50,6 +50,8 @@ _PRIORITY: list[str] = [
     "e_ivfpq_ann",
     "s_cms_merge",
     "k_tower",
+    "e_hamming_topk",
+    "t_hll_distinct",
     # -- re-confirmations: oldest greens first (last confirmed r3) --
     "q01_pricing_summary",
     "q02_forecast_revenue",
@@ -92,8 +94,6 @@ _PRIORITY: list[str] = [
     "q39_variant_json",
     "q40_sole_latest_shipper",
     "q41_min_cost_supplier",
-    "q42_important_parts",
-    "q43_market_share",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50

@@ -12,6 +12,8 @@ folds — so hash-equality is bit-for-bit, not approximate.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -22,6 +24,8 @@ from udlang_spark.session import persist_tracked
 from udlang_spark.sources.tables import load_table
 
 _WL = "regexp_extract_all(lower(text), '\\S+')"  # non-empty tokens, = words()
+_WORDS = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"  # Spark (3-arg)
+_WORDS_DUCK = "regexp_extract_all(lower(text), '[a-z0-9]+')"  # DuckDB (2-arg)
 _STOPS = "['" + "','".join(TXT.STOPWORDS) + "']"
 
 # shared DuckDB CTE: distinct 3-word shingles per doc (docs with <3 words drop)
@@ -823,6 +827,185 @@ FROM est LEFT JOIN exact USING (word)
 ORACLE_CMS_FREQ = _cms_oracle()
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch (Flajolet et al. 2007): the mergeable
+# DISTINCT-COUNT state, completing the sketch family beside the count-min
+# frequency sketch. m registers of one small int each; registers merge by
+# MAX, so partial sketches combine map-side and across streams exactly
+# like integer sums do.
+# ---------------------------------------------------------------------------
+_HLL_M = 64  # registers (p = 6 bucket bits from the first 2 md5 hex chars)
+_HLL_TAIL_BITS = 48  # rank domain: 12 md5 hex chars
+# α_64 · m² · 2^48, precomputed in Python so BOTH engines see one float
+# literal (α_64 = 0.709, Flajolet Fig. 3)
+_HLL_NUM = 0.709 * (_HLL_M * _HLL_M) * float(2**_HLL_TAIL_BITS)
+
+
+def _hll_bucket_rank(tok_col):
+    """(bucket, rank) for one key: bucket = first 2 md5 hex chars mod m;
+    rank = 1 + number of leading zero BITS in the 48-bit tail (hex chars
+    3..14), capped at 48 — derived via hex-digit string ops (4·leading
+    zero hex digits + a 15-way CASE on the first nonzero digit), NOT
+    via log2: transcendental-free, so DuckDB reproduces every register
+    exactly."""
+    h = F.md5(F.concat(F.lit("hll:"), tok_col))
+    bucket = (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % _HLL_M).alias(
+        "bucket"
+    )
+    tail = F.substring(h, 3, 12)
+    lz = F.length(F.regexp_extract(tail, "^(0*)", 1))
+    first = tail.substr(lz + 1, F.lit(1))
+    digit_lz = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rank = F.least(lz * 4 + digit_lz + 1, F.lit(_HLL_TAIL_BITS)).alias("rank")
+    return bucket, rank
+
+
+# linear-counting estimates m·ln(m/V) for every possible empty-register
+# count V, PRECOMPUTED in Python and inlined as literals on both engines —
+# the correction stays transcendental-free at query time (§9 bans runtime
+# ln from oracle-checked outputs; a 64-entry literal table isn't runtime ln)
+_HLL_LC = [
+    round(_HLL_M * math.log(_HLL_M / v), 4) for v in range(1, _HLL_M + 1)
+]
+
+
+def t_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-count estimates via a 64-register HLL sketch,
+    for two key domains at once — tokens (n≈31 « m: exercises the
+    LINEAR-COUNTING small-range correction) and bigrams (n≈900 » 2.5m:
+    the raw harmonic-mean regime) — beside the exact distinct counts and
+    the sketch internals. Registers are a pure function of md5, so the
+    DuckDB oracle reproduces the sketch REGISTER FOR REGISTER; the
+    correction's ln values are Python-precomputed literals (_HLL_LC), so
+    the whole estimate is deterministic cross-engine.
+
+    Scale shape: the register relation is |groups|·m rows built by one
+    map-side-combining max aggregation — the key domain never shuffles
+    (the exact countDistinct beside it is the thing this sketch replaces
+    at 100 TB; computed here only as the accuracy witness). Registers
+    merge by MAX: partial sketches combine across partitions, days, or
+    streams exactly like the CMS's integer sums do."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "lang", F.lit("token").alias("kind"), F.explode(TXT.words("text")).alias("key")
+    )
+    d = docs.select(
+        "lang", F.expr(_WORDS).alias("wl")
+    ).filter(F.expr("size(wl) >= 2"))
+    bigrams = d.select(
+        "lang",
+        F.lit("bigram").alias("kind"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(wl) - 1),"
+                " i -> concat(wl[i-1], ' ', wl[i]))"
+            )
+        ).alias("key"),
+    )
+    keys = toks.unionByName(bigrams)
+    bucket, rank = _hll_bucket_rank(F.col("key"))
+    regs = (
+        keys.select("lang", "kind", bucket, rank)
+        .groupBy("lang", "kind", "bucket")
+        .agg(F.max("rank").alias("r"))
+    )
+    agg = regs.groupBy("lang", "kind").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_TAIL_BITS} - r)")
+        ).alias("s_ne"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    s = (
+        F.col("s_ne")
+        + (F.lit(_HLL_M) - F.col("nb"))
+        * F.shiftleft(F.lit(1).cast("long"), _HLL_TAIL_BITS)
+    ).alias("s_scaled")
+    v = (F.lit(_HLL_M) - F.col("nb")).cast("long")
+    base = agg.select("lang", "kind", s, v.alias("zero_registers"))
+    raw = F.round(F.lit(_HLL_NUM) / F.col("s_scaled").cast("double"), 4)
+    lc = F.element_at(
+        F.array(*[F.lit(x) for x in _HLL_LC]),
+        F.col("zero_registers").cast("int"),
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("zero_registers") > 0), lc
+    ).otherwise(raw)
+    exact = keys.groupBy("lang", "kind").agg(
+        F.countDistinct("key").alias("distinct_exact")
+    )
+    return (
+        base.withColumn("hll_est", est)
+        .join(exact, ["lang", "kind"])
+        .select(
+            "lang", "kind", "distinct_exact", "hll_est",
+            "zero_registers", "s_scaled",
+        )
+    )
+
+
+def _hll_oracle(m: int = _HLL_M, tb: int = _HLL_TAIL_BITS) -> str:
+    lc_list = "[" + ", ".join(repr(x) for x in _HLL_LC) + "]"
+    return f"""
+WITH t AS (
+  SELECT lang, 'token' AS kind, unnest({_WL}) AS key FROM documents
+  UNION ALL
+  SELECT lang, 'bigram' AS kind, wl[i] || ' ' || wl[i + 1] AS key
+  FROM (SELECT lang, {_WORDS_DUCK} AS wl FROM documents
+        WHERE len({_WORDS_DUCK}) >= 2) d,
+       LATERAL (SELECT unnest(generate_series(1, len(wl) - 1)) AS i) g
+),
+dk AS (SELECT DISTINCT lang, kind, key FROM t),
+h AS (SELECT lang, kind, md5('hll:' || key) AS hx FROM dk),
+cells AS (
+  SELECT lang, kind,
+    CAST(CAST(concat('0x', substr(hx, 1, 2)) AS UBIGINT) % {m} AS BIGINT)
+      AS bucket,
+    least(
+      4 * length(regexp_extract(substr(hx, 3, 12), '^(0*)', 1))
+      + CASE substr(substr(hx, 3, 12),
+                    length(regexp_extract(substr(hx, 3, 12), '^(0*)', 1)) + 1,
+                    1)
+          WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+          WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+          ELSE 0 END
+      + 1, {tb}) AS rank
+  FROM h),
+reg AS (
+  SELECT lang, kind, bucket, max(rank) AS r FROM cells GROUP BY lang, kind, bucket
+),
+agg AS (
+  SELECT lang, kind,
+    CAST(sum((1::BIGINT << ({tb} - r))) AS BIGINT) AS s_ne,
+    count(*) AS nb
+  FROM reg GROUP BY lang, kind),
+fin AS (
+  SELECT lang, kind,
+    s_ne + ({m} - nb) * (1::BIGINT << {tb}) AS s_scaled,
+    CAST({m} - nb AS BIGINT) AS zero_registers,
+    round({_HLL_NUM!r} / CAST(s_ne + ({m} - nb) * (1::BIGINT << {tb}) AS DOUBLE),
+          4) AS raw_est
+  FROM agg),
+exact AS (
+  SELECT lang, kind, count(DISTINCT key) AS distinct_exact FROM t
+  GROUP BY lang, kind
+)
+SELECT lang, kind, distinct_exact,
+  CASE WHEN raw_est <= {2.5 * m!r} AND zero_registers > 0
+       THEN ({lc_list})[zero_registers]
+       ELSE raw_est END AS hll_est,
+  zero_registers, s_scaled
+FROM fin JOIN exact USING (lang, kind)
+"""
+
+
+ORACLE_HLL_DISTINCT = _hll_oracle()
+
+
 def e_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup: k-means clusters bound the quadratic
     cosine compare; within a cluster, lower id wins at cosine ≥ 0.5.
@@ -1472,6 +1655,53 @@ SELECT qid AS query_id, vec_id, adc_dist, CAST(rnk AS INTEGER) AS rnk FROM (
 ORACLE_E_IVFPQ_ANN = _ivfpq_oracle()
 
 
+def e_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binarized-embedding Hamming search: one sign bit per dimension
+    packed into 32-bit words (64 floats → 8 bytes — 32× smaller than PQ
+    codes), top-10 by xor+bit_count for query vectors 0..3. Logic and
+    scale shape (signature scan in pure integer codegen, |Q| signatures
+    broadcast, one top-k window): operators/similarity.hamming_topk.
+    Deterministic: sign bits are exact float comparisons; ties break by
+    ascending id."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.hamming_topk(
+        emb, "embedding", "vec_id", _MMR_QUERY_IDS, k=10
+    )
+
+
+def _hamming_oracle(dim: int = 64, query_ids=_MMR_QUERY_IDS, k: int = 10) -> str:
+    words = []
+    for w in range(0, dim, 32):
+        words.append(
+            f"CAST(list_sum(list_transform(generate_series(0, 31), "
+            f"j -> CASE WHEN v[{w} + j + 1] >= 0 "
+            f"THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS w{w // 32}"
+        )
+    n_words = (dim + 31) // 32
+    dist = " + ".join(
+        f"bit_count(xor(s.w{i}, q.q{i}))" for i in range(n_words)
+    )
+    qcols = ", ".join(f"w{i} AS q{i}" for i in range(n_words))
+    qlist = ", ".join(str(q) for q in query_ids)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sg AS MATERIALIZED (SELECT vec_id, {", ".join(words)} FROM e),
+q AS (SELECT vec_id AS qid, {qcols} FROM sg WHERE vec_id IN ({qlist})),
+scored AS (
+  SELECT q.qid, s.vec_id, CAST({dist} AS INTEGER) AS hamming
+  FROM sg s, q WHERE s.vec_id <> q.qid
+)
+SELECT qid AS query_id, vec_id, hamming, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY hamming, vec_id
+  ) AS rnk FROM scored
+) WHERE rnk <= {k}
+"""
+
+
+ORACLE_E_HAMMING_TOPK = _hamming_oracle()
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
@@ -1653,8 +1883,7 @@ FROM b
 # ---------------------------------------------------------------------------
 # text statistics: TF-IDF, collocations, corpus-frequency scoring
 # ---------------------------------------------------------------------------
-_WORDS = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"  # Spark (3-arg)
-_WORDS_DUCK = "regexp_extract_all(lower(text), '[a-z0-9]+')"  # DuckDB (2-arg)
+# (_WORDS / _WORDS_DUCK are defined at module top, beside _WL)
 
 
 def t_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2750,6 +2979,7 @@ QUERIES = {
     "e_semdedup": e_semdedup,
     "t_heavy_hitters": t_heavy_hitters,
     "t_cms_freq": t_cms_freq,
+    "t_hll_distinct": t_hll_distinct,
     "e_int8_quantize": e_int8_quantize,
     "d_simhash_neardup": d_simhash_neardup,
     "e_centroid_assign": e_centroid_assign,
@@ -2765,6 +2995,7 @@ QUERIES = {
     "e_pq_encode": e_pq_encode,
     "e_pq_adc": e_pq_adc,
     "e_ivfpq_ann": e_ivfpq_ann,
+    "e_hamming_topk": e_hamming_topk,
     "e_pagerank": e_pagerank,
     "m_payload_meta": m_payload_meta,
     "m_image_meta": m_image_meta,
@@ -2802,6 +3033,7 @@ ORACLE = {
     "t_domain_mix": ORACLE_DOMAIN_MIX,
     "t_heavy_hitters": ORACLE_HEAVY_HITTERS,
     "t_cms_freq": ORACLE_CMS_FREQ,
+    "t_hll_distinct": ORACLE_HLL_DISTINCT,
     "e_int8_quantize": ORACLE_INT8_QUANT,
     "d_simhash_neardup": ORACLE_SIMHASH_NEARDUP,
     "e_centroid_assign": ORACLE_CENTROID_ASSIGN,
@@ -2825,6 +3057,7 @@ ORACLE = {
     "e_pq_encode": ORACLE_E_PQ_ENCODE,
     "e_pq_adc": ORACLE_E_PQ_ADC,
     "e_ivfpq_ann": ORACLE_E_IVFPQ_ANN,
+    "e_hamming_topk": ORACLE_E_HAMMING_TOPK,
     # every registered query is oracle-checked: the ANN paths became
     # SQL-expressible once the LSH planes moved to md5 derivation
 }
