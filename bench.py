@@ -81,6 +81,7 @@ HEADLINE = [
     "e_ivfpq_ann",
     "e_hamming_topk",
     "t_hll_distinct",
+    "t_quantile_sketch",
     # multimodal (Arrow-batched mapInPandas decode)
     "m_image_meta",
     "m_real_decode",

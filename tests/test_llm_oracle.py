@@ -657,3 +657,42 @@ def test_hll_estimate_accuracy(spark):
         assert abs(r["hll_est"] - r["distinct_exact"]) <= tol * r["distinct_exact"], (
             lang, kind, r["hll_est"], r["distinct_exact"],
         )
+
+
+def test_quantile_histogram_merges_by_sum(spark):
+    """Histogram-quantile mergeability: bucket counts from two disjoint
+    halves sum to the whole-corpus histogram — the property that lets
+    per-partition/per-day histograms combine exactly (SUM-merge, like the
+    CMS; the HLL is the MAX-merge sibling)."""
+    from pyspark.sql import functions as F
+
+    from udlang_spark.queries import llm as llm_q
+    from udlang_spark.sources.tables import load_table
+
+    li = load_table(spark, "lineitem", SF_DIR_CORRECTNESS)
+    b = F.floor(
+        F.col("l_extendedprice").cast("double") / F.lit(float(llm_q._QSK_WIDTH))
+    ).cast("long")
+
+    def hist(rel):
+        return {
+            r["bucket"]: r["n"]
+            for r in rel.groupBy(b.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    whole = hist(li)
+    a = hist(li.where(F.col("l_orderkey") % 2 == 0))
+    c = hist(li.where(F.col("l_orderkey") % 2 == 1))
+    merged = {k: a.get(k, 0) + c.get(k, 0) for k in set(a) | set(c)}
+    assert merged == whole
+
+
+def test_quantile_sketch_accuracy(spark):
+    """Every estimated quantile lands within half a bucket width of the
+    exact interpolated percentile (the sketch's resolution bound)."""
+    from udlang_spark.queries import llm as llm_q
+
+    for r in llm_q.t_quantile_sketch(spark, SF_DIR_CORRECTNESS).collect():
+        assert abs(r["err"]) <= llm_q._QSK_WIDTH / 2, (r["q"], r["err"])

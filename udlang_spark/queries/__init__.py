@@ -52,6 +52,7 @@ _PRIORITY: list[str] = [
     "k_tower",
     "e_hamming_topk",
     "t_hll_distinct",
+    "t_quantile_sketch",
     # -- re-confirmations: oldest greens first (last confirmed r3) --
     "q01_pricing_summary",
     "q02_forecast_revenue",
@@ -93,7 +94,6 @@ _PRIORITY: list[str] = [
     "q38_histogram",
     "q39_variant_json",
     "q40_sole_latest_shipper",
-    "q41_min_cost_supplier",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50

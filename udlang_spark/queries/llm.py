@@ -1006,6 +1006,133 @@ FROM fin JOIN exact USING (lang, kind)
 ORACLE_HLL_DISTINCT = _hll_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Fixed-bucket histogram quantile sketch: the third mergeable-state family
+# member (CMS = frequencies by SUM, HLL = distincts by MAX, this =
+# quantiles by SUM of bucket counts). A t-digest/GK sketch would be
+# merge-order-dependent; fixed buckets are a pure function of the data —
+# deterministic under any partitioning, and the estimate is rational
+# arithmetic over exact integer counts.
+# ---------------------------------------------------------------------------
+_QSK_WIDTH = 1000  # price units per bucket (integer — keeps bucketing exact)
+_QSK_QUANTS = ((50, 100, "p50"), (90, 100, "p90"), (99, 100, "p99"))
+
+
+def t_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of l_extendedprice from a fixed-width histogram sketch,
+    beside the exact interpolated percentile as the accuracy witness.
+
+    Bucketing floors price/width; target rank for quantile num/den is
+    ceil(N·num/den) in EXACT integer arithmetic; the estimate linearly
+    interpolates inside the covering bucket — lower + width·(target −
+    cum_below)/bucket_n, a double division of exact integers (correctly
+    rounded, identical cross-engine), rounded to 4.
+
+    Scale shape: the histogram is ONE map-side-combining count aggregate
+    to |range/width| rows; the cumulative window and quantile probes run
+    over the bucket relation (bounded by the value range, never the data).
+    Counts merge by integer sum, so per-partition/per-day histograms
+    combine exactly — the mergeable-quantiles state to keep at 100 TB
+    (the exact percentile beside it needs a full sort of the column)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    price = F.col("l_extendedprice").cast("double")
+    hist = (
+        li.groupBy(
+            F.floor(price / F.lit(float(_QSK_WIDTH))).cast("long").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("n").over(w))
+    total = li.agg(F.count(F.lit(1)).alias("n_total"))
+    quants = spark.createDataFrame(
+        [(name, num, den) for num, den, name in _QSK_QUANTS],
+        "q string, num long, den long",
+    )
+    # target = ceil(N·num/den), exactly: (N·num + den − 1) div den
+    targets = quants.crossJoin(F.broadcast(total)).select(
+        "q",
+        F.expr("(n_total * num + den - 1) div den").alias("target"),
+        "n_total",
+    )
+    probe = cum.join(
+        F.broadcast(targets),
+        (F.col("cum") >= F.col("target"))
+        & (F.col("cum") - F.col("n") < F.col("target")),
+    )
+    est = F.round(
+        F.col("bucket").cast("double") * _QSK_WIDTH
+        + F.lit(float(_QSK_WIDTH))
+        * (F.col("target") - (F.col("cum") - F.col("n"))).cast("double")
+        / F.col("n").cast("double"),
+        4,
+    )
+    exact = li.agg(
+        *[
+            F.round(F.percentile(price, num / den), 4).alias(f"x_{name}")
+            for num, den, name in _QSK_QUANTS
+        ]
+    )
+    wide = probe.select("q", est.alias("est"), "n_total").crossJoin(
+        F.broadcast(exact)
+    )
+    pick = F.when(F.col("q") == "p50", F.col("x_p50")).when(
+        F.col("q") == "p90", F.col("x_p90")
+    ).otherwise(F.col("x_p99"))
+    return wide.select(
+        "q",
+        "est",
+        pick.alias("exact"),
+        F.round(F.col("est") - pick, 4).alias("err"),
+        "n_total",
+    )
+
+
+def _quantile_sketch_oracle(width: int = _QSK_WIDTH) -> str:
+    qrows = ", ".join(
+        f"('{name}', {num}::BIGINT, {den}::BIGINT)"
+        for num, den, name in _QSK_QUANTS
+    )
+    xcols = ", ".join(
+        f"round(quantile_cont(l_extendedprice::DOUBLE, {num}/{den}.0), 4) AS x_{name}"
+        for num, den, name in _QSK_QUANTS
+    )
+    return f"""
+WITH hist AS (
+  SELECT CAST(floor(l_extendedprice::DOUBLE / {width}.0) AS BIGINT) AS bucket,
+         count(*) AS n
+  FROM lineitem GROUP BY 1),
+cum AS (
+  SELECT bucket, n,
+         sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist),
+tot AS (SELECT count(*) AS n_total FROM lineitem),
+quants AS (SELECT * FROM (VALUES {qrows}) v(q, num, den)),
+targets AS (
+  SELECT q, (n_total * num + den - 1) // den AS target, n_total
+  FROM quants, tot),
+probe AS (
+  SELECT t.q,
+    round(CAST(c.bucket AS DOUBLE) * {width}
+      + {width}.0 * CAST(t.target - (c.cum - c.n) AS DOUBLE)
+        / CAST(c.n AS DOUBLE), 4) AS est,
+    t.n_total
+  FROM cum c JOIN targets t
+    ON c.cum >= t.target AND c.cum - c.n < t.target),
+exact AS (SELECT {xcols} FROM lineitem)
+SELECT q, est,
+  CASE WHEN q = 'p50' THEN x_p50 WHEN q = 'p90' THEN x_p90 ELSE x_p99 END
+    AS exact,
+  round(est - CASE WHEN q = 'p50' THEN x_p50 WHEN q = 'p90' THEN x_p90
+                   ELSE x_p99 END, 4) AS err,
+  n_total
+FROM probe, exact
+"""
+
+
+ORACLE_QUANTILE_SKETCH = _quantile_sketch_oracle()
+
+
 def e_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup: k-means clusters bound the quadratic
     cosine compare; within a cluster, lower id wins at cosine ≥ 0.5.
@@ -1555,6 +1682,29 @@ def e_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udlang_spark.operators import ann_index
 
     emb = load_table(spark, "embeddings", sf_dir)
+    if len(emb.limit(1).collect()) == 0:
+        # no index can exist over an empty relation — the probe of nothing
+        # is the empty top-k (degenerate-sweep contract: empty in, empty
+        # out, never a raise from a registered query)
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("query_id", LongType()),
+                    StructField("vec_id", LongType()),
+                    StructField("adc_dist", DoubleType()),
+                    StructField("rnk", IntegerType(), False),
+                ]
+            ),
+        )
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     path = f"{tempfile.gettempdir()}/udlang_spark_ivfpq_{tag}"
     ann_index.write_ivfpq_index(
@@ -2980,6 +3130,7 @@ QUERIES = {
     "t_heavy_hitters": t_heavy_hitters,
     "t_cms_freq": t_cms_freq,
     "t_hll_distinct": t_hll_distinct,
+    "t_quantile_sketch": t_quantile_sketch,
     "e_int8_quantize": e_int8_quantize,
     "d_simhash_neardup": d_simhash_neardup,
     "e_centroid_assign": e_centroid_assign,
@@ -3034,6 +3185,7 @@ ORACLE = {
     "t_heavy_hitters": ORACLE_HEAVY_HITTERS,
     "t_cms_freq": ORACLE_CMS_FREQ,
     "t_hll_distinct": ORACLE_HLL_DISTINCT,
+    "t_quantile_sketch": ORACLE_QUANTILE_SKETCH,
     "e_int8_quantize": ORACLE_INT8_QUANT,
     "d_simhash_neardup": ORACLE_SIMHASH_NEARDUP,
     "e_centroid_assign": ORACLE_CENTROID_ASSIGN,
