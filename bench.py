@@ -82,6 +82,7 @@ HEADLINE = [
     "e_hamming_topk",
     "t_hll_distinct",
     "t_quantile_sketch",
+    "q67_bloom_prune",
     # multimodal (Arrow-batched mapInPandas decode)
     "m_image_meta",
     "m_real_decode",

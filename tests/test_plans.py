@@ -540,3 +540,35 @@ def test_hamming_topk_plan_pure_codegen(spark):
     for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert bad not in plan
     assert "BroadcastNestedLoopJoin" in plan  # |Q|-bounded by construction
+
+
+def test_bloom_semi_join_probe_rides_the_scan(spark):
+    """The Bloom probe must add NO join and NO shuffle to the fact side:
+    the filter is a literal-array Column predicate on the scan (the whole
+    point — pruning before the fact table ever shuffles). Zero false
+    negatives: every true semi-join key survives the filter."""
+    from pyspark.sql import functions as F
+
+    from udlang_spark.operators import bloom
+    from udlang_spark.sources.tables import load_table
+
+    li = load_table(spark, "lineitem", SF_DIR_CORRECTNESS).select(
+        "l_orderkey", "l_extendedprice"
+    )
+    dim = (
+        load_table(spark, "orders", SF_DIR_CORRECTNESS)
+        .where(F.col("o_totalprice") > 400000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    pruned = bloom.bloom_semi_join(li, dim, "l_orderkey", m_bits=8192)
+    plan = plan_of(pruned)
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+    passed = {r["l_orderkey"] for r in pruned.select("l_orderkey").collect()}
+    true_keys = {
+        r["l_orderkey"]
+        for r in li.join(dim, "l_orderkey", "left_semi").collect()
+    }
+    assert true_keys <= passed  # no false negatives, ever
+    assert len(passed) < li.count()  # and it actually prunes

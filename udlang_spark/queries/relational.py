@@ -2726,6 +2726,109 @@ GROUP BY 1, 2
 """
 
 
+_BLOOM_M = 32768  # bits (1024 32-bit words; ~0.6% FP at 2129 keys, k=3)
+_BLOOM_K = 3
+_BLOOM_DIM_PRED = "(o_orderpriority = '1-URGENT') AND (o_totalprice > 150000)"
+
+
+def q67_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning (operators/bloom.py): an m-bit
+    filter over the urgent-high-value order keys probes every lineitem
+    row map-side — no join, no shuffle, just a Column predicate riding
+    the fact scan — so only possibly-matching rows would travel into the
+    real join. Reports the pruning ledger (fact rows, bloom survivors,
+    true semi-join matches, false positives) and the revenue over the
+    true matches (DECIMAL money convention). md5-derived positions make
+    every pruning decision reproducible in the oracle; zero false
+    negatives is structural (the revenue equals the unpruned join's)."""
+    from udlang_spark.operators import bloom
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 150000)
+        )
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    pruned = bloom.bloom_semi_join(
+        li, dim, "l_orderkey", m_bits=_BLOOM_M, k_hashes=_BLOOM_K
+    )
+    true_rows = pruned.join(F.broadcast(dim), "l_orderkey", "left_semi")
+    n_fact = li.agg(F.count(F.lit(1)).alias("n_fact"))
+    n_pass = pruned.agg(F.count(F.lit(1)).alias("n_bloom_pass"))
+    tr = true_rows.agg(
+        F.count(F.lit(1)).alias("n_true_semi"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("true_revenue"),
+    )
+    return (
+        n_fact.crossJoin(F.broadcast(n_pass))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "n_fact",
+            "n_bloom_pass",
+            "n_true_semi",
+            (F.col("n_bloom_pass") - F.col("n_true_semi")).alias(
+                "false_positives"
+            ),
+            "true_revenue",
+        )
+    )
+
+
+def _bloom_oracle(m: int = _BLOOM_M, k: int = _BLOOM_K) -> str:
+    hashes = ", ".join(str(i) for i in range(k))
+    probe_tests = " AND ".join(
+        f"""(wl[CAST(p{i} // 32 AS INTEGER) + 1]
+           & (1::BIGINT << CAST(p{i} % 32 AS INTEGER))) <> 0"""
+        for i in range(k)
+    )
+    probe_pos = ", ".join(
+        f"""CAST(CAST(concat('0x', substr(md5('bloom:{i}:' ||
+          CAST(l_orderkey AS VARCHAR)), 1, 8)) AS UBIGINT) % {m} AS BIGINT)
+          AS p{i}"""
+        for i in range(k)
+    )
+    return f"""
+WITH dimk AS (
+  SELECT o_orderkey AS kk FROM orders WHERE {_BLOOM_DIM_PRED}),
+pos AS (
+  SELECT CAST(CAST(concat('0x', substr(md5('bloom:' || i || ':' ||
+           CAST(kk AS VARCHAR)), 1, 8)) AS UBIGINT) % {m} AS BIGINT) AS pos
+  FROM dimk, (SELECT unnest([{hashes}]) AS i) h),
+words AS (
+  SELECT CAST(pos // 32 AS INTEGER) AS word,
+         bit_or((1::BIGINT << CAST(pos % 32 AS INTEGER))) AS bits
+  FROM pos GROUP BY 1),
+dense AS (
+  SELECT g.w AS word, coalesce(words.bits, 0::BIGINT) AS bits
+  FROM (SELECT unnest(generate_series(0, {m // 32 - 1})) AS w) g
+  LEFT JOIN words ON words.word = g.w),
+bloom AS (SELECT list(bits ORDER BY word) AS wl FROM dense),
+fact AS (SELECT l_orderkey, l_extendedprice, {probe_pos} FROM lineitem),
+pass AS (
+  SELECT f.l_orderkey, f.l_extendedprice
+  FROM fact f, bloom WHERE {probe_tests}),
+tru AS (
+  SELECT p.l_orderkey, p.l_extendedprice
+  FROM pass p WHERE p.l_orderkey IN (SELECT kk FROM dimk))
+SELECT
+  (SELECT count(*) FROM lineitem) AS n_fact,
+  (SELECT count(*) FROM pass) AS n_bloom_pass,
+  (SELECT count(*) FROM tru) AS n_true_semi,
+  (SELECT count(*) FROM pass) - (SELECT count(*) FROM tru)
+    AS false_positives,
+  (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+   FROM tru) AS true_revenue
+"""
+
+
+ORACLE_Q67 = _bloom_oracle()
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_forecast_revenue": q02_forecast_revenue,
@@ -2793,6 +2896,7 @@ QUERIES = {
     "q64_global_seq": q64_global_seq,
     "q65_snapshot_diff": q65_snapshot_diff,
     "q66_salted_join": q66_salted_join,
+    "q67_bloom_prune": q67_bloom_prune,
 }
 
 ORACLE = {
@@ -2862,4 +2966,5 @@ ORACLE = {
     "q64_global_seq": ORACLE_Q64,
     "q65_snapshot_diff": ORACLE_Q65,
     "q66_salted_join": ORACLE_Q66,
+    "q67_bloom_prune": ORACLE_Q67,
 }
