@@ -665,3 +665,51 @@ def test_cms_delta_merge_restart_and_redelivery(spark, tmp_path):
         for r in spark.read.parquet(target).drop("_last_batch").collect()
     }
     assert after == before
+
+
+def test_hll_delta_merge_equals_batch(spark, tmp_path):
+    """mode='max' delta-merge (HLL registers) under forced multi-batch
+    ingestion equals the batch registers — the MAX-merge counterpart of
+    the CMS sum-merge test."""
+    from pyspark.sql import functions as F
+
+    from udlang_spark.functions import text as TXT
+    from udlang_spark.kernel import ast as A
+    from udlang_spark.queries import llm as llm_q
+
+    docs = load_table(spark, "documents", SF_DIR_SMOKE)
+    rep = str(tmp_path / "docs_json")
+    json_lift.lower_json(
+        docs.select("doc_id", "text"), ("doc_id", "text")
+    ).select("json").repartition(3).write.mode("overwrite").text(rep)
+    doc_t = A.TRecord(
+        (A.TRecordField("doc_id", A.T_INT), A.TRecordField("text", A.T_STR))
+    )
+    src = (
+        spark.readStream.schema(json_lift.input_schema(doc_t))
+        .option("mode", "FAILFAST")
+        .option("maxFilesPerTrigger", 1)
+        .json(rep)
+    )
+    bucket, rank = llm_q._hll_bucket_rank(F.col("tok"))
+    cells = src.select(F.explode(TXT.words("text")).alias("tok")).select(
+        bucket, rank
+    )
+    target = str(tmp_path / "hll_target")
+    runner.run_sketch_merge_stream(
+        spark, cells, target, str(tmp_path / "hll_ckpt"),
+        cell_cols=("bucket",), mode="max", value_col="rank", out_col="r",
+    )
+    merged = spark.read.parquet(target)
+    assert merged.agg(F.max("_last_batch")).collect()[0][0] >= 1
+    got = {
+        r["bucket"]: r["r"] for r in merged.drop("_last_batch").collect()
+    }
+    bcells = docs.select(F.explode(TXT.words("text")).alias("tok")).select(
+        bucket, rank
+    )
+    want = {
+        r["bucket"]: r["r"]
+        for r in bcells.groupBy("bucket").agg(F.max("rank").alias("r")).collect()
+    }
+    assert got == want

@@ -314,6 +314,78 @@ def s_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _llm._cms_probe_report(spark, sketch, exact)
 
 
+def s_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog: register (bucket → max rank) deltas merge
+    into a persisted register table via the same foreachBatch delta-merge
+    as s_cms_merge, in mode='max' — MAX-merge is the HLL register
+    combine, so the drained table equals the batch sketch under any
+    micro-batching (maxFilesPerTrigger=1 forces ≥2 batches every run).
+    The estimate (shared _HLL formula + precomputed linear-counting
+    table) and the exact distinct witness run batch-side on the drained
+    registers. Together with s_cms_merge this demonstrates both mergeable
+    sketch algebras (SUM and MAX) through the streaming state path."""
+    tmp = _replay_dir(
+        spark, sf_dir, table="documents", cols=("doc_id", "text"),
+        prefix="udlang_stream_hll",
+    )
+    doc_t = ast.TRecord(
+        (ast.TRecordField("doc_id", ast.T_INT), ast.TRecordField("text", ast.T_STR))
+    )
+    src = (
+        spark.readStream.schema(json_lift.input_schema(doc_t))
+        .option("mode", "FAILFAST")
+        .option("maxFilesPerTrigger", 1)
+        .json(tmp)
+    )
+    bucket, rank = _llm._hll_bucket_rank(F.col("tok"))
+    cells = src.select(F.explode(TXT.words("text")).alias("tok")).select(
+        bucket, rank
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    target = os.path.join(tempfile.gettempdir(), f"udlang_hll_target_{tag}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"udlang_hll_ckpt_{tag}")
+    shutil.rmtree(target, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    runner.run_sketch_merge_stream(
+        spark, cells, target, ckpt,
+        cell_cols=("bucket",), mode="max", value_col="rank", out_col="r",
+    )
+    regs = spark.read.parquet(target).drop("_last_batch")
+    agg = regs.agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_llm._HLL_TAIL_BITS} - r)")
+        ).alias("s_ne"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    s = (
+        F.col("s_ne")
+        + (F.lit(_llm._HLL_M) - F.col("nb"))
+        * F.shiftleft(F.lit(1).cast("long"), _llm._HLL_TAIL_BITS)
+    ).alias("s_scaled")
+    base = agg.select(
+        s, (F.lit(_llm._HLL_M) - F.col("nb")).cast("long").alias("zero_registers")
+    )
+    raw = F.round(
+        F.lit(_llm._HLL_NUM) / F.col("s_scaled").cast("double"), 4
+    )
+    lc = F.element_at(
+        F.array(*[F.lit(x) for x in _llm._HLL_LC]),
+        F.col("zero_registers").cast("int"),
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * _llm._HLL_M)) & (F.col("zero_registers") > 0), lc
+    ).otherwise(raw)
+    docs = load_table(spark, "documents", sf_dir)
+    exact = docs.select(F.explode(TXT.words("text")).alias("tok")).agg(
+        F.countDistinct("tok").alias("distinct_exact")
+    )
+    return (
+        base.withColumn("hll_est", est)
+        .crossJoin(F.broadcast(exact))
+        .select("distinct_exact", "hll_est", "zero_registers", "s_scaled")
+    )
+
+
 def s_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-window aggregation on the replayed stream: events within 10
     minutes of each other merge per event_type; the watermark closes
@@ -366,6 +438,53 @@ ORDER BY k
 """
 
 
+def _hll_stream_oracle() -> str:
+    m, tb = _llm._HLL_M, _llm._HLL_TAIL_BITS
+    lc_list = "[" + ", ".join(repr(x) for x in _llm._HLL_LC) + "]"
+    return f"""
+WITH t AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS tok FROM documents
+),
+d AS (SELECT DISTINCT tok FROM t),
+h AS (SELECT md5('hll:' || tok) AS hx FROM d),
+cells AS (
+  SELECT
+    CAST(CAST(concat('0x', substr(hx, 1, 2)) AS UBIGINT) % {m} AS BIGINT)
+      AS bucket,
+    least(
+      4 * length(regexp_extract(substr(hx, 3, 12), '^(0*)', 1))
+      + CASE substr(substr(hx, 3, 12),
+                    length(regexp_extract(substr(hx, 3, 12), '^(0*)', 1)) + 1,
+                    1)
+          WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+          WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+          ELSE 0 END
+      + 1, {tb}) AS rank
+  FROM h),
+reg AS (SELECT bucket, max(rank) AS r FROM cells GROUP BY bucket),
+agg AS (
+  SELECT CAST(sum((1::BIGINT << ({tb} - r))) AS BIGINT) AS s_ne, count(*) AS nb
+  FROM reg),
+fin AS (
+  SELECT s_ne + ({m} - nb) * (1::BIGINT << {tb}) AS s_scaled,
+    CAST({m} - nb AS BIGINT) AS zero_registers,
+    round({_llm._HLL_NUM!r}
+          / CAST(s_ne + ({m} - nb) * (1::BIGINT << {tb}) AS DOUBLE), 4)
+      AS raw_est
+  FROM agg),
+exact AS (SELECT count(DISTINCT tok) AS distinct_exact FROM t)
+SELECT distinct_exact,
+  CASE WHEN raw_est <= {2.5 * m!r} AND zero_registers > 0
+       THEN ({lc_list})[zero_registers]
+       ELSE raw_est END AS hll_est,
+  zero_registers, s_scaled
+FROM fin, exact
+"""
+
+
+ORACLE_HLL_STREAM = _hll_stream_oracle()
+
+
 QUERIES = {
     "s_kernel_stream": s_kernel_stream,
     "s_windowed_stream": s_windowed_stream,
@@ -375,6 +494,7 @@ QUERIES = {
     "s_neardup_stream": s_neardup_stream,
     "s_cms_stream": s_cms_stream,
     "s_cms_merge": s_cms_merge,
+    "s_hll_stream": s_hll_stream,
     "s_session_stream": s_session_stream,
     "s_cdc_apply": s_cdc_apply,
 }
@@ -488,4 +608,5 @@ ORACLE: dict[str, str] = {
     # the complete-mode and the delta-merge form
     "s_cms_stream": _llm.ORACLE_CMS_FREQ,
     "s_cms_merge": _llm.ORACLE_CMS_FREQ,
+    "s_hll_stream": ORACLE_HLL_STREAM,
 }

@@ -303,6 +303,9 @@ def run_sketch_merge_stream(
     target_path: str,
     checkpoint_path: str,
     cell_cols: tuple[str, ...] = ("row", "bucket"),
+    mode: str = "count_sum",
+    value_col: str | None = None,
+    out_col: str | None = None,
     timeout_s: int = 120,
 ) -> None:
     """Streaming sketch via foreachBatch DELTA-MERGE: each micro-batch
@@ -315,18 +318,43 @@ def run_sketch_merge_stream(
     batch it writes O(sketch), and the stream plan itself is stateless
     (the persisted table IS the state, the CDC-apply pattern).
 
-    Counter merges are NOT idempotent (unlike CDC's latest-wins), so
+    Two merge modes cover the sketch families: ``count_sum`` (count-min —
+    delta = per-cell counts, merge by integer SUM) and ``max`` (HyperLogLog
+    registers — delta = per-cell max of `value_col`, merge by MAX). Both
+    are associative+commutative, which is what makes the drained table
+    equal the batch sketch under any micro-batching.
+
+    SUM merges are NOT idempotent (unlike CDC's latest-wins), so
     at-least-once foreachBatch redelivery would double-count. The table
     therefore carries the last applied batch id (`_last_batch` column,
     constant per version); a redelivered batch id ≤ that is skipped —
     batch ids are monotonically increasing, making the merge effectively
-    exactly-once across restarts (pytest-verified via restart replay)."""
+    exactly-once across restarts (pytest-verified via restart replay).
+    (MAX merges are idempotent anyway; the guard is kept uniform.)"""
+    if mode == "count_sum":
+        vcol = out_col or "n"
+
+        def agg_delta(rel):
+            return rel.groupBy(*cell_cols).agg(F.count(F.lit(1)).alias(vcol))
+
+        merge_fn = F.sum
+    elif mode == "max":
+        if value_col is None:
+            raise ValueError("mode='max' needs value_col")
+        vcol = out_col or value_col
+
+        def agg_delta(rel):
+            return rel.groupBy(*cell_cols).agg(F.max(value_col).alias(vcol))
+
+        merge_fn = F.max
+    else:
+        raise ValueError(f"unknown merge mode {mode!r}")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         import os
 
         _recover_swap(target_path)
-        delta = batch_df.groupBy(*cell_cols).agg(F.count(F.lit(1)).alias("n"))
+        delta = agg_delta(batch_df)
         if os.path.exists(target_path):
             base = spark.read.parquet(target_path)
             applied = base.select(F.max("_last_batch")).collect()[0][0]
@@ -336,7 +364,7 @@ def run_sketch_merge_stream(
                 base.drop("_last_batch")
                 .unionByName(delta)
                 .groupBy(*cell_cols)
-                .agg(F.sum("n").alias("n"))
+                .agg(merge_fn(vcol).alias(vcol))
             )
         else:
             merged = delta
