@@ -83,6 +83,7 @@ HEADLINE = [
     "t_hll_distinct",
     "t_quantile_sketch",
     "q67_bloom_prune",
+    "t_weighted_sample",
     # multimodal (Arrow-batched mapInPandas decode)
     "m_image_meta",
     "m_real_decode",

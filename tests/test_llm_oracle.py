@@ -696,3 +696,44 @@ def test_quantile_sketch_accuracy(spark):
 
     for r in llm_q.t_quantile_sketch(spark, SF_DIR_CORRECTNESS).collect():
         assert abs(r["err"]) <= llm_q._QSK_WIDTH / 2, (r["q"], r["err"])
+
+
+def test_weighted_sample_bias_and_partition_invariance(spark):
+    """Priority sampling must (a) overrepresent heavy docs — the sample's
+    mean weight exceeds the corpus mean — and (b) be a pure function of
+    the data: the same sample under any repartitioning."""
+    from pyspark.sql import functions as F
+
+    from udlang_spark.queries import llm as llm_q
+    from udlang_spark.sources.tables import load_table
+
+    got = llm_q.t_weighted_sample(spark, SF_DIR_CORRECTNESS).collect()
+    docs = load_table(spark, "documents", SF_DIR_CORRECTNESS)
+    corpus_avg = docs.agg(F.avg("n_chars")).collect()[0][0]
+    sample_avg = sum(r["weight"] for r in got) / len(got)
+    assert sample_avg > corpus_avg
+
+    base = {(r["doc_id"], r["priority"]) for r in got}
+    # partition invariance: the operator applied to a re-shuffled input
+    shuffled = docs.repartition(13, "lang")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wsample:"), F.col("doc_id").cast("string"))),
+            1, 8,
+        ), 16, 10,
+    ).cast("long")
+    prio = (
+        F.col("n_chars").cast("double") * F.lit(float(2**32))
+        / (h + 1).cast("double")
+    )
+    again = {
+        (r["doc_id"], r["priority"])
+        for r in shuffled.select(
+            "doc_id", F.col("n_chars").alias("weight"),
+            F.round(prio, 4).alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), F.col("doc_id"))
+        .limit(llm_q._WSAMPLE_K)
+        .collect()
+    }
+    assert again == base

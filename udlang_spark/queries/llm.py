@@ -1133,6 +1133,56 @@ FROM probe, exact
 ORACLE_QUANTILE_SKETCH = _quantile_sketch_oracle()
 
 
+_WSAMPLE_K = 50
+
+
+def t_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (priority sampling, Duffield et al.
+    2007): each doc draws priority w/u with u an md5-derived uniform in
+    (0,1] and w = n_chars; the k largest priorities are the sample —
+    inclusion probability grows with weight, and because u comes from
+    md5(doc_id) the sample is a pure function of the data: stable under
+    repartitioning, retries, and engine swaps (df.sample's per-partition
+    RNG is none of those — the q30 argument, now with weights).
+
+    Priority = w·2^32/(h+1), one correctly-rounded double division of
+    exact integers — deterministic cross-engine; ties break by doc_id.
+    Scale shape: zero shuffles — the global top-k is a TakeOrdered
+    (map-side partial top-k per partition, driver merge of k·partitions
+    rows), never a full sort."""
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("wsample:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    prio = (
+        F.col("n_chars").cast("double")
+        * F.lit(float(2**32))
+        / (h + 1).cast("double")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            F.round(prio, 4).alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), F.col("doc_id"))
+        .limit(_WSAMPLE_K)
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, n_chars AS weight,
+  round(CAST(n_chars AS DOUBLE) * 4294967296.0
+    / CAST(CAST(concat('0x', substr(md5('wsample:' || CAST(doc_id AS VARCHAR)),
+                       1, 8)) AS UBIGINT) + 1 AS DOUBLE), 4) AS priority
+FROM documents
+ORDER BY priority DESC, doc_id
+LIMIT {_WSAMPLE_K}
+"""
+
+
 def e_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup: k-means clusters bound the quadratic
     cosine compare; within a cluster, lower id wins at cosine ≥ 0.5.
@@ -3131,6 +3181,7 @@ QUERIES = {
     "t_cms_freq": t_cms_freq,
     "t_hll_distinct": t_hll_distinct,
     "t_quantile_sketch": t_quantile_sketch,
+    "t_weighted_sample": t_weighted_sample,
     "e_int8_quantize": e_int8_quantize,
     "d_simhash_neardup": d_simhash_neardup,
     "e_centroid_assign": e_centroid_assign,
@@ -3186,6 +3237,7 @@ ORACLE = {
     "t_cms_freq": ORACLE_CMS_FREQ,
     "t_hll_distinct": ORACLE_HLL_DISTINCT,
     "t_quantile_sketch": ORACLE_QUANTILE_SKETCH,
+    "t_weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "e_int8_quantize": ORACLE_INT8_QUANT,
     "d_simhash_neardup": ORACLE_SIMHASH_NEARDUP,
     "e_centroid_assign": ORACLE_CENTROID_ASSIGN,
