@@ -878,3 +878,58 @@ def test_sized_cast_interp_parity():
     assert Interp(prog).run(200) == [200]
     with pytest.raises(InterpError, match="out of range for U8"):
         Interp(prog).run(300)
+
+
+# ---------------------------------------------------------------------------
+# HKT / generic type constructors (SURVEY.md §2.11 — parse-only in the
+# reference; lowered here by monomorphizing substitution)
+# ---------------------------------------------------------------------------
+def test_generic_typedef_monomorphizes(spark):
+    from udlang_spark.kernel.api import compile_kernel
+
+    src = (
+        'version 0.1-pre_mvp;\nscript "g";\n'
+        "type Box<T>: {field v: T;};\n"
+        "type Wide<T>: Box<Box<T>>;\n"
+        "input Box<Int>;\noutput Int;\n"
+        "out in.v * 2;\n"
+    )
+    df = spark.createDataFrame([(21,)], "v long")
+    assert [r["out"] for r in compile_kernel(src).apply(df).collect()] == [42]
+
+
+def test_generic_arity_and_bare_use_are_errors(spark):
+    from udlang_spark.kernel.api import compile_kernel
+    from udlang_spark.kernel.types import KernelTypeError
+
+    df = spark.createDataFrame([(1,)], "v long")
+    bad_arity = (
+        'version 0.1-pre_mvp;\nscript "g";\n'
+        "type Box<T>: {field v: T;};\n"
+        "input Box<Int, Str>;\noutput Int;\nout 1;\n"
+    )
+    with pytest.raises(KernelTypeError, match="expects 1 type argument"):
+        compile_kernel(bad_arity).apply(df)
+    bare = (
+        'version 0.1-pre_mvp;\nscript "g";\n'
+        "type Box<T>: {field v: T;};\n"
+        "input Box;\noutput Int;\nout 1;\n"
+    )
+    with pytest.raises(KernelTypeError, match="without type arguments"):
+        compile_kernel(bare).apply(df)
+
+
+def test_generic_self_reference_depth_guard(spark):
+    """A self-referential constructor must fail with a clear depth error,
+    not hang the compiler."""
+    from udlang_spark.kernel.api import compile_kernel
+    from udlang_spark.kernel.types import KernelTypeError
+
+    src = (
+        'version 0.1-pre_mvp;\nscript "g";\n'
+        "type L<T>: [L<T>];\n"
+        "input L<Int>;\noutput Int;\nout 1;\n"
+    )
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(KernelTypeError, match="expansion exceeds depth"):
+        compile_kernel(src).apply(df)

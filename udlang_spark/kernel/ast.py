@@ -92,8 +92,25 @@ class TLambda(Type):
 
 @dataclass(frozen=True)
 class TCons(Type):
+    """Type-constructor APPLICATION, `Box<Int>` (reference src/ast.rs:203;
+    grammar src/grammar.lalrpop:123-127). The reference parses this and
+    stops (roadmap.md defers); here it LOWERS by monomorphizing
+    substitution against a TFunc typedef (types.substitute_type)."""
+
     cons: Type
-    args: tuple[Type, ...]  # parse-only in reference (src/ast.rs:203-205)
+    args: tuple[Type, ...]
+
+
+@dataclass(frozen=True)
+class TFunc(Type):
+    """Type-constructor DEFINITION, `type Box<T>: ...;` (reference
+    src/ast.rs:205 TypeFunc(Seq<String>, TypeNode) — AST-only there, no
+    grammar rule; our parser accepts the natural `<params>` syntax
+    mirroring the application form). Engine extension beyond the
+    reference's parse-only status."""
+
+    params: tuple[str, ...]
+    body: Type
 
 
 @dataclass(frozen=True)

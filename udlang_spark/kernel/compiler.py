@@ -264,10 +264,41 @@ class Compiler:
     # the two execution paths alias the numeric tower identically
     NUMERIC_ALIASES = NUMERIC_ALIASES
 
-    def resolve_type(self, t: ast.Type) -> ast.Type:
+    def resolve_type(self, t: ast.Type, _depth: int = 0) -> ast.Type:
+        from udlang_spark.kernel.types import (
+            MAX_TCONS_DEPTH,
+            apply_type_cons,
+        )
+
+        if _depth > MAX_TCONS_DEPTH:
+            raise KernelTypeError(
+                "type-constructor expansion exceeds depth "
+                f"{MAX_TCONS_DEPTH} (self-referential generic?)"
+            )
+        if isinstance(t, ast.TCons):
+            # generic application `Box<Int>` — monomorphize (SURVEY §2.11;
+            # the reference parses this form but never lowers it)
+            cons = t.cons
+            if not isinstance(cons, ast.TName):
+                raise KernelTypeError(f"cannot apply non-name type {cons!r}")
+            tf = self.typedefs.get(cons.name)
+            if not isinstance(tf, ast.TFunc):
+                raise KernelTypeError(
+                    f"{cons.name} is not a parameterized type (declare it "
+                    f"as `type {cons.name}<...>: ...;`)"
+                )
+            return self.resolve_type(
+                apply_type_cons(tf, cons.name, t.args), _depth + 1
+            )
         if isinstance(t, ast.TName):
             if t.name in self.typedefs:
-                return self.resolve_type(self.typedefs[t.name])
+                td = self.typedefs[t.name]
+                if isinstance(td, ast.TFunc):
+                    raise KernelTypeError(
+                        f"type constructor {t.name} used without type "
+                        f"arguments ({t.name}<...> expected)"
+                    )
+                return self.resolve_type(td, _depth)
             if t.name in self.NUMERIC_ALIASES:
                 return self.NUMERIC_ALIASES[t.name]
             raise KernelTypeError(f"unknown type name {t.name}")
@@ -275,19 +306,31 @@ class Compiler:
             # value types constrain the domain, not the representation
             return python_type_of(t.value)
         if isinstance(t, ast.TOption):
-            return ast.TOption(self.resolve_type(t.inner))
+            return ast.TOption(self.resolve_type(t.inner, _depth))
         if isinstance(t, ast.TList):
-            return ast.TList(self.resolve_type(t.item))
+            return ast.TList(self.resolve_type(t.item, _depth))
         if isinstance(t, ast.TMap):
-            return ast.TMap(self.resolve_type(t.value))
+            return ast.TMap(self.resolve_type(t.value, _depth))
         if isinstance(t, ast.TTuple):
-            return ast.TTuple(tuple(self.resolve_type(i) for i in t.items))
+            return ast.TTuple(
+                tuple(self.resolve_type(i, _depth) for i in t.items)
+            )
+        if isinstance(t, ast.TRecord):
+            # record fields resolve too — a generic body is usually a
+            # record over the parameters (`type Box<T>: {field v: T;};`)
+            return ast.TRecord(
+                tuple(
+                    ast.TRecordField(f.name, self.resolve_type(f.type, _depth))
+                    for f in t.fields
+                ),
+                methods=t.methods,
+            )
         if isinstance(t, ast.TUnion):
             # `"Hello" | "Goodnight"` collapses to Str — only unions with
             # genuinely distinct representations need the tagged struct
             variants: list[ast.Type] = []
             for v in t.variants:
-                rv = self.resolve_type(v)
+                rv = self.resolve_type(v, _depth)
                 if rv not in variants:
                     variants.append(rv)
             if len(variants) == 1:

@@ -373,9 +373,31 @@ class Interp:
             python_type_of,
         )
 
+        if isinstance(t, ast.TCons):
+            from udlang_spark.kernel.types import (
+                KernelTypeError,
+                apply_type_cons,
+            )
+
+            cons = t.cons
+            td = (
+                self._typedefs().get(cons.name)
+                if isinstance(cons, ast.TName)
+                else None
+            )
+            if not isinstance(td, ast.TFunc):
+                raise InterpError(f"cannot apply non-constructor type {cons!r}")
+            try:
+                return self._resolve_type(apply_type_cons(td, cons.name, t.args))
+            except KernelTypeError as e:
+                raise InterpError(str(e)) from None
         if isinstance(t, ast.TName):
             td = self._typedefs().get(t.name)
             if td is not None:
+                if isinstance(td, ast.TFunc):
+                    raise InterpError(
+                        f"type constructor {t.name} used without arguments"
+                    )
                 return self._resolve_type(td)
             if t.name in NUMERIC_ALIASES:
                 from udlang_spark.kernel.types import collapse_sized

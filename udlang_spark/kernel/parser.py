@@ -180,9 +180,21 @@ class Parser:
     def parse_typedef(self) -> ast.Stmt:
         self.take("type")
         name = self.take("TYPENAME").value
+        params: list[str] = []
+        if self.at("<"):
+            # parameterized typedef `type Box<T>: ...;` — the TFunc
+            # definition form (reference src/ast.rs:205, AST-only there)
+            self.take("<")
+            while not self.at(">"):
+                params.append(self.take("TYPENAME").value)
+                if not self.accept(","):
+                    break
+            self.take(">")
         self.take(":")
         t = self.parse_type()
         self.take(";")
+        if params:
+            return ast.TypeDef(name, ast.TFunc(tuple(params), t))
         return ast.TypeDef(name, t)
 
     def parse_destructure(self) -> ast.Stmt:

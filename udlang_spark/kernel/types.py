@@ -109,6 +109,65 @@ def collapse_sized(t: ast.Type) -> ast.Type:
     return ast.T_INT if is_sized_int(t) else t
 
 
+def substitute_type(t: ast.Type, mapping: dict[str, ast.Type]) -> ast.Type:
+    """Monomorphizing substitution for type-constructor application:
+    replace TName(p) for every parameter p in `mapping`, structurally
+    recursing — the lowering of the reference's parse-only TypeCons
+    (src/ast.rs:203-205). Shared by the compiler's and the interp's type
+    resolution so both paths expand generics identically. Inner
+    parameters shadow outer ones via TFunc's own param list."""
+    if isinstance(t, ast.TName):
+        return mapping.get(t.name, t)
+    if isinstance(t, ast.TOption):
+        return ast.TOption(substitute_type(t.inner, mapping))
+    if isinstance(t, ast.TList):
+        return ast.TList(substitute_type(t.item, mapping))
+    if isinstance(t, ast.TMap):
+        return ast.TMap(substitute_type(t.value, mapping))
+    if isinstance(t, ast.TTuple):
+        return ast.TTuple(tuple(substitute_type(i, mapping) for i in t.items))
+    if isinstance(t, ast.TRecord):
+        return ast.TRecord(
+            tuple(
+                ast.TRecordField(f.name, substitute_type(f.type, mapping))
+                for f in t.fields
+            ),
+            methods=t.methods,
+        )
+    if isinstance(t, ast.TUnion):
+        return ast.TUnion(
+            tuple(substitute_type(v, mapping) for v in t.variants)
+        )
+    if isinstance(t, ast.TCons):
+        return ast.TCons(
+            substitute_type(t.cons, mapping),
+            tuple(substitute_type(a, mapping) for a in t.args),
+        )
+    if isinstance(t, ast.TFunc):
+        inner = {k: v for k, v in mapping.items() if k not in t.params}
+        return ast.TFunc(t.params, substitute_type(t.body, inner))
+    return t
+
+
+# nested generic expansion is bounded: a self-referential constructor
+# (type L<T>: <T, L<T>>) would otherwise expand forever
+MAX_TCONS_DEPTH = 32
+
+
+def apply_type_cons(
+    tf: ast.TFunc, name: str, args: tuple[ast.Type, ...]
+) -> ast.Type:
+    """One application step: arity-check and substitute (args stay
+    unresolved — the caller's resolve recursion finishes them, so nested
+    applications like Box<Box<Int>> work)."""
+    if len(args) != len(tf.params):
+        raise KernelTypeError(
+            f"type constructor {name} expects {len(tf.params)} type "
+            f"argument(s), got {len(args)}"
+        )
+    return substitute_type(tf.body, dict(zip(tf.params, args)))
+
+
 def type_tag(t: ast.Type) -> str:
     """Canonical tag string for a union variant (the `_tag` field of the
     tagged-struct encoding — SURVEY.md §7.5). Fully qualified so [Int] and

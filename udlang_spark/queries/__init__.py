@@ -56,6 +56,7 @@ _PRIORITY: list[str] = [
     "q67_bloom_prune",
     "s_hll_stream",
     "t_weighted_sample",
+    "k_generic",
     # -- re-confirmations: oldest greens first (last confirmed r3) --
     "q01_pricing_summary",
     "q02_forecast_revenue",
@@ -93,7 +94,6 @@ _PRIORITY: list[str] = [
     "q34_upsert",
     "q35_scd2",
     "q36_sql_passthrough",
-    "q37_data_audit",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50

@@ -335,6 +335,41 @@ def k_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "out")
 
 
+GENERIC_KERNEL = """
+version 0.1-pre_mvp;
+script "generic type constructors";
+type Box<T>: {field v: T;};
+type Pair<A, B>: <A, B>;
+type Wide<T>: Box<Box<T>>;
+input Box<Int>;
+output Int;
+let p = (in.v, in.v * 2) as Pair<Int, Int>;
+out p[0] + p[1];
+"""
+
+
+def k_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HKT / generic type constructors (SURVEY.md §2.11): the reference
+    PARSES `Box<Int>` applications (src/grammar.lalrpop:123-127) but never
+    lowers them (src/ast.rs:630 'TBD', roadmap.md defers); here
+    parameterized typedefs (`type Box<T>: ...;` — the TypeFunc form the
+    reference defines only in its AST, src/ast.rs:205) monomorphize by
+    substitution at type-resolution time (kernel/types.substitute_type),
+    including nested applications (Wide<T> = Box<Box<T>>), with arity
+    and self-reference-depth checks. Closes the one §2 row the reference
+    itself left parse-only."""
+    ev = load_table(spark, "events", sf_dir)
+    df = ev.select("event_id", F.col("event_id").alias("v"))
+    return compile_kernel(GENERIC_KERNEL).apply(df, keep=("event_id",)).select(
+        "event_id", "out"
+    )
+
+
+ORACLE_GENERIC = """
+SELECT event_id, event_id + event_id * 2 AS out FROM events
+"""
+
+
 TOWER_KERNEL = """
 version 0.1-pre_mvp;
 script "numeric tower boundaries";
@@ -626,6 +661,7 @@ QUERIES = {
     "k_comprehension": k_comprehension,
     "k_cast": k_cast,
     "k_tower": k_tower,
+    "k_generic": k_generic,
     "k_builtins": k_builtins,
     "k_modules": k_modules,
     "k_methods": k_methods,
@@ -650,6 +686,7 @@ ORACLE = {
     "k_comprehension": ORACLE_COMPREHENSION,
     "k_cast": ORACLE_CAST,
     "k_tower": ORACLE_TOWER,
+    "k_generic": ORACLE_GENERIC,
     "k_builtins": ORACLE_BUILTINS,
     "k_modules": ORACLE_MODULES,
     "k_methods": ORACLE_METHODS,
