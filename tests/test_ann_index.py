@@ -289,3 +289,35 @@ def test_double_precision_vectors_round_trip(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) == 30 * 5
+
+
+def test_ivfpq_append_equals_rebuild(spark, tmp_path):
+    """IVF-PQ incremental append: building on the first 400 vectors then
+    appending the last 100 equals a full rebuild — the frozen quantizer
+    AND the frozen codebook (both read from sidecars) make routing and
+    codes identical either way, so probes agree bit-for-bit."""
+    emb = _embeddings(spark)
+    base = emb.where(F.col("vec_id") < 400)
+    extra = emb.where(F.col("vec_id") >= 400)
+
+    p_inc = str(tmp_path / "ivfpq_inc")
+    ann_index.write_ivfpq_index(base, "embedding", "vec_id", p_inc, n_cells=16)
+    ann_index.append_to_ivfpq_index(extra, "embedding", "vec_id", p_inc)
+
+    p_full = str(tmp_path / "ivfpq_full")
+    ann_index.write_ivfpq_index(emb, "embedding", "vec_id", p_full, n_cells=16)
+
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    got = {
+        tuple(r)
+        for r in ann_index.probe_ivfpq_index(
+            spark, p_inc, queries, "embedding", "vec_id", k=5, n_probe=4
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in ann_index.probe_ivfpq_index(
+            spark, p_full, queries, "embedding", "vec_id", k=5, n_probe=4
+        ).collect()
+    }
+    assert got == want and len(got) == queries.count() * 5

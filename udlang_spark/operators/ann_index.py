@@ -113,6 +113,45 @@ def _query_router(bc, n_probe: int):
     return route
 
 
+def _pq_member_router(bc, bcb, n_subspaces: int):
+    """Each row -> (argmax-cosine cell, PQ codes): the single route+encode
+    kernel shared by IVF-PQ build and append (parity depends on both
+    agreeing)."""
+
+    def route_encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pb in batches:
+            if len(pb) == 0:
+                continue
+            qc = _routing_gemm(bc, pb)
+            X = np.stack(pb["vec"].to_numpy()).astype(np.float64)
+            codes, _ = pq_code_block(X, bcb.value, n_subspaces)
+            out = {
+                "cell": np.argmax(qc, axis=1).astype(np.int32),
+                "id": pb["id"].to_numpy(),
+            }
+            for s in range(n_subspaces):
+                out[f"c{s}"] = codes[:, s]
+            yield pd.DataFrame(out)
+
+    return route_encode
+
+
+def _pq_code_schema(sdf: DataFrame, n_subspaces: int) -> StructType:
+    return StructType(
+        [
+            StructField("cell", IntegerType(), False),
+            StructField("id", sdf.schema["id"].dataType, True),
+        ]
+        + [
+            StructField(f"c{s}", IntegerType(), True)
+            for s in range(n_subspaces)
+        ]
+    )
+
+
 def _broadcast_centroids(spark: SparkSession, path: str):
     """Load the persisted quantizer (n_cells rows — driver-trivial) and
     broadcast (matrix, norms)."""
@@ -311,14 +350,30 @@ def write_ivfpq_index(
 
     spark = df.sparkSession
     sdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    cent_pdf = sdf.orderBy("id").limit(n_cells).toPandas().sort_values("id")
+    # ONE collection job funds both seeds: the first-n_cells-by-id coarse
+    # quantizer and the codebook rows (two separate toPandas = two full
+    # scans' scheduling; both materializations stay driver-bounded)
+    seed_pdf = (
+        sdf.orderBy("id")
+        .limit(n_cells)
+        .withColumn("_src", F.lit("cent"))
+        .unionByName(
+            sdf.where(F.col("id").isin(*codebook_ids)).withColumn(
+                "_src", F.lit("cb")
+            )
+        )
+        .toPandas()
+    )
+    cent_pdf = (
+        seed_pdf[seed_pdf["_src"] == "cent"].drop(columns="_src").sort_values("id")
+    )
+    cb_pdf = (
+        seed_pdf[seed_pdf["_src"] == "cb"].drop(columns="_src").sort_values("id")
+    )
     if len(cent_pdf) == 0:
         raise ValueError(
             "write_ivfpq_index: cannot build an index over an empty relation"
         )
-    cb_pdf = (
-        sdf.where(F.col("id").isin(*codebook_ids)).toPandas().sort_values("id")
-    )
     if len(cb_pdf) == 0:
         raise ValueError("write_ivfpq_index: no codebook rows found")
     cent = np.stack(cent_pdf["vec"].to_numpy()).astype(np.float64)
@@ -326,37 +381,10 @@ def write_ivfpq_index(
     bc = spark.sparkContext.broadcast((cent, _safe_norms(cent)))
     bcb = spark.sparkContext.broadcast(C)
 
-    code_schema = StructType(
-        [
-            StructField("cell", IntegerType(), False),
-            StructField("id", sdf.schema["id"].dataType, True),
-        ]
-        + [
-            StructField(f"c{s}", IntegerType(), True)
-            for s in range(n_subspaces)
-        ]
-    )
-
-    def route_encode(batches):
-        import pandas as pd
-
-        for pb in batches:
-            if len(pb) == 0:
-                continue
-            qc = _routing_gemm(bc, pb)
-            X = np.stack(pb["vec"].to_numpy()).astype(np.float64)
-            codes, _ = pq_code_block(X, bcb.value, n_subspaces)
-            out = {
-                "cell": np.argmax(qc, axis=1).astype(np.int32),
-                "id": pb["id"].to_numpy(),
-            }
-            for s in range(n_subspaces):
-                out[f"c{s}"] = codes[:, s]
-            yield pd.DataFrame(out)
-
-    sdf.mapInPandas(route_encode, code_schema).write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(path)
+    sdf.mapInPandas(
+        _pq_member_router(bc, bcb, n_subspaces),
+        _pq_code_schema(sdf, n_subspaces),
+    ).write.mode("overwrite").partitionBy("cell").parquet(path)
 
     # sidecars LAST (same crash-consistency argument as write_ivf_index);
     # element type mirrors the source vec column
@@ -383,6 +411,42 @@ def write_ivfpq_index(
     spark.createDataFrame(cb_rows, side_schema).coalesce(1).write.mode(
         "overwrite"
     ).parquet(path + "/_codebook")
+
+
+def append_to_ivfpq_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+) -> None:
+    """Incrementally add members to an existing IVF-PQ index: new rows
+    route against the PERSISTED coarse quantizer and encode against the
+    PERSISTED codebook (both frozen — re-deriving either would silently
+    invalidate every stored code), then append into their cell
+    partitions. One narrow route+encode map + an append-mode partitioned
+    write; existing files untouched. Periodic rebuild re-balances."""
+    import numpy as np
+
+    spark = df.sparkSession
+    bc, _ = _broadcast_centroids(spark, path)
+    cb_rows = spark.read.parquet(path + "/_codebook").orderBy("pos").collect()
+    if not cb_rows:
+        raise ValueError(f"{path}: index has an empty _codebook sidecar")
+    C = np.stack([np.asarray(r["vec"]) for r in cb_rows]).astype(np.float64)
+    bcb = spark.sparkContext.broadcast(C)
+    n_subspaces = len(
+        [
+            f
+            for f in spark.read.parquet(path).schema.fields
+            if f.name.startswith("c") and f.name != "cell"
+        ]
+    )
+
+    sdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    sdf.mapInPandas(
+        _pq_member_router(bc, bcb, n_subspaces),
+        _pq_code_schema(sdf, n_subspaces),
+    ).write.mode("append").partitionBy("cell").parquet(path)
 
 
 def probe_ivfpq_index(
