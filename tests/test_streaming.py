@@ -713,3 +713,23 @@ def test_hll_delta_merge_equals_batch(spark, tmp_path):
         for r in bcells.groupBy("bucket").agg(F.max("rank").alias("r")).collect()
     }
     assert got == want
+
+
+def test_enrich_stream_equals_batch(spark, duck):
+    """Stream-static enrichment join drains to exactly the batch join's
+    aggregate — the static dimension is re-read per micro-batch, and the
+    fixed-point sums make the result micro-batching-invariant."""
+    from udlang_spark.queries import streaming as squeries
+    from tests.conftest import SF_DIR_CORRECTNESS
+
+    got = {
+        (r["c_mktsegment"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in squeries.s_enrich_stream(spark, SF_DIR_CORRECTNESS).collect()
+    }
+    want = {
+        (seg, et): (n, sv)
+        for seg, et, n, sv in duck.execute(
+            squeries.ORACLE_ENRICH_STREAM
+        ).fetchall()
+    }
+    assert got == want and len(got) > 5

@@ -314,6 +314,46 @@ def s_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _llm._cms_probe_report(spark, sketch, exact)
 
 
+def s_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the replayed event stream joins a
+    STATIC dimension (customer) per micro-batch — the standard streaming
+    enrichment shape (no watermark needed on the static side; Spark
+    re-plans the static relation each batch, so a broadcast dim costs one
+    broadcast per batch and the stream side never shuffles on the key).
+    The aggregate uses fixed-point sums, so the drained result is a pure
+    function of the event set and shares the batch oracle exactly."""
+    src = _stream(spark, sf_dir).withColumn(
+        "ukey", F.col("event_id") % 1500
+    ).withColumn("value_fp", F.round(F.col("value") * 1e6).cast("long"))
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("ukey"), "c_mktsegment"
+    )
+    enriched = src.join(F.broadcast(cust), "ukey")
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_fp").alias("sum_fp"),
+    )
+    out = runner.run_stream_to_memory(
+        agg, "q_s_enrich_stream", spark, output_mode="complete"
+    )
+    return out.select(
+        "c_mktsegment",
+        "event_type",
+        "n_events",
+        (F.col("sum_fp").cast("double") / F.lit(1e6)).alias("sum_value"),
+    )
+
+
+ORACLE_ENRICH_STREAM = """
+SELECT c_mktsegment, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT))
+            AS DOUBLE) / 1000000.0 AS sum_value
+FROM events e JOIN customer c ON e.event_id % 1500 = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 def s_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming HyperLogLog: register (bucket → max rank) deltas merge
     into a persisted register table via the same foreachBatch delta-merge
@@ -495,6 +535,7 @@ QUERIES = {
     "s_cms_stream": s_cms_stream,
     "s_cms_merge": s_cms_merge,
     "s_hll_stream": s_hll_stream,
+    "s_enrich_stream": s_enrich_stream,
     "s_session_stream": s_session_stream,
     "s_cdc_apply": s_cdc_apply,
 }
@@ -609,4 +650,5 @@ ORACLE: dict[str, str] = {
     "s_cms_stream": _llm.ORACLE_CMS_FREQ,
     "s_cms_merge": _llm.ORACLE_CMS_FREQ,
     "s_hll_stream": ORACLE_HLL_STREAM,
+    "s_enrich_stream": ORACLE_ENRICH_STREAM,
 }
