@@ -2829,6 +2829,64 @@ SELECT
 ORACLE_Q67 = _bloom_oracle()
 
 
+def q68_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive hierarchy traversal WITHOUT recursive SQL: suppliers form
+    a synthetic tree (parent(s) = (s−1) div 4 for s > 0; 0 is the root),
+    and every node's (root, depth, path cost) is computed by ITERATIVE
+    pointer doubling — each round joins the frontier to its current
+    ancestor's ancestor, so depth-d trees resolve in ⌈log2 d⌉ rounds, not
+    d (the 100 TB form of WITH RECURSIVE: a deep chain costs log rounds
+    of equi-joins, each localCheckpoint'ed to keep the plan O(1)).
+    The DuckDB oracle uses literal WITH RECURSIVE — two entirely
+    different execution strategies, one answer."""
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("node")
+    )
+    # (node, anc, dist): current known ancestor pointer + hop count
+    state = sup.select(
+        "node",
+        F.when(F.col("node") > 0, (F.col("node") - 1) / 4)
+        .otherwise(F.col("node"))
+        .cast("long")
+        .alias("anc"),
+        F.when(F.col("node") > 0, F.lit(1)).otherwise(F.lit(0)).alias("dist"),
+    )
+    # pointer doubling: anc(node) := anc(anc(node)), dist adds — at most
+    # log2(max depth) rounds; max depth of the div-4 tree over n keys is
+    # ceil(log4 n), so 6 rounds cover n up to 4^64-ish
+    for _ in range(6):
+        upd = state.alias("a").join(
+            state.alias("b"), F.col("a.anc") == F.col("b.node")
+        ).select(
+            F.col("a.node").alias("node"),
+            F.col("b.anc").alias("anc"),
+            (F.col("a.dist") + F.col("b.dist")).alias("dist"),
+        )
+        state = upd.localCheckpoint(eager=True)
+    return state.select(
+        "node", F.col("anc").alias("root"), F.col("dist").alias("depth")
+    )
+
+
+# the oracle walks the tree one level per recursion step — the engine's
+# pointer-doubling must agree with plain WITH RECURSIVE. Each chain's
+# TERMINAL row (anc = 0, the root) carries the full depth; intermediate
+# rows still have anc > 0, so the filter picks exactly one row per node.
+ORACLE_Q68 = """
+WITH RECURSIVE up AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS node,
+         CAST(s_suppkey AS BIGINT) AS anc,
+         0 AS depth
+  FROM supplier
+  UNION ALL
+  SELECT node, (anc - 1) // 4 AS anc, depth + 1
+  FROM up WHERE anc > 0
+)
+SELECT node, CAST(anc AS BIGINT) AS root, depth
+FROM up WHERE anc = 0
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_forecast_revenue": q02_forecast_revenue,
@@ -2897,6 +2955,7 @@ QUERIES = {
     "q65_snapshot_diff": q65_snapshot_diff,
     "q66_salted_join": q66_salted_join,
     "q67_bloom_prune": q67_bloom_prune,
+    "q68_hierarchy": q68_hierarchy,
 }
 
 ORACLE = {
@@ -2967,4 +3026,5 @@ ORACLE = {
     "q65_snapshot_diff": ORACLE_Q65,
     "q66_salted_join": ORACLE_Q66,
     "q67_bloom_prune": ORACLE_Q67,
+    "q68_hierarchy": ORACLE_Q68,
 }
