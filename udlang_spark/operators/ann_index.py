@@ -45,6 +45,15 @@ from udlang_spark.operators.similarity import (
 from udlang_spark.session import persist_tracked
 
 
+def _write_sidecar(spark: SparkSession, rows, schema: StructType, dst: str):
+    """Single-slice write for a tiny driver-built relation: a plain
+    createDataFrame slices local data across defaultParallelism tasks —
+    at local[32] that is 32 Python workers forked to serialize 16 rows
+    (measured 3.6 s per sidecar); parallelize(rows, 1) makes it one."""
+    rdd = spark.sparkContext.parallelize(rows, 1)
+    spark.createDataFrame(rdd, schema).write.mode("overwrite").parquet(dst)
+
+
 def _routed_schema(sdf: DataFrame) -> StructType:
     return StructType(
         [
@@ -218,9 +227,7 @@ def write_ivf_index(
         (int(i), [float(x) for x in v])
         for i, v in enumerate(cent_pdf["vec"].to_numpy())
     ]
-    spark.createDataFrame(cent_rows, cent_schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(path + "/_centroids")
+    _write_sidecar(spark, cent_rows, cent_schema, path + "/_centroids")
 
 
 def append_to_ivf_index(
@@ -381,10 +388,20 @@ def write_ivfpq_index(
     bc = spark.sparkContext.broadcast((cent, _safe_norms(cent)))
     bcb = spark.sparkContext.broadcast(C)
 
-    sdf.mapInPandas(
+    # fan_out(8): the route+encode GEMM is CPU-heavy per row and a
+    # single-file source would serialize the whole build through one task
+    # (no-op when the input is already parallel — the 100 TB case); the
+    # repartition("cell") afterwards keeps the file count at one per
+    # NON-EMPTY cell instead of tasks×cells small files — the same layout
+    # a cluster build wants, since probes open every file of a probed cell
+    from udlang_spark.sources.tables import fan_out
+
+    fan_out(sdf, 8).mapInPandas(
         _pq_member_router(bc, bcb, n_subspaces),
         _pq_code_schema(sdf, n_subspaces),
-    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    ).repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+        path
+    )
 
     # sidecars LAST (same crash-consistency argument as write_ivf_index);
     # element type mirrors the source vec column
@@ -404,13 +421,14 @@ def write_ivfpq_index(
         (int(i), [float(x) for x in v])
         for i, v in enumerate(cb_pdf["vec"].to_numpy())
     ]
-    cent_df = spark.createDataFrame(cent_rows, side_schema).withColumnRenamed(
-        "pos", "cell"
+    cent_schema = StructType(
+        [
+            StructField("cell", IntegerType(), False),
+            StructField("vec", elem_type, False),
+        ]
     )
-    cent_df.coalesce(1).write.mode("overwrite").parquet(path + "/_centroids")
-    spark.createDataFrame(cb_rows, side_schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(path + "/_codebook")
+    _write_sidecar(spark, cent_rows, cent_schema, path + "/_centroids")
+    _write_sidecar(spark, cb_rows, side_schema, path + "/_codebook")
 
 
 def append_to_ivfpq_index(

@@ -30,18 +30,16 @@ _WORD_BITS = 32
 
 
 def _positions(key: Column, m_bits: int, k_hashes: int) -> list[Column]:
-    """k deterministic bit positions per key: md5("bloom:<i>:" + key)'s
-    first 8 hex chars as an integer, mod m — the LSH-plane md5 convention,
-    reproducible in any engine."""
+    """k deterministic bit positions per key, ALL funded by ONE md5: hash
+    row i reads hex chars [8i+1, 8i+8] of md5("bloom:" + key) — the
+    count-min sketch's slicing convention (one digest, four independent
+    32-bit rows), reproducible in any engine. One hash per probed row,
+    not k."""
+    if k_hashes > 4:
+        raise ValueError("one md5 digest funds at most 4 32-bit hash rows")
+    h = F.md5(F.concat(F.lit("bloom:"), key.cast("string")))
     return [
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"bloom:{i}:"), key.cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        % m_bits
+        F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long") % m_bits
         for i in range(k_hashes)
     ]
 
@@ -84,7 +82,10 @@ def bloom_might_contain(
     positions' bits set. No join, no shuffle, no Python — the predicate
     rides the fact scan."""
     m_bits = len(word_list) * _WORD_BITS
-    arr = F.array(*[F.lit(w).cast("long") for w in word_list])
+    # F.lit(list) emits ONE constant array literal; F.array(*lits) would
+    # build a CreateArray that codegen re-materializes PER ROW — measured
+    # multi-second cost at 1024 words × 600k rows
+    arr = F.lit([int(w) for w in word_list])
     tests = []
     for p in _positions(key, m_bits, k_hashes):
         word = F.element_at(arr, (p / _WORD_BITS).cast("int") + 1)

@@ -1067,10 +1067,18 @@ def t_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("n").cast("double"),
         4,
     )
+    # ONE array-argument percentile call: three separate F.percentile aggs
+    # each build their own value map (measured 4.8 s vs 2.3 s at sf0.1) —
+    # and that cost is the point: the exact witness is the full-sort-class
+    # work the mergeable histogram replaces at scale
     exact = li.agg(
+        F.percentile(price, [num / den for num, den, _ in _QSK_QUANTS]).alias(
+            "ps"
+        )
+    ).select(
         *[
-            F.round(F.percentile(price, num / den), 4).alias(f"x_{name}")
-            for num, den, name in _QSK_QUANTS
+            F.round(F.element_at("ps", i + 1), 4).alias(f"x_{name}")
+            for i, (_n, _d, name) in enumerate(_QSK_QUANTS)
         ]
     )
     wide = probe.select("q", est.alias("est"), "n_total").crossJoin(

@@ -2752,30 +2752,33 @@ def q67_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("o_orderkey").alias("l_orderkey"))
     )
-    pruned = bloom.bloom_semi_join(
-        li, dim, "l_orderkey", m_bits=_BLOOM_M, k_hashes=_BLOOM_K
+    words = bloom.bloom_build(dim, "l_orderkey", _BLOOM_M, _BLOOM_K)
+    # the whole ledger in ONE fact pass: flag each row with the bloom
+    # probe (evaluated once), left-join the broadcast dim for ground
+    # truth, aggregate counts + DECIMAL revenue together
+    flagged = li.select(
+        "l_orderkey",
+        "l_extendedprice",
+        bloom.bloom_might_contain(
+            F.col("l_orderkey"), words, _BLOOM_K
+        ).alias("bpass"),
     )
-    true_rows = pruned.join(F.broadcast(dim), "l_orderkey", "left_semi")
-    n_fact = li.agg(F.count(F.lit(1)).alias("n_fact"))
-    n_pass = pruned.agg(F.count(F.lit(1)).alias("n_bloom_pass"))
-    tr = true_rows.agg(
-        F.count(F.lit(1)).alias("n_true_semi"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+    enriched = flagged.join(
+        F.broadcast(dim.withColumn("_m", F.lit(1))), "l_orderkey", "left"
+    )
+    hit = F.col("bpass") & F.col("_m").isNotNull()
+    return enriched.agg(
+        F.count(F.lit(1)).alias("n_fact"),
+        F.sum(F.col("bpass").cast("long")).alias("n_bloom_pass"),
+        F.sum(hit.cast("long")).alias("n_true_semi"),
+        (
+            F.sum(F.col("bpass").cast("long")) - F.sum(hit.cast("long"))
+        ).alias("false_positives"),
+        F.sum(
+            F.when(hit, F.col("l_extendedprice").cast("decimal(18,2)"))
+        )
         .cast("double")
         .alias("true_revenue"),
-    )
-    return (
-        n_fact.crossJoin(F.broadcast(n_pass))
-        .crossJoin(F.broadcast(tr))
-        .select(
-            "n_fact",
-            "n_bloom_pass",
-            "n_true_semi",
-            (F.col("n_bloom_pass") - F.col("n_true_semi")).alias(
-                "false_positives"
-            ),
-            "true_revenue",
-        )
     )
 
 
@@ -2787,17 +2790,18 @@ def _bloom_oracle(m: int = _BLOOM_M, k: int = _BLOOM_K) -> str:
         for i in range(k)
     )
     probe_pos = ", ".join(
-        f"""CAST(CAST(concat('0x', substr(md5('bloom:{i}:' ||
-          CAST(l_orderkey AS VARCHAR)), 1, 8)) AS UBIGINT) % {m} AS BIGINT)
-          AS p{i}"""
+        f"""CAST(CAST(concat('0x', substr(md5('bloom:' ||
+          CAST(l_orderkey AS VARCHAR)), {1 + 8 * i}, 8)) AS UBIGINT) % {m}
+          AS BIGINT) AS p{i}"""
         for i in range(k)
     )
     return f"""
 WITH dimk AS (
   SELECT o_orderkey AS kk FROM orders WHERE {_BLOOM_DIM_PRED}),
 pos AS (
-  SELECT CAST(CAST(concat('0x', substr(md5('bloom:' || i || ':' ||
-           CAST(kk AS VARCHAR)), 1, 8)) AS UBIGINT) % {m} AS BIGINT) AS pos
+  SELECT CAST(CAST(concat('0x', substr(md5('bloom:' ||
+           CAST(kk AS VARCHAR)), 1 + 8 * i, 8)) AS UBIGINT) % {m} AS BIGINT)
+    AS pos
   FROM dimk, (SELECT unnest([{hashes}]) AS i) h),
 words AS (
   SELECT CAST(pos // 32 AS INTEGER) AS word,
