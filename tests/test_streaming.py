@@ -733,3 +733,23 @@ def test_enrich_stream_equals_batch(spark, duck):
         ).fetchall()
     }
     assert got == want and len(got) > 5
+
+
+def test_quantile_stream_histogram_equals_batch(spark, duck):
+    """The streaming delta-merged histogram answers quantiles exactly as
+    the batch sketch (shared quantile_probe_report): full-row equality of
+    s_quantile_stream vs the t_quantile_sketch oracle."""
+    from udlang_spark.queries import streaming as squeries
+    from tests.conftest import SF_DIR_CORRECTNESS
+
+    got = {
+        tuple(r)
+        for r in squeries.s_quantile_stream(spark, SF_DIR_CORRECTNESS).collect()
+    }
+    want = {
+        tuple(r)
+        for r in duck.execute(squeries.ORACLE[
+            "s_quantile_stream"
+        ]).fetchall()
+    }
+    assert got == want and len(got) == 3

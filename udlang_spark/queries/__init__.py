@@ -35,13 +35,13 @@ for mod in (kernels, llm, streaming, relational, cleaning):
 # mid-round additions — 50/50 green. Round-6 window: (a) the 4 queries that
 # have STILL never had a driver row (e_pq_encode, e_pq_adc, t_cms_freq,
 # s_cms_stream — judge-verified strict-green in r5, but the driver scoreboard
-# hasn't seen them); (b) the 12 round-6 operators, driver-checked
-# immediately; (c) 34 re-confirmation slots for the oldest greens — q01–q50
+# hasn't seen them); (b) the 13 round-6 operators, driver-checked
+# immediately; (c) 33 re-confirmation slots for the oldest greens — q01–q50
 # were last confirmed in round 3, three rounds stale. Once (a) lands green,
 # every query ever registered has a driver-green row. Every registered query
 # was independently strict-verified vs DuckDB this round
 # (artifacts/STRICT_SWEEP_r06*.txt). Round-7 re-confirmation debt:
-# q35–q50 (r3 greens not re-confirmed here) are the stalest next.
+# q34–q50 (r3 greens not re-confirmed here) are the stalest next.
 _PRIORITY: list[str] = [
     # -- never driver-checked (4) --
     "e_pq_encode",
@@ -62,6 +62,7 @@ _PRIORITY: list[str] = [
     "k_generic",
     "s_enrich_stream",
     "q68_hierarchy",
+    "s_quantile_stream",
     # -- re-confirmations: oldest greens first (last confirmed r3) --
     "q01_pricing_summary",
     "q02_forecast_revenue",
@@ -96,7 +97,6 @@ _PRIORITY: list[str] = [
     "q31_gap_fill",
     "q32_sessionize",
     "q33_unpivot",
-    "q34_upsert",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50

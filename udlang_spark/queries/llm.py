@@ -1042,6 +1042,17 @@ def t_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    return quantile_probe_report(spark, hist, li)
+
+
+def quantile_probe_report(
+    spark: SparkSession, hist: DataFrame, li: DataFrame
+) -> DataFrame:
+    """Shared probe over a (bucket, n) histogram — used by the batch
+    sketch above and the streaming delta-merged histogram
+    (queries/streaming.s_quantile_stream), so both answer quantiles
+    identically; `li` supplies the total and the exact witness."""
+    price = F.col("l_extendedprice").cast("double")
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.withColumn("cum", F.sum("n").over(w))
     total = li.agg(F.count(F.lit(1)).alias("n_total"))

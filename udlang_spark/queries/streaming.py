@@ -314,6 +314,54 @@ def s_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _llm._cms_probe_report(spark, sketch, exact)
 
 
+def s_quantile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming histogram-quantile sketch: lineitem prices replay as a
+    stream; each micro-batch's bucket-count delta SUM-merges into the
+    persisted histogram (runner.run_sketch_merge_stream — the same
+    delta-merge as s_cms_merge), and the drained histogram answers
+    p50/p90/p99 exactly as t_quantile_sketch's batch sketch does (shared
+    probe helper), beside the batch-side exact witness. Completes the
+    streaming demonstrations of all three sketch algebras: counts (CMS),
+    registers (HLL), and histograms — every one micro-batching-invariant
+    because the merge is associative."""
+    price_t = ast.TRecord(
+        (
+            ast.TRecordField("l_orderkey", ast.T_INT),
+            ast.TRecordField("l_extendedprice", ast.T_FLOAT),
+        )
+    )
+    tmp = _replay_dir(
+        spark, sf_dir, table="lineitem",
+        cols=("l_orderkey", "l_extendedprice"),
+        prefix="udlang_stream_qsk",
+    )
+    src = (
+        spark.readStream.schema(json_lift.input_schema(price_t))
+        .option("mode", "FAILFAST")
+        .option("maxFilesPerTrigger", 1)
+        .json(tmp)
+    )
+    cells = src.select(
+        F.floor(
+            F.col("l_extendedprice").cast("double")
+            / F.lit(float(_llm._QSK_WIDTH))
+        )
+        .cast("long")
+        .alias("bucket")
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    target = os.path.join(tempfile.gettempdir(), f"udlang_qsk_target_{tag}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"udlang_qsk_ckpt_{tag}")
+    shutil.rmtree(target, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    runner.run_sketch_merge_stream(
+        spark, cells, target, ckpt, cell_cols=("bucket",)
+    )
+    hist = spark.read.parquet(target).drop("_last_batch")
+    li = load_table(spark, "lineitem", sf_dir)
+    return _llm.quantile_probe_report(spark, hist, li)
+
+
 def s_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join: the replayed event stream joins a
     STATIC dimension (customer) per micro-batch — the standard streaming
@@ -536,6 +584,7 @@ QUERIES = {
     "s_cms_merge": s_cms_merge,
     "s_hll_stream": s_hll_stream,
     "s_enrich_stream": s_enrich_stream,
+    "s_quantile_stream": s_quantile_stream,
     "s_session_stream": s_session_stream,
     "s_cdc_apply": s_cdc_apply,
 }
@@ -651,4 +700,7 @@ ORACLE: dict[str, str] = {
     "s_cms_merge": _llm.ORACLE_CMS_FREQ,
     "s_hll_stream": ORACLE_HLL_STREAM,
     "s_enrich_stream": ORACLE_ENRICH_STREAM,
+    # the streaming histogram equals the batch histogram exactly
+    # (associative integer counts), so the batch quantile oracle applies
+    "s_quantile_stream": _llm.ORACLE_QUANTILE_SKETCH,
 }
