@@ -307,3 +307,33 @@ def test_sample_frames_corrupt_mjpeg_falls_back(spark):
     for r in rows:
         i = r["frame_idx"]
         assert bytes(r["frame"]) == junk[i * step : (i + 1) * step]
+
+
+def test_attach_audio_roundtrip_and_features(spark):
+    """Synthesized md5-derived WAVs decode through the real codec to
+    exactly the digest-derived int16 samples, and the audio feature head
+    (mean/std/rms/zcr) matches an independent numpy recomputation."""
+    import hashlib
+
+    df = spark.createDataFrame([(3,), (11,)], "doc_id long")
+    wavs = {r["doc_id"]: bytes(r["audio"]) for r in multimodal.attach_audio(df).collect()}
+    for doc_id, payload in wavs.items():
+        x, rate = codecs.decode_wav(payload)
+        assert rate == 8000 and x.shape == (multimodal.AUDIO_N_SAMPLES, 1)
+        raw = b"".join(
+            hashlib.md5(f"{doc_id}:a{c}".encode()).digest() for c in range(8)
+        )
+        want = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        assert np.array_equal(x[:, 0], want)
+
+    feats = {
+        r["doc_id"]: r["features"]
+        for r in multimodal.extract_features(
+            multimodal.attach_audio(df), payload_col="audio", decode_mode="real"
+        ).collect()
+    }
+    for doc_id, f in feats.items():
+        x, _ = codecs.decode_wav(wavs[doc_id])
+        mono = x.astype(np.float64)[:, 0]
+        assert f[0] == np.float32(mono.mean())
+        assert f[2] == np.float32(np.sqrt((mono**2).mean()))

@@ -144,7 +144,12 @@ def _real_features(payload: bytes):
 
     if payload[:4] == b"RIFF":
         x, _rate = codecs.decode_wav(payload)
-        mono = x.mean(axis=1)
+        # float64 statistics over the float32 samples: sums of dyadic
+        # rationals k/32768 are EXACT in float64 under any order, so the
+        # only rounding is the single final float32 cast — which a SQL
+        # oracle reproduces with CAST(... AS REAL) (m_audio_features).
+        # float32 accumulation would round the squared terms (> 24 bits).
+        mono = x.astype(np.float64).mean(axis=1)
         zcr = float(np.mean(np.abs(np.diff(np.sign(mono))) > 0)) if len(mono) > 1 else 0.0
         head = [
             float(mono.mean()),
@@ -315,6 +320,48 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, payload_col).mapInPandas(sample, FRAME_SCHEMA)
+
+
+AUDIO_N_SAMPLES = 64  # 8 md5 digests × 8 int16 samples each
+
+
+def attach_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL mono 16-bit WAV per row: 64 samples whose raw
+    little-endian int16 bytes are the md5 digests of f"{id}:a{c}" for
+    c in 0..7, framed by the stdlib wave writer. The payload round-trips
+    through codecs.decode_wav, and because every sample is a dyadic
+    rational k/32768 derived from md5 alone, a SQL oracle reproduces the
+    decoded samples — and their mean/std/RMS statistics EXACTLY (sums of
+    64 such values are exact in float64 under any order) — independently
+    (m_audio_features)."""
+    import io
+    import wave as wave_mod
+
+    import pandas as pd
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("audio", BinaryType())]
+    )
+    n_digests = AUDIO_N_SAMPLES * 2 // 16
+
+    def make(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            outs = []
+            for doc_id in pdf[id_col]:
+                raw = b"".join(
+                    hashlib.md5(f"{doc_id}:a{c}".encode()).digest()
+                    for c in range(n_digests)
+                )
+                buf = io.BytesIO()
+                with wave_mod.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(raw)
+                outs.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "audio": outs})
+
+    return df.select(id_col).mapInPandas(make, schema)
 
 
 VIDEO_N_FRAMES = 5

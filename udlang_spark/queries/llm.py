@@ -2099,6 +2099,81 @@ FROM b
 """
 
 
+def m_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode + feature extraction, oracle-checked end to end:
+    synthesized md5-derived WAVs (multimodal.attach_audio) decode through
+    the stdlib codec and yield mean / std / RMS / zero-crossing-rate
+    (operators/multimodal._real_features audio branch). Every sample is a
+    dyadic rational k/32768, so the float64 sums behind the statistics
+    are EXACT under any accumulation order — DuckDB re-derives the
+    samples from the same md5s and reproduces each float32 feature
+    bit-for-bit (CAST REAL) before the round-6 comparison."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    wavs = multimodal.attach_audio(docs)
+    feats = multimodal.extract_features(
+        wavs, payload_col="audio", decode_mode="real"
+    )
+    pick = lambda i, name: F.round(  # noqa: E731 — four parallel picks
+        F.element_at("features", i).cast("double"), 6
+    ).alias(name)
+    return feats.select(
+        "doc_id",
+        pick(1, "mean"),
+        pick(2, "std"),
+        pick(3, "rms"),
+        pick(4, "zcr"),
+    )
+
+
+# sample j of doc d: little-endian int16 from bytes (2i, 2i+1) of
+# md5(d || ':a' || c) with c = j // 8, i = j % 8; value v >= 32768 wraps
+# negative (two's complement); s = v / 32768. The statistics mirror
+# numpy: std is the population form sqrt(mean((s - mean)^2)); zcr counts
+# sign CHANGES over the 63 consecutive pairs (sign(0) = 0 counts as its
+# own level, matching np.sign); every feature passes through REAL
+# (float32) exactly once, as the numpy float32 feature array does.
+ORACLE_M_AUDIO_FEATURES = """
+WITH s AS (
+  SELECT d.doc_id, j.j,
+    CAST(concat('0x',
+      substr(md5(d.doc_id || ':a' || (j.j // 8)), ((j.j % 8) * 2) * 2 + 1, 2)
+    ) AS INTEGER)
+    + 256 * CAST(concat('0x',
+      substr(md5(d.doc_id || ':a' || (j.j // 8)), ((j.j % 8) * 2 + 1) * 2 + 1, 2)
+    ) AS INTEGER) AS v
+  FROM (SELECT doc_id FROM documents) d,
+       (SELECT unnest(generate_series(0, 63)) AS j) j
+),
+x AS (
+  SELECT doc_id, j,
+    CAST(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS DOUBLE) / 32768.0
+      AS smp
+  FROM s
+),
+m AS (SELECT doc_id, sum(smp) / 64.0 AS mean FROM x GROUP BY doc_id),
+agg AS (
+  SELECT x.doc_id,
+    m.mean,
+    sqrt(sum((x.smp - m.mean) * (x.smp - m.mean)) / 64.0) AS std,
+    sqrt(sum(x.smp * x.smp) / 64.0) AS rms
+  FROM x JOIN m USING (doc_id) GROUP BY x.doc_id, m.mean
+),
+z AS (
+  SELECT a.doc_id,
+    CAST(sum(CASE WHEN sign(a.smp) <> sign(b.smp) THEN 1 ELSE 0 END) AS DOUBLE)
+      / 63.0 AS zcr
+  FROM x a JOIN x b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+  GROUP BY a.doc_id
+)
+SELECT doc_id,
+  round(CAST(CAST(mean AS REAL) AS DOUBLE), 6) AS mean,
+  round(CAST(CAST(std AS REAL) AS DOUBLE), 6) AS std,
+  round(CAST(CAST(rms AS REAL) AS DOUBLE), 6) AS rms,
+  round(CAST(CAST(zcr AS REAL) AS DOUBLE), 6) AS zcr
+FROM agg JOIN z USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # text statistics: TF-IDF, collocations, corpus-frequency scoring
 # ---------------------------------------------------------------------------
@@ -3224,6 +3299,7 @@ QUERIES = {
     "m_frames": m_frames,
     "m_video_frames": m_video_frames,
     "m_features": m_features,
+    "m_audio_features": m_audio_features,
 }
 
 ORACLE = {
@@ -3272,6 +3348,7 @@ ORACLE = {
     "m_frames": ORACLE_M_FRAMES,
     "m_video_frames": ORACLE_M_VIDEO_FRAMES,
     "m_features": ORACLE_M_FEATURES,
+    "m_audio_features": ORACLE_M_AUDIO_FEATURES,
     "e_near_dups_lsh": ORACLE_E_NEAR_DUPS_LSH,
     "e_ann_lsh": ORACLE_E_ANN_LSH,
     "e_ivf_ann": ORACLE_E_IVF_ANN,
