@@ -933,3 +933,20 @@ def test_generic_self_reference_depth_guard(spark):
     df = spark.createDataFrame([(1,)], "v long")
     with pytest.raises(KernelTypeError, match="expansion exceeds depth"):
         compile_kernel(src).apply(df)
+
+
+def test_generic_functions_bounded_erasure(spark):
+    """`func add<T: Int>(a: T, b: T) -> T` (reference manual.md:118,
+    docs-only there): type parameters erase to their bound (or Any) at
+    parse time — functions inline anyway, so the surface costs nothing."""
+    from udlang_spark.kernel.api import compile_kernel
+
+    src = (
+        'version 0.1-pre_mvp;\nscript "gf";\n'
+        "func add<T: Int>(a: T, b: T) -> T {\n  a + b\n}\n"
+        "func pick<T>(x: T, y: T) -> T {\n  if (true) { x } else { y }\n}\n"
+        "input Int;\noutput Int;\n"
+        "out add(in, 10) + pick(in, 0);\n"
+    )
+    df = spark.createDataFrame([(5,)], "v long")
+    assert [r["out"] for r in compile_kernel(src).apply(df, input_col="v").collect()] == [20]

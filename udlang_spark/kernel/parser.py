@@ -14,6 +14,14 @@ from udlang_spark.kernel import ast
 from udlang_spark.kernel.lexer import Token, tokenize
 
 
+def _subst(t: ast.Type, mapping: dict) -> ast.Type:
+    """Parse-time bounded erasure of function type parameters (shared
+    structural substitution — kernel/types.substitute_type)."""
+    from udlang_spark.kernel.types import substitute_type
+
+    return substitute_type(t, mapping)
+
+
 class ParseError(ValueError):
     pass
 
@@ -145,11 +153,39 @@ class Parser:
     def parse_funcdef(self) -> ast.Stmt:
         self.take("func")
         name = self.take("ID").value
+        tparams = self.parse_type_params()
         args, rest = self.parse_arglist()
         self.take("->")
         ret = self.parse_type()
         body = self.parse_block_expr()
+        if tparams:
+            args = [(n, _subst(t, tparams)) for n, t in args]
+            ret = _subst(ret, tparams)
+            if rest is not None:
+                rest = (rest[0], _subst(rest[1], tparams))
         return ast.Let(name, ast.Lambda(tuple(args), ret, body, rest_param=rest))
+
+    def parse_type_params(self) -> dict:
+        """Generic FUNCTION type parameters `func add<T: Int>(...)`
+        (reference manual.md:118 — docs-only there). Functions inline at
+        call sites, so the parameters lower by BOUNDED ERASURE at parse
+        time: each occurrence of T in the signature substitutes to its
+        bound (`T: Int` → Int) or to Any when unbounded — the same
+        semantics the documented example needs, with zero runtime
+        artifact."""
+        tparams: dict[str, ast.Type] = {}
+        if self.at("<"):
+            self.take("<")
+            while not self.at(">"):
+                pname = self.take("TYPENAME").value
+                bound: ast.Type = ast.T_ANY
+                if self.accept(":"):
+                    bound = self.parse_type()
+                tparams[pname] = bound
+                if not self.accept(","):
+                    break
+            self.take(">")
+        return tparams
 
     def parse_procdef(self) -> ast.Stmt:
         self.take("proc")

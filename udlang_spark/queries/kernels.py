@@ -341,10 +341,13 @@ script "generic type constructors";
 type Box<T>: {field v: T;};
 type Pair<A, B>: <A, B>;
 type Wide<T>: Box<Box<T>>;
+func add<T: Int>(a: T, b: T) -> T {
+  a + b
+}
 input Box<Int>;
 output Int;
 let p = (in.v, in.v * 2) as Pair<Int, Int>;
-out p[0] + p[1];
+out add(p[0], p[1]);
 """
 
 
