@@ -737,3 +737,48 @@ def test_weighted_sample_bias_and_partition_invariance(spark):
         .collect()
     }
     assert again == base
+
+
+def test_pca_project_matches_numpy_and_is_orthonormal(spark):
+    """pca_project equals a straight numpy PCA over the same data (exact
+    integer Gram → same covariance → same eigh, sign-fixed), projections
+    are centered, and per-component variances come out in descending
+    order matching the top eigenvalues."""
+    import numpy as np
+
+    from udlang_spark.operators import similarity
+    from udlang_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", SF_DIR_CORRECTNESS)
+    k = 6
+    got = {
+        r["vec_id"]: np.array(r["proj"])
+        for r in similarity.pca_project(emb, "embedding", "vec_id", k=k).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    ids = [r["vec_id"] for r in rows]
+
+    scale = float(2**similarity._PCA_SCALE_BITS)
+    Q = np.floor(X * scale)
+    G = Q.T @ Q
+    n = len(X)
+    mean_q = Q.sum(axis=0) / n
+    cov = (G / n - np.outer(mean_q, mean_q)) / (scale * scale)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order]
+    flip = np.sign(comps[np.abs(comps).argmax(axis=0), np.arange(k)])
+    flip[flip == 0] = 1.0
+    comps = comps * flip[None, :]
+    want = (X - mean_q / scale) @ comps
+
+    P = np.stack([got[i] for i in ids])
+    assert np.allclose(P, want, atol=1e-9)
+    # centered projections, descending variance, matching eigenvalues
+    assert np.allclose(P.mean(axis=0), 0.0, atol=1e-6)
+    var = P.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-12 for i in range(k - 1))
+    assert np.allclose(var, np.sort(w)[::-1][:k], rtol=1e-6)
+    # components orthonormal
+    assert np.allclose(comps.T @ comps, np.eye(k), atol=1e-9)

@@ -1195,3 +1195,121 @@ def hamming_topk(
         .where(F.col("rnk") <= k)
         .withColumn("rnk", F.col("rnk").cast("int"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA over embeddings: the standard pre-compression step (center, rotate
+# onto the top-k variance directions) before PQ/int8 quantization. The
+# second-moment (Gram) accumulation is EXACT fixed-point integer
+# arithmetic — floor(v·2^20) per element, int64 partial Gram per Arrow
+# batch, integer sum-merge — so the 64×64 matrix that reaches the driver
+# is a pure function of the data (any partitioning, any order), and a SQL
+# oracle reproduces it cell for cell. Only the 64×64 eigensolve runs on
+# the driver; projection streams back through a broadcast GEMM.
+# ---------------------------------------------------------------------------
+_PCA_SCALE_BITS = 20
+
+
+def pca_gram(
+    emb: DataFrame, vec_col: str, id_col: str, dim: int = 64
+) -> DataFrame:
+    """(i, j, gram, n) for i ≤ j: exact integer second moments
+    Σ q_i·q_j with q = floor(v·2^20) (floor, not round — round's .5 ties
+    disagree across engines; floor never does). One narrow mapInPandas
+    pass emits a 2080-row partial Gram per batch; the only shuffle is the
+    (i, j)-keyed integer sum over dim² keys. Overflow headroom: |q| ≲
+    2^22 ⇒ products ≲ 2^44 ⇒ exact int64 up to ~2^19 rows per partial
+    and exact at any corpus size after the long-sum merge (Spark raises
+    on int64 overflow under ANSI instead of wrapping)."""
+    import numpy as np
+
+    scale = float(2**_PCA_SCALE_BITS)
+    pairs = [(i, j) for i in range(dim) for j in range(i, dim)]
+
+    def partial(batches):
+        import pandas as pd
+
+        for pb in batches:
+            if len(pb) == 0:
+                continue
+            X = np.stack(pb[vec_col].to_numpy()).astype(np.float64)
+            Q = np.floor(X * scale).astype(np.int64)
+            G = Q.T @ Q  # exact: int64 matmul
+            yield pd.DataFrame(
+                {
+                    "i": [i for i, _ in pairs],
+                    "j": [j for _, j in pairs],
+                    "g": [int(G[i, j]) for i, j in pairs],
+                    "cnt": [len(pb)] * len(pairs),
+                    "si": [int(Q[:, i].sum()) for i, _ in pairs],
+                }
+            )
+
+    out_schema = "i int, j int, g long, cnt long, si long"
+    parts = emb.select(vec_col).mapInPandas(partial, out_schema)
+    return (
+        parts.groupBy("i", "j")
+        .agg(
+            F.sum("g").alias("gram"),
+            F.sum("cnt").alias("n"),
+            F.sum("si").alias("sum_i"),
+        )
+    )
+
+
+def pca_project(
+    emb: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, proj array<double>): center and rotate every vector onto the
+    top-k principal components. The exact integer Gram relation collects
+    to the driver (dim² ints — bounded by dimensionality, never data),
+    the 64×64 eigensolve runs in numpy, and the component matrix
+    broadcasts back for an Arrow-batched projection GEMM — zero shuffles
+    beyond the Gram's (i,j) aggregation. Deterministic up to eigenvector
+    SIGN, which is fixed by forcing each component's largest-magnitude
+    coordinate positive."""
+    import numpy as np
+
+    scale = float(2**_PCA_SCALE_BITS)
+    rows = pca_gram(emb, vec_col, id_col, dim).collect()
+    n = rows[0]["n"] if rows else 0
+    if n == 0:
+        return emb.sparkSession.createDataFrame(
+            [], f"{id_col} long, proj array<double>"
+        )
+    G = np.zeros((dim, dim))
+    s = np.zeros(dim)
+    for r in rows:
+        G[r["i"], r["j"]] = G[r["j"], r["i"]] = r["gram"]
+        if r["i"] == r["j"]:
+            s[r["i"]] = r["sum_i"]
+    mean_q = s / n
+    cov = (G / n - np.outer(mean_q, mean_q)) / (scale * scale)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order]  # dim × k
+    flip = np.sign(comps[np.abs(comps).argmax(axis=0), np.arange(k)])
+    flip[flip == 0] = 1.0
+    comps = comps * flip[None, :]
+    mean_v = mean_q / scale
+    bc = emb.sparkSession.sparkContext.broadcast((comps, mean_v))
+
+    def project(batches):
+        import pandas as pd
+
+        C, mu = bc.value
+        for pb in batches:
+            if len(pb) == 0:
+                continue
+            X = np.stack(pb[vec_col].to_numpy()).astype(np.float64) - mu
+            P = X @ C
+            yield pd.DataFrame(
+                {id_col: pb[id_col].to_numpy(), "proj": list(P)}
+            )
+
+    sdf = emb.select(id_col, vec_col)
+    return sdf.mapInPandas(project, f"{id_col} long, proj array<double>")

@@ -2099,6 +2099,39 @@ FROM b
 """
 
 
+def e_pca_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-point second moments for PCA (operators/similarity.
+    pca_gram): q = floor(v·2^20) per element, int64 partial Gram per
+    Arrow batch, integer sum-merge — the 64×64 upper triangle plus count
+    and per-dimension sums, a pure function of the data under any
+    partitioning. This is the distributed half of PCA (pca_project adds
+    the driver-side 64×64 eigensolve + broadcast projection GEMM, which
+    SQL cannot express — pytest-verified instead); DuckDB reproduces
+    every Gram cell exactly. floor, not round: round's .5 ties disagree
+    across engines, floor never does."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.pca_gram(emb, "embedding", "vec_id")
+
+
+ORACLE_E_PCA_COV = """
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+cells AS (
+  SELECT i.i, j.j,
+    CAST(floor(e.v[i.i + 1] * 1048576.0) AS BIGINT) AS qi,
+    CAST(floor(e.v[j.j + 1] * 1048576.0) AS BIGINT) AS qj
+  FROM e,
+       (SELECT unnest(generate_series(0, 63)) AS i) i,
+       (SELECT unnest(generate_series(0, 63)) AS j) j
+  WHERE j.j >= i.i
+)
+SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+  CAST(sum(qi * qj) AS BIGINT) AS gram,
+  count(*) AS n,
+  CAST(sum(qi) AS BIGINT) AS sum_i
+FROM cells GROUP BY i, j
+"""
+
+
 def m_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode + feature extraction, oracle-checked end to end:
     synthesized md5-derived WAVs (multimodal.attach_audio) decode through
@@ -3291,6 +3324,7 @@ QUERIES = {
     "e_pq_encode": e_pq_encode,
     "e_pq_adc": e_pq_adc,
     "e_ivfpq_ann": e_ivfpq_ann,
+    "e_pca_cov": e_pca_cov,
     "e_hamming_topk": e_hamming_topk,
     "e_pagerank": e_pagerank,
     "m_payload_meta": m_payload_meta,
@@ -3357,6 +3391,7 @@ ORACLE = {
     "e_pq_encode": ORACLE_E_PQ_ENCODE,
     "e_pq_adc": ORACLE_E_PQ_ADC,
     "e_ivfpq_ann": ORACLE_E_IVFPQ_ANN,
+    "e_pca_cov": ORACLE_E_PCA_COV,
     "e_hamming_topk": ORACLE_E_HAMMING_TOPK,
     # every registered query is oracle-checked: the ANN paths became
     # SQL-expressible once the LSH planes moved to md5 derivation
