@@ -950,3 +950,53 @@ def test_generic_functions_bounded_erasure(spark):
     )
     df = spark.createDataFrame([(5,)], "v long")
     assert [r["out"] for r in compile_kernel(src).apply(df, input_col="v").collect()] == [20]
+
+
+@given(
+    name=st.sampled_from(["I8", "I16", "I32", "U8", "U16", "U32", "Nat"]),
+    inputs=st.lists(
+        st.one_of(
+            st.integers(min_value=-300, max_value=300),
+            st.integers(min_value=-(2**34), max_value=2**34),
+        ),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sized_casts_compiled_equals_interp(spark, name, inputs):
+    """Differential fuzz over the numeric tower: for random ints and a
+    random sized target, the compiled range-checked cast and the interp's
+    twin either both pass with the same value or both raise."""
+    from udlang_spark.kernel import ast as A
+    from udlang_spark.kernel.api import Kernel
+    from udlang_spark.kernel.interp import Interp, InterpError
+    from udlang_spark.kernel.types import SIZED_INTS
+
+    prog = A.Program(
+        kind="script",
+        desc="tower-fuzz",
+        decls=(),
+        input=A.T_INT,
+        output=A.T_INT,
+        body=(A.Out(A.Cast(A.In(), A.TName(name))),),
+    )
+    _s, lo, hi = SIZED_INTS[name]
+    interp = Interp(prog)
+    for v in inputs:
+        in_range = lo <= v <= min(hi, 2**63 - 1)
+        df = spark.createDataFrame([(v,)], "value long")
+        if in_range:
+            got = Kernel(program=prog).apply(df, input_col="value").collect()
+            assert [r["out"] for r in got] == [v]
+            assert interp.run(v) == [v]
+        else:
+            with pytest.raises(Exception, match="out of range"):
+                Kernel(program=prog).apply(df, input_col="value").collect()
+            with pytest.raises(InterpError, match="out of range"):
+                interp.run(v)

@@ -2891,6 +2891,47 @@ FROM up WHERE anc = 0
 """
 
 
+def q69_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (SURVEY.md §2.10 — completes the U*F trio
+    beside compiled-Column UDFs and the pandas GROUPED_AGG UDAF of q20):
+    a table function `word_positions(text)` registered with
+    spark.udtf.register and invoked through SQL LATERAL, emitting one
+    (pos, word) row per token. Python UDTFs run row-at-a-time — the
+    documented slow path; the engine's own operators express the same
+    explode as pure Column work (t_token_stats) — so this exists for
+    surface parity, capped to a bounded slice. The reference's multi-`out`
+    kernels ARE its UDTFs (one record in, many out); this is the
+    Spark-native registration form of the same shape."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, word string")
+    class WordPositions:
+        def eval(self, text: str):  # noqa: ANN001 — UDTF protocol
+            if text:
+                for i, w in enumerate(text.lower().split()):
+                    yield (i, w)
+
+    spark.udtf.register("q69_word_positions", WordPositions)
+    docs = _t(spark, sf_dir, "documents")
+    docs.where(F.col("doc_id") < 20).createOrReplaceTempView("q69_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.word
+        FROM q69_docs d, LATERAL q69_word_positions(d.text) t
+        """
+    )
+
+
+ORACLE_Q69 = """
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS wl
+  FROM documents WHERE doc_id < 20
+)
+SELECT doc_id, CAST(g.i AS INTEGER) AS pos, wl[g.i + 1] AS word
+FROM d, LATERAL (SELECT unnest(generate_series(0, len(wl) - 1)) AS i) g
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_forecast_revenue": q02_forecast_revenue,
@@ -2960,6 +3001,7 @@ QUERIES = {
     "q66_salted_join": q66_salted_join,
     "q67_bloom_prune": q67_bloom_prune,
     "q68_hierarchy": q68_hierarchy,
+    "q69_udtf": q69_udtf,
 }
 
 ORACLE = {
@@ -3031,4 +3073,5 @@ ORACLE = {
     "q66_salted_join": ORACLE_Q66,
     "q67_bloom_prune": ORACLE_Q67,
     "q68_hierarchy": ORACLE_Q68,
+    "q69_udtf": ORACLE_Q69,
 }
