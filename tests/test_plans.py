@@ -572,3 +572,15 @@ def test_bloom_semi_join_probe_rides_the_scan(spark):
     }
     assert true_keys <= passed  # no false negatives, ever
     assert len(passed) < li.count()  # and it actually prunes
+
+
+def test_classifier_score_rides_the_scan(spark):
+    """The hash-feature classifier forward pass must be pure Column work:
+    no Python eval nodes, no weight-table join (weights are inline md5
+    expressions), and the per-doc sum is the only exchange."""
+    from udlang_spark.queries import llm as llm_q
+
+    plan = plan_of(llm_q.t_classifier_score(spark, SF_DIR_CORRECTNESS))
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Join"):
+        assert bad not in plan
+    assert plan.count("Exchange") <= 2  # hashpartition(doc_id) (+AQE read)

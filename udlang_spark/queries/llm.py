@@ -2120,6 +2120,102 @@ FROM b
 """
 
 
+_CLF_BUCKETS = 4096
+_CLF_WSCALE = 1000  # weights are integers in [-1000, 1000], fixed-point 1e-3
+
+
+def t_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-feature linear classifier INFERENCE as pure Column work — the
+    fastText-style quality-filter shape production pipelines run over
+    every document: features = word unigrams + bigrams hashed into
+    _CLF_BUCKETS buckets, score = mean of the buckets' weights. The
+    weight table is md5-derived integers (a stand-in for trained weights
+    — the inference plumbing is what's under test), so the whole forward
+    pass is deterministic and SQL-reproducible: per-gram bucket and
+    weight are inline md5 expressions, the score is an exact integer sum
+    divided once at the end (round-6 double).
+
+    Scale shape: gram explode → row-local bucket+weight expressions → one
+    map-side-combining (doc_id) aggregate. No weight-table join, no
+    shuffle beyond the per-doc sum — the classifier rides the corpus scan
+    the way the PII scrub does."""
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        "doc_id", F.expr(_WORDS).alias("wl")
+    ).filter(F.expr("size(wl) >= 1"))
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.col("wl"),
+                F.expr(
+                    "transform(sequence(1, size(wl) - 1),"
+                    " i -> concat(wl[i-1], '_', wl[i]))"
+                ),
+            )
+        ).alias("gram"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("clf:"), F.col("gram"))), 1, 8), 16, 10)
+        .cast("long")
+        % _CLF_BUCKETS
+    )
+    w = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("w:"), bucket.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % (2 * _CLF_WSCALE + 1)
+        - _CLF_WSCALE
+    )
+    scored = grams.select("doc_id", w.alias("w")).groupBy("doc_id").agg(
+        F.sum("w").alias("score_fp"), F.count(F.lit(1)).alias("n_grams")
+    )
+    score = F.round(
+        F.col("score_fp").cast("double")
+        / (F.lit(float(_CLF_WSCALE)) * F.col("n_grams").cast("double")),
+        6,
+    )
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        score.alias("score"),
+        (score > 0).alias("keep"),
+    )
+
+
+ORACLE_CLASSIFIER_SCORE = f"""
+WITH d AS (
+  SELECT doc_id, {_WORDS_DUCK} AS wl FROM documents
+  WHERE len({_WORDS_DUCK}) >= 1
+),
+grams AS (
+  SELECT doc_id, unnest(wl) AS gram FROM d
+  UNION ALL
+  SELECT doc_id, wl[i] || '_' || wl[i + 1] AS gram
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(wl) - 1)) AS i) g
+),
+wg AS (
+  SELECT doc_id,
+    CAST(CAST(concat('0x', substr(md5('w:' || CAST(
+      CAST(CAST(concat('0x', substr(md5('clf:' || gram), 1, 8)) AS UBIGINT)
+        % {_CLF_BUCKETS} AS BIGINT)
+    AS VARCHAR)), 1, 8)) AS UBIGINT) % {2 * _CLF_WSCALE + 1} AS BIGINT)
+      - {_CLF_WSCALE} AS w
+  FROM grams
+),
+s AS (
+  SELECT doc_id, CAST(sum(w) AS BIGINT) AS score_fp, count(*) AS n_grams
+  FROM wg GROUP BY doc_id
+)
+SELECT doc_id, n_grams,
+  round(CAST(score_fp AS DOUBLE) / ({_CLF_WSCALE}.0 * n_grams), 6) AS score,
+  round(CAST(score_fp AS DOUBLE) / ({_CLF_WSCALE}.0 * n_grams), 6) > 0 AS keep
+FROM s
+"""
+
+
 def e_pca_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact fixed-point second moments for PCA (operators/similarity.
     pca_gram): q = floor(v·2^20) per element, int64 partial Gram per
@@ -3346,6 +3442,7 @@ QUERIES = {
     "e_pq_adc": e_pq_adc,
     "e_ivfpq_ann": e_ivfpq_ann,
     "e_pca_cov": e_pca_cov,
+    "t_classifier_score": t_classifier_score,
     "e_hamming_topk": e_hamming_topk,
     "e_pagerank": e_pagerank,
     "m_payload_meta": m_payload_meta,
@@ -3413,6 +3510,7 @@ ORACLE = {
     "e_pq_adc": ORACLE_E_PQ_ADC,
     "e_ivfpq_ann": ORACLE_E_IVFPQ_ANN,
     "e_pca_cov": ORACLE_E_PCA_COV,
+    "t_classifier_score": ORACLE_CLASSIFIER_SCORE,
     "e_hamming_topk": ORACLE_E_HAMMING_TOPK,
     # every registered query is oracle-checked: the ANN paths became
     # SQL-expressible once the LSH planes moved to md5 derivation
