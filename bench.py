@@ -84,6 +84,11 @@ HEADLINE = [
     "t_quantile_sketch",
     "q67_bloom_prune",
     "t_weighted_sample",
+    "q68_hierarchy",
+    "s_cms_merge",
+    "t_classifier_score",
+    "e_pca_cov",
+    "m_audio_features",
     # multimodal (Arrow-batched mapInPandas decode)
     "m_image_meta",
     "m_real_decode",

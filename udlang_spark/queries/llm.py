@@ -2148,9 +2148,15 @@ def t_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.concat(
                 F.col("wl"),
+                # size guard (SURVEY §9 r5): Spark's sequence(1, 0) is the
+                # DESCENDING [1, 0], not empty — a 1-word doc would index
+                # wl[1] and raise under ANSI; DuckDB's generate_series(1,0)
+                # is empty, which the guard reproduces
                 F.expr(
-                    "transform(sequence(1, size(wl) - 1),"
+                    "CASE WHEN size(wl) >= 2 THEN"
+                    " transform(sequence(1, size(wl) - 1),"
                     " i -> concat(wl[i-1], '_', wl[i]))"
+                    " ELSE array() END"
                 ),
             )
         ).alias("gram"),
