@@ -782,3 +782,43 @@ def test_pca_project_matches_numpy_and_is_orthonormal(spark):
     assert np.allclose(var, np.sort(w)[::-1][:k], rtol=1e-6)
     # components orthonormal
     assert np.allclose(comps.T @ comps, np.eye(k), atol=1e-9)
+
+
+def test_retrieval_eval_metrics_bounded_and_self_perfect(spark):
+    """Metric sanity: all metrics in [0,1]; corpus-average recall matches
+    the LSH recall the r5 pytest measured (>0.4); and evaluating the
+    exact ranking against itself scores a perfect 1.0 everywhere."""
+    from pyspark.sql import functions as F
+
+    from udlang_spark.operators import similarity
+    from udlang_spark.queries import llm as llm_q
+    from udlang_spark.sources.tables import load_table
+
+    rows = llm_q.t_retrieval_eval(spark, SF_DIR_CORRECTNESS).collect()
+    assert len(rows) == 500
+    for r in rows:
+        for m in ("recall", "mrr", "ndcg"):
+            assert 0.0 <= r[m] <= 1.0
+    avg_recall = sum(r["recall"] for r in rows) / len(rows)
+    assert avg_recall > 0.4
+
+    # self-evaluation: exact vs exact is perfect by construction
+    emb = load_table(spark, "embeddings", SF_DIR_CORRECTNESS)
+    exact = similarity.cosine_topk(emb, "embedding", "vec_id", k=llm_q._EVAL_K)
+    disc = F.element_at(
+        F.array(*[F.lit(x) for x in llm_q._EVAL_DISC]), F.col("rnk")
+    )
+    per_q = (
+        exact.select("vec_id", "rnk", disc.alias("disc"))
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("rnk").alias("first_hit"),
+            F.round(F.sum("disc") / F.lit(llm_q._EVAL_IDCG), 6).alias("ndcg"),
+        )
+        .collect()
+    )
+    assert all(
+        r["n_hits"] == llm_q._EVAL_K and r["first_hit"] == 1 and r["ndcg"] == 1.0
+        for r in per_q
+    )

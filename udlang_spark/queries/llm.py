@@ -2120,6 +2120,93 @@ FROM b
 """
 
 
+# 1/log2(rank+1) discount table for nDCG, Python-precomputed literals
+# (the _HLL_LC trick — no runtime transcendentals in oracle-checked output)
+_EVAL_K = 5
+_EVAL_DISC = [round(1.0 / math.log2(r + 1), 10) for r in range(1, _EVAL_K + 1)]
+_EVAL_IDCG = round(sum(_EVAL_DISC), 10)
+
+
+def t_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation harness: score the LSH ANN top-5 against the
+    brute-force cosine top-5 as ground truth, per query — recall@5, MRR@5,
+    nDCG@5 — the metrics layer every retrieval pipeline needs beside the
+    retrievers themselves. The nDCG discounts 1/log2(rank+1) are
+    Python-precomputed literals shared with the oracle, so every metric
+    is a deterministic rational of exact counts (÷ once, round-6).
+
+    Scale shape: both inputs are top-k relations (|Q|·k rows); the
+    evaluation is one equi-join on (query, neighbor) + a per-query
+    aggregate — metric cost is independent of corpus size. Queries with
+    no ANN candidates (empty buckets) score 0 via the left join."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    exact = similarity.cosine_topk(emb, "embedding", "vec_id", k=_EVAL_K).select(
+        F.col("vec_id").alias("qid"), F.col("nbr").alias("rel_nbr")
+    )
+    ann = similarity.lsh_ann_topk(
+        emb, "embedding", "vec_id", k=_EVAL_K, n_planes=4, n_tables=4
+    ).select(
+        F.col("vec_id").alias("qid"), F.col("nbr").alias("got_nbr"), "rnk"
+    )
+    disc = F.element_at(
+        F.array(*[F.lit(x) for x in _EVAL_DISC]), F.col("rnk")
+    )
+    hits = ann.join(
+        exact,
+        (ann["qid"] == exact["qid"]) & (ann["got_nbr"] == exact["rel_nbr"]),
+        "inner",
+    ).select(ann["qid"].alias("qid"), "rnk", disc.alias("disc"))
+    per_q = hits.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("rnk").alias("first_hit"),
+        F.sum("disc").alias("dcg"),
+    )
+    base = exact.select("qid").distinct()
+    return base.join(per_q, "qid", "left").select(
+        F.col("qid").alias("vec_id"),
+        F.round(
+            F.coalesce("n_hits", F.lit(0)).cast("double") / _EVAL_K, 6
+        ).alias("recall"),
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / F.col("first_hit").cast("double"), F.lit(0.0)
+            ),
+            6,
+        ).alias("mrr"),
+        F.round(
+            F.coalesce("dcg", F.lit(0.0)) / F.lit(_EVAL_IDCG), 6
+        ).alias("ndcg"),
+    )
+
+
+def _retrieval_eval_oracle() -> str:
+    # both component oracles are full WITH...SELECT statements; DuckDB
+    # accepts them as parenthesized derived tables
+    disc_list = "[" + ", ".join(repr(x) for x in _EVAL_DISC) + "]"
+    return f"""
+WITH exact AS MATERIALIZED (
+  SELECT vec_id AS qid, nbr AS rel_nbr FROM ({ORACLE_COSINE_TOPK})
+),
+ann AS MATERIALIZED (
+  SELECT vec_id AS qid, nbr AS got_nbr, rnk FROM ({ORACLE_E_ANN_LSH})
+),
+hits AS (
+  SELECT a.qid, a.rnk, ({disc_list})[a.rnk] AS disc
+  FROM ann a JOIN exact e ON a.qid = e.qid AND a.got_nbr = e.rel_nbr
+),
+per_q AS (
+  SELECT qid, count(*) AS n_hits, min(rnk) AS first_hit, sum(disc) AS dcg
+  FROM hits GROUP BY qid
+),
+base AS (SELECT DISTINCT qid FROM exact)
+SELECT base.qid AS vec_id,
+  round(coalesce(n_hits, 0) / {float(_EVAL_K)!r}, 6) AS recall,
+  round(coalesce(1.0 / first_hit, 0.0), 6) AS mrr,
+  round(coalesce(dcg, 0.0) / {_EVAL_IDCG!r}, 6) AS ndcg
+FROM base LEFT JOIN per_q USING (qid)
+"""
+
+
 _CLF_BUCKETS = 4096
 _CLF_WSCALE = 1000  # weights are integers in [-1000, 1000], fixed-point 1e-3
 
@@ -3449,6 +3536,7 @@ QUERIES = {
     "e_ivfpq_ann": e_ivfpq_ann,
     "e_pca_cov": e_pca_cov,
     "t_classifier_score": t_classifier_score,
+    "t_retrieval_eval": t_retrieval_eval,
     "e_hamming_topk": e_hamming_topk,
     "e_pagerank": e_pagerank,
     "m_payload_meta": m_payload_meta,
@@ -3517,6 +3605,7 @@ ORACLE = {
     "e_ivfpq_ann": ORACLE_E_IVFPQ_ANN,
     "e_pca_cov": ORACLE_E_PCA_COV,
     "t_classifier_score": ORACLE_CLASSIFIER_SCORE,
+    "t_retrieval_eval": _retrieval_eval_oracle(),
     "e_hamming_topk": ORACLE_E_HAMMING_TOPK,
     # every registered query is oracle-checked: the ANN paths became
     # SQL-expressible once the LSH planes moved to md5 derivation
