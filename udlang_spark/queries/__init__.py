@@ -40,7 +40,10 @@ for mod in (kernels, llm, streaming, relational, cleaning):
 # were last confirmed in round 3, three rounds stale. Once (a) lands green,
 # every query ever registered has a driver-green row. Every registered query
 # was independently strict-verified vs DuckDB this round
-# (artifacts/STRICT_SWEEP_r06*.txt). Round-7 re-confirmation debt:
+# (artifacts/STRICT_SWEEP_r06*.txt); the five operators registered after
+# the window filled (q69_udtf, m_audio_features, e_pca_cov,
+# t_classifier_score, t_retrieval_eval) are strict-verified + pytested
+# and await their first driver rows. Round-7 re-confirmation debt:
 # q34–q50 (r3 greens not re-confirmed here) are the stalest next.
 _PRIORITY: list[str] = [
     # -- never driver-checked (4) --
