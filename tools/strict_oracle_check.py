@@ -2,11 +2,22 @@
 
 The external driver compares each registered query against its DuckDB oracle
 at sf0.01 by row count, sorted column names, and an order-insensitive value
-hash. Its canonicalization is STRICTER than tests/oracle_harness.py: a DuckDB
-HUGEINT/DECIMAL that pandas fetches as float hashes differently from Spark's
-long (round-2 verdict observed ``99111.0`` vs ``99111``). This tool replays
-that strict comparison over any slice of the registry so dtype drift is caught
-before the driver ever sees it.
+hash. Crucially (round-6 lesson, `k_tower`): the driver fetches the DuckDB
+side THROUGH PANDAS, so a DECIMAL/HUGEINT column arrives as float64
+(``65662.0``) while Spark collects ``decimal.Decimal('65662')`` — equal
+values, different hash. Earlier versions of this tool fetched DuckDB rows
+natively and canonicalized integral Decimals to int, which masked exactly
+that divergence (it surfaced only as a ``riskydtypes`` warning, and the
+driver went red anyway).
+
+This version is bit-faithful to the gate:
+
+- the DuckDB side is fetched via ``fetchdf()`` (pandas), same as the driver;
+- ``canon`` keeps int / float / Decimal mutually DISTINCT — no integral
+  collapse in any direction;
+- any risky output dtype is a FAILURE, not a warning: DECIMAL / HUGEINT /
+  UHUGEINT on the DuckDB side, ``decimal`` on the Spark side, or an integer
+  DuckDB column that pandas coerced to float (NULL-in-int-column trap).
 
 Usage:
     python tools/strict_oracle_check.py [--first N] [--names a,b,c] [--sf DIR]
@@ -23,6 +34,8 @@ import time
 from datetime import date, datetime
 from decimal import Decimal
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = (
@@ -30,18 +43,32 @@ TABLES = (
     "documents embeddings"
 ).split()
 
+RISKY_DUCK_TYPES = ("HUGEINT", "UHUGEINT")
+INT_DUCK_TYPES = (
+    "TINYINT",
+    "SMALLINT",
+    "INTEGER",
+    "BIGINT",
+    "UTINYINT",
+    "USMALLINT",
+    "UINTEGER",
+    "UBIGINT",
+)
+
 
 def canon(v) -> str:
-    """Strict canonical form: float and int are DISTINCT (unlike the loose
-    test harness); Decimal keeps exactness when integral."""
+    """Strict canonical form: int, float, and Decimal are all DISTINCT —
+    the driver hashes raw fetched values and so do we."""
+    if isinstance(v, np.generic):
+        v = v.item()  # np.int64 -> int, np.float64 -> float, np.bool_ -> bool
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
     if v is None:
         return "∅"
     if isinstance(v, bool):
         return "b:" + str(int(v))
     if isinstance(v, Decimal):
-        if v == v.to_integral_value():
-            return f"i:{int(v)}"
-        v = float(v)
+        return "d:" + str(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "f:nan"
@@ -51,9 +78,13 @@ def canon(v) -> str:
     if isinstance(v, int):
         return f"i:{v}"
     if isinstance(v, (datetime, date)):
+        if v != v:  # pd.NaT
+            return "f:nan"
         return "t:" + v.isoformat()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}={canon(x)}" for k, x in sorted(v.items())) + "}"
     if isinstance(v, bytes):
         return "y:" + v.hex()
     return "s:" + str(v)
@@ -109,14 +140,19 @@ def main() -> int:
             sdf = QUERIES[name](spark, args.sf)
             srows = [tuple(r) for r in sdf.collect()]
             sn, scols, shash = fingerprint(sdf.columns, srows)
+            spark_risky = [
+                f"spark:{c}:{ty}" for c, ty in sdf.dtypes if ty.startswith("decimal")
+            ]
             # DBAPI cursor.description reports every numeric column's
             # type_code as the generic 'NUMBER'; real type names need DESCRIBE
             dtypes = [
                 row[1] for row in con.execute("DESCRIBE " + ORACLE[name]).fetchall()
             ]
-            cur = con.execute(ORACLE[name])
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            # pandas fetch, exactly like the driver: DECIMAL -> float64,
+            # NULL-bearing int columns -> float64, LIST -> np.ndarray
+            pdf = con.execute(ORACLE[name]).fetchdf()
+            dcols = list(pdf.columns)
+            drows = list(pdf.itertuples(index=False, name=None))
             dn, dcols_s, dhash = fingerprint(dcols, drows)
         except Exception as e:  # noqa: BLE001 — report, keep sweeping
             failures.append((name, f"ERROR {type(e).__name__}: {e}"))
@@ -127,12 +163,19 @@ def main() -> int:
 
             release_caches()  # queries may persist intermediates
         dt = time.time() - t0
-        risky = [
-            f"{c}:{ty}"
+        risky = spark_risky + [
+            f"duck:{c}:{ty}"
             for c, ty in zip(dcols, dtypes)
-            if ty in ("HUGEINT", "UHUGEINT") or ty.startswith("DECIMAL")
+            if ty in RISKY_DUCK_TYPES or ty.startswith("DECIMAL")
         ]
-        ok = scols == dcols_s and sn == dn and shash == dhash
+        # integer DESCRIBE type fetched as float => pandas NULL coercion:
+        # the driver would hash floats against Spark's ints
+        risky += [
+            f"duck-nullint:{c}:{ty}->{pdf[c].dtype}"
+            for c, ty in zip(dcols, dtypes)
+            if ty in INT_DUCK_TYPES and str(pdf[c].dtype).startswith("float")
+        ]
+        ok = scols == dcols_s and sn == dn and shash == dhash and not risky
         mark = "ok " if ok else "FAIL"
         extra = f" riskydtypes={risky}" if risky else ""
         print(f"  {mark} {name} rows={sn}/{dn} {dt:.1f}s{extra}", flush=True)
@@ -144,6 +187,8 @@ def main() -> int:
                 detail.append(f"rows {sn} != {dn}")
             if shash != dhash:
                 detail.append("value-hash mismatch")
+            if risky:
+                detail.append(f"risky dtypes {risky}")
             failures.append((name, "; ".join(detail)))
 
     print(f"\nchecked={len(names) - len(skipped)} skipped(no-oracle)={skipped}")

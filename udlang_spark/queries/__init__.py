@@ -29,77 +29,76 @@ for mod in (kernels, llm, streaming, relational, cleaning):
 
 # Registration order matters: the external driver differentially verifies the
 # FIRST 50 registry entries against their DuckDB oracles each round.
-# Round-3 window: relational q01–q50 (50/50 green). Round-4 window: kernel +
-# oracled-LLM queries (47 green + 3 harness errs, fixed and re-confirmed in
-# r5). Round-5 window: the 38 queries that had never had a driver row + the
-# mid-round additions — 50/50 green. Round-6 window: (a) the 4 queries that
-# have STILL never had a driver row (e_pq_encode, e_pq_adc, t_cms_freq,
-# s_cms_stream — judge-verified strict-green in r5, but the driver scoreboard
-# hasn't seen them); (b) the 13 round-6 operators, driver-checked
-# immediately; (c) 33 re-confirmation slots for the oldest greens — q01–q50
-# were last confirmed in round 3, three rounds stale. Once (a) lands green,
-# every query ever registered has a driver-green row. Every registered query
-# was independently strict-verified vs DuckDB this round
-# (artifacts/STRICT_SWEEP_r06*.txt); the five operators registered after
-# the window filled (q69_udtf, m_audio_features, e_pca_cov,
-# t_classifier_score, t_retrieval_eval) are strict-verified + pytested
-# and await their first driver rows. Round-7 re-confirmation debt:
-# q34–q50 (r3 greens not re-confirmed here) are the stalest next.
+# Round-3 window: relational q01–q50 (50/50 green). Round-4: kernel +
+# oracled-LLM (47 green + 3 harness errs, re-confirmed r5). Round-5: the 38
+# never-checked + mid-round additions, 50/50 green. Round-6: 4 remaining
+# never-checked + 13 round-6 operators + 33 oldest re-confirmations
+# (q01–q33) — 49/50 green, 1 red (k_tower DECIMAL(20,0) dtype divergence,
+# fixed this round: BIGINT cast both engines, tools/strict_oracle_check.py
+# now hashes the driver's pandas-fetched values and fails risky dtypes).
+# Round-7 window: (a) k_tower (the red row, re-checked first) + the 5
+# operators that landed after the r6 window filled and have never had a
+# driver row (q69_udtf, m_audio_features, e_pca_cov, t_classifier_score,
+# t_retrieval_eval); (b) q34–q50, the stalest greens (last confirmed r3);
+# (c) round-7 operators, swapped in AT LAND TIME for the youngest tail
+# re-confirmation (register-at-land-time discipline, VERDICT r6 #7);
+# (d) the oldest r4 greens (kernel family + first LLM batch) in the
+# remaining slots.
 _PRIORITY: list[str] = [
-    # -- never driver-checked (4) --
-    "e_pq_encode",
-    "e_pq_adc",
-    "t_cms_freq",
-    "s_cms_stream",
-    # -- round-6 additions, driver-checked immediately --
-    # (slots taken from the tail re-confirmations as operators land)
-    "e_ivfpq_ann",
-    "s_cms_merge",
+    # -- (a) red-row fix + never driver-checked (6) --
     "k_tower",
-    "e_hamming_topk",
-    "t_hll_distinct",
-    "t_quantile_sketch",
-    "q67_bloom_prune",
-    "s_hll_stream",
-    "t_weighted_sample",
-    "k_generic",
-    "s_enrich_stream",
-    "q68_hierarchy",
-    "s_quantile_stream",
-    # -- re-confirmations: oldest greens first (last confirmed r3) --
-    "q01_pricing_summary",
-    "q02_forecast_revenue",
-    "q03_shipping_priority",
-    "q04_order_priority",
-    "q05_region_volume",
-    "q06_customers_without_orders",
-    "q07_custdist",
-    "q08_topk_per_group",
-    "q09_running_totals",
-    "q10_set_ops",
-    "q11_distinct_counts",
-    "q12_rollup",
-    "q13_events_tumbling",
-    "q14_events_json",
-    "q15_orders_monthly",
-    "q16_part_strings",
-    "q17_supplier_by_region",
-    "q18_asof_join",
-    "q19_cube",
-    "q20_median_udaf",
-    "q21_range_join",
-    "q22_salted_agg",
-    "q23_percentiles",
-    "q24_lag_lead",
-    "q25_disjunctive_pricing",
-    "q26_small_qty_revenue",
-    "q27_grouping_sets",
-    "q28_pivot",
-    "q29_window_frames",
-    "q30_hash_sample",
-    "q31_gap_fill",
-    "q32_sessionize",
-    "q33_unpivot",
+    "q69_udtf",
+    "m_audio_features",
+    "e_pca_cov",
+    "t_classifier_score",
+    "t_retrieval_eval",
+    # -- (b) stalest re-confirmations: last green round 3 (17) --
+    "q34_upsert",
+    "q35_scd2",
+    "q36_sql_passthrough",
+    "q37_data_audit",
+    "q38_histogram",
+    "q39_variant_json",
+    "q40_sole_latest_shipper",
+    "q41_min_cost_supplier",
+    "q42_important_parts",
+    "q43_market_share",
+    "q44_fuzzy_part_pairs",
+    "q45_zscore_outliers",
+    "q46_stratified_sample",
+    "q47_shipmode_priority",
+    "q48_supplier_variety",
+    "q49_inactive_rich_customers",
+    "q50_funnel",
+    # -- (c) round-7 operators land here (swap out the list tail) --
+    # -- (d) oldest r4 greens (27) --
+    "k_hello",
+    "k_function",
+    "k_fact",
+    "k_count",
+    "k_count_interp",
+    "k_lists",
+    "k_scopes",
+    "k_subjunctive",
+    "k_filter",
+    "k_mapiter",
+    "k_match_lit",
+    "k_match_union",
+    "k_cast",
+    "k_builtins",
+    "k_modules",
+    "k_methods",
+    "k_pipeline",
+    "k_spread",
+    "d_exact_dedup",
+    "d_fingerprint",
+    "d_minhash_lsh",
+    "d_dedup_corpus",
+    "d_ngram_jaccard",
+    "d_simhash",
+    "d_simhash_neardup",
+    "t_token_stats",
+    "t_quality",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50

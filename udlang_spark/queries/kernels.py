@@ -395,26 +395,36 @@ def k_tower(spark: SparkSession, sf_dir: str) -> DataFrame:
     never wraps; kernel/compiler.sized_range_check), constants check at
     compile time (255 as U8 folds, 256 as U8 is a compile error), and the
     U64 output narrows to its Decimal(20,0) storage type, the SURVEY
-    mapping for the one width Spark has no signed home for."""
+    mapping for the one width Spark has no signed home for.
+
+    The oracle-checked output re-casts the U64 to BIGINT on BOTH engines:
+    DuckDB's pandas fetch renders DECIMAL(20,0) as float64 while Spark
+    collects decimal.Decimal, so a raw-Decimal output can never hash-match
+    the driver even when every value is equal (round-6 red row). The
+    Decimal(20,0) STORAGE mapping itself stays pinned in
+    tests/test_kernel_properties.py (test_sized_storage_types and the
+    pipeline assertion below)."""
     ev = load_table(spark, "events", sf_dir)
     df = ev.select(
         "event_id",
         F.col("event_id").alias("id"),
         F.col("value").alias("v"),
     )
-    return compile_kernel(TOWER_KERNEL).apply(df, keep=("event_id",)).select(
-        "event_id", "out"
-    )
+    kdf = compile_kernel(TOWER_KERNEL).apply(df, keep=("event_id",))
+    # the kernel's own output type must be the documented U64 storage type
+    assert dict(kdf.dtypes)["out"] == "decimal(20,0)", kdf.dtypes
+    return kdf.select("event_id", F.col("out").cast("bigint").alias("out"))
 
 
 # every term mirrors the kernel: truncating float→int, i64 compute, and the
-# folded boundary constants 255 - 128 + 65535 = 65662; the U64 output is
-# DECIMAL(20,0) on both engines
+# folded boundary constants 255 - 128 + 65535 = 65662; the kernel's U64
+# output is DECIMAL(20,0) storage, re-cast to BIGINT for the dtype-safe
+# cross-engine hash (values fit i64 comfortably at every SF)
 ORACLE_TOWER = """
 SELECT event_id,
   CAST((event_id % 256) + (event_id % 32768) + event_id
        + CAST(trunc(value / 100.0) AS BIGINT) + event_id + 65662
-       AS DECIMAL(20,0)) AS out
+       AS BIGINT) AS out
 FROM events
 """
 
