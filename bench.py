@@ -121,6 +121,16 @@ def main() -> None:
     # operator throughput, and a long-running engine pays it once. The cold
     # total is still reported (cold_total_sec) so the compile cost is
     # visible, not hidden.
+    # e_ivfpq_ann's persisted-index build is a once-per-corpus cost (an
+    # index is built once, probed many times); time it separately here with
+    # a forced rebuild so the headline entry below measures the probe —
+    # the production-shaped steady-state cost (r6 verdict #6).
+    from udlang_spark.queries import llm as _llm
+
+    t0 = time.perf_counter()
+    _llm.ivfpq_ensure_index(spark, sf_dir, force_rebuild=True)
+    ivfpq_build_sec = round(time.perf_counter() - t0, 4)
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
@@ -156,6 +166,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cold_total_sec": round(sum(cold.values()), 4),
+                "ivfpq_build_sec": ivfpq_build_sec,
             }
         )
     )

@@ -691,10 +691,23 @@ def test_quantile_histogram_merges_by_sum(spark):
 
 def test_quantile_sketch_accuracy(spark):
     """Every estimated quantile lands within half a bucket width of the
-    exact interpolated percentile (the sketch's resolution bound)."""
-    from udlang_spark.queries import llm as llm_q
+    exact interpolated percentile (the sketch's resolution bound). The
+    exact witness is full-sort-class work the sketch replaces, so it lives
+    here (with_exact=True) and not in the oracled headline query."""
+    from pyspark.sql import functions as F
 
-    for r in llm_q.t_quantile_sketch(spark, SF_DIR_CORRECTNESS).collect():
+    from udlang_spark.queries import llm as llm_q
+    from udlang_spark.sources.tables import load_table
+
+    li = load_table(spark, "lineitem", SF_DIR_CORRECTNESS)
+    price = F.col("l_extendedprice").cast("double")
+    hist = li.groupBy(
+        F.floor(price / F.lit(float(llm_q._QSK_WIDTH))).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rep = llm_q.quantile_probe_report(spark, hist, li, with_exact=True)
+    rows = rep.collect()
+    assert len(rows) == 3
+    for r in rows:
         assert abs(r["err"]) <= llm_q._QSK_WIDTH / 2, (r["q"], r["err"])
 
 

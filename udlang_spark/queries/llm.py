@@ -13,6 +13,7 @@ folds — so hash-equality is bit-for-bit, not approximate.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1040,8 +1041,7 @@ _QSK_QUANTS = ((50, 100, "p50"), (90, 100, "p90"), (99, 100, "p99"))
 
 
 def t_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """p50/p90/p99 of l_extendedprice from a fixed-width histogram sketch,
-    beside the exact interpolated percentile as the accuracy witness.
+    """p50/p90/p99 of l_extendedprice from a fixed-width histogram sketch.
 
     Bucketing floors price/width; target rank for quantile num/den is
     ceil(N·num/den) in EXACT integer arithmetic; the estimate linearly
@@ -1053,8 +1053,11 @@ def t_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     to |range/width| rows; the cumulative window and quantile probes run
     over the bucket relation (bounded by the value range, never the data).
     Counts merge by integer sum, so per-partition/per-day histograms
-    combine exactly — the mergeable-quantiles state to keep at 100 TB
-    (the exact percentile beside it needs a full sort of the column)."""
+    combine exactly — the mergeable-quantiles state to keep at 100 TB.
+    The exact-percentile accuracy witness (full-sort-class work the sketch
+    exists to replace) is pinned in tests/test_llm_oracle.py::
+    test_quantile_sketch_accuracy via with_exact=True, NOT here — the
+    headline query costs what the production sketch costs (r6 verdict #5)."""
     li = load_table(spark, "lineitem", sf_dir)
     price = F.col("l_extendedprice").cast("double")
     hist = (
@@ -1067,12 +1070,15 @@ def t_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def quantile_probe_report(
-    spark: SparkSession, hist: DataFrame, li: DataFrame
+    spark: SparkSession, hist: DataFrame, li: DataFrame, with_exact: bool = False
 ) -> DataFrame:
     """Shared probe over a (bucket, n) histogram — used by the batch
     sketch above and the streaming delta-merged histogram
     (queries/streaming.s_quantile_stream), so both answer quantiles
-    identically; `li` supplies the total and the exact witness."""
+    identically; `li` supplies the total. with_exact=True additionally
+    computes the exact interpolated percentile and the estimate's error
+    (pytest accuracy witness only — it is the full-sort the sketch
+    replaces, so it stays out of the oracled headline queries)."""
     price = F.col("l_extendedprice").cast("double")
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.withColumn("cum", F.sum("n").over(w))
@@ -1099,10 +1105,11 @@ def quantile_probe_report(
         / F.col("n").cast("double"),
         4,
     )
+    report = probe.select("q", est.alias("est"), "n_total")
+    if not with_exact:
+        return report
     # ONE array-argument percentile call: three separate F.percentile aggs
-    # each build their own value map (measured 4.8 s vs 2.3 s at sf0.1) —
-    # and that cost is the point: the exact witness is the full-sort-class
-    # work the mergeable histogram replaces at scale
+    # each build their own value map (measured 4.8 s vs 2.3 s at sf0.1)
     exact = li.agg(
         F.percentile(price, [num / den for num, den, _ in _QSK_QUANTS]).alias(
             "ps"
@@ -1113,9 +1120,7 @@ def quantile_probe_report(
             for i, (_n, _d, name) in enumerate(_QSK_QUANTS)
         ]
     )
-    wide = probe.select("q", est.alias("est"), "n_total").crossJoin(
-        F.broadcast(exact)
-    )
+    wide = report.crossJoin(F.broadcast(exact))
     pick = F.when(F.col("q") == "p50", F.col("x_p50")).when(
         F.col("q") == "p90", F.col("x_p90")
     ).otherwise(F.col("x_p99"))
@@ -1133,10 +1138,6 @@ def _quantile_sketch_oracle(width: int = _QSK_WIDTH) -> str:
         f"('{name}', {num}::BIGINT, {den}::BIGINT)"
         for num, den, name in _QSK_QUANTS
     )
-    xcols = ", ".join(
-        f"round(quantile_cont(l_extendedprice::DOUBLE, {num}/{den}.0), 4) AS x_{name}"
-        for num, den, name in _QSK_QUANTS
-    )
     return f"""
 WITH hist AS (
   SELECT CAST(floor(l_extendedprice::DOUBLE / {width}.0) AS BIGINT) AS bucket,
@@ -1150,23 +1151,14 @@ tot AS (SELECT count(*) AS n_total FROM lineitem),
 quants AS (SELECT * FROM (VALUES {qrows}) v(q, num, den)),
 targets AS (
   SELECT q, (n_total * num + den - 1) // den AS target, n_total
-  FROM quants, tot),
-probe AS (
-  SELECT t.q,
-    round(CAST(c.bucket AS DOUBLE) * {width}
-      + {width}.0 * CAST(t.target - (c.cum - c.n) AS DOUBLE)
-        / CAST(c.n AS DOUBLE), 4) AS est,
-    t.n_total
-  FROM cum c JOIN targets t
-    ON c.cum >= t.target AND c.cum - c.n < t.target),
-exact AS (SELECT {xcols} FROM lineitem)
-SELECT q, est,
-  CASE WHEN q = 'p50' THEN x_p50 WHEN q = 'p90' THEN x_p90 ELSE x_p99 END
-    AS exact,
-  round(est - CASE WHEN q = 'p50' THEN x_p50 WHEN q = 'p90' THEN x_p90
-                   ELSE x_p99 END, 4) AS err,
-  n_total
-FROM probe, exact
+  FROM quants, tot)
+SELECT t.q,
+  round(CAST(c.bucket AS DOUBLE) * {width}
+    + {width}.0 * CAST(t.target - (c.cum - c.n) AS DOUBLE)
+      / CAST(c.n AS DOUBLE), 4) AS est,
+  t.n_total
+FROM cum c JOIN targets t
+  ON c.cum >= t.target AND c.cum - c.n < t.target
 """
 
 
@@ -1626,6 +1618,7 @@ ORACLE_E_MMR_RERANK = _mmr_oracle()
 
 _PQ_M = 4  # subspaces over the 64-dim embeddings (16 dims each)
 _PQ_CB = tuple(range(16))  # codebook seed rows (16 codewords per subspace)
+_IVFPQ_FMT = 1  # persisted-index format version (bump on layout change)
 
 
 def e_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1765,10 +1758,10 @@ def e_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     RELATIVE TO brute force but deterministic in itself; the oracle
     re-derives coarse routing, PQ codes, and ADC tables exactly. Recall
     vs the uncompressed IVF path is pytest-measured
-    (tests/test_ann_index.py)."""
-    import hashlib
-    import tempfile
-
+    (tests/test_ann_index.py). The index build is cached per
+    (data, layout) by ivfpq_ensure_index — the steady-state cost of this
+    query is the probe, matching production where an index is built once
+    and probed many times."""
     from udlang_spark.operators import ann_index
 
     emb = load_table(spark, "embeddings", sf_dir)
@@ -1795,21 +1788,53 @@ def e_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             ),
         )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = f"{tempfile.gettempdir()}/udlang_spark_ivfpq_{tag}"
-    ann_index.write_ivfpq_index(
-        emb,
-        "embedding",
-        "vec_id",
-        path,
-        n_cells=16,
-        n_subspaces=_PQ_M,
-        codebook_ids=_PQ_CB,
-    )
+    path = ivfpq_ensure_index(spark, sf_dir)
     queries = emb.where(F.col("vec_id").isin(*_MMR_QUERY_IDS))
     return ann_index.probe_ivfpq_index(
         spark, path, queries, "embedding", "vec_id", k=10, n_probe=6
     )
+
+
+def ivfpq_ensure_index(
+    spark: SparkSession, sf_dir: str, force_rebuild: bool = False
+) -> str:
+    """Build the e_ivfpq_ann index ONCE per (data, layout) and reuse: the
+    index is a pure function of the source relation and the build
+    parameters, so the persisted copy is valid for every later probe in
+    the session — rebuilding per invocation conflated build cost with
+    probe cost in the headline bench (r6 verdict #6; bench.py now times
+    this build separately via force_rebuild=True and the headline query
+    measures the probe alone, the production-shaped cost). The key folds
+    in every build parameter plus a format version (bump _IVFPQ_FMT on
+    any layout change); the marker file is written only after
+    write_ivfpq_index fully returns (sidecars last), so a crashed build
+    is rebuilt, never probed."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from udlang_spark.operators import ann_index
+
+    key = f"{sf_dir}|cells=16|m={_PQ_M}|cb={_PQ_CB}|fmt={_IVFPQ_FMT}"
+    tag = hashlib.md5(key.encode()).hexdigest()[:10]
+    path = f"{tempfile.gettempdir()}/udlang_spark_ivfpq_{tag}"
+    marker = os.path.join(path, "_BUILT")
+    if force_rebuild and os.path.exists(path):
+        shutil.rmtree(path)
+    if not os.path.exists(marker):
+        emb = load_table(spark, "embeddings", sf_dir)
+        ann_index.write_ivfpq_index(
+            emb,
+            "embedding",
+            "vec_id",
+            path,
+            n_cells=16,
+            n_subspaces=_PQ_M,
+            codebook_ids=_PQ_CB,
+        )
+        with open(marker, "w") as fh:
+            fh.write(key)
+    return path
 
 
 def _ivfpq_oracle(
