@@ -71,7 +71,8 @@ _PRIORITY: list[str] = [
     "q49_inactive_rich_customers",
     "q50_funnel",
     # -- (c) round-7 operators land here (swap out the list tail) --
-    # -- (d) oldest r4 greens (27) --
+    "k_point",
+    # -- (d) oldest r4 greens --
     "k_hello",
     "k_function",
     "k_fact",
@@ -98,7 +99,6 @@ _PRIORITY: list[str] = [
     "d_simhash",
     "d_simhash_neardup",
     "t_token_stats",
-    "t_quality",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50

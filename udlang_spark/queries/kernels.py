@@ -658,8 +658,53 @@ SELECT CASE WHEN l_linenumber % 3 = 0 THEN -9
 FROM lineitem
 """
 
+POINT_KERNEL = """
+version 0.1-pre_mvp;
+script "point geometry";
+input Point;
+output Float;
+let d2 = in.x * in.x + in.y * in.y;
+out d2;
+out abs(in.x) + abs(in.y);
+"""
+
+
+def k_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `Point` primitive (reference src/ast.rs:177 TypeTag::Point,
+    src/ir.rs:362 Value::Point — a pair of floats) lowered to
+    struct<x double, y double>, with `.x`/`.y` field projection and
+    multi-`out` (squared norm + L1 norm per record → posexplode, two rows
+    per input). Promoted from the pytest-only mapping
+    (tests/test_kernel_oracle.py::test_point_type_kernel) to a driver-
+    oracled query per r6 verdict #8."""
+    ev = load_table(spark, "events", sf_dir)
+    df = ev.select(
+        "event_id",
+        F.struct(
+            F.col("value").cast("double").alias("x"),
+            (F.col("event_id") % 7).cast("double").alias("y"),
+        ).alias("p"),
+    )
+    return compile_kernel(POINT_KERNEL).apply(
+        df, input_col="p", keep=("event_id",)
+    ).select("event_id", "out")
+
+
+ORACLE_POINT = """
+SELECT event_id, u.out FROM (
+  SELECT event_id,
+         value::DOUBLE AS x,
+         CAST(event_id % 7 AS DOUBLE) AS y
+  FROM events
+) p, LATERAL (
+  SELECT unnest([x * x + y * y, abs(x) + abs(y)]) AS out
+) u
+"""
+
+
 QUERIES = {
     "k_hello": k_hello,
+    "k_point": k_point,
     "k_function": k_function,
     "k_fact": k_fact,
     "k_count": k_count,
@@ -699,6 +744,7 @@ ORACLE = {
     "k_comprehension": ORACLE_COMPREHENSION,
     "k_cast": ORACLE_CAST,
     "k_tower": ORACLE_TOWER,
+    "k_point": ORACLE_POINT,
     "k_generic": ORACLE_GENERIC,
     "k_builtins": ORACLE_BUILTINS,
     "k_modules": ORACLE_MODULES,
