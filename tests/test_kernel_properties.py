@@ -560,6 +560,96 @@ def test_compiled_equals_interp_on_structural_match(spark, expr, inputs):
     assert compiled == expect
 
 
+def _record_match_strategy():
+    """Random `match` over a RECORD subject (`in` with a record input
+    type) with typed binds — extends the structural-match fuzz (r6 verdict
+    #9, after the r5 interp MapVal/tuple-dict parity fixes): a {a,b}
+    record must satisfy exactly its own record type, never a record with
+    more fields, a Map(Int) (records are not MapVal), or a 2-tuple
+    (records are not _1.._n dicts). Arm sets and order are fuzzed so
+    fall-through past non-matching typed binds is exercised on both
+    paths."""
+    from udlang_spark.kernel import ast as A
+
+    rec_ab = A.TRecord(
+        (A.TRecordField("a", A.T_INT), A.TRecordField("b", A.T_INT))
+    )
+    rec_abc = A.TRecord(
+        (
+            A.TRecordField("a", A.T_INT),
+            A.TRecordField("b", A.T_INT),
+            A.TRecordField("c", A.T_INT),
+        )
+    )
+    tmap = A.TMap(A.T_INT)
+    t2 = A.TTuple((A.T_INT, A.T_INT))
+
+    arm_pool = {
+        "rec_ab": (rec_ab, lambda x: A.Bin("+", A.Dot(x, "a"), A.Dot(x, "b"))),
+        "rec_abc": (rec_abc, lambda x: A.Dot(x, "c")),
+        "map": (tmap, lambda x: A.Index(x, A.Lit("a"))),
+        "t2": (t2, lambda x: A.Index(x, A.Lit(0))),
+    }
+
+    def build(t):
+        arm_keys, with_catch = t
+        arms = []
+        for k in arm_keys:
+            pt, body_fn = arm_pool[k]
+            arms.append(A.MatchArm(A.PBind("x", pt), body_fn(A.Id("x"))))
+        if with_catch or "rec_ab" not in arm_keys:
+            arms.append(A.MatchArm(A.PBind("m", None), A.Lit(-99)))
+        return A.Match(subject=A.In(), arms=tuple(arms))
+
+    keys = st.sampled_from(["rec_ab", "rec_abc", "map", "t2"])
+    return st.tuples(
+        st.lists(keys, min_size=1, max_size=4, unique=True),
+        st.booleans(),
+    ).map(build)
+
+
+@given(
+    expr=_record_match_strategy(),
+    inputs=st.lists(
+        st.tuples(
+            st.integers(min_value=-7, max_value=7),
+            st.integers(min_value=-7, max_value=7),
+        ),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_compiled_equals_interp_on_record_match(spark, expr, inputs):
+    from udlang_spark.kernel import ast as A
+    from udlang_spark.kernel.api import Kernel
+    from udlang_spark.kernel.interp import Interp
+
+    rec_ab = A.TRecord(
+        (A.TRecordField("a", A.T_INT), A.TRecordField("b", A.T_INT))
+    )
+    prog = A.Program(
+        kind="script",
+        desc="fuzz-recordmatch",
+        decls=(),
+        input=rec_ab,
+        output=A.T_INT,
+        body=(A.Out(expr),),
+    )
+    df = spark.createDataFrame(list(inputs), "a long, b long")
+    compiled = {r[0] for r in Kernel(program=prog).apply(df).collect()}
+    interp = Interp(prog)
+    expect = {
+        out for a, b in inputs for out in interp.run({"a": a, "b": b})
+    }
+    assert compiled == expect
+
+
 def test_interp_map_has_is_key_containment():
     """`.?.` on a map holding a NULL value: compiled = map_contains_key
     (True); the interp must agree (ADVICE r5: it used to test value
