@@ -86,6 +86,9 @@ HEADLINE = [
     "t_weighted_sample",
     "q68_hierarchy",
     "s_cms_merge",
+    # round-7 additions
+    "q70_bucketed_join",
+    "q71_zorder_layout",
     "t_classifier_score",
     "e_pca_cov",
     "m_audio_features",

@@ -584,3 +584,43 @@ def test_classifier_score_rides_the_scan(spark):
     for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Join"):
         assert bad not in plan
     assert plan.count("Exchange") <= 2  # hashpartition(doc_id) (+AQE read)
+
+
+def test_zorder_cells_bound_both_dims(spark):
+    """Z-order locality (q71): every 16×16 z-cell's zone map is tight in
+    BOTH dimensions at once — max extent ≤ 15 per dim — which is what
+    makes per-file min/max pruning effective on either column after a
+    z-value sort. A 1-D sort by x gives the same bound only on x; its
+    trailing-dim extents span (nearly) the whole y range. Also pins that
+    the z-value is pure codegen: no Python eval nodes, one aggregate
+    exchange."""
+    from pyspark.sql import functions as F
+
+    from udlang_spark.queries import relational as rel
+    from udlang_spark.sources.tables import load_table
+
+    cells = rel.q71_zorder_layout(spark, SF_DIR_CORRECTNESS)
+    plan = plan_of(cells)
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Join"):
+        assert bad not in plan
+
+    rows = cells.collect()
+    assert len(rows) > 10
+    tile = 1 << (rel._Z_CELL_SHIFT // 2)
+    for r in rows:
+        assert r["x_max"] - r["x_min"] < tile, r
+        assert r["y_max"] - r["y_min"] < tile, r
+
+    # contrast: a 1-D sort on x leaves y unbounded — bin rows by x-ranges
+    # of the same cell count and measure the y extent per bin
+    li = load_table(spark, "lineitem", SF_DIR_CORRECTNESS)
+    x = (F.col("l_partkey") % (1 << rel._Z_BITS)).cast("long")
+    y = (F.col("l_suppkey") % (1 << rel._Z_BITS)).cast("long")
+    onedim = (
+        li.select((x / tile).cast("long").alias("xbin"), y.alias("y"))
+        .groupBy("xbin")
+        .agg((F.max("y") - F.min("y")).alias("y_extent"))
+        .agg(F.max("y_extent").alias("worst"))
+        .collect()[0]["worst"]
+    )
+    assert onedim >= tile  # 1-D layout cannot bound the second dimension

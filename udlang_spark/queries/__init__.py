@@ -72,6 +72,8 @@ _PRIORITY: list[str] = [
     "q50_funnel",
     # -- (c) round-7 operators land here (swap out the list tail) --
     "k_point",
+    "q70_bucketed_join",
+    "q71_zorder_layout",
     # -- (d) oldest r4 greens --
     "k_hello",
     "k_function",
@@ -97,8 +99,6 @@ _PRIORITY: list[str] = [
     "d_dedup_corpus",
     "d_ngram_jaccard",
     "d_simhash",
-    "d_simhash_neardup",
-    "t_token_stats",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50

@@ -2932,6 +2932,165 @@ FROM d, LATERAL (SELECT unnest(generate_series(0, len(wl) - 1)) AS i) g
 """
 
 
+# ---------------------------------------------------------------------------
+# q70 — co-bucketed join: the scale answer to "the biggest shuffle in the
+# pipeline is the orders⋈lineitem join". Both sides are written ONCE as
+# bucketed+sorted catalog tables on the join key (sources/bucketing.py);
+# every later join on that key plans as a sort-merge join with ZERO
+# Exchange on either side — each task reads matching bucket files from
+# both tables (tests/test_plans.py::test_cobucketed_join_has_no_exchange
+# pins the plan). At 100 TB this converts the pipeline's dominant shuffle
+# into a co-partitioned read that amortizes over every recurring join.
+# The bucketed write is cached per (sf_dir, n_buckets) like the IVF-PQ
+# index: an index/layout is built once and used many times, so the
+# steady-state cost of this query IS the exchange-free join.
+# ---------------------------------------------------------------------------
+_Q70_BUCKETS = 8
+
+
+def _q70_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import hashlib
+
+    from udlang_spark.sources import bucketing
+
+    tag = hashlib.md5(f"{sf_dir}|{_Q70_BUCKETS}".encode()).hexdigest()[:10]
+    to, tl = f"q70_orders_b_{tag}", f"q70_lineitem_b_{tag}"
+    if not (spark.catalog.tableExists(to) and spark.catalog.tableExists(tl)):
+        bucketing.write_bucketed(
+            _t(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority"
+            ),
+            to,
+            "o_orderkey",
+            n_buckets=_Q70_BUCKETS,
+        )
+        bucketing.write_bucketed(
+            _t(spark, sf_dir, "lineitem").select(
+                F.col("l_orderkey").alias("o_orderkey"),
+                "l_extendedprice",
+                "l_discount",
+            ),
+            tl,
+            "o_orderkey",
+            n_buckets=_Q70_BUCKETS,
+        )
+    return to, tl
+
+
+def q70_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udlang_spark.sources import bucketing
+
+    to, tl = _q70_tables(spark, sf_dir)
+    j = bucketing.cobucketed_join(spark, to, tl, "o_orderkey")
+    # money through DECIMAL for an exact cross-engine sum, then double
+    rev = F.sum(
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        ).cast("decimal(28,6)")
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            rev.cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_Q70 = """
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# q71 — Z-order (Morton) layout: interleave the bits of two join/filter
+# dimensions so that range predicates on EITHER dimension prune most
+# files. This is the multi-dimensional clustering trick behind Delta's
+# OPTIMIZE ZORDER / Iceberg's z-ordering: sorting by z-value puts rows
+# close in BOTH dimensions into the same file, so per-file min/max zone
+# maps stay tight on both columns at once (a plain sort keeps only its
+# leading column's zone maps tight). The query computes the z-value as a
+# pure-Column 32-term bit-interleave (whole-stage codegen, zero Python),
+# groups rows into z-cells (the file/rowgroup surrogate), and emits each
+# cell's zone map — n, min/max of both dims — which is exactly the
+# metadata a 100 TB scan would prune on. Locality is pytest-pinned
+# (tests/test_plans.py::test_zorder_cells_bound_both_dims: avg per-cell
+# extent of BOTH dims ≪ a 1-D sort's trailing-dim extent).
+# ---------------------------------------------------------------------------
+_Z_BITS = 8  # bits kept per dimension → 16-bit z-value
+_Z_CELL_SHIFT = 8  # z >> shift = cell id: each cell is a 16×16 (x,y) tile
+
+
+def _zvalue_col(x, y):
+    """Σ_i ((x>>i)&1)·4^i·1 + ((y>>i)&1)·4^i·2 — the Morton interleave as
+    one codegen-friendly sum of 2·_Z_BITS masked terms (constant shift
+    distances and multipliers, so the whole expression folds into
+    WholeStageCodegen; no UDF, no join)."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(F.shiftright(x, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i)))
+        terms.append(F.shiftright(y, i).bitwiseAND(F.lit(1)) * F.lit(2 << (2 * i)))
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return z
+
+
+def q71_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    x = (F.col("l_partkey") % (1 << _Z_BITS)).cast("long")
+    y = (F.col("l_suppkey") % (1 << _Z_BITS)).cast("long")
+    cells = (
+        li.select(
+            F.shiftright(_zvalue_col(x, y), _Z_CELL_SHIFT).alias("zcell"),
+            x.alias("x"),
+            y.alias("y"),
+        )
+        .groupBy("zcell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+    )
+    return cells.orderBy("zcell")
+
+
+def _zorder_oracle() -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((x >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"((y >> {i}) & 1) * {2 << (2 * i)}")
+    zexpr = " + ".join(terms)
+    return f"""
+WITH pts AS (
+  SELECT l_partkey % {1 << _Z_BITS} AS x, l_suppkey % {1 << _Z_BITS} AS y
+  FROM lineitem
+)
+SELECT ({zexpr}) >> {_Z_CELL_SHIFT} AS zcell,
+       count(*) AS n,
+       min(x) AS x_min, max(x) AS x_max,
+       min(y) AS y_min, max(y) AS y_max
+FROM pts
+GROUP BY 1
+ORDER BY zcell
+"""
+
+
+ORACLE_Q71 = _zorder_oracle()
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_forecast_revenue": q02_forecast_revenue,
@@ -3002,6 +3161,8 @@ QUERIES = {
     "q67_bloom_prune": q67_bloom_prune,
     "q68_hierarchy": q68_hierarchy,
     "q69_udtf": q69_udtf,
+    "q70_bucketed_join": q70_bucketed_join,
+    "q71_zorder_layout": q71_zorder_layout,
 }
 
 ORACLE = {
@@ -3074,4 +3235,6 @@ ORACLE = {
     "q67_bloom_prune": ORACLE_Q67,
     "q68_hierarchy": ORACLE_Q68,
     "q69_udtf": ORACLE_Q69,
+    "q70_bucketed_join": ORACLE_Q70,
+    "q71_zorder_layout": ORACLE_Q71,
 }
