@@ -89,6 +89,8 @@ HEADLINE = [
     # round-7 additions
     "q70_bucketed_join",
     "q71_zorder_layout",
+    "t_kmv_jaccard",
+    "t_group_quantiles",
     "t_classifier_score",
     "e_pca_cov",
     "m_audio_features",

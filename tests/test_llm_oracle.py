@@ -689,6 +689,48 @@ def test_quantile_histogram_merges_by_sum(spark):
     assert merged == whole
 
 
+def test_kmv_estimates_near_exact(spark):
+    """KMV distinct estimates land within the sketch's standard error
+    (~1/sqrt(k−1) ≈ 8.9% at k=128; assert 3σ) of the exact distinct token
+    counts, and the Jaccard estimate is within 0.25 of exact Jaccard —
+    the accuracy witness for t_kmv_jaccard (exact distinct is the
+    full-shuffle work the sketch replaces, so it lives here, not in the
+    oracled query)."""
+    from pyspark.sql import functions as F
+
+    from udlang_spark.functions import text as TXT
+    from udlang_spark.queries import llm as llm_q
+    from udlang_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", SF_DIR_CORRECTNESS)
+
+    def tokens(lang):
+        return {
+            r["tok"]
+            for r in docs.where(F.col("lang") == lang)
+            .select(F.explode(TXT.words(F.col("text"))).alias("tok"))
+            .distinct()
+            .collect()
+        }
+
+    en, de = tokens("en"), tokens("de")
+    row = llm_q.t_kmv_jaccard(spark, SF_DIR_CORRECTNESS).collect()[0]
+    rel_err = 3 * (llm_q._KMV_K - 1) ** -0.5
+    assert abs(row["est_en"] - len(en)) <= rel_err * len(en), (
+        row["est_en"],
+        len(en),
+    )
+    assert abs(row["est_de"] - len(de)) <= rel_err * len(de), (
+        row["est_de"],
+        len(de),
+    )
+    exact_j = len(en & de) / len(en | de)
+    assert abs(row["jaccard_est"] - exact_j) <= 0.25, (
+        row["jaccard_est"],
+        exact_j,
+    )
+
+
 def test_quantile_sketch_accuracy(spark):
     """Every estimated quantile lands within half a bucket width of the
     exact interpolated percentile (the sketch's resolution bound). The

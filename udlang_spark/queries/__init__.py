@@ -74,6 +74,8 @@ _PRIORITY: list[str] = [
     "k_point",
     "q70_bucketed_join",
     "q71_zorder_layout",
+    "t_kmv_jaccard",
+    "t_group_quantiles",
     # -- (d) oldest r4 greens --
     "k_hello",
     "k_function",
@@ -97,8 +99,6 @@ _PRIORITY: list[str] = [
     "d_fingerprint",
     "d_minhash_lsh",
     "d_dedup_corpus",
-    "d_ngram_jaccard",
-    "d_simhash",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50

@@ -1165,6 +1165,229 @@ FROM cum c JOIN targets t
 ORACLE_QUANTILE_SKETCH = _quantile_sketch_oracle()
 
 
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch + set algebra (Beyer et al. 2007,
+# "On Synopses for Distinct-Value Estimation Under Multiset Operations").
+# The fourth mergeable-sketch family member, and the one with SET ALGEBRA:
+# two KMV sketches union by "k smallest of the merged hash sets", and the
+# union sketch supports a Jaccard / intersection estimate that HLL cannot
+# give. State is k 48-bit hashes per set — constant, partition-mergeable,
+# redelivery-safe (pure function of the distinct keys).
+# ---------------------------------------------------------------------------
+_KMV_K = 128
+_KMV_BITS = 48  # 12 md5 hex chars: < 2^53, so int→double stays exact-ish
+# (k−1)·2^48 precomputed in Python so BOTH engines divide by one shared
+# double literal (the same no-transcendentals discipline as _HLL_NUM)
+_KMV_NUM = float((_KMV_K - 1) * 2**_KMV_BITS)
+
+
+def _kmv_hashes(docs: DataFrame, lang: str) -> DataFrame:
+    """Distinct 48-bit token hashes for one language slice — the sketch's
+    input domain. Distinct-by-hash (not by token) so the min-k boundary
+    can never tie across engines."""
+    return (
+        docs.where(F.col("lang") == lang)
+        .select(F.explode(TXT.words(F.col("text"))).alias("tok"))
+        .select(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("kmv:"), F.col("tok"))), 1, 12
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h")
+        )
+        .distinct()
+    )
+
+
+def t_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketches over the 'en' and 'de' token sets: per-set distinct
+    estimates ((k−1)·2^48 / h_k, exact count when the set has < k
+    hashes), plus the KMV Jaccard estimate |U_k ∩ A_k ∩ B_k| / |U_k|
+    from the union sketch.
+
+    Scale shape: one scan per set → distinct-hash shuffle (bounded by
+    distinct tokens, with map-side partial dedup) → min-k via
+    orderBy+limit, which Spark plans as TakeOrdered: per-partition
+    partial top-k, driver merge of k·partitions rows — never a full
+    sort. Every post-sketch relation is ≤ k rows, so the set algebra
+    (union, membership joins) is broadcast work. At 100 TB the sketches
+    are the only state that moves: k hashes per (set, partition),
+    merged associatively."""
+    docs = load_table(spark, "documents", sf_dir)
+    a_h, b_h = _kmv_hashes(docs, "en"), _kmv_hashes(docs, "de")
+    a_k = a_h.orderBy("h").limit(_KMV_K)
+    b_k = b_h.orderBy("h").limit(_KMV_K)
+    u_k = a_h.union(b_h).distinct().orderBy("h").limit(_KMV_K)
+
+    def est(stats_n, stats_hk):
+        return F.round(
+            F.when(stats_n < _KMV_K, stats_n.cast("double")).otherwise(
+                F.lit(_KMV_NUM) / stats_hk.cast("double")
+            ),
+            4,
+        )
+
+    sa = a_k.agg(F.count("h").alias("n_a"), F.max("h").alias("hk_a"))
+    sb = b_k.agg(F.count("h").alias("n_b"), F.max("h").alias("hk_b"))
+    su = u_k.agg(F.count("h").alias("k_eff"))
+    it = (
+        u_k.join(a_k, "h", "left_semi")
+        .join(b_k, "h", "left_semi")
+        .agg(F.count("h").alias("inter_k"))
+    )
+    return (
+        sa.crossJoin(sb)
+        .crossJoin(su)
+        .crossJoin(it)
+        .select(
+            F.col("k_eff").alias("k_eff"),
+            est(F.col("n_a"), F.col("hk_a")).alias("est_en"),
+            est(F.col("n_b"), F.col("hk_b")).alias("est_de"),
+            F.col("inter_k"),
+            F.round(
+                F.when(F.col("k_eff") == 0, F.lit(0.0)).otherwise(
+                    F.col("inter_k").cast("double") / F.col("k_eff")
+                ),
+                4,
+            ).alias("jaccard_est"),
+        )
+    )
+
+
+def _kmv_oracle(k: int = _KMV_K) -> str:
+    def hashes(lang: str) -> str:
+        return f"""
+  SELECT DISTINCT CAST(CAST(concat('0x', substr(md5('kmv:' || tok), 1, 12))
+                   AS UBIGINT) AS BIGINT) AS h
+  FROM (SELECT unnest({_WORDS_DUCK}) AS tok
+        FROM documents WHERE lang = '{lang}') t"""
+
+    def est(n: str, hk: str) -> str:
+        return (
+            f"round(CASE WHEN {n} < {k} THEN CAST({n} AS DOUBLE) "
+            f"ELSE {_KMV_NUM!r} / CAST({hk} AS DOUBLE) END, 4)"
+        )
+
+    return f"""
+WITH ta AS ({hashes("en")}),
+tb AS ({hashes("de")}),
+ak AS (SELECT h FROM ta ORDER BY h LIMIT {k}),
+bk AS (SELECT h FROM tb ORDER BY h LIMIT {k}),
+uk AS (SELECT h FROM (SELECT h FROM ta UNION SELECT h FROM tb) u
+       ORDER BY h LIMIT {k}),
+sa AS (SELECT count(*) AS n_a, max(h) AS hk_a FROM ak),
+sb AS (SELECT count(*) AS n_b, max(h) AS hk_b FROM bk),
+su AS (SELECT count(*) AS k_eff FROM uk),
+it AS (SELECT count(*) AS inter_k FROM uk
+       WHERE h IN (SELECT h FROM ak) AND h IN (SELECT h FROM bk))
+SELECT k_eff,
+  {est("sa.n_a", "sa.hk_a")} AS est_en,
+  {est("sb.n_b", "sb.hk_b")} AS est_de,
+  it.inter_k AS inter_k,
+  round(CASE WHEN k_eff = 0 THEN 0.0
+             ELSE CAST(it.inter_k AS DOUBLE) / k_eff END, 4) AS jaccard_est
+FROM sa, sb, su, it
+"""
+
+
+ORACLE_KMV_JACCARD = _kmv_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Per-group histogram quantiles: the mergeable quantile sketch keyed by a
+# group column — the "quantiles per domain/day/source" shape a corpus
+# pipeline actually runs (global quantiles rarely suffice). Same exact
+# integer-arithmetic probe as t_quantile_sketch, partitioned per group.
+# ---------------------------------------------------------------------------
+def t_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of l_extendedprice PER l_returnflag from per-group
+    fixed-width histograms. Scale shape: ONE map-side-combining count
+    aggregate to (group × bucket) rows; the cumulative window and the
+    quantile probe join run over that bounded bucket relation, partitioned
+    by group — adding a group key to the sketch costs a key column, not a
+    second pass. Histograms merge per group by integer sum, so daily /
+    per-shard group histograms roll up exactly."""
+    li = load_table(spark, "lineitem", sf_dir)
+    price = F.col("l_extendedprice").cast("double")
+    hist = li.groupBy(
+        F.col("l_returnflag").alias("grp"),
+        F.floor(price / F.lit(float(_QSK_WIDTH))).cast("long").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("grp").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.withColumn("cum", F.sum("n").over(w))
+    totals = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    quants = spark.createDataFrame(
+        [(name, num, den) for num, den, name in _QSK_QUANTS],
+        "q string, num long, den long",
+    )
+    targets = totals.crossJoin(F.broadcast(quants)).select(
+        "grp",
+        "q",
+        F.expr("(n_total * num + den - 1) div den").alias("target"),
+        "n_total",
+    )
+    probe = cum.join(
+        F.broadcast(targets),
+        (cum["grp"] == targets["grp"])
+        & (F.col("cum") >= F.col("target"))
+        & (F.col("cum") - F.col("n") < F.col("target")),
+    ).drop(targets["grp"])
+    est = F.round(
+        F.col("bucket").cast("double") * _QSK_WIDTH
+        + F.lit(float(_QSK_WIDTH))
+        * (F.col("target") - (F.col("cum") - F.col("n"))).cast("double")
+        / F.col("n").cast("double"),
+        4,
+    )
+    return probe.select("grp", "q", est.alias("est"), "n_total").orderBy(
+        "grp", "q"
+    )
+
+
+def _group_quantiles_oracle(width: int = _QSK_WIDTH) -> str:
+    qrows = ", ".join(
+        f"('{name}', {num}::BIGINT, {den}::BIGINT)"
+        for num, den, name in _QSK_QUANTS
+    )
+    return f"""
+WITH hist AS (
+  SELECT l_returnflag AS grp,
+         CAST(floor(l_extendedprice::DOUBLE / {width}.0) AS BIGINT) AS bucket,
+         count(*) AS n
+  FROM lineitem GROUP BY 1, 2),
+cum AS (
+  SELECT grp, bucket, n,
+         sum(n) OVER (PARTITION BY grp ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist),
+tot AS (SELECT l_returnflag AS grp, count(*) AS n_total
+        FROM lineitem GROUP BY 1),
+quants AS (SELECT * FROM (VALUES {qrows}) v(q, num, den)),
+targets AS (
+  SELECT grp, q, (n_total * num + den - 1) // den AS target, n_total
+  FROM tot, quants)
+SELECT t.grp, t.q,
+  round(CAST(c.bucket AS DOUBLE) * {width}
+    + {width}.0 * CAST(t.target - (c.cum - c.n) AS DOUBLE)
+      / CAST(c.n AS DOUBLE), 4) AS est,
+  t.n_total
+FROM cum c JOIN targets t
+  ON c.grp = t.grp AND c.cum >= t.target AND c.cum - c.n < t.target
+ORDER BY t.grp, t.q
+"""
+
+
+ORACLE_GROUP_QUANTILES = _group_quantiles_oracle()
+
+
 _WSAMPLE_K = 50
 
 
@@ -3543,6 +3766,8 @@ QUERIES = {
     "t_cms_freq": t_cms_freq,
     "t_hll_distinct": t_hll_distinct,
     "t_quantile_sketch": t_quantile_sketch,
+    "t_kmv_jaccard": t_kmv_jaccard,
+    "t_group_quantiles": t_group_quantiles,
     "t_weighted_sample": t_weighted_sample,
     "e_int8_quantize": e_int8_quantize,
     "d_simhash_neardup": d_simhash_neardup,
@@ -3603,6 +3828,8 @@ ORACLE = {
     "t_cms_freq": ORACLE_CMS_FREQ,
     "t_hll_distinct": ORACLE_HLL_DISTINCT,
     "t_quantile_sketch": ORACLE_QUANTILE_SKETCH,
+    "t_kmv_jaccard": ORACLE_KMV_JACCARD,
+    "t_group_quantiles": ORACLE_GROUP_QUANTILES,
     "t_weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "e_int8_quantize": ORACLE_INT8_QUANT,
     "d_simhash_neardup": ORACLE_SIMHASH_NEARDUP,
