@@ -65,7 +65,7 @@ def _replay_dir(
     # repartition, not coalesce: coalesce cannot INCREASE the partition
     # count, so a small source could collapse the replay to one file and
     # make every run a single micro-batch — the multi-batch claims
-    # (s_cms_merge's maxFilesPerTrigger=1) need ≥4 actual files. All
+    # (s_cms_merge maxFilesPerTrigger=2 over 4 files → ≥2 batches) need them. All
     # drained results are micro-batching-invariant by design, so the
     # shuffled file assignment is immaterial.
     json_lift.lower_json(rel.select(*cols), cols).select("json").repartition(
@@ -275,9 +275,11 @@ def s_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     STATELESS — each micro-batch's (row, bucket) cells are aggregated to a
     batch-local delta and folded into a persisted sketch table via
     foreachBatch (runner.run_sketch_merge_stream), the persisted table
-    being the state, exactly like the CDC apply. maxFilesPerTrigger=1
-    forces one micro-batch per replay file, so the merge provably
-    accumulates across ≥2 batches on every run. Integer counts merge
+    being the state, exactly like the CDC apply. maxFilesPerTrigger=2
+    over the 4-file replay still forces ≥2 micro-batches per run (the
+    r6 bench showed per-batch streaming overhead dominates this entry;
+    deeper multi-batch accumulation is pinned in tests/test_streaming.py
+    with its own forcing). Integer counts merge
     associatively, so the final sketch equals t_cms_freq's batch sketch
     and this query shares its DuckDB oracle verbatim — the same
     mergeability statement as s_cms_stream, demonstrated through the
@@ -292,7 +294,7 @@ def s_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
         spark.readStream.schema(json_lift.input_schema(doc_t))
         .option("mode", "FAILFAST")
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .json(tmp)
     )
     toks = src.select(F.explode(TXT.words("text")).alias("tok"))
@@ -338,7 +340,7 @@ def s_quantile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
         spark.readStream.schema(json_lift.input_schema(price_t))
         .option("mode", "FAILFAST")
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .json(tmp)
     )
     cells = src.select(
@@ -407,7 +409,7 @@ def s_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a persisted register table via the same foreachBatch delta-merge
     as s_cms_merge, in mode='max' — MAX-merge is the HLL register
     combine, so the drained table equals the batch sketch under any
-    micro-batching (maxFilesPerTrigger=1 forces ≥2 batches every run).
+    micro-batching (maxFilesPerTrigger=2 over 4 replay files still forces ≥2 batches).
     The estimate (shared _HLL formula + precomputed linear-counting
     table) and the exact distinct witness run batch-side on the drained
     registers. Together with s_cms_merge this demonstrates both mergeable
@@ -422,7 +424,7 @@ def s_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
         spark.readStream.schema(json_lift.input_schema(doc_t))
         .option("mode", "FAILFAST")
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .json(tmp)
     )
     bucket, rank = _llm._hll_bucket_rank(F.col("tok"))
