@@ -91,6 +91,7 @@ HEADLINE = [
     "q71_zorder_layout",
     "t_kmv_jaccard",
     "t_group_quantiles",
+    "m_ahash_dedup",
     "t_classifier_score",
     "e_pca_cov",
     "m_audio_features",

@@ -118,6 +118,60 @@ def decode_images(
     return df.select(id_col, payload_col).mapInPandas(decode, IMAGE_META_SCHEMA)
 
 
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("ahash", StringType()),
+    ]
+)
+
+
+def image_ahash(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Average-hash perceptual fingerprint over REAL decoded pixels: per
+    pixel, brightness = R+G+B (exact small ints); bit = 1 iff
+    brightness·n > Σbrightness (the mean comparison cross-multiplied so
+    it stays in EXACT integer arithmetic — no float mean, no cross-engine
+    rounding surface); the row-major bit string is the hash. Two images
+    with the same dims and hash are perceptual duplicates (aHash is the
+    classic cheap near-dup fingerprint; production would downsample to
+    8×8 first — here the synthetic images are already ≤13×7).
+
+    Scale shape: one Arrow-batched mapInPandas pass; pixels never leave
+    the executors (only the ≤width·height-char hash survives), and dup
+    grouping downstream is an ordinary hash shuffle on the fingerprint."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from udlang_spark.operators import codecs
+
+        for pdf in batches:
+            ids, ws, hs, hashes = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                px = codecs.decode_pixels(bytes(payload)).astype(np.int64)
+                px = _as_rgb(px)
+                bright = px.sum(axis=2).ravel()  # row-major pixel order
+                n = int(bright.size)
+                total = int(bright.sum())
+                bits = "".join(
+                    "1" if int(b) * n > total else "0" for b in bright
+                )
+                ids.append(int(doc_id))
+                ws.append(px.shape[1])
+                hs.append(px.shape[0])
+                hashes.append(bits)
+            yield pd.DataFrame(
+                {"doc_id": ids, "width": ws, "height": hs, "ahash": hashes}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, AHASH_SCHEMA)
+
+
 FEATURE_DIM = 16
 
 

@@ -76,6 +76,7 @@ _PRIORITY: list[str] = [
     "q71_zorder_layout",
     "t_kmv_jaccard",
     "t_group_quantiles",
+    "m_ahash_dedup",
     # -- (d) oldest r4 greens --
     "k_hello",
     "k_function",
@@ -98,7 +99,6 @@ _PRIORITY: list[str] = [
     "d_exact_dedup",
     "d_fingerprint",
     "d_minhash_lsh",
-    "d_dedup_corpus",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50

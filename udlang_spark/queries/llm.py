@@ -2230,13 +2230,13 @@ FROM documents
 """
 
 
-def m_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode, oracle-checked end-to-end: workers synthesize a
-    binary PPM(P6) per document (dims derived from doc_id, pixel bytes from
-    the text's md5 digest cycled), then decode_images(decode_mode="real")
-    parses the bytes back with the stdlib codec (operators/codecs.py — no
-    PIL in this container). The oracle recomputes the dims arithmetically,
-    so a header-math or parser bug goes driver-red."""
+def _synth_ppm(docs: DataFrame) -> DataFrame:
+    """Worker-side synthetic PPM(P6) per document: dims from doc_id
+    (w = id%13+1, h = id%7+1), pixel bytes = md5(text) digest cycled.
+    Deterministic and arithmetically re-derivable in SQL, so queries over
+    the DECODED pixels (m_real_decode, m_ahash_dedup) stay fully
+    oracle-checkable without an image corpus in the container. NULL text
+    is coalesced to '' BEFORE hashing on both engines."""
     import hashlib as _hashlib
 
     from pyspark.sql.types import BinaryType, LongType, StructField, StructType
@@ -2255,12 +2255,89 @@ def m_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(b"P6\n%d %d\n255\n" % (w, h) + px)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
     )
-    ppm = docs.mapInPandas(build_ppm, schema)
-    return multimodal.decode_images(ppm, decode_mode="real")
+    return docs.select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    ).mapInPandas(build_ppm, schema)
+
+
+def m_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-checked end-to-end: workers synthesize a
+    binary PPM(P6) per document (_synth_ppm), then
+    decode_images(decode_mode="real") parses the bytes back with the
+    stdlib codec (operators/codecs.py — no PIL in this container). The
+    oracle recomputes the dims arithmetically, so a header-math or parser
+    bug goes driver-red."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return multimodal.decode_images(_synth_ppm(docs), decode_mode="real")
+
+
+def m_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup by average-hash over REAL decoded pixels:
+    synthesize a PPM per doc (_synth_ppm), decode and fingerprint it
+    (operators/multimodal.image_ahash — brightness·n > Σbrightness per
+    pixel, exact integer arithmetic), then count perceptual duplicates by
+    (width, height, ahash). The oracle re-derives EVERY pixel byte from
+    the md5 digest arithmetic in SQL and recomputes the same bit string —
+    a full pixel-path differential test, not just a dims check.
+
+    Scale shape: decode + hash ride one Arrow mapInPandas pass (pixels
+    stay on executors); the dup count is a window over the fingerprint —
+    one hash shuffle of (id, ≤91-char hash) rows, independent of image
+    byte volume. At 100 TB of images the shuffled bytes are ~1/1000th of
+    the scanned bytes."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    hashed = multimodal.image_ahash(_synth_ppm(docs))
+    w = Window.partitionBy("width", "height", "ahash")
+    return hashed.select(
+        "doc_id",
+        "width",
+        "height",
+        "ahash",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_dups"),
+    ).orderBy("doc_id")
+
+
+def _ahash_oracle() -> str:
+    # byte k of the cycled digest = hex pair (k mod 16) of md5(text)
+    def byte(expr: str) -> str:
+        return (
+            f"CAST(concat('0x', substr(hex, 2 * (({expr}) % 16) + 1, 2)) "
+            f"AS BIGINT)"
+        )
+
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id % 13 + 1 AS INTEGER) AS width,
+         CAST(doc_id % 7 + 1 AS INTEGER) AS height,
+         md5(coalesce(text, '')) AS hex
+  FROM documents),
+px AS (
+  SELECT doc_id, width, height, g.p,
+         {byte("3 * g.p")} + {byte("3 * g.p + 1")} + {byte("3 * g.p + 2")}
+           AS bright
+  FROM d, LATERAL (
+    SELECT unnest(generate_series(0, width * height - 1)) AS p) g),
+tot AS (
+  SELECT doc_id, sum(bright) AS total, count(*) AS n
+  FROM px GROUP BY doc_id),
+bits AS (
+  SELECT px.doc_id, px.width, px.height,
+         string_agg(CASE WHEN px.bright * t.n > t.total THEN '1' ELSE '0' END,
+                    '' ORDER BY px.p) AS ahash
+  FROM px JOIN tot t USING (doc_id)
+  GROUP BY px.doc_id, px.width, px.height)
+SELECT doc_id, width, height, ahash,
+       count(*) OVER (PARTITION BY width, height, ahash) AS n_dups
+FROM bits
+ORDER BY doc_id
+"""
+
+
+ORACLE_AHASH_DEDUP = _ahash_oracle()
 
 
 ORACLE_REAL_DECODE = """
@@ -3792,6 +3869,7 @@ QUERIES = {
     "m_payload_meta": m_payload_meta,
     "m_image_meta": m_image_meta,
     "m_real_decode": m_real_decode,
+    "m_ahash_dedup": m_ahash_dedup,
     "m_frames": m_frames,
     "m_video_frames": m_video_frames,
     "m_features": m_features,
@@ -3843,6 +3921,7 @@ ORACLE = {
     "m_payload_meta": ORACLE_PAYLOAD_META,
     "m_image_meta": ORACLE_IMAGE_META,
     "m_real_decode": ORACLE_REAL_DECODE,
+    "m_ahash_dedup": ORACLE_AHASH_DEDUP,
     "m_frames": ORACLE_M_FRAMES,
     "m_video_frames": ORACLE_M_VIDEO_FRAMES,
     "m_features": ORACLE_M_FEATURES,
