@@ -92,6 +92,7 @@ HEADLINE = [
     "t_kmv_jaccard",
     "t_group_quantiles",
     "m_ahash_dedup",
+    "s_kmv_stream",
     "t_classifier_score",
     "e_pca_cov",
     "m_audio_features",

@@ -715,6 +715,54 @@ def test_hll_delta_merge_equals_batch(spark, tmp_path):
     assert got == want
 
 
+def test_kmv_delta_merge_equals_batch(spark, tmp_path):
+    """mode='min_k' delta-merge (KMV k-minima) under forced multi-batch
+    ingestion equals the batch k smallest distinct hashes EXACTLY — the
+    MIN-K counterpart of the CMS sum-merge and HLL max-merge tests (the
+    global k-minima are each among their own batch's k-minima, so the
+    bounded per-batch delta loses nothing)."""
+    from pyspark.sql import functions as F
+
+    from udlang_spark.functions import text as TXT
+    from udlang_spark.kernel import ast as A
+    from udlang_spark.queries import llm as llm_q
+
+    k = 32
+    docs = load_table(spark, "documents", SF_DIR_SMOKE)
+    rep = str(tmp_path / "docs_json")
+    json_lift.lower_json(
+        docs.select("doc_id", "text"), ("doc_id", "text")
+    ).select("json").repartition(3).write.mode("overwrite").text(rep)
+    doc_t = A.TRecord(
+        (A.TRecordField("doc_id", A.T_INT), A.TRecordField("text", A.T_STR))
+    )
+    src = (
+        spark.readStream.schema(json_lift.input_schema(doc_t))
+        .option("mode", "FAILFAST")
+        .option("maxFilesPerTrigger", 1)
+        .json(rep)
+    )
+    cells = src.select(F.explode(TXT.words("text")).alias("tok")).select(
+        llm_q._kmv_hash_col(F.col("tok")).alias("h")
+    )
+    target = str(tmp_path / "kmv_target")
+    runner.run_sketch_merge_stream(
+        spark, cells, target, str(tmp_path / "kmv_ckpt"),
+        cell_cols=("h",), mode="min_k", k=k,
+    )
+    merged = spark.read.parquet(target)
+    assert merged.agg(F.max("_last_batch")).collect()[0][0] >= 1
+    got = sorted(r["h"] for r in merged.drop("_last_batch").collect())
+    assert len(got) <= k
+    bh = (
+        docs.select(F.explode(TXT.words("text")).alias("tok"))
+        .select(llm_q._kmv_hash_col(F.col("tok")).alias("h"))
+        .distinct()
+    )
+    want = sorted(r["h"] for r in bh.orderBy("h").limit(k).collect())
+    assert got == want
+
+
 def test_enrich_stream_equals_batch(spark, duck):
     """Stream-static enrichment join drains to exactly the batch join's
     aggregate — the static dimension is re-read per micro-batch, and the

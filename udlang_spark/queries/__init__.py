@@ -77,6 +77,7 @@ _PRIORITY: list[str] = [
     "t_kmv_jaccard",
     "t_group_quantiles",
     "m_ahash_dedup",
+    "s_kmv_stream",
     # -- (d) oldest r4 greens --
     "k_hello",
     "k_function",
@@ -98,7 +99,6 @@ _PRIORITY: list[str] = [
     "k_spread",
     "d_exact_dedup",
     "d_fingerprint",
-    "d_minhash_lsh",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50

@@ -1181,6 +1181,14 @@ _KMV_BITS = 48  # 12 md5 hex chars: < 2^53, so int→double stays exact-ish
 _KMV_NUM = float((_KMV_K - 1) * 2**_KMV_BITS)
 
 
+def _kmv_hash_col(tok):
+    """48-bit KMV hash of one token — shared by the batch sketch and the
+    streaming min_k delta-merge twin (queries/streaming.s_kmv_stream)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmv:"), tok)), 1, 12), 16, 10
+    ).cast("long")
+
+
 def _kmv_hashes(docs: DataFrame, lang: str) -> DataFrame:
     """Distinct 48-bit token hashes for one language slice — the sketch's
     input domain. Distinct-by-hash (not by token) so the min-k boundary
@@ -1188,17 +1196,7 @@ def _kmv_hashes(docs: DataFrame, lang: str) -> DataFrame:
     return (
         docs.where(F.col("lang") == lang)
         .select(F.explode(TXT.words(F.col("text"))).alias("tok"))
-        .select(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("kmv:"), F.col("tok"))), 1, 12
-                ),
-                16,
-                10,
-            )
-            .cast("long")
-            .alias("h")
-        )
+        .select(_kmv_hash_col(F.col("tok")).alias("h"))
         .distinct()
     )
 

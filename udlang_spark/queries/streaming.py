@@ -575,6 +575,71 @@ FROM fin, exact
 ORACLE_HLL_STREAM = _hll_stream_oracle()
 
 
+def s_kmv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV distinct sketch: mode='min_k' delta-merge — each
+    micro-batch's k smallest distinct token hashes fold into the
+    persisted k-minima table (the global k-minima are each among their
+    batch's k-minima, so the bounded state loses nothing under any
+    micro-batching). Completes the THIRD mergeable sketch algebra through
+    the same runner: SUM (s_cms_merge), MAX (s_hll_stream), MIN-K (this).
+    The drained k-set answers the distinct estimate exactly as the batch
+    KMV (t_kmv_jaccard) does: (k−1)·2^48 / h_k, exact count below k."""
+    tmp = _replay_dir(
+        spark, sf_dir, table="documents", cols=("doc_id", "text"),
+        prefix="udlang_stream_kmv",
+    )
+    doc_t = ast.TRecord(
+        (ast.TRecordField("doc_id", ast.T_INT), ast.TRecordField("text", ast.T_STR))
+    )
+    src = (
+        spark.readStream.schema(json_lift.input_schema(doc_t))
+        .option("mode", "FAILFAST")
+        .option("maxFilesPerTrigger", 2)
+        .json(tmp)
+    )
+    cells = src.select(F.explode(TXT.words("text")).alias("tok")).select(
+        _llm._kmv_hash_col(F.col("tok")).alias("h")
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    target = os.path.join(tempfile.gettempdir(), f"udlang_kmv_target_{tag}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"udlang_kmv_ckpt_{tag}")
+    shutil.rmtree(target, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    runner.run_sketch_merge_stream(
+        spark, cells, target, ckpt,
+        cell_cols=("h",), mode="min_k", k=_llm._KMV_K,
+    )
+    kset = spark.read.parquet(target).drop("_last_batch")
+    agg = kset.agg(F.count("h").alias("k_eff"), F.max("h").alias("hk"))
+    est = F.round(
+        F.when(
+            F.col("k_eff") < _llm._KMV_K, F.col("k_eff").cast("double")
+        ).otherwise(F.lit(_llm._KMV_NUM) / F.col("hk").cast("double")),
+        4,
+    )
+    return agg.select("k_eff", est.alias("est_distinct"))
+
+
+def _kmv_stream_oracle() -> str:
+    k = _llm._KMV_K
+    return f"""
+WITH t AS (
+  SELECT DISTINCT CAST(CAST(concat('0x', substr(md5('kmv:' || tok), 1, 12))
+                   AS UBIGINT) AS BIGINT) AS h
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents) u),
+ak AS (SELECT h FROM t ORDER BY h LIMIT {k})
+SELECT count(*) AS k_eff,
+  round(CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+             ELSE {_llm._KMV_NUM!r} / CAST(max(h) AS DOUBLE) END, 4)
+    AS est_distinct
+FROM ak
+"""
+
+
+ORACLE_KMV_STREAM = _kmv_stream_oracle()
+
+
 QUERIES = {
     "s_kernel_stream": s_kernel_stream,
     "s_windowed_stream": s_windowed_stream,
@@ -585,6 +650,7 @@ QUERIES = {
     "s_cms_stream": s_cms_stream,
     "s_cms_merge": s_cms_merge,
     "s_hll_stream": s_hll_stream,
+    "s_kmv_stream": s_kmv_stream,
     "s_enrich_stream": s_enrich_stream,
     "s_quantile_stream": s_quantile_stream,
     "s_session_stream": s_session_stream,
@@ -701,6 +767,7 @@ ORACLE: dict[str, str] = {
     "s_cms_stream": _llm.ORACLE_CMS_FREQ,
     "s_cms_merge": _llm.ORACLE_CMS_FREQ,
     "s_hll_stream": ORACLE_HLL_STREAM,
+    "s_kmv_stream": ORACLE_KMV_STREAM,
     "s_enrich_stream": ORACLE_ENRICH_STREAM,
     # the streaming histogram equals the batch histogram exactly
     # (associative integer counts), so the batch quantile oracle applies

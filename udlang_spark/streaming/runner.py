@@ -306,6 +306,7 @@ def run_sketch_merge_stream(
     mode: str = "count_sum",
     value_col: str | None = None,
     out_col: str | None = None,
+    k: int | None = None,
     timeout_s: int = 120,
 ) -> None:
     """Streaming sketch via foreachBatch DELTA-MERGE: each micro-batch
@@ -318,11 +319,15 @@ def run_sketch_merge_stream(
     batch it writes O(sketch), and the stream plan itself is stateless
     (the persisted table IS the state, the CDC-apply pattern).
 
-    Two merge modes cover the sketch families: ``count_sum`` (count-min —
-    delta = per-cell counts, merge by integer SUM) and ``max`` (HyperLogLog
-    registers — delta = per-cell max of `value_col`, merge by MAX). Both
-    are associative+commutative, which is what makes the drained table
-    equal the batch sketch under any micro-batching.
+    Three merge modes cover the sketch families: ``count_sum`` (count-min —
+    delta = per-cell counts, merge by integer SUM), ``max`` (HyperLogLog
+    registers — delta = per-cell max of `value_col`, merge by MAX), and
+    ``min_k`` (KMV distinct sketch — delta = the batch's k smallest
+    distinct cell values, merge = k smallest of the distinct union: the
+    global k-minima are each among their own batch's k-minima, so the
+    bounded state loses nothing). All are associative+commutative, which
+    is what makes the drained table equal the batch sketch under any
+    micro-batching.
 
     SUM merges are NOT idempotent (unlike CDC's latest-wins), so
     at-least-once foreachBatch redelivery would double-count. The table
@@ -347,6 +352,18 @@ def run_sketch_merge_stream(
             return rel.groupBy(*cell_cols).agg(F.max(value_col).alias(vcol))
 
         merge_fn = F.max
+    elif mode == "min_k":
+        if k is None:
+            raise ValueError("mode='min_k' needs k")
+        vcol = None
+
+        def agg_delta(rel):
+            # per-batch partial sketch: k smallest DISTINCT cell values —
+            # orderBy+limit plans as TakeOrdered (partial top-k, no full
+            # sort), same as the batch KMV path
+            return rel.select(*cell_cols).distinct().orderBy(*cell_cols).limit(k)
+
+        merge_fn = None
     else:
         raise ValueError(f"unknown merge mode {mode!r}")
 
@@ -360,12 +377,21 @@ def run_sketch_merge_stream(
             applied = base.select(F.max("_last_batch")).collect()[0][0]
             if applied is not None and batch_id <= applied:
                 return  # redelivered batch: already folded in
-            merged = (
-                base.drop("_last_batch")
-                .unionByName(delta)
-                .groupBy(*cell_cols)
-                .agg(merge_fn(vcol).alias(vcol))
-            )
+            if mode == "min_k":
+                merged = (
+                    base.drop("_last_batch")
+                    .unionByName(delta)
+                    .distinct()
+                    .orderBy(*cell_cols)
+                    .limit(k)
+                )
+            else:
+                merged = (
+                    base.drop("_last_batch")
+                    .unionByName(delta)
+                    .groupBy(*cell_cols)
+                    .agg(merge_fn(vcol).alias(vcol))
+                )
         else:
             merged = delta
         _atomic_replace(
