@@ -93,6 +93,8 @@ HEADLINE = [
     "t_group_quantiles",
     "m_ahash_dedup",
     "s_kmv_stream",
+    "q72_interval_union",
+    "e_negative_pairs",
     "t_classifier_score",
     "e_pca_cov",
     "m_audio_features",

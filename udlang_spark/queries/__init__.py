@@ -78,6 +78,8 @@ _PRIORITY: list[str] = [
     "t_group_quantiles",
     "m_ahash_dedup",
     "s_kmv_stream",
+    "q72_interval_union",
+    "e_negative_pairs",
     # -- (d) oldest r4 greens --
     "k_hello",
     "k_function",
@@ -97,8 +99,6 @@ _PRIORITY: list[str] = [
     "k_methods",
     "k_pipeline",
     "k_spread",
-    "d_exact_dedup",
-    "d_fingerprint",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50

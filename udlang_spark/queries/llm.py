@@ -2338,6 +2338,85 @@ ORDER BY doc_id
 ORACLE_AHASH_DEDUP = _ahash_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Contrastive negative sampling: the training-data side of the embedding
+# pipeline — every (query, positive) pair needs k negatives, and at scale
+# they must be (a) deterministic (rebuilding the dataset must not reshuffle
+# negatives across epochs/retries — df.sample's per-partition RNG fails
+# both), and (b) label-disjoint (no false negatives).
+# ---------------------------------------------------------------------------
+_NEG_K = 8
+
+
+def e_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=8 deterministic negatives per query vector: candidates with a
+    DIFFERENT label, ranked by md5('neg:'||query||':'||cand) — a pure
+    function of the pair, so the sample survives repartitioning, retries,
+    and engine swaps; ties are impossible (the hash input is unique per
+    pair).
+
+    Scale shape: the query side is tiny → broadcast nested-loop join on
+    label inequality (4×N comparisons, each a codegen predicate — never a
+    shuffle of the corpus); per-query top-k is one hash-partitioned
+    window over query_id. At billions of candidates the hash-rank
+    selection stays a single scan + k·|queries| output rows."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = F.broadcast(
+        emb.where(F.col("vec_id").isin(*_MMR_QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+        )
+    )
+    cand = emb.select(F.col("vec_id").alias("neg_id"), "label")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("neg:"),
+                    F.col("query_id").cast("string"),
+                    F.lit(":"),
+                    F.col("neg_id").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    ranked = (
+        cand.join(queries, cand["label"] != queries["qlabel"])
+        .select("query_id", "neg_id", h.alias("h"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("h", "neg_id")
+            ),
+        )
+        .where(F.col("rnk") <= _NEG_K)
+    )
+    return ranked.select("query_id", "neg_id", "rnk").orderBy(
+        "query_id", "rnk"
+    )
+
+
+ORACLE_NEGATIVE_PAIRS = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel
+  FROM embeddings WHERE vec_id IN {tuple(_MMR_QUERY_IDS)}),
+ranked AS (
+  SELECT q.query_id, c.vec_id AS neg_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY CAST(CAST(concat('0x',
+               substr(md5('neg:' || q.query_id || ':' || c.vec_id), 1, 12))
+             AS UBIGINT) AS BIGINT), c.vec_id) AS rnk
+  FROM embeddings c JOIN q ON c.label <> q.qlabel)
+SELECT query_id, neg_id, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= {_NEG_K}
+ORDER BY query_id, rnk
+"""
+
+
 ORACLE_REAL_DECODE = """
 SELECT doc_id,
   CAST(doc_id % 13 + 1 AS INTEGER) AS width,
@@ -3868,6 +3947,7 @@ QUERIES = {
     "m_image_meta": m_image_meta,
     "m_real_decode": m_real_decode,
     "m_ahash_dedup": m_ahash_dedup,
+    "e_negative_pairs": e_negative_pairs,
     "m_frames": m_frames,
     "m_video_frames": m_video_frames,
     "m_features": m_features,
@@ -3920,6 +4000,7 @@ ORACLE = {
     "m_image_meta": ORACLE_IMAGE_META,
     "m_real_decode": ORACLE_REAL_DECODE,
     "m_ahash_dedup": ORACLE_AHASH_DEDUP,
+    "e_negative_pairs": ORACLE_NEGATIVE_PAIRS,
     "m_frames": ORACLE_M_FRAMES,
     "m_video_frames": ORACLE_M_VIDEO_FRAMES,
     "m_features": ORACLE_M_FEATURES,

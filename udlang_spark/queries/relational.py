@@ -3091,6 +3091,86 @@ ORDER BY zcell
 ORACLE_Q71 = _zorder_oracle()
 
 
+# ---------------------------------------------------------------------------
+# q72 — interval union (coverage aggregation): merge overlapping
+# per-user intervals with the classic gaps-and-islands chain — an island
+# starts where the interval's start exceeds the running max of previous
+# ends — then aggregate each island once. Pure window work: ONE shuffle
+# on the partition key funds the lag, the running max, and the island
+# sum; no self-join, no explode-per-second. At 100 TB this is the shape
+# for "total active time per user/machine" over billions of overlapping
+# spans — the naive per-second explode is 10^4× the rows, and the
+# interval self-join is quadratic per user.
+# ---------------------------------------------------------------------------
+def q72_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").cast("long").alias("s"),
+        (F.col("ts").cast("long") + (F.col("event_id") % 7 + 1) * 60).alias(
+            "e"
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(
+            0
+        ),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("new_island").over(w)
+    ).groupBy("user_id", "island").agg(
+        F.min("s").alias("is_s"), F.max("e").alias("is_e")
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(F.col("is_e") - F.col("is_s")).alias("covered_sec"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_Q72 = """
+WITH iv AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + (event_id % 7 + 1) * 60 AS e
+  FROM events),
+flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+              OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv),
+islands AS (
+  SELECT user_id,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island,
+         s, e
+  FROM flagged),
+agg AS (
+  SELECT user_id, island, min(s) AS is_s, max(e) AS is_e
+  FROM islands GROUP BY user_id, island)
+SELECT user_id,
+       count(*) AS n_intervals,
+       CAST(sum(is_e - is_s) AS BIGINT) AS covered_sec
+FROM agg GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_forecast_revenue": q02_forecast_revenue,
@@ -3163,6 +3243,7 @@ QUERIES = {
     "q69_udtf": q69_udtf,
     "q70_bucketed_join": q70_bucketed_join,
     "q71_zorder_layout": q71_zorder_layout,
+    "q72_interval_union": q72_interval_union,
 }
 
 ORACLE = {
@@ -3237,4 +3318,5 @@ ORACLE = {
     "q69_udtf": ORACLE_Q69,
     "q70_bucketed_join": ORACLE_Q70,
     "q71_zorder_layout": ORACLE_Q71,
+    "q72_interval_union": ORACLE_Q72,
 }
