@@ -95,6 +95,7 @@ HEADLINE = [
     "s_kmv_stream",
     "q72_interval_union",
     "e_negative_pairs",
+    "q73_copurchase_pairs",
     "t_classifier_score",
     "e_pca_cov",
     "m_audio_features",

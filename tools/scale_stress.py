@@ -1,4 +1,4 @@
-"""10× scale stress for the round-6 operators (SURVEY §9 discipline).
+"""10× scale stress for newly-landed operators (SURVEY §9 discipline).
 
 Replicates the sf0.1 tables 10× into /tmp (ids re-keyed per copy so key
 cardinalities scale too), then times each target query warm at 1× and 10×
@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-TENX = "/tmp/udlang_scale10x_r06"
+TENX = "/tmp/udlang_scale10x_r07"
 COPIES = 10
 
 # (table, id columns to re-key per copy)
@@ -29,15 +29,19 @@ TABLES = {
     "embeddings": ("vec_id",),
     "lineitem": ("l_orderkey",),
     "orders": ("o_orderkey",),
+    "events": ("event_id", "user_id"),
 }
 
+# round-7 operators under test (round-6 set lives in SCALE_STRESS_r06.json)
 TARGETS = [
-    "e_hamming_topk",
-    "t_hll_distinct",
-    "t_quantile_sketch",
-    "q67_bloom_prune",
-    "t_weighted_sample",
-    "e_ivfpq_ann",
+    "t_kmv_jaccard",
+    "t_group_quantiles",
+    "m_ahash_dedup",
+    "e_negative_pairs",
+    "q70_bucketed_join",
+    "q71_zorder_layout",
+    "q72_interval_union",
+    "q73_copurchase_pairs",
 ]
 
 

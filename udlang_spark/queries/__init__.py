@@ -80,6 +80,7 @@ _PRIORITY: list[str] = [
     "s_kmv_stream",
     "q72_interval_union",
     "e_negative_pairs",
+    "q73_copurchase_pairs",
     # -- (d) oldest r4 greens --
     "k_hello",
     "k_function",
@@ -98,7 +99,6 @@ _PRIORITY: list[str] = [
     "k_modules",
     "k_methods",
     "k_pipeline",
-    "k_spread",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50

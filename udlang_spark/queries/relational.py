@@ -3171,6 +3171,44 @@ FROM agg GROUP BY user_id ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q73 — co-occurrence pair mining (market-basket / co-click statistics,
+# the input to item-item embeddings and recommender training): part pairs
+# within the same order, counted, top-k. The self-join is keyed by the
+# BASKET id, so candidate pairs are bounded per basket (≤ items²/2 with
+# TPC-H's ≤7 items/order), never corpus-quadratic; the pair-count agg
+# map-side combines; the top-k is a TakeOrdered with a total-order
+# tie-break. At 100 TB the only wide ops are the basket-key shuffle and
+# the (p1,p2) count shuffle — a pathological mega-basket (one key with
+# 10^5 items) is the thing to guard: cap items per basket upstream or
+# salt the basket before pairing.
+# ---------------------------------------------------------------------------
+def q73_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    )
+    counts = pairs.groupBy(
+        F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), "p1", "p2").limit(20)
+
+
+ORACLE_Q73 = """
+SELECT p1, p2, n FROM (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2) t
+ORDER BY n DESC, p1, p2
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_forecast_revenue": q02_forecast_revenue,
@@ -3244,6 +3282,7 @@ QUERIES = {
     "q70_bucketed_join": q70_bucketed_join,
     "q71_zorder_layout": q71_zorder_layout,
     "q72_interval_union": q72_interval_union,
+    "q73_copurchase_pairs": q73_copurchase_pairs,
 }
 
 ORACLE = {
@@ -3319,4 +3358,5 @@ ORACLE = {
     "q70_bucketed_join": ORACLE_Q70,
     "q71_zorder_layout": ORACLE_Q71,
     "q72_interval_union": ORACLE_Q72,
+    "q73_copurchase_pairs": ORACLE_Q73,
 }
