@@ -16,6 +16,8 @@ Every query here has a DuckDB oracle. Determinism notes:
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -2950,12 +2952,23 @@ _Q70_BUCKETS = 8
 
 def _q70_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     import hashlib
+    import shutil
+    from urllib.parse import urlparse
 
     from udlang_spark.sources import bucketing
 
     tag = hashlib.md5(f"{sf_dir}|{_Q70_BUCKETS}".encode()).hexdigest()[:10]
     to, tl = f"q70_orders_b_{tag}", f"q70_lineitem_b_{tag}"
     if not (spark.catalog.tableExists(to) and spark.catalog.tableExists(tl)):
+        # a PREVIOUS session's write may have left the managed-table
+        # location on disk while this session's in-memory catalog has no
+        # entry — saveAsTable then fails LOCATION_ALREADY_EXISTS. Stale
+        # locations are safe to clear: the build below is a pure function
+        # of (sf_dir, n_buckets), which the tag pins.
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for t in (to, tl):
+            if not spark.catalog.tableExists(t):
+                shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
         bucketing.write_bucketed(
             _t(spark, sf_dir, "orders").select(
                 "o_orderkey", "o_orderpriority"
