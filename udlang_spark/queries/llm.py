@@ -1082,7 +1082,9 @@ def quantile_probe_report(
     price = F.col("l_extendedprice").cast("double")
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.withColumn("cum", F.sum("n").over(w))
-    total = li.agg(F.count(F.lit(1)).alias("n_total"))
+    # N = Σ bucket counts — a second count(*) scan of the source would
+    # double the heavy I/O (r7; `li` now funds only the optional witness)
+    total = hist.agg(F.sum("n").alias("n_total"))
     quants = spark.createDataFrame(
         [(name, num, den) for num, den, name in _QSK_QUANTS],
         "q string, num long, den long",
@@ -1319,9 +1321,10 @@ def t_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, 0
     )
     cum = hist.withColumn("cum", F.sum("n").over(w))
-    totals = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
-        F.count(F.lit(1)).alias("n_total")
-    )
+    # totals derive FROM the histogram (Σ bucket counts per group) — a
+    # second scan of the fact table for count(*) would double the heavy
+    # I/O; every post-histogram relation is bucket-bounded
+    totals = hist.groupBy("grp").agg(F.sum("n").alias("n_total"))
     quants = spark.createDataFrame(
         [(name, num, den) for num, den, name in _QSK_QUANTS],
         "q string, num long, den long",

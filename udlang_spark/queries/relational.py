@@ -2940,7 +2940,7 @@ FROM d, LATERAL (SELECT unnest(generate_series(0, len(wl) - 1)) AS i) g
 # bucketed+sorted catalog tables on the join key (sources/bucketing.py);
 # every later join on that key plans as a sort-merge join with ZERO
 # Exchange on either side — each task reads matching bucket files from
-# both tables (tests/test_plans.py::test_cobucketed_join_has_no_exchange
+# both tables (tests/test_plans.py::test_bucketed_join_has_no_exchange
 # pins the plan). At 100 TB this converts the pipeline's dominant shuffle
 # into a co-partitioned read that amortizes over every recurring join.
 # The bucketed write is cached per (sf_dir, n_buckets) like the IVF-PQ
