@@ -96,6 +96,7 @@ HEADLINE = [
     "q72_interval_union",
     "e_negative_pairs",
     "q73_copurchase_pairs",
+    "e_ivfpq_append",
     "t_classifier_score",
     "e_pca_cov",
     "m_audio_features",

@@ -85,6 +85,7 @@ _PRIORITY: list[str] = [
     "q72_interval_union",
     "e_negative_pairs",
     "q73_copurchase_pairs",
+    "e_ivfpq_append",
     # -- (d) oldest r4 greens --
     "k_hello",
     "k_function",
@@ -102,7 +103,6 @@ _PRIORITY: list[str] = [
     "k_builtins",
     "k_modules",
     "k_methods",
-    "k_pipeline",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50

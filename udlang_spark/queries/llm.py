@@ -1993,26 +1993,84 @@ def e_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         # no index can exist over an empty relation — the probe of nothing
         # is the empty top-k (degenerate-sweep contract: empty in, empty
         # out, never a raise from a registered query)
-        from pyspark.sql.types import (
-            DoubleType,
-            IntegerType,
-            LongType,
-            StructField,
-            StructType,
-        )
-
-        return spark.createDataFrame(
-            [],
-            StructType(
-                [
-                    StructField("query_id", LongType()),
-                    StructField("vec_id", LongType()),
-                    StructField("adc_dist", DoubleType()),
-                    StructField("rnk", IntegerType(), False),
-                ]
-            ),
-        )
+        return _empty_ivfpq_result(spark)
     path = ivfpq_ensure_index(spark, sf_dir)
+    queries = emb.where(F.col("vec_id").isin(*_MMR_QUERY_IDS))
+    return ann_index.probe_ivfpq_index(
+        spark, path, queries, "embedding", "vec_id", k=10, n_probe=6
+    )
+
+
+def _empty_ivfpq_result(spark: SparkSession) -> DataFrame:
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    return spark.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("query_id", LongType()),
+                StructField("vec_id", LongType()),
+                StructField("adc_dist", DoubleType()),
+                StructField("rnk", IntegerType(), False),
+            ]
+        ),
+    )
+
+
+def e_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance, oracled end-to-end: build the
+    IVF-PQ index over the FIRST HALF of the corpus only, then
+    append_to_ivfpq_index the second half — appended rows route against
+    the PERSISTED coarse quantizer and encode against the PERSISTED
+    codebook (both frozen: re-deriving either on append would silently
+    invalidate every stored code) — and probe the grown index. The grown
+    index is bit-identical to a from-scratch build
+    (tests/test_ann_index.py::test_ivfpq_append_equals_rebuild; the
+    cutoff keeps the seed rows 0..15 in the base build so the frozen
+    artifacts match), so this query SHARES e_ivfpq_ann's oracle verbatim
+    — a driver-green row here proves the append path end-to-end.
+
+    Scale shape: append cost is O(new rows) — one narrow route+encode
+    pass plus an append-mode partitioned write into the touched cells;
+    existing cell files are never rewritten. The daily-ingest pattern at
+    100 TB: append each increment, rebuild only to re-balance."""
+    from udlang_spark.operators import ann_index
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    if len(emb.limit(1).collect()) == 0:
+        return _empty_ivfpq_result(spark)
+    import hashlib
+    import tempfile
+
+    key = f"{sf_dir}|append|cells=16|m={_PQ_M}|cb={_PQ_CB}|fmt={_IVFPQ_FMT}"
+    tag = hashlib.md5(key.encode()).hexdigest()[:10]
+    path = f"{tempfile.gettempdir()}/udlang_spark_ivfpq_{tag}"
+    marker = os.path.join(path, "_BUILT")
+    if not os.path.exists(marker):
+        max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+        # base half must contain the quantizer/codebook seed rows (ids
+        # 0..15) so the frozen artifacts equal the full build's
+        cutoff = max(max(_PQ_CB) + 1, (int(max_id) + 1) // 2)
+        ann_index.write_ivfpq_index(
+            emb.where(F.col("vec_id") < cutoff),
+            "embedding",
+            "vec_id",
+            path,
+            n_cells=16,
+            n_subspaces=_PQ_M,
+            codebook_ids=_PQ_CB,
+        )
+        rest = emb.where(F.col("vec_id") >= cutoff)
+        if len(rest.limit(1).collect()) > 0:
+            ann_index.append_to_ivfpq_index(rest, "embedding", "vec_id", path)
+        with open(marker, "w") as fh:
+            fh.write(key)
     queries = emb.where(F.col("vec_id").isin(*_MMR_QUERY_IDS))
     return ann_index.probe_ivfpq_index(
         spark, path, queries, "embedding", "vec_id", k=10, n_probe=6
@@ -3951,6 +4009,7 @@ QUERIES = {
     "m_real_decode": m_real_decode,
     "m_ahash_dedup": m_ahash_dedup,
     "e_negative_pairs": e_negative_pairs,
+    "e_ivfpq_append": e_ivfpq_append,
     "m_frames": m_frames,
     "m_video_frames": m_video_frames,
     "m_features": m_features,
@@ -4004,6 +4063,7 @@ ORACLE = {
     "m_real_decode": ORACLE_REAL_DECODE,
     "m_ahash_dedup": ORACLE_AHASH_DEDUP,
     "e_negative_pairs": ORACLE_NEGATIVE_PAIRS,
+    "e_ivfpq_append": ORACLE_E_IVFPQ_ANN,
     "m_frames": ORACLE_M_FRAMES,
     "m_video_frames": ORACLE_M_VIDEO_FRAMES,
     "m_features": ORACLE_M_FEATURES,
