@@ -624,3 +624,49 @@ def test_zorder_cells_bound_both_dims(spark):
         .collect()[0]["worst"]
     )
     assert onedim >= tile  # 1-D layout cannot bound the second dimension
+
+
+def test_interval_union_is_window_only(spark):
+    """q72 must stay gaps-and-islands: no self-join, no explode — the
+    quadratic-per-key and rows×duration alternatives it exists to avoid."""
+    from udlang_spark.queries import relational as rel
+
+    plan = plan_of(rel.q72_interval_union(spark, SF_DIR_CORRECTNESS))
+    for bad in ("Join", "Generate", "ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in plan
+
+
+def test_copurchase_pairs_join_is_basket_keyed(spark):
+    """q73's self-join must be an equi-join on the basket key (hash or
+    sort-merge), never a cartesian/nested-loop — the basket key is what
+    bounds candidate pairs."""
+    from udlang_spark.queries import relational as rel
+
+    plan = plan_of(rel.q73_copurchase_pairs(spark, SF_DIR_CORRECTNESS))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_ahash_single_arrow_pass(spark):
+    """m_ahash_dedup: synth + decode + fingerprint ride mapInPandas; the
+    dup-count window is the only exchange consumer. Pixels must never
+    appear in a shuffle — only (id, dims, hash) rows do."""
+    from udlang_spark.queries import llm as llm_q
+
+    plan = plan_of(llm_q.m_ahash_dedup(spark, SF_DIR_CORRECTNESS))
+    # formatted plans print each node twice (tree + details): count tree
+    # entries only — exactly two Python passes, payload synth + ahash
+    assert plan.count("MapInPandas (") == 2
+    assert "Join" not in plan
+
+
+def test_negative_pairs_corpus_never_shuffles_wide(spark):
+    """e_negative_pairs: the label-inequality join must be the broadcast
+    nested-loop with the TINY query side broadcast (4 rows) — never a
+    cartesian, never a shuffle of the candidate corpus onto skew keys."""
+    from udlang_spark.queries import llm as llm_q
+
+    plan = plan_of(llm_q.e_negative_pairs(spark, SF_DIR_CORRECTNESS))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" in plan
