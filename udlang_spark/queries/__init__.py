@@ -86,6 +86,8 @@ _PRIORITY: list[str] = [
     "e_negative_pairs",
     "q73_copurchase_pairs",
     "e_ivfpq_append",
+    "k_loop",
+    "k_simple",
     # -- (d) oldest r4 greens --
     "k_hello",
     "k_function",
@@ -101,8 +103,6 @@ _PRIORITY: list[str] = [
     "k_match_union",
     "k_cast",
     "k_builtins",
-    "k_modules",
-    "k_methods",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50

@@ -658,6 +658,43 @@ SELECT CASE WHEN l_linenumber % 3 = 0 THEN -9
 FROM lineitem
 """
 
+def k_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reference examples/loop.us verbatim: a constant-list `for` loop
+    calling a Float→Float func per element, with the declared Int output
+    truncating each result (9c/5+32 for c=1,2,3 → 33.8, 35.6, 37.4 →
+    33, 35, 37 per input record). Completes per-example parity: every
+    reference example script now has its own driver-checked query."""
+    ev = load_table(spark, "events", sf_dir)
+    df = ev.select("event_id", F.col("event_id").alias("v"))
+    return _example("loop").apply(df, input_col="v", keep=("event_id",)).select(
+        "event_id", "out"
+    )
+
+
+ORACLE_LOOP = """
+SELECT event_id, u.out
+FROM events, (SELECT unnest([33, 35, 37]) AS out) u
+"""
+
+
+def k_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reference examples/simple.us verbatim: nested function calls
+    foo(c) = 2·bar(c), bar(c) = c − 1 over the Float view of the input,
+    truncated by the declared Int output — inlining depth 2, no loops."""
+    ev = load_table(spark, "events", sf_dir)
+    df = ev.select("event_id", F.col("event_id").alias("v"))
+    return _example("simple").apply(
+        df, input_col="v", keep=("event_id",)
+    ).select("event_id", "out")
+
+
+# foo(id) = 2.0·(id − 1.0) is integer-valued and exact in double for every
+# id in the data, so the BIGINT truncation equals 2·id − 2
+ORACLE_SIMPLE = """
+SELECT event_id, event_id * 2 - 2 AS out FROM events
+"""
+
+
 POINT_KERNEL = """
 version 0.1-pre_mvp;
 script "point geometry";
@@ -705,6 +742,8 @@ SELECT event_id, u.out FROM (
 QUERIES = {
     "k_hello": k_hello,
     "k_point": k_point,
+    "k_loop": k_loop,
+    "k_simple": k_simple,
     "k_function": k_function,
     "k_fact": k_fact,
     "k_count": k_count,
@@ -745,6 +784,8 @@ ORACLE = {
     "k_cast": ORACLE_CAST,
     "k_tower": ORACLE_TOWER,
     "k_point": ORACLE_POINT,
+    "k_loop": ORACLE_LOOP,
+    "k_simple": ORACLE_SIMPLE,
     "k_generic": ORACLE_GENERIC,
     "k_builtins": ORACLE_BUILTINS,
     "k_modules": ORACLE_MODULES,
