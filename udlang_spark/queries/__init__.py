@@ -88,6 +88,7 @@ _PRIORITY: list[str] = [
     "e_ivfpq_append",
     "k_loop",
     "k_simple",
+    "t_dataset_card",
     # -- (d) oldest r4 greens --
     "k_hello",
     "k_function",
@@ -102,7 +103,6 @@ _PRIORITY: list[str] = [
     "k_match_lit",
     "k_match_union",
     "k_cast",
-    "k_builtins",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50

@@ -2399,6 +2399,98 @@ ORDER BY doc_id
 ORACLE_AHASH_DEDUP = _ahash_oracle()
 
 
+def t_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: the corpus summary a training run records next to its
+    data — doc/lang/source counts, mean length, per-language shares — as
+    (metric, value) rows.
+
+    Scale shape: ONE scan aggregates to the tiny (lang × source) grain
+    (counts + char sums, map-side combined); every metric derives from
+    that bounded relation — totals, distincts, shares are re-aggregations
+    of ≤ |langs|·|sources| rows, so the card costs one pass at any corpus
+    size. Shares are correctly-rounded divisions of exact integer counts
+    (deterministic cross-engine)."""
+    docs = load_table(spark, "documents", sf_dir)
+    grain = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars")
+    )
+    tot = grain.agg(
+        F.sum("n").alias("n_docs"),
+        F.sum("chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    scalars = tot.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("n_docs").alias("metric"),
+                    F.col("n_docs").cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.lit("n_langs").alias("metric"),
+                    F.col("n_langs").cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.lit("n_sources").alias("metric"),
+                    F.col("n_sources").cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.lit("mean_chars").alias("metric"),
+                    F.when(F.col("n_docs") > 0,
+                           F.round(
+                               F.col("total_chars").cast("double")
+                               / F.col("n_docs"), 4
+                           )).otherwise(F.lit(0.0)).alias("value"),
+                ),
+            )
+        ).alias("kv")
+    ).select("kv.metric", "kv.value")
+    lang_shares = (
+        grain.groupBy("lang")
+        .agg(F.sum("n").alias("ln"))
+        .crossJoin(F.broadcast(tot.select("n_docs")))
+        .select(
+            F.concat(F.lit("lang_share:"), F.col("lang")).alias("metric"),
+            F.round(
+                F.col("ln").cast("double") / F.col("n_docs"), 4
+            ).alias("value"),
+        )
+    )
+    return scalars.unionByName(lang_shares).orderBy("metric")
+
+
+ORACLE_DATASET_CARD = """
+WITH grain AS (
+  SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY lang, source),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+         CAST(sum(chars) AS BIGINT) AS total_chars,
+         count(DISTINCT lang) AS n_langs,
+         count(DISTINCT source) AS n_sources
+  FROM grain)
+SELECT metric, value FROM (
+  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM tot
+  UNION ALL
+  SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM tot
+  UNION ALL
+  SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM tot
+  UNION ALL
+  SELECT 'mean_chars',
+         CASE WHEN n_docs > 0
+              THEN round(CAST(total_chars AS DOUBLE) / n_docs, 4)
+              ELSE 0.0 END
+  FROM tot
+  UNION ALL
+  SELECT 'lang_share:' || lang,
+         round(CAST(ln AS DOUBLE) / n_docs, 4)
+  FROM (SELECT lang, CAST(sum(n) AS BIGINT) AS ln FROM grain GROUP BY lang) l,
+       tot
+) u ORDER BY metric
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contrastive negative sampling: the training-data side of the embedding
 # pipeline — every (query, positive) pair needs k negatives, and at scale
@@ -4010,6 +4102,7 @@ QUERIES = {
     "m_ahash_dedup": m_ahash_dedup,
     "e_negative_pairs": e_negative_pairs,
     "e_ivfpq_append": e_ivfpq_append,
+    "t_dataset_card": t_dataset_card,
     "m_frames": m_frames,
     "m_video_frames": m_video_frames,
     "m_features": m_features,
@@ -4064,6 +4157,7 @@ ORACLE = {
     "m_ahash_dedup": ORACLE_AHASH_DEDUP,
     "e_negative_pairs": ORACLE_NEGATIVE_PAIRS,
     "e_ivfpq_append": ORACLE_E_IVFPQ_ANN,
+    "t_dataset_card": ORACLE_DATASET_CARD,
     "m_frames": ORACLE_M_FRAMES,
     "m_video_frames": ORACLE_M_VIDEO_FRAMES,
     "m_features": ORACLE_M_FEATURES,
