@@ -97,6 +97,8 @@ HEADLINE = [
     "e_negative_pairs",
     "q73_copurchase_pairs",
     "e_ivfpq_append",
+    "t_dataset_card",
+    "q74_skew_probe",
     "t_classifier_score",
     "e_pca_cov",
     "m_audio_features",

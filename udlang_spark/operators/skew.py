@@ -73,3 +73,41 @@ def salted_agg(
     salted = df.withColumn("_salt", _salt_of(df.columns, n_salts))
     partial = salted.groupBy(key, "_salt").agg(*partial_exprs)
     return partial.groupBy(key).agg(*final_exprs)
+
+
+def skew_report(df: DataFrame, key: str, n_cores: int = 32) -> DataFrame:
+    """Per-key skew diagnostics feeding the measured salting decision rule
+    (artifacts/SKEW_BENCH_r06.json, SURVEY §9 r6): salting a join/agg on
+    `key` pays off only when one key's share of rows exceeds a fair core
+    share (~1/n_cores) — below that the salt hash + dim replication is a
+    pure loss. Emits every key with its count, share, and the
+    `salt_recommended` flag share > 1/n_cores.
+
+    Scale shape: ONE map-side-combining count aggregate on the key — the
+    same shuffle the join/agg under diagnosis would do, so the probe can
+    piggyback on an existing profile pass; the output relation is bounded
+    by key cardinality (sample or top-k it for very-high-cardinality
+    keys)."""
+    total = df.count()
+    if total == 0:
+        return (
+            df.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                key,
+                "n",
+                F.lit(0.0).alias("share"),
+                F.lit(False).alias("salt_recommended"),
+            )
+        )
+    share = F.round(F.col("n").cast("double") / F.lit(total), 6)
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            key,
+            "n",
+            share.alias("share"),
+            (F.col("n") * n_cores > F.lit(total)).alias("salt_recommended"),
+        )
+    )

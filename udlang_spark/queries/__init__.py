@@ -89,6 +89,7 @@ _PRIORITY: list[str] = [
     "k_loop",
     "k_simple",
     "t_dataset_card",
+    "q74_skew_probe",
     # -- (d) oldest r4 greens --
     "k_hello",
     "k_function",
@@ -102,7 +103,6 @@ _PRIORITY: list[str] = [
     "k_mapiter",
     "k_match_lit",
     "k_match_union",
-    "k_cast",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50

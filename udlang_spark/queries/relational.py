@@ -3222,6 +3222,35 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# q74 — skew diagnostics: operators/skew.skew_report over the event-type
+# key, applying the MEASURED salting decision rule (SKEW_BENCH_r06: salt
+# only when one key's share exceeds a fair core share ~1/n_cores). The
+# probe is the profiling pass a pipeline runs BEFORE choosing plain vs
+# salted join/agg on a key — one count aggregate, output bounded by key
+# cardinality.
+# ---------------------------------------------------------------------------
+def q74_skew_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udlang_spark.operators import skew
+
+    ev = _t(spark, sf_dir, "events")
+    return skew.skew_report(ev, "event_type", n_cores=32).orderBy(
+        "event_type"
+    )
+
+
+ORACLE_Q74 = """
+WITH tot AS (SELECT count(*) AS total FROM events)
+SELECT event_type,
+       count(*) AS n,
+       round(CAST(count(*) AS DOUBLE) / total, 6) AS share,
+       count(*) * 32 > total AS salt_recommended
+FROM events, tot
+GROUP BY event_type, total
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_forecast_revenue": q02_forecast_revenue,
@@ -3296,6 +3325,7 @@ QUERIES = {
     "q71_zorder_layout": q71_zorder_layout,
     "q72_interval_union": q72_interval_union,
     "q73_copurchase_pairs": q73_copurchase_pairs,
+    "q74_skew_probe": q74_skew_probe,
 }
 
 ORACLE = {
@@ -3372,4 +3402,5 @@ ORACLE = {
     "q71_zorder_layout": ORACLE_Q71,
     "q72_interval_union": ORACLE_Q72,
     "q73_copurchase_pairs": ORACLE_Q73,
+    "q74_skew_probe": ORACLE_Q74,
 }
