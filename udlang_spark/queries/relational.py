@@ -3197,10 +3197,20 @@ FROM agg GROUP BY user_id ORDER BY user_id
 # salt the basket before pairing.
 # ---------------------------------------------------------------------------
 def q73_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # repartition on the basket key: the self-join then runs co-partitioned
+    # (one exchange, reused by both aliases) at full cluster parallelism.
+    # The broadcast alternative measured 1.64 s vs 1.21 s here at sf0.1 —
+    # and broadcasting the fact table is not a 100 TB option anyway; the
+    # shuffle_hash hint pins the shuffled join so the optimizer can't
+    # "helpfully" broadcast the corpus.
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+    )
     a, b = li.alias("a"), li.alias("b")
     pairs = a.join(
-        b,
+        b.hint("shuffle_hash"),
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
         & (F.col("a.l_partkey") < F.col("b.l_partkey")),
     )
