@@ -321,3 +321,33 @@ def test_ivfpq_append_equals_rebuild(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == queries.count() * 5
+
+
+def test_ivfpq_ensure_index_marker_crash_consistency(spark, tmp_path, monkeypatch):
+    """ivfpq_ensure_index's cache contract: a directory WITHOUT the _BUILT
+    marker (crashed build) is rebuilt, and a completed build is reused
+    (no second write). The marker is written only after write_ivfpq_index
+    fully returns, so a half-written index can never be probed."""
+    import os
+
+    from udlang_spark.queries import llm as llm_q
+    from tests.conftest import SF_DIR_CORRECTNESS
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+
+    path = llm_q.ivfpq_ensure_index(spark, SF_DIR_CORRECTNESS)
+    marker = os.path.join(path, "_BUILT")
+    assert os.path.exists(marker)
+    first_mtime = os.path.getmtime(marker)
+
+    # completed build: second call must reuse, not rebuild
+    assert llm_q.ivfpq_ensure_index(spark, SF_DIR_CORRECTNESS) == path
+    assert os.path.getmtime(marker) == first_mtime
+
+    # crashed build: directory present, marker missing -> full rebuild
+    os.remove(marker)
+    assert llm_q.ivfpq_ensure_index(spark, SF_DIR_CORRECTNESS) == path
+    assert os.path.exists(marker)
