@@ -1989,7 +1989,9 @@ def e_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udlang_spark.operators import ann_index
 
     emb = load_table(spark, "embeddings", sf_dir)
-    if len(emb.limit(1).collect()) == 0:
+    # the emptiness probe costs a Spark job — skip it when the index is
+    # already built (marker present ⇒ the corpus was non-empty)
+    if not ivfpq_index_ready(sf_dir) and len(emb.limit(1).collect()) == 0:
         # no index can exist over an empty relation — the probe of nothing
         # is the empty top-k (degenerate-sweep contract: empty in, empty
         # out, never a raise from a registered query)
@@ -1999,6 +2001,23 @@ def e_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_index.probe_ivfpq_index(
         spark, path, queries, "embedding", "vec_id", k=10, n_probe=6
     )
+
+
+def _ivfpq_cache(sf_dir: str, variant: str = "") -> tuple[str, str, str]:
+    """(key, index path, marker path) for the cached IVF-PQ index."""
+    import hashlib
+    import tempfile
+
+    v = f"|{variant}" if variant else ""
+    key = f"{sf_dir}{v}|cells=16|m={_PQ_M}|cb={_PQ_CB}|fmt={_IVFPQ_FMT}"
+    tag = hashlib.md5(key.encode()).hexdigest()[:10]
+    path = f"{tempfile.gettempdir()}/udlang_spark_ivfpq_{tag}"
+    return key, path, os.path.join(path, "_BUILT")
+
+
+def ivfpq_index_ready(sf_dir: str) -> bool:
+    """True when the cached e_ivfpq_ann index for sf_dir is fully built."""
+    return os.path.exists(_ivfpq_cache(sf_dir)[2])
 
 
 def _empty_ivfpq_result(spark: SparkSession) -> DataFrame:
@@ -2042,16 +2061,10 @@ def e_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: append each increment, rebuild only to re-balance."""
     from udlang_spark.operators import ann_index
 
+    key, path, marker = _ivfpq_cache(sf_dir, variant="append")
     emb = load_table(spark, "embeddings", sf_dir)
-    if len(emb.limit(1).collect()) == 0:
+    if not os.path.exists(marker) and len(emb.limit(1).collect()) == 0:
         return _empty_ivfpq_result(spark)
-    import hashlib
-    import tempfile
-
-    key = f"{sf_dir}|append|cells=16|m={_PQ_M}|cb={_PQ_CB}|fmt={_IVFPQ_FMT}"
-    tag = hashlib.md5(key.encode()).hexdigest()[:10]
-    path = f"{tempfile.gettempdir()}/udlang_spark_ivfpq_{tag}"
-    marker = os.path.join(path, "_BUILT")
     if not os.path.exists(marker):
         max_id = emb.agg(F.max("vec_id")).collect()[0][0]
         # base half must contain the quantizer/codebook seed rows (ids
@@ -2091,16 +2104,11 @@ def ivfpq_ensure_index(
     any layout change); the marker file is written only after
     write_ivfpq_index fully returns (sidecars last), so a crashed build
     is rebuilt, never probed."""
-    import hashlib
     import shutil
-    import tempfile
 
     from udlang_spark.operators import ann_index
 
-    key = f"{sf_dir}|cells=16|m={_PQ_M}|cb={_PQ_CB}|fmt={_IVFPQ_FMT}"
-    tag = hashlib.md5(key.encode()).hexdigest()[:10]
-    path = f"{tempfile.gettempdir()}/udlang_spark_ivfpq_{tag}"
-    marker = os.path.join(path, "_BUILT")
+    key, path, marker = _ivfpq_cache(sf_dir)
     if force_rebuild and os.path.exists(path):
         shutil.rmtree(path)
     if not os.path.exists(marker):

@@ -56,9 +56,22 @@ def _replay_dir(
     cols: tuple[str, ...] = ("event_id", "event_type", "value"),
     prefix: str = "udlang_stream_replay",
 ) -> str:
-    """Write a table's rows as JSON files for a replayable file stream."""
+    """Write a table's rows as JSON files for a replayable file stream.
+
+    The replay input is a PURE FUNCTION of (sf_dir, table, cols), so a
+    completed build (marked by `_REPLAY_OK` after the write returns) is
+    reused across invocations — re-lowering the table to JSON on every
+    query run was measurable fixed cost in every streaming headline
+    entry. Checkpoint/state dirs are NOT cached; each query still clears
+    its own."""
     tag = os.path.basename(sf_dir.rstrip("/"))
     tmp = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
+    marker = os.path.join(tmp, "_REPLAY_OK")
+    key = f"{sf_dir}|{table}|{cols}"
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == key:
+                return tmp
     if os.path.isdir(tmp):
         shutil.rmtree(tmp, ignore_errors=True)
     rel = load_table(spark, table, sf_dir)
@@ -71,6 +84,8 @@ def _replay_dir(
     json_lift.lower_json(rel.select(*cols), cols).select("json").repartition(
         4
     ).write.mode("overwrite").text(tmp)
+    with open(marker, "w") as fh:
+        fh.write(key)
     return tmp
 
 
