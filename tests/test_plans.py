@@ -670,3 +670,25 @@ def test_negative_pairs_corpus_never_shuffles_wide(spark):
     plan = plan_of(llm_q.e_negative_pairs(spark, SF_DIR_CORRECTNESS))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" in plan
+
+
+def test_q70_join_itself_is_exchange_free(spark):
+    """q70's OWN plan (through the cached bucketed tables) must join
+    without a join-side Exchange — only the groupBy and final sort may
+    shuffle. Pins the cache path: if the tableExists reuse ever returned
+    non-bucketed tables, the join exchanges would reappear here."""
+    from udlang_spark.queries import relational as rel
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = rel.q70_bucketed_join(spark, SF_DIR_CORRECTNESS)
+        plan = plan_of(df)
+        assert "SortMergeJoin" in plan
+        # agg exchange + orderBy range exchange only — nothing feeding the join
+        assert plan.count("Exchange (") <= 2, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
