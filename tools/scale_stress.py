@@ -20,8 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-TENX = "/tmp/udlang_scale10x_r07"
-COPIES = 10
+COPIES = int(os.environ.get("SCALE_STRESS_COPIES", "10"))
+TENX = os.environ.get(
+    "SCALE_STRESS_DIR", f"/tmp/udlang_scale{COPIES}x_r07"
+)
 
 # (table, id columns to re-key per copy)
 TABLES = {
@@ -32,8 +34,9 @@ TABLES = {
     "events": ("event_id", "user_id"),
 }
 
-# round-7 operators under test (round-6 set lives in SCALE_STRESS_r06.json)
-TARGETS = [
+# round-7 operators under test (round-6 set lives in SCALE_STRESS_r06.json);
+# override with SCALE_STRESS_TARGETS=a,b,c
+TARGETS = os.environ.get("SCALE_STRESS_TARGETS", "").split(",") if os.environ.get("SCALE_STRESS_TARGETS") else [
     "t_kmv_jaccard",
     "t_group_quantiles",
     "m_ahash_dedup",
