@@ -2004,12 +2004,18 @@ def e_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_cache(sf_dir: str, variant: str = "") -> tuple[str, str, str]:
-    """(key, index path, marker path) for the cached IVF-PQ index."""
+    """(key, index path, marker path) for the cached IVF-PQ index. The key
+    carries the embeddings file fingerprint (size+mtime), so regenerated
+    source data is a cache miss — the index can never silently serve a
+    stale corpus."""
     import hashlib
     import tempfile
 
+    from udlang_spark.sources.tables import table_fingerprint
+
     v = f"|{variant}" if variant else ""
-    key = f"{sf_dir}{v}|cells=16|m={_PQ_M}|cb={_PQ_CB}|fmt={_IVFPQ_FMT}"
+    fp = table_fingerprint(sf_dir, "embeddings")
+    key = f"{sf_dir}{v}|{fp}|cells=16|m={_PQ_M}|cb={_PQ_CB}|fmt={_IVFPQ_FMT}"
     tag = hashlib.md5(key.encode()).hexdigest()[:10]
     path = f"{tempfile.gettempdir()}/udlang_spark_ivfpq_{tag}"
     return key, path, os.path.join(path, "_BUILT")

@@ -2957,7 +2957,12 @@ def _q70_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
     from udlang_spark.sources import bucketing
 
-    tag = hashlib.md5(f"{sf_dir}|{_Q70_BUCKETS}".encode()).hexdigest()[:10]
+    from udlang_spark.sources.tables import table_fingerprint
+
+    # fingerprint the sources so regenerated parquet under the same path
+    # is a cache miss (new tables), never a stale bucketed copy
+    fp = table_fingerprint(sf_dir, "orders", "lineitem")
+    tag = hashlib.md5(f"{sf_dir}|{fp}|{_Q70_BUCKETS}".encode()).hexdigest()[:10]
     to, tl = f"q70_orders_b_{tag}", f"q70_lineitem_b_{tag}"
     if not (spark.catalog.tableExists(to) and spark.catalog.tableExists(tl)):
         # a PREVIOUS session's write may have left the managed-table

@@ -58,16 +58,20 @@ def _replay_dir(
 ) -> str:
     """Write a table's rows as JSON files for a replayable file stream.
 
-    The replay input is a PURE FUNCTION of (sf_dir, table, cols), so a
-    completed build (marked by `_REPLAY_OK` after the write returns) is
+    The replay input is a PURE FUNCTION of the source table's content, so
+    a completed build (marked by `_REPLAY_OK` after the write returns) is
     reused across invocations — re-lowering the table to JSON on every
     query run was measurable fixed cost in every streaming headline
-    entry. Checkpoint/state dirs are NOT cached; each query still clears
-    its own."""
+    entry. The key carries the source file fingerprint
+    (tables.table_fingerprint), so regenerating the parquet under the
+    same path is a cache MISS, never a stale replay. Checkpoint/state
+    dirs are NOT cached; each query still clears its own."""
+    from udlang_spark.sources.tables import table_fingerprint
+
     tag = os.path.basename(sf_dir.rstrip("/"))
     tmp = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
     marker = os.path.join(tmp, "_REPLAY_OK")
-    key = f"{sf_dir}|{table}|{cols}"
+    key = f"{sf_dir}|{table}|{cols}|{table_fingerprint(sf_dir, table)}"
     if os.path.exists(marker):
         with open(marker) as fh:
             if fh.read() == key:

@@ -97,3 +97,34 @@ def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
     """Register all testdata tables as temp views for spark.sql use."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def table_fingerprint(sf_dir: str, *names: str) -> str:
+    """Content fingerprint of source tables for derived-artifact cache
+    keys (streaming replay dirs, persisted ANN indexes, bucketed-table
+    caches): path + size + mtime_ns of every underlying file. A cache
+    keyed ONLY on sf_dir goes silently stale when the data under the
+    same path is regenerated — the fingerprint makes regeneration a
+    cache miss, so every derived artifact is rebuilt from the data it
+    claims to represent."""
+    import hashlib
+    import os
+
+    parts: list[str] = []
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isdir(path):
+            files = sorted(
+                os.path.join(r, f)
+                for r, _d, fs in os.walk(path)
+                for f in fs
+                if not f.startswith((".", "_"))
+            )
+        elif os.path.exists(path):
+            files = [path]
+        else:
+            files = []
+        for f in files:
+            st = os.stat(f)
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
