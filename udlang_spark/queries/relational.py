@@ -2974,6 +2974,16 @@ def _q70_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         for t in (to, tl):
             if not spark.catalog.tableExists(t):
                 shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+        # retire older generations (other fingerprints): drop their
+        # catalog entries and warehouse dirs so regenerated testdata
+        # doesn't accumulate dead bucketed copies
+        for old in spark.catalog.listTables():
+            if old.name.startswith("q70_") and not old.name.endswith(tag):
+                spark.sql(f"DROP TABLE IF EXISTS {old.name}")
+        if os.path.isdir(wh):
+            for d in os.listdir(wh):
+                if d.startswith("q70_") and not d.endswith(tag):
+                    shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
         bucketing.write_bucketed(
             _t(spark, sf_dir, "orders").select(
                 "o_orderkey", "o_orderpriority"
