@@ -99,6 +99,7 @@ HEADLINE = [
     "e_ivfpq_append",
     "t_dataset_card",
     "q74_skew_probe",
+    "d_split_temporal",
     "t_classifier_score",
     "e_pca_cov",
     "m_audio_features",

@@ -90,6 +90,7 @@ _PRIORITY: list[str] = [
     "k_simple",
     "t_dataset_card",
     "q74_skew_probe",
+    "d_split_temporal",
     # -- (d) oldest r4 greens --
     "k_hello",
     "k_function",
@@ -102,7 +103,6 @@ _PRIORITY: list[str] = [
     "k_filter",
     "k_mapiter",
     "k_match_lit",
-    "k_match_union",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50

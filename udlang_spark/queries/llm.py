@@ -2413,6 +2413,55 @@ ORDER BY doc_id
 ORACLE_AHASH_DEDUP = _ahash_oracle()
 
 
+def d_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe TEMPORAL train/test split with an embargo gap — the
+    time-series complement of d_split_leakage's cluster-whole split:
+    train strictly before (cutoff − embargo), test at/after cutoff, and
+    the embargo window in between is DROPPED so no test-period signal
+    (labels, aggregates, near-duplicate records) leaks into training
+    through boundary-straddling rows. Cutoff 2000-01-01, embargo 30 days.
+
+    Scale shape: one scan, row-local date comparisons (pushdown-eligible
+    predicates), one tiny per-split aggregate — the split is a pure
+    function of the timestamp column, so it is identical across engines,
+    retries, and repartitionings (no RNG, no sampling)."""
+    orders = load_table(spark, "orders", sf_dir)
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+    embargo_start = F.date_sub(cutoff, 30).cast("timestamp")
+    split = F.when(F.col("o_orderdate") < embargo_start, "train").when(
+        F.col("o_orderdate") >= cutoff, "test"
+    )  # embargo rows -> NULL -> filtered
+    return (
+        orders.select(split.alias("split"), "o_orderdate")
+        .where(F.col("split").isNotNull())
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("d_min"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("d_max"),
+        )
+        .orderBy("split")
+    )
+
+
+ORACLE_SPLIT_TEMPORAL = """
+SELECT split, count(*) AS n,
+       strftime(min(o_orderdate), '%Y-%m-%d') AS d_min,
+       strftime(max(o_orderdate), '%Y-%m-%d') AS d_max
+FROM (
+  SELECT CASE
+           WHEN o_orderdate < TIMESTAMP '2000-01-01' - INTERVAL 30 DAY
+             THEN 'train'
+           WHEN o_orderdate >= TIMESTAMP '2000-01-01' THEN 'test'
+         END AS split,
+         o_orderdate
+  FROM orders) s
+WHERE split IS NOT NULL
+GROUP BY split
+ORDER BY split
+"""
+
+
 def t_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset card: the corpus summary a training run records next to its
     data — doc/lang/source counts, mean length, per-language shares — as
@@ -4117,6 +4166,7 @@ QUERIES = {
     "e_negative_pairs": e_negative_pairs,
     "e_ivfpq_append": e_ivfpq_append,
     "t_dataset_card": t_dataset_card,
+    "d_split_temporal": d_split_temporal,
     "m_frames": m_frames,
     "m_video_frames": m_video_frames,
     "m_features": m_features,
@@ -4172,6 +4222,7 @@ ORACLE = {
     "e_negative_pairs": ORACLE_NEGATIVE_PAIRS,
     "e_ivfpq_append": ORACLE_E_IVFPQ_ANN,
     "t_dataset_card": ORACLE_DATASET_CARD,
+    "d_split_temporal": ORACLE_SPLIT_TEMPORAL,
     "m_frames": ORACLE_M_FRAMES,
     "m_video_frames": ORACLE_M_VIDEO_FRAMES,
     "m_features": ORACLE_M_FEATURES,
