@@ -2960,10 +2960,18 @@ def _q70_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     from udlang_spark.sources.tables import table_fingerprint
 
     # fingerprint the sources so regenerated parquet under the same path
-    # is a cache miss (new tables), never a stale bucketed copy
+    # is a cache miss (new tables), never a stale bucketed copy; the sf
+    # name is part of the table name so generation cleanup below only
+    # retires THIS sf's older builds (dropping another sf's live tables
+    # would ping-pong rebuilds when bench@sf0.1 and correctness@sf0.01
+    # alternate)
+    sfname = "".join(
+        c if c.isalnum() else "_" for c in os.path.basename(sf_dir.rstrip("/"))
+    )
     fp = table_fingerprint(sf_dir, "orders", "lineitem")
     tag = hashlib.md5(f"{sf_dir}|{fp}|{_Q70_BUCKETS}".encode()).hexdigest()[:10]
-    to, tl = f"q70_orders_b_{tag}", f"q70_lineitem_b_{tag}"
+    to = f"q70_orders_b_{sfname}_{tag}"
+    tl = f"q70_lineitem_b_{sfname}_{tag}"
     if not (spark.catalog.tableExists(to) and spark.catalog.tableExists(tl)):
         # a PREVIOUS session's write may have left the managed-table
         # location on disk while this session's in-memory catalog has no
@@ -2974,15 +2982,18 @@ def _q70_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         for t in (to, tl):
             if not spark.catalog.tableExists(t):
                 shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
-        # retire older generations (other fingerprints): drop their
-        # catalog entries and warehouse dirs so regenerated testdata
-        # doesn't accumulate dead bucketed copies
+        # retire THIS sf's older generations (stale fingerprints): drop
+        # their catalog entries and warehouse dirs so regenerated
+        # testdata doesn't accumulate dead bucketed copies
+        stale_prefixes = (f"q70_orders_b_{sfname}_", f"q70_lineitem_b_{sfname}_")
         for old in spark.catalog.listTables():
-            if old.name.startswith("q70_") and not old.name.endswith(tag):
+            if old.name.startswith(stale_prefixes) and not old.name.endswith(
+                tag
+            ):
                 spark.sql(f"DROP TABLE IF EXISTS {old.name}")
         if os.path.isdir(wh):
             for d in os.listdir(wh):
-                if d.startswith("q70_") and not d.endswith(tag):
+                if d.startswith(stale_prefixes) and not d.endswith(tag):
                     shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
         bucketing.write_bucketed(
             _t(spark, sf_dir, "orders").select(
