@@ -40,14 +40,15 @@ for mod in (kernels, llm, streaming, relational, cleaning):
 # operators that landed after the r6 window filled and have never had a
 # driver row (q69_udtf, m_audio_features, e_pca_cov, t_classifier_score,
 # t_retrieval_eval); (b) q34–q50, the stalest greens (last confirmed r3);
-# (c) the 10 round-7 operators, each swapped in AT LAND TIME for the
+# (c) the 16 round-7 operators, each swapped in AT LAND TIME for the
 # youngest tail re-confirmation (register-at-land-time discipline,
-# VERDICT r6 #7) — all 10 strict-verified the day they landed
-# (artifacts/STRICT_SWEEP_r07b.txt, 179/179); (d) 17 of the oldest r4
-# greens (the kernel family) in the remaining slots. Round-8
-# re-confirmation debt, stalest first: the ~30 remaining r4 greens
-# (k_spread, d_* dedup family, t_token_stats..q52), then the r5 s_*
-# streaming block.
+# VERDICT r6 #7) — every one strict-verified the day it landed, full
+# sweeps re-run after each batch (artifacts/STRICT_SWEEP_r07{b,d,e,f}.txt,
+# finally 185/185); (d) 11 of the oldest r4 greens (the kernel family)
+# in the remaining slots. Round-8 re-confirmation debt, stalest first:
+# the ~32 remaining r4 greens (k_match_union, k_cast, k_builtins,
+# k_modules, k_methods, k_pipeline, k_spread, the d_* dedup family,
+# t_token_stats..q52), then the r5 s_* streaming block.
 _PRIORITY: list[str] = [
     # -- (a) red-row fix + never driver-checked (6) --
     "k_tower",
