@@ -100,6 +100,7 @@ HEADLINE = [
     "t_dataset_card",
     "q74_skew_probe",
     "d_split_temporal",
+    "e_norm_audit",
     "t_classifier_score",
     "e_pca_cov",
     "m_audio_features",

@@ -92,6 +92,7 @@ _PRIORITY: list[str] = [
     "t_dataset_card",
     "q74_skew_probe",
     "d_split_temporal",
+    "e_norm_audit",
     # -- (d) oldest r4 greens --
     "k_hello",
     "k_function",
@@ -103,7 +104,6 @@ _PRIORITY: list[str] = [
     "k_subjunctive",
     "k_filter",
     "k_mapiter",
-    "k_match_lit",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50

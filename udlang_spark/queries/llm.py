@@ -2554,6 +2554,85 @@ SELECT metric, value FROM (
 """
 
 
+def e_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA audit: vector count, zero-norm count (zero vectors
+    poison every cosine downstream — the degenerate sweep's repeat
+    offender), min/max norm, and a fixed-width norm histogram, as
+    (metric, value) rows — the pre-flight check before any similarity /
+    ANN / clustering stage ingests a new embedding batch.
+
+    Determinism: each norm is the sequential left-fold dot (operators/
+    similarity.dot — the same order DuckDB's list_dot_product uses, the
+    bit-equality every cosine oracle already relies on); the audit
+    aggregates by COUNT / MIN / MAX / histogram only — no cross-row
+    float sums, so no accumulation-order surface. One scan, row-local
+    norm arithmetic in codegen, map-side-combined aggregates."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    nrm = similarity.norm(F.col("embedding"))
+    base = emb.select(nrm.alias("nrm"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum((F.col("nrm") == 0).cast("long")).alias("n_zero"),
+        F.round(F.min("nrm"), 6).alias("norm_min"),
+        F.round(F.max("nrm"), 6).alias("norm_max"),
+    )
+    scalars = stats.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("metric"),
+                        F.coalesce(F.col(name).cast("double"), F.lit(0.0)).alias(
+                            "value"
+                        ),
+                    )
+                    for name in ("n_vecs", "n_zero", "norm_min", "norm_max")
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.metric", "kv.value")
+    hist = (
+        base.groupBy(
+            F.floor(F.col("nrm") * 10).cast("long").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.concat(F.lit("norm_hist:"), F.col("b").cast("string")).alias(
+                "metric"
+            ),
+            F.col("n").cast("double").alias("value"),
+        )
+    )
+    return scalars.unionByName(hist).orderBy("metric")
+
+
+ORACLE_NORM_AUDIT = """
+WITH n AS (
+  SELECT sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM embeddings),
+stats AS (
+  SELECT count(*) AS n_vecs,
+         count(*) FILTER (WHERE nrm = 0) AS n_zero,
+         round(min(nrm), 6) AS norm_min,
+         round(max(nrm), 6) AS norm_max
+  FROM n)
+SELECT metric, value FROM (
+  SELECT 'n_vecs' AS metric, CAST(n_vecs AS DOUBLE) AS value FROM stats
+  UNION ALL
+  SELECT 'n_zero', CAST(n_zero AS DOUBLE) FROM stats
+  UNION ALL
+  SELECT 'norm_min', coalesce(norm_min, 0.0) FROM stats
+  UNION ALL
+  SELECT 'norm_max', coalesce(norm_max, 0.0) FROM stats
+  UNION ALL
+  SELECT 'norm_hist:' || CAST(CAST(floor(nrm * 10) AS BIGINT) AS VARCHAR),
+         CAST(count(*) AS DOUBLE)
+  FROM n GROUP BY 1
+) u ORDER BY metric
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contrastive negative sampling: the training-data side of the embedding
 # pipeline — every (query, positive) pair needs k negatives, and at scale
@@ -4167,6 +4246,7 @@ QUERIES = {
     "e_ivfpq_append": e_ivfpq_append,
     "t_dataset_card": t_dataset_card,
     "d_split_temporal": d_split_temporal,
+    "e_norm_audit": e_norm_audit,
     "m_frames": m_frames,
     "m_video_frames": m_video_frames,
     "m_features": m_features,
@@ -4223,6 +4303,7 @@ ORACLE = {
     "e_ivfpq_append": ORACLE_E_IVFPQ_ANN,
     "t_dataset_card": ORACLE_DATASET_CARD,
     "d_split_temporal": ORACLE_SPLIT_TEMPORAL,
+    "e_norm_audit": ORACLE_NORM_AUDIT,
     "m_frames": ORACLE_M_FRAMES,
     "m_video_frames": ORACLE_M_VIDEO_FRAMES,
     "m_features": ORACLE_M_FEATURES,
