@@ -351,3 +351,42 @@ def test_ivfpq_ensure_index_marker_crash_consistency(spark, tmp_path, monkeypatc
     os.remove(marker)
     assert llm_q.ivfpq_ensure_index(spark, SF_DIR_CORRECTNESS) == path
     assert os.path.exists(marker)
+
+
+def test_ivfpq_gc_retires_stale_generations(tmp_path):
+    """A cache-miss build garbage-collects sibling index dirs of the SAME
+    (sf_dir, variant) identity with a stale fingerprint — and ONLY those:
+    other variants, other sf_dirs, and markerless dirs survive (ADVICE
+    r7: stranded /tmp/udlang_spark_ivfpq_* generations)."""
+    import os
+    import shutil
+    import tempfile
+
+    from udlang_spark.queries.llm import _ivfpq_gc_stale
+
+    td = tempfile.gettempdir()
+
+    def mk(tag, key):
+        p = f"{td}/udlang_spark_ivfpq_gctest{tag}"
+        os.makedirs(p, exist_ok=True)
+        with open(os.path.join(p, "_BUILT"), "w") as fh:
+            fh.write(key)
+        return p
+
+    cur_key = "/d/sf|fpA|cells=16|m=4|cb=(1,2)|fmt=3"
+    cur = mk("cur", cur_key)
+    stale = mk("stale", "/d/sf|fpOLD|cells=16|m=4|cb=(1,2)|fmt=3")
+    othervar = mk("var", "/d/sf|append|fpA|cells=16|m=4|cb=(1,2)|fmt=3")
+    otherdir = mk("dir", "/e/sf|fpA|cells=16|m=4|cb=(1,2)|fmt=3")
+    bare = f"{td}/udlang_spark_ivfpq_gctestbare"
+    os.makedirs(bare, exist_ok=True)
+    try:
+        _ivfpq_gc_stale(cur_key, cur)
+        assert os.path.exists(cur)
+        assert not os.path.exists(stale)
+        assert os.path.exists(othervar)
+        assert os.path.exists(otherdir)
+        assert os.path.exists(bare)
+    finally:
+        for p in (cur, stale, othervar, otherdir, bare):
+            shutil.rmtree(p, ignore_errors=True)

@@ -157,6 +157,8 @@ def test_bucketed_join_has_no_exchange(spark):
     bucketing.write_bucketed(
         li.withColumnRenamed("l_orderkey", "o_orderkey"), "t_lineitem_b", "o_orderkey", 8
     )
+    orig_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    orig_bjt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         j = bucketing.cobucketed_join(spark, "t_orders_b", "t_lineitem_b", "o_orderkey")
         # disable AQE (stable plan string) and broadcast (these test tables
@@ -173,8 +175,11 @@ def test_bucketed_join_has_no_exchange(spark):
         ).count()
         assert n_bucketed == n_plain
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # restore the CAPTURED originals — hardcoded restore values would
+        # silently leak config changes if the session fixture's defaults
+        # ever diverge from them
+        spark.conf.set("spark.sql.adaptive.enabled", orig_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig_bjt)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
 
@@ -679,6 +684,8 @@ def test_q70_join_itself_is_exchange_free(spark):
     non-bucketed tables, the join exchanges would reappear here."""
     from udlang_spark.queries import relational as rel
 
+    orig_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    orig_bjt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -688,7 +695,6 @@ def test_q70_join_itself_is_exchange_free(spark):
         # agg exchange + orderBy range exchange only — nothing feeding the join
         assert plan.count("Exchange (") <= 2, plan
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-        spark.conf.set(
-            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
-        )
+        # restore the captured originals, not hardcoded defaults
+        spark.conf.set("spark.sql.adaptive.enabled", orig_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig_bjt)

@@ -87,27 +87,20 @@ def skew_report(df: DataFrame, key: str, n_cores: int = 32) -> DataFrame:
     same shuffle the join/agg under diagnosis would do, so the probe can
     piggyback on an existing profile pass; the output relation is bounded
     by key cardinality (sample or top-k it for very-high-cardinality
-    keys)."""
-    total = df.count()
-    if total == 0:
-        return (
-            df.groupBy(key)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .select(
-                key,
-                "n",
-                F.lit(0.0).alias("share"),
-                F.lit(False).alias("salt_recommended"),
-            )
-        )
-    share = F.round(F.col("n").cast("double") / F.lit(total), 6)
-    return (
-        df.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            key,
-            "n",
-            share.alias("share"),
-            (F.col("n") * n_cores > F.lit(total)).alias("salt_recommended"),
-        )
+    keys). The total derives from the grouped counts via an unpartitioned
+    window SUM over that bounded key-count relation — NOT a separate
+    df.count() action, which would scan the (possibly 100 TB) input a
+    second time per probe. The single-partition window is safe precisely
+    because its input is the key-count relation, not the raw rows."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    return counts.select(
+        key,
+        "n",
+        F.round(F.col("n").cast("double") / total.cast("double"), 6).alias(
+            "share"
+        ),
+        (F.col("n") * n_cores > total).alias("salt_recommended"),
     )

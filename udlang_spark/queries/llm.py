@@ -2021,6 +2021,33 @@ def _ivfpq_cache(sf_dir: str, variant: str = "") -> tuple[str, str, str]:
     return key, path, os.path.join(path, "_BUILT")
 
 
+def _ivfpq_gc_stale(key: str, path: str) -> None:
+    """Retire STALE GENERATIONS of the same logical index: sibling
+    udlang_spark_ivfpq_* dirs whose marker records the same (sf_dir,
+    variant) identity but a different fingerprint/layout key — i.e. the
+    index this build supersedes. Without this, every source-data
+    regeneration strands a dead index dir in tempdir forever (the q70
+    bucketed-table cache already does the equivalent cleanup). Identity =
+    the key minus its trailing 5 parameter fields (fp|cells|m|cb|fmt),
+    which no sf_dir path can fake since the fingerprint is fixed-format
+    hex. Unreadable/foreign dirs are left alone."""
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile
+
+    ident = key.rsplit("|", 5)[0]
+    for sib in _glob.glob(f"{tempfile.gettempdir()}/udlang_spark_ivfpq_*"):
+        if os.path.abspath(sib) == os.path.abspath(path):
+            continue
+        try:
+            with open(os.path.join(sib, "_BUILT")) as fh:
+                sib_key = fh.read()
+        except OSError:
+            continue  # unfinished/foreign dir: not ours to judge
+        if sib_key != key and sib_key.rsplit("|", 5)[0] == ident:
+            _shutil.rmtree(sib, ignore_errors=True)
+
+
 def ivfpq_index_ready(sf_dir: str) -> bool:
     """True when the cached e_ivfpq_ann index for sf_dir is fully built."""
     return os.path.exists(_ivfpq_cache(sf_dir)[2])
@@ -2072,6 +2099,7 @@ def e_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(marker) and len(emb.limit(1).collect()) == 0:
         return _empty_ivfpq_result(spark)
     if not os.path.exists(marker):
+        _ivfpq_gc_stale(key, path)
         max_id = emb.agg(F.max("vec_id")).collect()[0][0]
         # base half must contain the quantizer/codebook seed rows (ids
         # 0..15) so the frozen artifacts equal the full build's
@@ -2118,6 +2146,7 @@ def ivfpq_ensure_index(
     if force_rebuild and os.path.exists(path):
         shutil.rmtree(path)
     if not os.path.exists(marker):
+        _ivfpq_gc_stale(key, path)
         emb = load_table(spark, "embeddings", sf_dir)
         ann_index.write_ivfpq_index(
             emb,
