@@ -669,12 +669,23 @@ def test_ahash_single_arrow_pass(spark):
 def test_negative_pairs_corpus_never_shuffles_wide(spark):
     """e_negative_pairs: the label-inequality join must be the broadcast
     nested-loop with the TINY query side broadcast (4 rows) — never a
-    cartesian, never a shuffle of the candidate corpus onto skew keys."""
+    cartesian, never a shuffle of the candidate corpus onto skew keys.
+    r8: the |Q|-key row_number window must be fed by the batch-local
+    partial top-k prune (MapInPandas BELOW the window's exchange), so
+    only ≤ k·n_batches·|Q| rows shuffle — exactly one hash exchange
+    (the window) plus the final presentation sort's range exchange."""
     from udlang_spark.queries import llm as llm_q
 
     plan = plan_of(llm_q.e_negative_pairs(spark, SF_DIR_CORRECTNESS))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" in plan
+    assert "MapInPandas" in plan
+    # the prune must sit on the map side of the window's exchange: the
+    # full candidate relation never shuffles onto the |Q| keys
+    assert plan.index("MapInPandas") > plan.index("Window"), plan
+    # exactly one hash exchange (the |Q|-key window over the pruned
+    # relation); the only other exchange is the final sort's range part.
+    assert plan.count("hashpartitioning") == 1, plan
 
 
 def test_q70_join_itself_is_exchange_free(spark):
