@@ -256,3 +256,51 @@ def test_bpe_encode_matches_fixpoint_reference(spark):
         for r in OPS.bpe_encode_stats(docs).collect()
     }
     assert got == expect
+
+
+def test_span_scrub_keeper_and_coverage(spark):
+    """Crafted corpus: docs 0 and 2 share an 8-token span, doc 1 is
+    unique. The scrub must (a) keep the span in the MIN doc (keeper),
+    (b) remove exactly the span's tokens from the other doc, (c) leave
+    unique docs untouched, and (d) report consistent counts."""
+    span = "one two three four five six seven eight"
+    texts = [
+        f"prefix {span} suffix",          # doc 0: keeper — untouched
+        "totally unrelated words here",   # doc 1: unique — untouched
+        f"intro {span} outro tail",       # doc 2: span scrubbed
+    ]
+    docs = _docs(spark, texts)
+    rows = {r["doc_id"]: r for r in OPS.scrub_duplicate_spans(docs, k=8).collect()}
+    assert rows[0]["n_removed"] == 0 and rows[0]["n_kept"] == 10
+    assert rows[1]["n_removed"] == 0
+    assert rows[2]["n_removed"] == 8
+    assert rows[2]["n_kept"] == 3  # intro outro tail
+    import hashlib
+
+    assert rows[2]["cleaned_md5"] == hashlib.md5(b"intro outro tail").hexdigest()
+    for r in rows.values():
+        assert r["n_removed"] == r["n_tokens"] - r["n_kept"] >= 0
+
+
+def test_span_scrub_overlapping_spans_union_coverage(spark):
+    """Two duplicated 8-gram windows overlapping in one doc scrub as their
+    POSITION UNION (no double-removal, no gaps), and a doc duplicated
+    END-TO-END scrubs to empty with md5('')."""
+    span9 = "w1 w2 w3 w4 w5 w6 w7 w8 w9"  # 9 tokens → two overlapping 8-grams
+    texts = [span9, f"pad {span9}", "w1 w2 w3"]
+    docs = _docs(spark, texts)
+    rows = {r["doc_id"]: r for r in OPS.scrub_duplicate_spans(docs, k=8).collect()}
+    # doc 0 is keeper of both grams (min doc_id); doc 1 loses all 9 span
+    # tokens (union of the two overlapping windows), keeping only "pad"
+    assert rows[0]["n_removed"] == 0
+    assert rows[1]["n_removed"] == 9 and rows[1]["n_kept"] == 1
+    # short doc (<k tokens) is never touched even though its words appear
+    assert rows[2]["n_removed"] == 0
+    import hashlib
+
+    # fully-scrubbed witness path: make doc 1 an exact dup of doc 0
+    docs2 = _docs(spark, [span9, span9])
+    r2 = {r["doc_id"]: r for r in OPS.scrub_duplicate_spans(docs2, k=8).collect()}
+    assert r2[0]["n_removed"] == 0
+    assert r2[1]["n_kept"] == 0
+    assert r2[1]["cleaned_md5"] == hashlib.md5(b"").hexdigest()

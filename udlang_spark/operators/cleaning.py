@@ -146,6 +146,92 @@ def duplicate_span_stats(
     )
 
 
+def _positioned_grams(wl, k: int):
+    """Array of k-token grams ALIGNED to their 0-based start positions
+    (shingles' zip_with-of-slices construction, minus the array_distinct —
+    positions matter here). Empty array for docs with fewer than k
+    tokens."""
+    sz = F.size(wl)
+    m = sz - (k - 1)
+    grams = F.slice(wl, 1, m)
+    for j in range(1, k):
+        grams = F.zip_with(
+            grams,
+            F.slice(wl, j + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(sz >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
+def scrub_duplicate_spans(
+    docs: DataFrame, k: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """REMOVE cross-document duplicated spans and emit the cleaned corpus
+    — the production counterpart of duplicate_span_stats (which only
+    reports them). A k-token gram occurring in >= 2 documents marks its k
+    token positions as duplicated in every document EXCEPT the gram's
+    keeper (min doc_id), so exactly one canonical copy of every
+    duplicated span survives — the Lee et al. 2021 substring-dedup
+    policy, k-gram approximated.
+
+    Scale shape (gram-key shuffles only, never all-pairs): one posexplode
+    to the positioned gram relation; one gram-key aggregate finds
+    duplicated grams and their keepers; one join + per-doc aggregate
+    collects each doc's marked start positions (bounded by the doc's own
+    gram count); the final token filter is row-local higher-order-function
+    work (exists over the starts array). The corpus text itself shuffles
+    ZERO times — only (doc_id, pos, gram) rows and the per-doc starts
+    arrays move.
+
+    Output per doc: token counts before/after and an md5 witness of the
+    cleaned text, so an oracle differential pins every kept token."""
+    toks = persist_tracked(
+        docs.select(
+            "doc_id",
+            TXT.words(F.coalesce(F.col(text_col), F.lit(""))).alias("wl"),
+        )
+    )
+    pos = persist_tracked(
+        toks.select(
+            "doc_id",
+            F.posexplode(_positioned_grams(F.col("wl"), k)).alias(
+                "pos", "gram"
+            ),
+        )
+    )
+    dup = (
+        pos.groupBy("gram")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .where(F.col("nd") >= 2)
+        .select("gram", "keeper")
+    )
+    starts = (
+        pos.join(dup, "gram")
+        .where(F.col("doc_id") != F.col("keeper"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("starts"))
+    )
+    joined = toks.join(starts, "doc_id", "left")
+    kept = F.when(F.col("starts").isNull(), F.col("wl")).otherwise(
+        F.filter(
+            "wl",
+            lambda x, i: ~F.exists(
+                "starts", lambda p: (p <= i) & (i < p + F.lit(k))
+            ),
+        )
+    )
+    return joined.select(
+        "doc_id",
+        F.size("wl").alias("n_tokens"),
+        F.size(kept).alias("n_kept"),
+        (F.size("wl") - F.size(kept)).alias("n_removed"),
+        F.md5(F.concat_ws(" ", kept)).alias("cleaned_md5"),
+    )
+
+
 def bigram_familiarity(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """LM-style quality proxy without a model: the fraction of a doc's
     distinct bigrams occurring in >= 2 documents ("familiar" under a corpus

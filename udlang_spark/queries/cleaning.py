@@ -145,6 +145,60 @@ LEFT JOIN dd USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# duplicated-span SCRUB: remove the spans, emit the cleaned corpus
+# ---------------------------------------------------------------------------
+
+
+def d_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True substring dedup OUTPUT (r7 VERDICT #3): duplicated k-gram
+    spans removed from every doc except the gram's min-doc keeper; the
+    cleaned text is witnessed by md5 so the oracle pins every kept token.
+    Logic: operators/cleaning.scrub_duplicate_spans."""
+    return OPS.scrub_duplicate_spans(
+        load_table(spark, "documents", sf_dir), k=_SPAN_K
+    )
+
+
+def _span_scrub_oracle(k: int = _SPAN_K) -> str:
+    gram = " || ' ' || ".join(f"wl[i+{j}]" for j in range(k))
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS wl
+  FROM documents),
+g AS (
+  SELECT doc_id, i - 1 AS pos, ({gram}) AS gram
+  FROM w, LATERAL (
+    SELECT unnest(generate_series(1, len(wl) - {k - 1})) AS i) s
+  WHERE len(wl) >= {k}),
+dup AS (
+  SELECT gram, min(doc_id) AS keeper
+  FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+st AS (
+  SELECT g.doc_id, list(g.pos ORDER BY g.pos) AS starts
+  FROM g JOIN dup USING (gram)
+  WHERE g.doc_id <> dup.keeper
+  GROUP BY g.doc_id),
+j AS (
+  SELECT w.doc_id, wl,
+    CASE WHEN starts IS NULL THEN wl
+         ELSE list_filter(wl, (x, i) ->
+           len(list_filter(starts,
+               p -> p <= i - 1 AND i - 1 < p + {k})) = 0)
+    END AS kept
+  FROM w LEFT JOIN st USING (doc_id))
+SELECT doc_id, len(wl) AS n_tokens, len(kept) AS n_kept,
+       len(wl) - len(kept) AS n_removed,
+       -- array_to_string([]) is NULL in DuckDB but '' in Spark concat_ws:
+       -- a fully-scrubbed doc must still hash as md5('')
+       md5(coalesce(array_to_string(kept, ' '), '')) AS cleaned_md5
+FROM j
+"""
+
+
+ORACLE_SPAN_SCRUB = _span_scrub_oracle()
+
+
+# ---------------------------------------------------------------------------
 # bigram-LM familiarity (transcendental-free perplexity proxy)
 # ---------------------------------------------------------------------------
 
@@ -458,6 +512,7 @@ QUERIES = {
     "t_gopher_rules": t_gopher_rules,
     "t_dedup_words": t_dedup_words,
     "d_duplicate_spans": d_duplicate_spans,
+    "d_span_scrub": d_span_scrub,
     "t_bigram_lm": t_bigram_lm,
     "t_wordpiece": t_wordpiece,
     "t_bpe_learn": t_bpe_learn,
@@ -468,6 +523,7 @@ ORACLE = {
     "t_gopher_rules": ORACLE_GOPHER_RULES,
     "t_dedup_words": ORACLE_DEDUP_WORDS,
     "d_duplicate_spans": ORACLE_DUPLICATE_SPANS,
+    "d_span_scrub": ORACLE_SPAN_SCRUB,
     "t_bigram_lm": ORACLE_BIGRAM_LM,
     "t_wordpiece": ORACLE_WORDPIECE,
     "t_bpe_learn": ORACLE_BPE_LEARN,
