@@ -337,3 +337,43 @@ def test_attach_audio_roundtrip_and_features(spark):
         mono = x.astype(np.float64)[:, 0]
         assert f[0] == np.float32(mono.mean())
         assert f[2] == np.float32(np.sqrt((mono**2).mean()))
+
+
+def test_ahash64_band_recall_equals_brute_force(spark):
+    """m_ahash_neardup's band-bucket join has EXACT recall vs the brute
+    O(n²) hamming scan over the same 64-bit fingerprints (pigeonhole:
+    hamming ≤ 3 ⇒ ≥1 of 4 bands identical), and the canonical hash is a
+    64-char bit string for every dims class."""
+    from pyspark.sql import functions as F
+
+    from udlang_spark.operators import dedup
+    from udlang_spark.queries.llm import _synth_ppm
+    from udlang_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").select(
+        "doc_id", "text"
+    )
+    fp = multimodal.image_ahash64(_synth_ppm(docs)).select(
+        F.col("doc_id").alias("doc"), "ahash64"
+    )
+    rows = fp.collect()
+    assert rows and all(
+        len(r["ahash64"]) == 64 and set(r["ahash64"]) <= {"0", "1"}
+        for r in rows
+    )
+    ints = {r["doc"]: int(r["ahash64"], 2) for r in rows}
+    ids = sorted(ints)
+    brute = {
+        (a, b, bin(ints[a] ^ ints[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(ints[a] ^ ints[b]).count("1") <= 3
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.banded_hamming_pairs(
+            fp, bits_col="ahash64", n_bits=64, max_hamming=3
+        ).collect()
+    }
+    assert brute, "corpus must contain at least one near-dup pair"
+    assert banded == brute

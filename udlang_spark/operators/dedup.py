@@ -250,22 +250,40 @@ def simhash_near_pairs(
     ReusedExchange). In-bucket pair expansion is two Generate nodes; the
     exact hamming filter runs map-side before the pair-dedup shuffle.
     """
-    n_bits, n_bands = 64, 4
-    if max_hamming >= n_bands:
-        raise ValueError("pigeonhole recall needs max_hamming < n_bands")
+    n_bits = 64
+    fp = fan_out(df).select(
+        F.col(id_col).alias("doc"), simhash_bits(text_col, n_bits).alias("simhash")
+    )
+    return banded_hamming_pairs(
+        fp, bits_col="simhash", n_bits=n_bits, max_hamming=max_hamming
+    )
+
+
+def banded_hamming_pairs(
+    fp: DataFrame,
+    bits_col: str,
+    n_bits: int = 64,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Hamming-distance pairs (doc_a < doc_b, hamming ≤ max_hamming) over
+    ANY (doc, <bits_col>) fingerprint relation — the band-bucket machinery
+    extracted from simhash_near_pairs (r8) so other fingerprints (e.g.
+    the 64-bit perceptual image aHash, m_ahash_neardup) reuse the exact
+    shuffle shape. `bits_col` is an n_bits-char '0'/'1' string; recall is
+    EXACT for max_hamming < n_bands by pigeonhole."""
+    n_bands = max_hamming + 1
+    if n_bits % n_bands:
+        raise ValueError(f"{n_bits} bits not divisible into {n_bands} bands")
     band_w = n_bits // n_bands
     # band values as int64 ONCE per doc (conv at pair time was the
     # hot spot: 64-CASE string hamming ran interpreted at ~50µs/pair, 29 s
     # for 600k candidates; per-pair conv still cost ~3µs. Pre-converted
     # longs make the pair predicate 4× (xor + bit_count) — pure codegen.)
-    fp = fan_out(df).select(
-        F.col(id_col).alias("doc"), simhash_bits(text_col, n_bits).alias("simhash")
-    )
     fp = fp.select(
         "doc",
         F.array(
             *[
-                F.conv(F.substring("simhash", 1 + band_w * i, band_w), 2, 10).cast(
+                F.conv(F.substring(bits_col, 1 + band_w * i, band_w), 2, 10).cast(
                     "long"
                 )
                 for i in range(n_bands)
@@ -274,7 +292,7 @@ def simhash_near_pairs(
     )
     # persist: `bl` is referenced twice below (struct + posexplode) and
     # CollapseProject would otherwise inline — and re-evaluate — the whole
-    # per-token fingerprint aggregate once per reference (measured 8 s vs
+    # per-doc fingerprint subtree once per reference (measured 8 s vs
     # ~1.5 s at sf0.1). The cached relation is |docs| × (id + 4 longs).
     fp = persist_tracked(fp)
     bands = fp.select(

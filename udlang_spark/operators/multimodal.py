@@ -172,6 +172,54 @@ def image_ahash(
     return df.select(id_col, payload_col).mapInPandas(run, AHASH_SCHEMA)
 
 
+def image_ahash64(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    grid: int = 8,
+) -> DataFrame:
+    """CANONICAL fixed-width average-hash: nearest-neighbor downsample to a
+    grid×grid brightness matrix (cell (r,c) samples pixel
+    (r·h//grid, c·w//grid) — pure integer index math), then bit = 1 iff
+    cell_brightness·grid² > Σ cell_brightness (cross-multiplied mean
+    comparison, exact ints). Unlike image_ahash's dims-length hash, every
+    image maps to the SAME 64-bit space, so hamming distance is defined
+    across dims and the simhash band machinery
+    (operators/dedup.banded_hamming_pairs) applies verbatim — the classic
+    aHash near-dup pipeline (resize 8×8 → threshold by mean → band).
+
+    Scale shape: one Arrow-batched mapInPandas pass; pixels never leave
+    the executors — only the 64-char bit string shuffles downstream."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from udlang_spark.operators import codecs
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                px = codecs.decode_pixels(bytes(payload)).astype(np.int64)
+                px = _as_rgb(px)
+                h, w = px.shape[0], px.shape[1]
+                rows = (np.arange(grid) * h) // grid
+                cols = (np.arange(grid) * w) // grid
+                bright = px.sum(axis=2)[np.ix_(rows, cols)].ravel()
+                n = int(bright.size)
+                total = int(bright.sum())
+                bits = "".join(
+                    "1" if int(b) * n > total else "0" for b in bright
+                )
+                ids.append(int(doc_id))
+                hashes.append(bits)
+            yield pd.DataFrame({"doc_id": ids, "ahash64": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, "doc_id long, ahash64 string"
+    )
+
+
 FEATURE_DIM = 16
 
 

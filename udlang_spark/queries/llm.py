@@ -2442,6 +2442,90 @@ ORDER BY doc_id
 ORACLE_AHASH_DEDUP = _ahash_oracle()
 
 
+def m_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image NEAR-dup (r7 VERDICT #4 — hamming ≤ 3, not just
+    exact hash equality): synthesize + decode the PPMs (_synth_ppm), take
+    the CANONICAL 64-bit aHash (8×8 nearest-neighbor downsample →
+    threshold by mean, operators/multimodal.image_ahash64 — every image
+    lands in the same 64-bit space regardless of dims), then find pairs
+    within hamming distance 3 via the SAME 4×16-bit band-bucket machinery
+    as text simhash (operators/dedup.banded_hamming_pairs) — exact recall
+    by pigeonhole, never an all-pairs image cross join.
+
+    The oracle re-derives every sampled pixel byte from the md5 digest
+    arithmetic in SQL, packs the same 4 band words, and band-joins +
+    xor/bit_counts them — a full pixel→hash→band→pair differential.
+
+    Scale shape: decode + hash ride one Arrow mapInPandas pass (pixels
+    stay on executors; only 64-char strings shuffle); candidate pairs are
+    band-bucket bounded; the hamming predicate is 4× (xor + bit_count)
+    codegen on pre-packed longs."""
+    from udlang_spark.operators import dedup as _dedup
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    fp = multimodal.image_ahash64(_synth_ppm(docs)).select(
+        F.col("doc_id").alias("doc"), "ahash64"
+    )
+    return _dedup.banded_hamming_pairs(
+        fp, bits_col="ahash64", n_bits=64, max_hamming=3
+    ).orderBy("doc_a", "doc_b")
+
+
+def _ahash_neardup_oracle() -> str:
+    def byte(expr: str) -> str:
+        return (
+            f"CAST(concat('0x', substr(hex, 2 * (({expr}) % 16) + 1, 2)) "
+            f"AS BIGINT)"
+        )
+
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id % 13 + 1 AS BIGINT) AS w,
+         CAST(doc_id % 7 + 1 AS BIGINT) AS h,
+         md5(coalesce(text, '')) AS hex
+  FROM documents),
+cell AS (
+  SELECT doc_id, g.g,
+         (((g.g // 8) * h) // 8) * w + (((g.g % 8) * w) // 8) AS p,
+         hex
+  FROM d, LATERAL (SELECT unnest(generate_series(0, 63)) AS g) g),
+br AS (
+  SELECT doc_id, g,
+         {byte("3 * p")} + {byte("3 * p + 1")} + {byte("3 * p + 2")}
+           AS bright
+  FROM cell),
+tot AS (SELECT doc_id, sum(bright) AS total FROM br GROUP BY doc_id),
+bandv AS (
+  SELECT br.doc_id, CAST(g // 16 AS INTEGER) AS band,
+         CAST(sum(CASE WHEN bright * 64 > total
+                       THEN 1::BIGINT << (15 - (g % 16))
+                       ELSE 0 END) AS BIGINT) AS bits
+  FROM br JOIN tot USING (doc_id)
+  GROUP BY br.doc_id, g // 16),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandv a
+  JOIN bandv b ON a.band = b.band AND a.bits = b.bits
+              AND a.doc_id < b.doc_id),
+bl AS (SELECT doc_id, list(bits ORDER BY band) AS bl FROM bandv GROUP BY doc_id),
+hm AS (
+  SELECT doc_a, doc_b,
+         CAST(  bit_count(xor(la.bl[1], lb.bl[1]))
+              + bit_count(xor(la.bl[2], lb.bl[2]))
+              + bit_count(xor(la.bl[3], lb.bl[3]))
+              + bit_count(xor(la.bl[4], lb.bl[4])) AS INTEGER) AS hamming
+  FROM cand
+  JOIN bl la ON la.doc_id = cand.doc_a
+  JOIN bl lb ON lb.doc_id = cand.doc_b)
+SELECT doc_a, doc_b, hamming FROM hm WHERE hamming <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
+ORACLE_AHASH_NEARDUP = _ahash_neardup_oracle()
+
+
 def d_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe TEMPORAL train/test split with an embargo gap — the
     time-series complement of d_split_leakage's cluster-whole split:
@@ -4290,6 +4374,7 @@ QUERIES = {
     "m_image_meta": m_image_meta,
     "m_real_decode": m_real_decode,
     "m_ahash_dedup": m_ahash_dedup,
+    "m_ahash_neardup": m_ahash_neardup,
     "e_negative_pairs": e_negative_pairs,
     "e_ivfpq_append": e_ivfpq_append,
     "t_dataset_card": t_dataset_card,
@@ -4347,6 +4432,7 @@ ORACLE = {
     "m_image_meta": ORACLE_IMAGE_META,
     "m_real_decode": ORACLE_REAL_DECODE,
     "m_ahash_dedup": ORACLE_AHASH_DEDUP,
+    "m_ahash_neardup": ORACLE_AHASH_NEARDUP,
     "e_negative_pairs": ORACLE_NEGATIVE_PAIRS,
     "e_ivfpq_append": ORACLE_E_IVFPQ_ANN,
     "t_dataset_card": ORACLE_DATASET_CARD,
