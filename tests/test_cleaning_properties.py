@@ -304,3 +304,42 @@ def test_span_scrub_overlapping_spans_union_coverage(spark):
     assert r2[0]["n_removed"] == 0
     assert r2[1]["n_kept"] == 0
     assert r2[1]["cleaned_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_lang_quality_bands_quartiles(spark):
+    """Per-language banding invariants on a crafted corpus: bands span
+    1..4 within each language, band is monotone in score, and each
+    language's thresholds derive from ITS OWN distribution (the same
+    score can band differently across languages)."""
+    import random
+
+    rng = random.Random(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    rows = []
+    for i in range(120):
+        lang = "en" if i % 2 == 0 else "de"
+        # en docs draw from a shared small vocab (familiar), de docs get
+        # progressively more unique junk tokens (unfamiliar tail)
+        toks = [rng.choice(vocab) for _ in range(10)]
+        n_junk = (i // 2) % 6 if lang == "de" else 0
+        toks += [f"junk{lang}{i}_{j}" for j in range(n_junk)]
+        rows.append((i, " ".join(toks), lang))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = OPS.language_quality_bands(docs).collect()
+    assert out
+    by_lang = {}
+    for r in out:
+        assert 1 <= r["band"] <= 4
+        by_lang.setdefault(r["lang"], []).append((r["score"], r["band"]))
+    for lang, pairs in by_lang.items():
+        pairs.sort()
+        bands = [b for _, b in pairs]
+        assert bands == sorted(bands), f"band not monotone in score for {lang}"
+    # en is DEGENERATE by construction (every doc fully familiar, score
+    # 1000): all quartile thresholds coincide, so every doc bands 1 —
+    # nobody exceeds its own distribution's p75
+    assert {b for _, b in by_lang["en"]} == {1}
+    assert all(s == 1000 for s, _ in by_lang["en"])
+    # de has a real score spread: its OWN thresholds split it into all 4
+    # quartile bands even though many de scores would band 1 under en's
+    assert {b for _, b in by_lang["de"]} == {1, 2, 3, 4}

@@ -277,6 +277,81 @@ def bigram_familiarity(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def language_quality_bands(
+    docs: DataFrame, lang_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Per-LANGUAGE quality quartile banding (r7 VERDICT #5 — the
+    CCNet-style selection step): score each doc by bigram-LM familiarity
+    permille (integer (1000·n_familiar) div n_bigrams — exact cross-engine
+    arithmetic, unlike a float ratio), build a per-language score
+    HISTOGRAM (the mergeable sketch: (lang × score) counts, ≤1001 cells
+    per language), read the p25/p50/p75 thresholds off the cumulative
+    histogram (ceil(n·q) rank, the t_group_quantiles probe), and band
+    every doc 1..4 against its language's thresholds. Docs with no
+    bigrams are excluded (no quality evidence).
+
+    Scale shape — NO corpus-wide sort anywhere: familiarity is gram-key
+    shuffles (bigram_familiarity); the histogram is ONE map-side-combining
+    count aggregate to the bounded (lang × permille) grain; the cumulative
+    window + threshold probe run over that bounded relation; the final
+    banding is a BROADCAST join of ≤|langs| threshold rows against the
+    scored docs. A corpus-wide ntile would serialize through one window
+    partition — this never touches more than the sketch."""
+    from pyspark.sql.window import Window
+
+    fam = bigram_familiarity(docs, text_col=text_col)
+    scored = persist_tracked(
+        fam.where(F.col("n_bigrams") > 0)
+        .join(docs.select("doc_id", lang_col), "doc_id")
+        .select(
+            "doc_id",
+            F.col(lang_col).alias("lang"),
+            F.expr("(1000 * n_familiar) div n_bigrams").alias("score"),
+        )
+    )
+    hist = scored.groupBy("lang", "score").agg(F.count(F.lit(1)).alias("n"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("n").over(
+            Window.partitionBy("lang")
+            .orderBy("score")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    totals = hist.groupBy("lang").agg(F.sum("n").alias("n_total"))
+    quants = [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4)]
+    targets = totals.select(
+        "lang",
+        *[
+            F.expr(f"(n_total * {num} + {den} - 1) div {den}").alias(q)
+            for q, num, den in quants
+        ],
+    ).unpivot("lang", [q for q, _, _ in quants], "q", "target")
+    probe = cum.join(
+        targets,
+        (cum["lang"] == targets["lang"])
+        & (F.col("cum") >= F.col("target"))
+        & (F.col("cum") - F.col("n") < F.col("target")),
+    ).drop(targets["lang"])
+    thresh = F.broadcast(
+        probe.groupBy("lang").agg(
+            *[
+                F.max(F.when(F.col("q") == q, F.col("score"))).alias(f"t{q[1:]}")
+                for q, _, _ in quants
+            ]
+        )
+    )
+    band = (
+        F.lit(1)
+        + (F.col("score") > F.col("t25")).cast("int")
+        + (F.col("score") > F.col("t50")).cast("int")
+        + (F.col("score") > F.col("t75")).cast("int")
+    )
+    return scored.join(thresh, "lang").select(
+        "doc_id", "lang", "score", band.alias("band")
+    )
+
+
 def wordpiece_vocab(
     docs: DataFrame, n_vocab: int = 64, max_len: int = 4, text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame]:

@@ -247,6 +247,73 @@ FROM j
 
 
 # ---------------------------------------------------------------------------
+# per-language quality quartile banding (CCNet-style selection step)
+# ---------------------------------------------------------------------------
+
+
+def t_lang_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality quartiles from the mergeable (lang × permille)
+    histogram sketch — corpus-derived bands replacing bigram_familiarity's
+    fixed thresholds. Logic (and no-corpus-sort scale notes):
+    operators/cleaning.language_quality_bands."""
+    return OPS.language_quality_bands(
+        load_table(spark, "documents", sf_dir)
+    ).orderBy("doc_id")
+
+
+ORACLE_LANG_QUALITY_BANDS = f"""
+WITH w AS (SELECT doc_id, {_WL} AS wl FROM documents),
+g AS (
+  SELECT doc_id, list(DISTINCT (wl[i] || ' ' || wl[i+1])) AS grams
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(wl) - 1)) AS i) s
+  WHERE len(wl) >= 2
+  GROUP BY doc_id
+),
+gr AS (SELECT doc_id, unnest(grams) AS bg FROM g),
+familiar AS (
+  SELECT bg FROM gr GROUP BY bg HAVING count(DISTINCT doc_id) >= 2
+),
+per_doc AS (SELECT doc_id, count(*) AS n_bigrams FROM gr GROUP BY doc_id),
+fam AS (
+  SELECT doc_id, count(*) AS n_familiar
+  FROM gr JOIN familiar USING (bg) GROUP BY doc_id
+),
+scored AS (
+  SELECT d.doc_id, d.lang,
+         (1000 * coalesce(f.n_familiar, 0)) // p.n_bigrams AS score
+  FROM documents d
+  JOIN per_doc p USING (doc_id)
+  LEFT JOIN fam f USING (doc_id)
+  WHERE p.n_bigrams > 0),
+hist AS (SELECT lang, score, count(*) AS n FROM scored GROUP BY 1, 2),
+cum AS (
+  SELECT lang, score, n,
+         sum(n) OVER (PARTITION BY lang ORDER BY score
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist),
+tot AS (SELECT lang, sum(n) AS n_total FROM hist GROUP BY lang),
+quants AS (SELECT * FROM (VALUES ('p25', 1, 4), ('p50', 1, 2),
+                                 ('p75', 3, 4)) v(q, num, den)),
+targets AS (
+  SELECT lang, q, (n_total * num + den - 1) // den AS target
+  FROM tot, quants),
+th AS (
+  SELECT t.lang,
+         max(CASE WHEN t.q = 'p25' THEN c.score END) AS t25,
+         max(CASE WHEN t.q = 'p50' THEN c.score END) AS t50,
+         max(CASE WHEN t.q = 'p75' THEN c.score END) AS t75
+  FROM cum c JOIN targets t
+    ON c.lang = t.lang AND c.cum >= t.target AND c.cum - c.n < t.target
+  GROUP BY t.lang)
+SELECT s.doc_id, s.lang, CAST(s.score AS BIGINT) AS score,
+       CAST(1 + (s.score > t25)::INT + (s.score > t50)::INT
+              + (s.score > t75)::INT AS INTEGER) AS band
+FROM scored s JOIN th USING (lang)
+ORDER BY s.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # greedy subword (wordpiece-style) tokenization with a corpus-derived vocab
 # ---------------------------------------------------------------------------
 
@@ -513,6 +580,7 @@ QUERIES = {
     "t_dedup_words": t_dedup_words,
     "d_duplicate_spans": d_duplicate_spans,
     "d_span_scrub": d_span_scrub,
+    "t_lang_quality_bands": t_lang_quality_bands,
     "t_bigram_lm": t_bigram_lm,
     "t_wordpiece": t_wordpiece,
     "t_bpe_learn": t_bpe_learn,
@@ -524,6 +592,7 @@ ORACLE = {
     "t_dedup_words": ORACLE_DEDUP_WORDS,
     "d_duplicate_spans": ORACLE_DUPLICATE_SPANS,
     "d_span_scrub": ORACLE_SPAN_SCRUB,
+    "t_lang_quality_bands": ORACLE_LANG_QUALITY_BANDS,
     "t_bigram_lm": ORACLE_BIGRAM_LM,
     "t_wordpiece": ORACLE_WORDPIECE,
     "t_bpe_learn": ORACLE_BPE_LEARN,
