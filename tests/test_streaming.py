@@ -801,3 +801,80 @@ def test_quantile_stream_histogram_equals_batch(spark, duck):
         ]).fetchall()
     }
     assert got == want and len(got) == 3
+
+
+def test_interval_session_merges_on_touch_and_equals_islands(spark):
+    """Pins the s_interval_stream contract in BATCH session_window form:
+    (a) TOUCHING intervals merge (s == prev_e — same rule as q72's
+    gaps-and-islands `s > prev_max_e` island break), (b) overlapping
+    intervals merge to max-end, (c) isolated intervals pass through.
+    If a Spark upgrade ever changed the merge-on-touch semantics, this
+    fails before the driver oracle does."""
+    from pyspark.sql import functions as F
+
+    rows = [  # (user, ts_s, gap_s)
+        (1, 0, 60), (1, 60, 60),      # touching -> one island [0,120)
+        (1, 200, 60), (1, 230, 60),   # overlap  -> one island [200,290)
+        (1, 400, 1),                  # isolated -> [400,401)
+        (2, 0, 60),                   # other user: own island
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s long, gap_s long")
+    iv = df.withColumn("ts", F.timestamp_seconds("ts_s")).withColumn(
+        "gap", F.concat(F.col("gap_s").cast("string"), F.lit(" seconds"))
+    )
+    from udlang_spark.streaming import runner
+
+    out = {
+        (r["user_id"], r["s"], r["e"], r["n"])
+        for r in runner.session_window_stream(
+            iv, "ts", gap=F.col("gap"), group_cols=("user_id",)
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("s"),
+            F.col("w.end").cast("long").alias("e"),
+            F.col("n_events").alias("n"),
+        )
+        .collect()
+    }
+    assert out == {
+        (1, 0, 120, 2),
+        (1, 200, 290, 2),
+        (1, 400, 401, 1),
+        (2, 0, 60, 1),
+    }
+
+
+def test_interval_stream_equals_batch_islands(spark, duck):
+    """Streaming interval union (dynamic-gap session windows, drained)
+    equals the batch gaps-and-islands oracle row-for-row, and its per-user
+    rollup reproduces q72's totals exactly."""
+    from tests.conftest import SF_DIR_CORRECTNESS
+    from udlang_spark.queries import streaming as squeries
+
+    got_df = squeries.s_interval_stream(spark, SF_DIR_CORRECTNESS)
+    got = {tuple(r) for r in got_df.collect()}
+    want = {
+        tuple(r)
+        for r in duck.execute(squeries.ORACLE_INTERVAL_STREAM).fetchall()
+    }
+    assert got == want and len(got) > 100
+    # rollup → q72 parity
+    from pyspark.sql import functions as F
+
+    from udlang_spark.queries import relational as rel
+
+    roll = {
+        tuple(r)
+        for r in got_df.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("covered_sec").alias("covered_sec"),
+        )
+        .collect()
+    }
+    q72 = {
+        tuple(r)
+        for r in rel.q72_interval_union(spark, SF_DIR_CORRECTNESS).collect()
+    }
+    assert roll == q72

@@ -55,6 +55,7 @@ def _replay_dir(
     table: str = "events",
     cols: tuple[str, ...] = ("event_id", "event_type", "value"),
     prefix: str = "udlang_stream_replay",
+    select_exprs: tuple[str, ...] | None = None,
 ) -> str:
     """Write a table's rows as JSON files for a replayable file stream.
 
@@ -71,7 +72,10 @@ def _replay_dir(
     tag = os.path.basename(sf_dir.rstrip("/"))
     tmp = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
     marker = os.path.join(tmp, "_REPLAY_OK")
-    key = f"{sf_dir}|{table}|{cols}|{table_fingerprint(sf_dir, table)}"
+    key = (
+        f"{sf_dir}|{table}|{cols}|{select_exprs}"
+        f"|{table_fingerprint(sf_dir, table)}"
+    )
     if os.path.exists(marker):
         with open(marker) as fh:
             if fh.read() == key:
@@ -79,6 +83,11 @@ def _replay_dir(
     if os.path.isdir(tmp):
         shutil.rmtree(tmp, ignore_errors=True)
     rel = load_table(spark, table, sf_dir)
+    if select_exprs:
+        # derived replay columns (e.g. epoch-seconds from a timestamp —
+        # JSON-roundtripping a raw timestamp would add a tz/format parse
+        # surface the integer never has)
+        rel = rel.selectExpr(*select_exprs)
     # repartition, not coalesce: coalesce cannot INCREASE the partition
     # count, so a small source could collapse the replay to one file and
     # make every run a single micro-batch — the multi-batch claims
@@ -516,6 +525,99 @@ def s_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s_interval_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming INTERVAL UNION — the streaming twin of q72's batch
+    gaps-and-islands (r7 VERDICT #7, the last batch-only r7 operator):
+    each event contributes the interval [ts, ts + (event_id%7+1)·60s),
+    expressed as a DYNAMIC-gap session window per user; Spark merges
+    overlapping-or-TOUCHING windows exactly like the batch island rule
+    (s == prev_max_e merges — pytest-pinned), so the drained per-island
+    relation is a pure function of the event set, independent of
+    micro-batch boundaries. Output grain is (user, island): a second
+    per-user rollup would be a chained streaming aggregation, which
+    Structured Streaming doesn't allow — the island rows ARE the
+    streaming-safe contract (q72's per-user totals are one trivial batch
+    agg downstream).
+
+    Scale shape: session-window state is per OPEN session per user,
+    bounded by the watermark; the replay carries integer epoch seconds
+    (no timestamp JSON parse surface)."""
+    tmp = _replay_dir(
+        spark,
+        sf_dir,
+        table="events",
+        cols=("event_id", "user_id", "ts_s"),
+        prefix="udlang_stream_interval",
+        select_exprs=("event_id", "user_id", "CAST(ts AS LONG) AS ts_s"),
+    )
+    ev_t = ast.TRecord(
+        (
+            ast.TRecordField("event_id", ast.T_INT),
+            ast.TRecordField("user_id", ast.T_INT),
+            ast.TRecordField("ts_s", ast.T_INT),
+        )
+    )
+    src = (
+        spark.readStream.schema(json_lift.input_schema(ev_t))
+        .option("mode", "FAILFAST")
+        .json(tmp)
+    )
+    iv = src.withColumn("ts", F.timestamp_seconds("ts_s")).withColumn(
+        "gap",
+        F.concat(
+            ((F.col("event_id") % 7 + 1) * 60).cast("string"),
+            F.lit(" seconds"),
+        ),
+    )
+    res = runner.session_window_stream(
+        iv, "ts", gap=F.col("gap"), watermark="2 hours",
+        group_cols=("user_id",),
+    )
+    out = runner.run_windowed_stream_to_memory(
+        res, "q_s_interval_stream", spark
+    )
+    return out.select(
+        "user_id",
+        F.col("w.start").cast("long").alias("is_s"),
+        F.col("w.end").cast("long").alias("is_e"),
+        "n_events",
+        (F.col("w.end").cast("long") - F.col("w.start").cast("long")).alias(
+            "covered_sec"
+        ),
+    ).orderBy("user_id", "is_s")
+
+
+ORACLE_INTERVAL_STREAM = """
+WITH iv AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + (event_id % 7 + 1) * 60 AS e
+  FROM events),
+flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+              OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv),
+islands AS (
+  SELECT user_id,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island,
+         s, e
+  FROM flagged)
+SELECT user_id,
+       min(s) AS is_s,
+       max(e) AS is_e,
+       count(*) AS n_events,
+       CAST(max(e) - min(s) AS BIGINT) AS covered_sec
+FROM islands GROUP BY user_id, island
+ORDER BY user_id, is_s
+"""
+
+
 def s_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MERGE (CDC apply) via foreachBatch into a keyed parquet
     target — the streaming twin of q34_upsert. The merge is seq-aware
@@ -673,6 +775,7 @@ QUERIES = {
     "s_enrich_stream": s_enrich_stream,
     "s_quantile_stream": s_quantile_stream,
     "s_session_stream": s_session_stream,
+    "s_interval_stream": s_interval_stream,
     "s_cdc_apply": s_cdc_apply,
 }
 
@@ -779,6 +882,7 @@ ORACLE: dict[str, str] = {
     "s_dedup_stream": ORACLE_DEDUP_STREAM,
     "s_neardup_stream": ORACLE_NEARDUP_STREAM,
     "s_session_stream": ORACLE_SESSION_STREAM,
+    "s_interval_stream": ORACLE_INTERVAL_STREAM,
     "s_cdc_apply": ORACLE_CDC_APPLY,
     # the streaming sketches equal the batch sketch exactly (associative
     # integer counts), so the batch CMS oracle applies verbatim to both

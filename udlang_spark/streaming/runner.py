@@ -16,7 +16,7 @@ sources — the transformations are source-agnostic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -60,14 +60,20 @@ def windowed_agg_stream(
 def session_window_stream(
     stream: DataFrame,
     ts_col: str,
-    gap: str = "10 minutes",
+    gap: str | Column = "10 minutes",
     watermark: str = "2 hours",
     group_cols: tuple[str, ...] = (),
     aggs: dict[str, str] | None = None,
 ) -> DataFrame:
     """Session-window aggregation: events within `gap` of each other merge
     into one session per group key (SURVEY.md §2.8 windows row). State per
-    open session only; the watermark closes sessions and bounds state."""
+    open session only; the watermark closes sessions and bounds state.
+
+    `gap` may be a COLUMN (dynamic per-event gap, e.g. an interval string
+    built from event fields): each event then contributes [ts, ts+gap)
+    and overlapping-or-touching windows merge — which makes the session
+    window the streaming form of interval union / gaps-and-islands
+    (q72's batch twin; merge-on-touch verified by pytest)."""
     exprs = [F.count(F.lit(1)).alias("n_events")]
     for col, fn in (aggs or {}).items():
         exprs.append(getattr(F, fn)(col).alias(f"{fn}_{col}"))
