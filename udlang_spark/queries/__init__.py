@@ -29,81 +29,83 @@ for mod in (kernels, llm, streaming, relational, cleaning):
 
 # Registration order matters: the external driver differentially verifies the
 # FIRST 50 registry entries against their DuckDB oracles each round.
-# Round-3 window: relational q01–q50 (50/50 green). Round-4: kernel +
-# oracled-LLM (47 green + 3 harness errs, re-confirmed r5). Round-5: the 38
-# never-checked + mid-round additions, 50/50 green. Round-6: 4 remaining
-# never-checked + 13 round-6 operators + 33 oldest re-confirmations
-# (q01–q33) — 49/50 green, 1 red (k_tower DECIMAL(20,0) dtype divergence,
-# fixed this round: BIGINT cast both engines, tools/strict_oracle_check.py
-# now hashes the driver's pandas-fetched values and fails risky dtypes).
-# Round-7 window: (a) k_tower (the red row, re-checked first) + the 5
-# operators that landed after the r6 window filled and have never had a
-# driver row (q69_udtf, m_audio_features, e_pca_cov, t_classifier_score,
-# t_retrieval_eval); (b) q34–q50, the stalest greens (last confirmed r3);
-# (c) the 16 round-7 operators, each swapped in AT LAND TIME for the
-# youngest tail re-confirmation (register-at-land-time discipline,
-# VERDICT r6 #7) — every one strict-verified the day it landed, full
-# sweeps re-run after each batch (artifacts/STRICT_SWEEP_r07{b,d,e,f}.txt,
-# finally 185/185); (d) 11 of the oldest r4 greens (the kernel family)
-# in the remaining slots. Round-8 re-confirmation debt, stalest first:
-# the ~32 remaining r4 greens (k_match_union, k_cast, k_builtins,
-# k_modules, k_methods, k_pipeline, k_spread, the d_* dedup family,
-# t_token_stats..q52), then the r5 s_* streaming block.
+# History: r3 relational q01–q50 (50/50). r4 kernel + oracled-LLM (47
+# green + 3 harness errs, re-confirmed r5). r5 the 38 never-checked +
+# mid-round additions (50/50). r6 4 never-checked + 13 r6 operators + 33
+# oldest re-confirmations — 49/50, 1 red (k_tower, fixed r7: BIGINT cast
+# both engines; strict checker now hashes driver-faithful pandas dtypes).
+# r7 (50/50 green): k_tower + 5 never-checked + q34–q50 (r3-stale) + the
+# 17 round-7 operators at land time + 10 oldest r4 kernel greens.
+# Round-8 window (cumulative state after r7: every one of the 186
+# registered queries green at its latest driver check; staleness debt =
+# 37 queries last confirmed r4, 50 last confirmed r5):
+#   (a) ALL 37 remaining r4-stale greens — after r8 drains them, no
+#       query's latest driver green is older than r5 (VERDICT r7 #1);
+#   (b) the 4 round-8 operators, registered AT LAND TIME, each
+#       strict-verified the day it landed (d_span_scrub, m_ahash_neardup,
+#       t_lang_quality_bands, s_interval_stream);
+#   (c) e_negative_pairs — green at r7 but its IMPLEMENTATION changed
+#       this round (batch-local partial top-k prune, VERDICT r7 #2), so
+#       it re-earns a driver row on the new plan;
+#   (d) the 8 oldest r5 greens in the remaining slots.
+# 37 + 4 + 1 + 8 = 50. Round-9 debt, stalest first: the remaining 42
+# r5 greens (the s_* streaming block, e_* embedding family, q53–q66),
+# then the r6 block.
 _PRIORITY: list[str] = [
-    # -- (a) red-row fix + never driver-checked (6) --
-    "k_tower",
-    "q69_udtf",
-    "m_audio_features",
-    "e_pca_cov",
-    "t_classifier_score",
-    "t_retrieval_eval",
-    # -- (b) stalest re-confirmations: last green round 3 (17) --
-    "q34_upsert",
-    "q35_scd2",
-    "q36_sql_passthrough",
-    "q37_data_audit",
-    "q38_histogram",
-    "q39_variant_json",
-    "q40_sole_latest_shipper",
-    "q41_min_cost_supplier",
-    "q42_important_parts",
-    "q43_market_share",
-    "q44_fuzzy_part_pairs",
-    "q45_zscore_outliers",
-    "q46_stratified_sample",
-    "q47_shipmode_priority",
-    "q48_supplier_variety",
-    "q49_inactive_rich_customers",
-    "q50_funnel",
-    # -- (c) round-7 operators land here (swap out the list tail) --
-    "k_point",
-    "q70_bucketed_join",
-    "q71_zorder_layout",
-    "t_kmv_jaccard",
-    "t_group_quantiles",
-    "m_ahash_dedup",
-    "s_kmv_stream",
-    "q72_interval_union",
+    # -- (a) the 37 r4-stale re-confirmations --
+    "k_match_lit",
+    "k_match_union",
+    "k_cast",
+    "k_builtins",
+    "k_modules",
+    "k_methods",
+    "k_pipeline",
+    "k_spread",
+    "d_exact_dedup",
+    "d_fingerprint",
+    "d_minhash_lsh",
+    "d_dedup_corpus",
+    "d_ngram_jaccard",
+    "d_simhash",
+    "d_simhash_neardup",
+    "t_token_stats",
+    "t_quality",
+    "t_langid",
+    "t_ngram_topk",
+    "t_repetition",
+    "t_chunks",
+    "t_pack_greedy",
+    "t_tfidf_topk",
+    "t_lift_bigrams",
+    "t_rarity",
+    "t_span_corrupt",
+    "t_decontam",
+    "t_corpus_pipeline",
+    "t_heavy_hitters",
+    "e_centroid_assign",
+    "e_cosine_topk",
+    "e_near_dups",
+    "m_payload_meta",
+    "m_image_meta",
+    "s_cdc_apply",
+    "q51_transitions",
+    "q52_retention",
+    # -- (b) round-8 operators, registered at land time --
+    "d_span_scrub",
+    "m_ahash_neardup",
+    "t_lang_quality_bands",
+    "s_interval_stream",
+    # -- (c) changed implementation this round: re-earn the driver row --
     "e_negative_pairs",
-    "q73_copurchase_pairs",
-    "e_ivfpq_append",
-    "k_loop",
-    "k_simple",
-    "t_dataset_card",
-    "q74_skew_probe",
-    "d_split_temporal",
-    "e_norm_audit",
-    # -- (d) oldest r4 greens --
-    "k_hello",
-    "k_function",
-    "k_fact",
-    "k_count",
-    "k_count_interp",
-    "k_lists",
-    "k_scopes",
-    "k_subjunctive",
-    "k_filter",
-    "k_mapiter",
+    # -- (d) oldest r5 greens --
+    "k_comprehension",
+    "k_attempt",
+    "d_dedup_keeper",
+    "t_pii_scrub",
+    "t_bm25_topk",
+    "t_hybrid_rrf",
+    "d_split_leakage",
+    "t_domain_mix",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50
