@@ -108,6 +108,46 @@ HEADLINE = [
     "m_image_meta",
     "m_real_decode",
     "m_video_frames",
+    # round-8 additions
+    "d_span_scrub",
+    "m_ahash_neardup",
+    "t_lang_quality_bands",
+    "s_interval_stream",
+]
+
+# Rotating wall-clock coverage for the ~109 registered queries that are
+# not in HEADLINE (r7 VERDICT #6): ~20 per round, stalest-benched first,
+# spanning every query family, measured with the SAME protocol as the
+# headline but reported under a separate "rotation" key so the headline
+# metric stays round-over-round comparable. Next round: replace with the
+# next 20 never/oldest-benched names (track via BENCH_r*.json keys).
+ROTATION = [
+    # kernels
+    "k_match_lit",
+    "k_builtins",
+    "k_modules",
+    "k_spread",
+    # dedup family
+    "d_exact_dedup",
+    "d_ngram_jaccard",
+    "d_dedup_corpus",
+    # text analysis
+    "t_token_stats",
+    "t_langid",
+    "t_rarity",
+    "t_heavy_hitters",
+    # embeddings
+    "e_near_dups",
+    "e_semdedup",
+    "e_pagerank",
+    # streaming
+    "s_cdc_apply",
+    "s_kernel_stream",
+    "s_session_stream",
+    # relational
+    "q04_order_priority",
+    "q21_range_join",
+    "q51_transitions",
 ]
 
 
@@ -146,31 +186,36 @@ def main() -> None:
     _llm.ivfpq_ensure_index(spark, sf_dir, force_rebuild=True)
     ivfpq_build_sec = round(time.perf_counter() - t0, 4)
 
-    timings: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in QUERIES:
-            continue
-        # noop sink: fully materializes every row on the executors without
-        # driver-side collection — measures engine throughput, not Python
-        # deserialization of multi-million-row results.
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        cold[name] = round(time.perf_counter() - t0, 4)
-        # min of two timed runs: single-run numbers on a shared host swing
-        # up to 3× from GC/CPU contention; the min is the stable estimate
-        # of what the engine actually costs.
-        best = float("inf")
-        for _ in range(2):
+    def run_set(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+        timings: dict[str, float] = {}
+        cold: dict[str, float] = {}
+        for name in names:
+            if name not in QUERIES:
+                continue
+            # noop sink: fully materializes every row on the executors
+            # without driver-side collection — measures engine throughput,
+            # not Python deserialization of multi-million-row results.
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-        # drop any intermediates the query persisted (shingle sets, BM25
-        # per-doc stats, ...) so cached blocks don't accumulate across the
-        # sweep; within one query's warm runs the cache IS reused (the
-        # CacheManager matches by logical plan), which is intended.
-        release_caches()
+            cold[name] = round(time.perf_counter() - t0, 4)
+            # min of two timed runs: single-run numbers on a shared host
+            # swing up to 3× from GC/CPU contention; the min is the stable
+            # estimate of what the engine actually costs.
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
+            # drop any intermediates the query persisted (shingle sets,
+            # BM25 per-doc stats, ...) so cached blocks don't accumulate
+            # across the sweep; within one query's warm runs the cache IS
+            # reused (the CacheManager matches by logical plan), intended.
+            release_caches()
+        return timings, cold
+
+    timings, cold = run_set(HEADLINE)
+    rotation, _rot_cold = run_set(ROTATION)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -182,6 +227,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cold_total_sec": round(sum(cold.values()), 4),
                 "ivfpq_build_sec": ivfpq_build_sec,
+                "rotation": rotation,
+                "rotation_total_sec": round(sum(rotation.values()), 4),
             }
         )
     )
