@@ -5,9 +5,10 @@ operators, SURVEY.md §2.6).
 PageRank here is the canonical iterative-dataflow shape: the driver loops,
 the DATA never leaves the cluster — each iteration is one edge⋈rank join,
 one dst-keyed aggregate, and one node-left-join, all hash-partitioned on
-the node id so the iteration reuses a single partitioning. Only two O(1)
-scalars (dangling mass, iteration count) touch the driver, the same
-contract as operators/similarity.kmeans_assign.
+the node id so the iteration reuses a single partitioning. The dangling
+mass is a 1-row in-plan aggregate broadcast onto the rank update — the
+only O(1) scalar that ever touches the driver is the node count, once,
+before the loop.
 
 Scale: state per iteration is |nodes| ranks + |edges| contributions; both
 shuffle on node id. Persist + localCheckpoint every iteration truncates
@@ -85,11 +86,16 @@ def pagerank(
     for _ in range(n_iter):
         with_deg = ranks.join(out_deg, "id", "left")
         # dangling mass: ranks of nodes with no out-edges, redistributed
-        # uniformly — one O(1) scalar to the driver per iteration
-        dangling = int(
-            with_deg.filter(F.col("deg").isNull())
-            .agg(F.coalesce(F.sum("r"), F.lit(0)))
-            .collect()[0][0]
+        # uniformly. Kept IN-PLAN as a 1-row aggregate broadcast onto the
+        # rank update (`dang_share` = dangling div n, identical to the
+        # former driver-side `dangling // n` for non-negative fixed-point
+        # ranks) so each iteration is ONE action (the eager checkpoint)
+        # instead of two — no per-iteration driver round-trip / cluster
+        # barrier beyond the checkpoint itself.
+        dang_share = with_deg.filter(F.col("deg").isNull()).agg(
+            F.expr(
+                f"coalesce(sum(r), CAST(0 AS BIGINT)) div {n}"
+            ).alias("dang_share")
         )
         contribs = (
             e.join(with_deg.filter(F.col("deg").isNotNull()), "id")
@@ -99,12 +105,13 @@ def pagerank(
         )
         ranks = (
             nodes.join(contribs, nodes.id == contribs.dst, "left")
+            .crossJoin(F.broadcast(dang_share))  # 1 row, always present
             .select(
                 "id",
                 F.expr(
                     f"CAST({base} AS BIGINT) + (CAST({dnum} AS BIGINT) * "
-                    f"(coalesce(inflow, CAST(0 AS BIGINT)) + "
-                    f"CAST({dangling // n} AS BIGINT))) div 100"
+                    f"(coalesce(inflow, CAST(0 AS BIGINT)) + dang_share)) "
+                    f"div 100"
                 ).alias("r"),
             )
             .localCheckpoint(eager=True)  # truncate lineage each iteration

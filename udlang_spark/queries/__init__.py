@@ -44,13 +44,15 @@ for mod in (kernels, llm, streaming, relational, cleaning):
 #   (b) the 4 round-8 operators, registered AT LAND TIME, each
 #       strict-verified the day it landed (d_span_scrub, m_ahash_neardup,
 #       t_lang_quality_bands, s_interval_stream);
-#   (c) e_negative_pairs — green at r7 but its IMPLEMENTATION changed
-#       this round (batch-local partial top-k prune, VERDICT r7 #2), so
-#       it re-earns a driver row on the new plan;
-#   (d) the 8 oldest r5 greens in the remaining slots.
-# 37 + 4 + 1 + 8 = 50. Round-9 debt, stalest first: the remaining 42
-# r5 greens (the s_* streaming block, e_* embedding family, q53–q66),
-# then the r6 block.
+#   (c) e_negative_pairs and e_pagerank — green at r5/r7 but their
+#       IMPLEMENTATIONS changed this round (negative_pairs: batch-local
+#       partial top-k prune, VERDICT r7 #2; pagerank: in-plan dangling
+#       mass, one action/iteration), so each re-earns a driver row on
+#       its new plan;
+#   (d) the 7 oldest r5 greens in the remaining slots.
+# 37 + 4 + 2 + 7 = 50. Round-9 debt, stalest first: the remaining 42
+# r5 greens (the s_* streaming block, e_* embedding family, q53–q66,
+# t_domain_mix), then the r6 block.
 _PRIORITY: list[str] = [
     # -- (a) the 37 r4-stale re-confirmations --
     "k_match_lit",
@@ -95,8 +97,9 @@ _PRIORITY: list[str] = [
     "m_ahash_neardup",
     "t_lang_quality_bands",
     "s_interval_stream",
-    # -- (c) changed implementation this round: re-earn the driver row --
+    # -- (c) changed implementations this round: re-earn the driver row --
     "e_negative_pairs",
+    "e_pagerank",
     # -- (d) oldest r5 greens --
     "k_comprehension",
     "k_attempt",
@@ -105,7 +108,6 @@ _PRIORITY: list[str] = [
     "t_bm25_topk",
     "t_hybrid_rrf",
     "d_split_leakage",
-    "t_domain_mix",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50
