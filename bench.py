@@ -113,6 +113,8 @@ HEADLINE = [
     "m_ahash_neardup",
     "t_lang_quality_bands",
     "s_interval_stream",
+    "d_incremental_dedup",
+    "d_url_dedup",
 ]
 
 # Rotating wall-clock coverage for the ~109 registered queries that are

@@ -877,3 +877,74 @@ def test_retrieval_eval_metrics_bounded_and_self_perfect(spark):
         r["n_hits"] == llm_q._EVAL_K and r["first_hit"] == 1 and r["ndcg"] == 1.0
         for r in per_q
     )
+
+
+def test_incremental_dedup_suppresses_history_and_batch_copies(spark):
+    """Constructed corpus exercising every branch the sf0.01 driver data
+    cannot (it has no cross-set duplicates): a batch doc whose text exists
+    in history is suppressed, within-batch copies collapse to the min-id
+    keeper, and the Bloom-pruned result EQUALS the plain anti-join (zero
+    false negatives by construction)."""
+    from pyspark.sql import functions as F
+
+    from udlang_spark.functions.text import fingerprint
+    from udlang_spark.operators import dedup
+
+    history = spark.createDataFrame(
+        [(1, "seen before"), (2, "also  SEEN before"), (3, "unrelated")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "seen before"),        # exact history dup -> suppressed
+            (11, "also seen  BEFORE"),  # normalized history dup -> suppressed
+            (12, "fresh text"),         # admitted
+            (13, "fresh text"),         # within-batch copy of 12
+            (14, "another fresh"),      # admitted
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["keeper"]: r["n_batch_copies"]
+        for r in dedup.incremental_dedup(history, batch, "text", "doc_id").collect()
+    }
+    assert got == {12: 2, 14: 1}
+
+    # bloom prune == plain anti-join, also at adversarially tiny m_bits
+    # (high false-positive rate): FPs cost extra joined rows, never results
+    tiny = dedup.incremental_dedup(
+        history, batch, "text", "doc_id", m_bits=32, k_hashes=1
+    )
+    plain = (
+        batch.select(F.col("doc_id").alias("_id"), fingerprint("text").alias("fp"))
+        .join(
+            history.select(fingerprint("text").alias("fp")).distinct(),
+            "fp",
+            "left_anti",
+        )
+        .groupBy("fp")
+        .agg(F.min("_id").alias("keeper"), F.count(F.lit(1)).alias("n_batch_copies"))
+    )
+    assert sorted(map(tuple, tiny.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_canonical_url_rules(spark):
+    """Each canonicalization rule on a constructed URL set: fragment,
+    scheme, host case, www., trailing slash, tracking params, param
+    order."""
+    from udlang_spark.functions.url import canonical_url
+
+    cases = [
+        ("https://www.Ex.COM/a/b/?utm_source=x&id=2&ref=h#frag", "ex.com/a/b?id=2"),
+        ("http://ex.com/a/b?id=2", "ex.com/a/b?id=2"),          # same page
+        ("HTTPS://EX.com/a/b/#x", "ex.com/a/b"),                # no params
+        ("ex.com/a/b", "ex.com/a/b"),                           # schemeless
+        ("https://ex.com", "ex.com"),                           # bare host
+        ("https://ex.com/?b=2&a=1", "ex.com?a=1&b=2"),          # param sort
+        ("https://ex.com/p?utm_campaign=c&fbclid=z&gclid=y", "ex.com/p"),
+        ("https://ex.com/p///", "ex.com/p"),                    # slash runs
+    ]
+    df = spark.createDataFrame(cases, "url string, expect string")
+    rows = df.select("url", "expect", canonical_url("url").alias("got")).collect()
+    for r in rows:
+        assert r["got"] == r["expect"], (r["url"], r["got"], r["expect"])

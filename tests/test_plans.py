@@ -709,3 +709,37 @@ def test_q70_join_itself_is_exchange_free(spark):
         # restore the captured originals, not hardcoded defaults
         spark.conf.set("spark.sql.adaptive.enabled", orig_aqe)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig_bjt)
+
+
+def test_url_dedup_single_exchange_no_python(spark):
+    """URL canonicalization is row-local regexp/array Column work inside
+    codegen; the ONLY exchange is the final groupBy on the canonical key
+    (count-distinct adds its partial under the same key, no extra
+    shuffle key)."""
+    from udlang_spark.queries import llm
+
+    plan = plan_of(llm.QUERIES["d_url_dedup"](spark, SF_DIR_CORRECTNESS))
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert bad not in plan
+    # distinct-agg rewrite: partial (canon_url, url) + final canon_url
+    assert plan.count("Exchange (") <= 2
+    assert "Join" not in plan and "Generate" not in plan
+
+
+def test_incremental_dedup_bloom_rides_history_scan(spark):
+    """The history side of ingest dedup must carry the Bloom probe as a
+    pure-Column predicate BEFORE any exchange — only possible-collision
+    rows leave the scan. No Python nodes anywhere."""
+    from udlang_spark.queries import llm
+
+    plan = plan_of(llm.QUERIES["d_incremental_dedup"](spark, SF_DIR_CORRECTNESS))
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert bad not in plan
+    assert "shiftleft" in plan  # the literal-word-array probe predicate
+    # probe is a scan-side Filter, not a join: the ONE join in the plan is
+    # the exact anti-join that decides membership
+    import re
+
+    headers = re.findall(r"\(\d+\) \w*Join", plan)  # one detail block per join
+    assert len(headers) == 1
+    assert re.findall(r"Join type: (\w+)", plan) == ["LeftAnti"]

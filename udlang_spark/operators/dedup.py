@@ -645,3 +645,55 @@ def semantic_dedup(
             F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def incremental_dedup(
+    history: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Ingest-time dedup: admit only batch documents whose normalized-text
+    fingerprint does NOT already exist in the historical corpus, then
+    collapse within-batch copies to their min-id keeper.
+
+    The asymmetry is the whole point at 100 TB: the HISTORY side is the
+    petabyte corpus and the BATCH is a day's crawl. Joining them directly
+    would shuffle all of history on fp. Instead a Bloom filter is built
+    over the batch's fingerprints (one small aggregation, m_bits/32 longs
+    to the driver — operators/bloom.py) and probed as a pure-Column
+    predicate RIDING THE HISTORY SCAN, so only history rows that might
+    collide ever leave their input partition (≈ |batch ∩ history| plus the
+    filter's false positives). Those survivors are distinct-ed and
+    anti-joined against the batch — the pruned side's size is
+    |batch ∩ history| + fp_rate·|history|, small after a well-sized filter
+    but NOT bounded by the batch, so broadcast is left to AQE's runtime
+    stats rather than forced. Zero false negatives: the
+    Bloom prune only ever DROPS non-matching history rows, and the exact
+    anti join decides membership, so the result equals the plain anti-join
+    (pytest-pinned in tests/test_dedup_oracle.py).
+
+    Returns (fp, keeper, n_batch_copies) — one row per ADMITTED distinct
+    batch fingerprint.
+    """
+    from udlang_spark.operators import bloom
+
+    batch_fp = batch.select(
+        F.col(id_col).alias("_id"), fingerprint(text_col).alias("fp")
+    )
+    hist_fp = history.select(fingerprint(text_col).alias("fp"))
+    words = bloom.bloom_build(batch_fp, "fp", m_bits, k_hashes)
+    seen = (
+        hist_fp.where(bloom.bloom_might_contain(F.col("fp"), words, k_hashes))
+        .distinct()
+    )
+    return (
+        batch_fp.join(seen, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(
+            F.min("_id").alias("keeper"),
+            F.count(F.lit(1)).alias("n_batch_copies"),
+        )
+    )

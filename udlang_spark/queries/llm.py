@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from udlang_spark.functions import text as TXT
+from udlang_spark.functions import url as URL
 from udlang_spark.operators import dedup, multimodal, similarity
 from udlang_spark.session import persist_tracked
 from udlang_spark.sources.tables import load_table
@@ -227,6 +228,132 @@ SELECT j.doc, j.component, j.n_stop, j.n_words, (j.doc = b.bdoc) AS keeper
 FROM j JOIN (SELECT component, bdoc FROM ranked WHERE rn = 1) b USING (component)
 """
 )
+
+
+def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup of a new batch (doc_id % 5 == 0) against the
+    historical corpus (the rest): Bloom filter over the batch fingerprints
+    probed map-side on the HISTORY scan, then exact anti-join + within-
+    batch min-id keeper (operators/dedup.incremental_dedup). The daily-
+    crawl admission step at 100 TB — history never shuffles beyond the
+    filter's survivors. Oracle = plain NOT EXISTS anti-join (the Bloom
+    prune is invisible to semantics: zero false negatives)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.incremental_dedup(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        "text",
+        "doc_id",
+    )
+
+
+ORACLE_INCREMENTAL_DEDUP = """
+WITH f AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+batch AS (SELECT doc_id, fp FROM f WHERE doc_id % 5 = 0),
+hist AS (SELECT DISTINCT fp FROM f WHERE doc_id % 5 != 0)
+SELECT b.fp, min(b.doc_id) AS keeper, count(*) AS n_batch_copies
+FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = b.fp)
+GROUP BY b.fp
+"""
+
+
+def d_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup (C4/CCNet "same page, different link"):
+    a deterministic synthetic URL per document (scheme/www/host-case/
+    trailing-slash/tracking-param/fragment noise keyed off doc_id — the
+    corpus carries no URL column, so both engines derive the identical
+    string, the multimodal-oracle convention), canonicalized by
+    functions/url.canonical_url (drop fragment + scheme, lowercase host,
+    strip www. and trailing slashes, drop utm_*/ref/fbclid/gclid params,
+    sort survivors) and collapsed to (canon_url, min-id keeper, copy and
+    raw-variant counts). Everything before the single groupBy is row-local
+    regexp/array work inside codegen — the one shuffle is keyed by the
+    canonical string, uniform by construction."""
+    docs = load_table(spark, "documents", sf_dir)
+    n = (F.col("doc_id") % 40).cast("string")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, "https://").otherwise("http://"),
+        F.when(F.col("doc_id") % 3 == 0, "www.").otherwise(""),
+        F.when(F.col("doc_id") % 7 == 0, F.upper("source")).otherwise(
+            F.col("source")
+        ),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/p"),
+        n,
+        F.when(F.col("doc_id") % 5 == 0, "/").otherwise(""),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("?utm_source=rss&id="), n, F.lit("&ref=home")),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("?id="), n))
+        .otherwise(""),
+        F.when(F.col("doc_id") % 4 == 0, "#sec").otherwise(""),
+    )
+    return (
+        docs.select("doc_id", url.alias("url"))
+        .select("doc_id", "url", URL.canonical_url("url").alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("url").alias("n_variants"),
+        )
+    )
+
+
+ORACLE_URL_DEDUP = """
+WITH u AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END ||
+     CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+     CASE WHEN doc_id % 7 = 0 THEN upper(source) ELSE source END ||
+     '.example.com/' || lang || '/p' || CAST(doc_id % 40 AS VARCHAR) ||
+     CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+     CASE WHEN doc_id % 3 = 0
+          THEN '?utm_source=rss&id=' || CAST(doc_id % 40 AS VARCHAR) || '&ref=home'
+          WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id % 40 AS VARCHAR)
+          ELSE '' END ||
+     CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END) AS url
+  FROM documents
+),
+p AS (
+  SELECT doc_id, url,
+    regexp_extract(
+      regexp_replace(regexp_replace(url, '#.*', ''),
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+      '^([^?]*)', 1) AS hostpath,
+    regexp_extract(
+      regexp_replace(regexp_replace(url, '#.*', ''),
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+      '\\?(.*)$', 1) AS qs
+  FROM u
+),
+c AS (
+  SELECT doc_id, url,
+    regexp_replace(lower(regexp_extract(hostpath, '^([^/]*)', 1)),
+                   '^www\\.', '') ||
+    regexp_replace(regexp_extract(hostpath, '^[^/]*(/.*)?$', 1), '/+$', '') ||
+    CASE WHEN params != '' THEN '?' || params ELSE '' END AS canon_url
+  FROM (
+    SELECT doc_id, url, hostpath,
+      array_to_string(list_sort(list_filter(string_split(qs, '&'),
+        x -> x != '' AND NOT starts_with(x, 'utm_')
+             AND NOT starts_with(x, 'ref=')
+             AND NOT starts_with(x, 'fbclid=')
+             AND NOT starts_with(x, 'gclid='))), '&') AS params
+    FROM p
+  )
+)
+SELECT canon_url, min(doc_id) AS keeper, count(*) AS n_copies,
+       count(DISTINCT url) AS n_variants
+FROM c GROUP BY canon_url
+"""
 
 
 def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4322,6 +4449,8 @@ QUERIES = {
     "d_minhash_lsh": d_minhash_lsh,
     "d_dedup_corpus": d_dedup_corpus,
     "d_dedup_keeper": d_dedup_keeper,
+    "d_incremental_dedup": d_incremental_dedup,
+    "d_url_dedup": d_url_dedup,
     "d_ngram_jaccard": d_ngram_jaccard,
     "d_simhash": d_simhash,
     "t_token_stats": t_token_stats,
@@ -4392,6 +4521,8 @@ ORACLE = {
     "d_minhash_lsh": ORACLE_MINHASH,
     "d_dedup_corpus": ORACLE_DEDUP_CORPUS,
     "d_dedup_keeper": ORACLE_DEDUP_KEEPER,
+    "d_incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
+    "d_url_dedup": ORACLE_URL_DEDUP,
     "d_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "d_simhash": ORACLE_SIMHASH,
     "t_token_stats": ORACLE_TOKEN_STATS,
