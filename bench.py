@@ -115,6 +115,7 @@ HEADLINE = [
     "s_interval_stream",
     "d_incremental_dedup",
     "d_url_dedup",
+    "d_line_dedup",
 ]
 
 # Rotating wall-clock coverage for the ~109 registered queries that are

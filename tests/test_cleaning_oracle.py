@@ -69,3 +69,37 @@ def test_wordpiece_fertility_bounds(spark):
     df = cleaning.t_wordpiece(spark, SF_DIR_CORRECTNESS)
     assert df.where((F.col("n_words") > 0) & (F.col("fertility") < 1.0)).count() == 0
     assert df.where(F.col("n_subwords") < F.col("n_words")).count() == 0
+
+
+def test_line_dedup_removes_shared_lines_everywhere(spark):
+    """Constructed corpus: a 3-word line shared by 5 docs is boilerplate
+    and must vanish from ALL of them (no keeper); a line shared by only 4
+    docs survives; empty docs come back as 0/0/md5('')."""
+    import hashlib
+
+    from udlang_spark.operators import cleaning as OPS
+
+    boiler = "cookie banner text"
+    rare = "shared by four"
+    rows = [(i, f"{boiler} unique tail {i}") for i in range(5)]
+    rows += [(10 + i, f"{rare} other words {i}") for i in range(4)]
+    rows.append((99, ""))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in OPS.remove_boilerplate_lines(
+            docs, line_words=3, min_docs=5
+        ).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    for i in range(5):
+        r = got[i]
+        # doc = "cookie banner text" + "unique tail {i}" -> 2 lines, 1 kept
+        assert (r["n_lines"], r["n_kept"], r["n_removed"]) == (2, 1, 1)
+        assert r["cleaned_md5"] == md5(f"unique tail {i}")
+    for i in range(4):
+        r = got[10 + i]
+        assert (r["n_lines"], r["n_kept"], r["n_removed"]) == (2, 2, 0)
+        assert r["cleaned_md5"] == md5(f"{rare} other words {i}")
+    assert (got[99]["n_lines"], got[99]["n_kept"]) == (0, 0)
+    assert got[99]["cleaned_md5"] == md5("")

@@ -743,3 +743,20 @@ def test_incremental_dedup_bloom_rides_history_scan(spark):
     headers = re.findall(r"\(\d+\) \w*Join", plan)  # one detail block per join
     assert len(headers) == 1
     assert re.findall(r"Join type: (\w+)", plan) == ["LeftAnti"]
+
+
+def test_line_dedup_line_key_shuffles_only_no_python(spark):
+    """Boilerplate-line removal is pure Column/HOF work plus line-key and
+    doc-key aggregates — no Python nodes, no nested-loop/cartesian join
+    anywhere (the line join is an equi-join on the line string)."""
+    from udlang_spark.queries import cleaning
+
+    plan = plan_of(cleaning.QUERIES["d_line_dedup"](spark, SF_DIR_CORRECTNESS))
+    for bad in (
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "MapInPandas",
+        "CartesianProduct",
+        "BroadcastNestedLoop",
+    ):
+        assert bad not in plan

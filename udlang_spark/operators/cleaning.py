@@ -232,6 +232,109 @@ def scrub_duplicate_spans(
     )
 
 
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    line_words: int = 3,
+    min_docs: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Line-level boilerplate removal (the RefinedWeb/CCNet "shared line"
+    pass): a LINE occurring in >= `min_docs` DISTINCT documents is
+    boilerplate (nav bars, cookie banners, footers) and is dropped from
+    EVERY document — no keeper, unlike scrub_duplicate_spans, because a
+    line shared by thousands of pages is template chrome, not content.
+
+    The production splitter is '\\n'; this corpus carries no newlines, so
+    the line unit is pluggable and defaults to fixed `line_words`-word
+    chunks — the Spark plumbing (split, positioned explode, line-key agg,
+    flag join, ordered reassembly) is identical either way.
+
+    Scale shape (line-key shuffles only, never all-pairs):
+    one posexplode to (doc_id, pos, line); ONE line-key aggregate finds
+    boilerplate lines (count_distinct doc_id — partial agg map-side); one
+    join marks them (a line shared by millions of docs is the AQE
+    skew-join case); one per-doc aggregate reassembles the kept lines in
+    position order. The full text never shuffles — only the line relation
+    and per-doc collected structs move.
+
+    Output per doc: line counts before/after and an md5 witness of the
+    reassembled cleaned text, so a differential pins every kept line."""
+    lines = persist_tracked(
+        docs.select(
+            "doc_id",
+            TXT.words(F.coalesce(F.col(text_col), F.lit(""))).alias("wl"),
+        )
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.when(
+                    F.size("wl") > 0,
+                    F.transform(
+                        F.sequence(
+                            F.lit(0),
+                            F.ceil(F.size("wl") / F.lit(line_words)).cast(
+                                "int"
+                            )
+                            - 1,
+                        ),
+                        lambda i: F.array_join(
+                            F.slice(
+                                F.col("wl"),
+                                i * line_words + 1,
+                                line_words,
+                            ),
+                            " ",
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("pos", "line"),
+        )
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("line", F.lit(True).alias("_boiler"))
+    )
+    marked = lines.join(boiler, "line", "left")
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("_boiler").isNull(), 1).otherwise(0)).alias(
+            "n_kept"
+        ),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_boiler").isNull(),
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            )
+        ).alias("cleaned_md5"),
+    )
+    # empty documents produce zero line rows; restore them with 0/0/md5('')
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (
+                F.coalesce("n_lines", F.lit(0)) - F.coalesce("n_kept", F.lit(0))
+            ).alias("n_removed"),
+            F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
+        )
+    )
+
+
 def bigram_familiarity(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """LM-style quality proxy without a model: the fraction of a doc's
     distinct bigrams occurring in >= 2 documents ("familiar" under a corpus

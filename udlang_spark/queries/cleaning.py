@@ -199,6 +199,66 @@ ORACLE_SPAN_SCRUB = _span_scrub_oracle()
 
 
 # ---------------------------------------------------------------------------
+# line-level boilerplate removal (RefinedWeb/CCNet shared-line pass)
+# ---------------------------------------------------------------------------
+
+_LINE_WORDS = 3
+_LINE_MIN_DOCS = 5
+
+
+def d_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal: a line occurring in >= 5 distinct
+    documents is template chrome and is dropped from EVERY doc (no keeper
+    — the RefinedWeb/CCNet shared-line policy, vs d_span_scrub's
+    keep-one-copy substring policy). Line unit = 3-word chunks (the corpus
+    has no newlines; the splitter is pluggable).
+    Logic: operators/cleaning.remove_boilerplate_lines."""
+    return OPS.remove_boilerplate_lines(
+        load_table(spark, "documents", sf_dir),
+        line_words=_LINE_WORDS,
+        min_docs=_LINE_MIN_DOCS,
+    )
+
+
+def _line_dedup_oracle(k: int = _LINE_WORDS, t: int = _LINE_MIN_DOCS) -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS wl
+  FROM documents),
+l AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(wl[(i*{k}+1):(i*{k}+{k})], ' ') AS line
+  FROM w, LATERAL (
+    SELECT unnest(generate_series(
+      0, CAST(ceil(len(wl) / {k}.0) AS BIGINT) - 1)) AS i) s
+  WHERE len(wl) > 0),
+b AS (
+  SELECT line FROM l GROUP BY line
+  HAVING count(DISTINCT doc_id) >= {t}),
+m AS (
+  SELECT l.doc_id, l.pos, l.line, b.line IS NOT NULL AS boiler
+  FROM l LEFT JOIN b USING (line)),
+p AS (
+  SELECT doc_id, count(*) AS n_lines,
+         count(*) FILTER (NOT boiler) AS n_kept,
+         md5(coalesce(
+           array_to_string(
+             list(line ORDER BY pos) FILTER (NOT boiler), ' '), ''))
+           AS cleaned_md5
+  FROM m GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(n_lines, 0) AS n_lines,
+       coalesce(n_kept, 0) AS n_kept,
+       coalesce(n_lines, 0) - coalesce(n_kept, 0) AS n_removed,
+       coalesce(cleaned_md5, md5('')) AS cleaned_md5
+FROM documents d LEFT JOIN p USING (doc_id)
+"""
+
+
+ORACLE_LINE_DEDUP = _line_dedup_oracle()
+
+
+# ---------------------------------------------------------------------------
 # bigram-LM familiarity (transcendental-free perplexity proxy)
 # ---------------------------------------------------------------------------
 
@@ -580,6 +640,7 @@ QUERIES = {
     "t_dedup_words": t_dedup_words,
     "d_duplicate_spans": d_duplicate_spans,
     "d_span_scrub": d_span_scrub,
+    "d_line_dedup": d_line_dedup,
     "t_lang_quality_bands": t_lang_quality_bands,
     "t_bigram_lm": t_bigram_lm,
     "t_wordpiece": t_wordpiece,
@@ -592,6 +653,7 @@ ORACLE = {
     "t_dedup_words": ORACLE_DEDUP_WORDS,
     "d_duplicate_spans": ORACLE_DUPLICATE_SPANS,
     "d_span_scrub": ORACLE_SPAN_SCRUB,
+    "d_line_dedup": ORACLE_LINE_DEDUP,
     "t_lang_quality_bands": ORACLE_LANG_QUALITY_BANDS,
     "t_bigram_lm": ORACLE_BIGRAM_LM,
     "t_wordpiece": ORACLE_WORDPIECE,
