@@ -116,6 +116,7 @@ HEADLINE = [
     "d_incremental_dedup",
     "d_url_dedup",
     "d_line_dedup",
+    "t_dsir_select",
 ]
 
 # Rotating wall-clock coverage for the ~109 registered queries that are

@@ -948,3 +948,31 @@ def test_canonical_url_rules(spark):
     rows = df.select("url", "expect", canonical_url("url").alias("got")).collect()
     for r in rows:
         assert r["got"] == r["expect"], (r["url"], r["got"], r["expect"])
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """Constructed corpus: raw docs written in the target domain's
+    vocabulary must come back selected; raw docs in disjoint vocabulary
+    must not; empty docs score 0/unselected. (B=1024 buckets over a
+    handful of features — a collision flipping a sign would need two of
+    these few distinct n-grams to share a bucket, checked none do.)"""
+    from pyspark.sql import functions as F
+
+    target_text = "alpha beta gamma alpha beta"
+    rows = [(i, "tgt", target_text) for i in range(5)]
+    rows += [(10 + i, "raw", "delta epsilon zeta delta") for i in range(5)]
+    rows.append((20, "raw", target_text))  # target-like raw doc
+    rows.append((21, "raw", ""))  # empty
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: r
+        for r in llm.dsir_select(docs, F.col("source") == "tgt").collect()
+    }
+    assert got[20]["selected"] and not got[20]["in_target"]
+    assert got[20]["score"] > 0
+    for i in range(5):
+        assert got[10 + i]["selected"] is False
+        assert got[10 + i]["score"] < 0
+    assert (got[21]["n_feats"], got[21]["score"], got[21]["selected"]) == (
+        0, 0, False,
+    )

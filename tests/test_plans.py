@@ -760,3 +760,22 @@ def test_line_dedup_line_key_shuffles_only_no_python(spark):
         "BroadcastNestedLoop",
     ):
         assert bad not in plan
+
+
+def test_dsir_select_broadcasts_weights_no_python(spark):
+    """DSIR selection: the 1024-row ±1 weight table joins back to the
+    feature relation as a BROADCAST equi-join (never a shuffled or
+    nested-loop join), and the whole pipeline is JVM Column work — no
+    Python eval nodes anywhere."""
+    from udlang_spark.queries import llm
+
+    plan = plan_of(llm.QUERIES["t_dsir_select"](spark, SF_DIR_CORRECTNESS))
+    for bad in (
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "MapInPandas",
+        "CartesianProduct",
+        "BroadcastNestedLoop",
+    ):
+        assert bad not in plan
+    assert "BroadcastHashJoin" in plan

@@ -4443,6 +4443,148 @@ WHERE rnk <= quota
 """
 
 
+# ---------------------------------------------------------------------------
+# DSIR-style hashed n-gram importance selection (Xie et al., NeurIPS 2023)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 1024  # hashed feature buckets
+_DSIR_TARGET = ("src0", "src1", "src2")  # the trusted target domain
+
+
+def t_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Data Selection via Importance Resampling):
+    score every document by how much its hashed n-gram features (distinct
+    unigrams + bigrams, md5 → one of B=1024 buckets) look like a small
+    trusted TARGET domain versus the raw corpus, and select documents whose
+    evidence is net-positive — the hashed-NB importance filter LLM corpus
+    builds run before training.
+
+    Exactness-by-design: the classical score sums log(p_target/p_raw) per
+    feature — transcendental, so cross-engine ln() ulp noise would break
+    hash equality. The SIGN of each log-ratio, though, is an exact integer
+    cross-multiplication on Laplace-smoothed counts:
+    (ct_t+1)·(tot_r+B) > (ct_r+1)·(tot_t+B). Each doc feature votes ±1 and
+    the doc score is the integer vote sum — a sign-weighted naive-Bayes
+    classifier, bit-identical in both engines. (Counts at 100 TB approach
+    int64 products; promote the comparison to DECIMAL(38,0) there — sf-range
+    counts sit far inside int64.)
+
+    Scale shape: one explode to (doc_id, bucket); ONE B-bucket aggregate
+    (map-side combine — the stat table is 1024 cells whatever the corpus
+    size); bucket totals via a window over that 1024-row relation (bounded
+    by construction, never corpus-sized); the ±1 weight table broadcasts
+    back onto the feature relation; ONE doc-key aggregate sums the votes.
+    Document text never shuffles — only (doc_id, bucket) pairs move."""
+    docs = load_table(spark, "documents", sf_dir)
+    return dsir_select(docs, F.col("source").isin(*_DSIR_TARGET))
+
+
+def dsir_select(docs: DataFrame, in_t) -> DataFrame:
+    """Core DSIR selection over any (doc_id, text) relation; `in_t` is the
+    target-membership Column predicate. See t_dsir_select for semantics and
+    the 100 TB shuffle budget."""
+    feats = persist_tracked(
+        docs.select(
+            "doc_id",
+            in_t.alias("in_target"),
+            F.explode(
+                F.concat(
+                    F.array_distinct(TXT.words("text")),
+                    TXT.shingles("text", n=2),
+                )
+            ).alias("feat"),
+        ).select(
+            "doc_id",
+            "in_target",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("dsir:"), F.col("feat"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _DSIR_B
+            ).alias("bucket"),
+        )
+    )
+    cts = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("in_target"), 1).otherwise(0)).alias("ct_t"),
+        F.sum(F.when(F.col("in_target"), 0).otherwise(1)).alias("ct_r"),
+    )
+    # <=1024-row relation: the single-partition window is the point, not a
+    # bottleneck — it replaces a second corpus scan for the totals
+    w_all = Window.partitionBy()
+    wt = cts.select(
+        "bucket",
+        F.when(
+            (F.col("ct_t") + 1) * (F.sum("ct_r").over(w_all) + _DSIR_B)
+            > (F.col("ct_r") + 1) * (F.sum("ct_t").over(w_all) + _DSIR_B),
+            1,
+        )
+        .otherwise(-1)
+        .alias("w"),
+    )
+    scored = (
+        feats.join(F.broadcast(wt), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_feats"), F.sum("w").alias("score"))
+    )
+    return (
+        docs.select("doc_id", in_t.alias("in_target"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "in_target",
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            F.coalesce("score", F.lit(0)).alias("score"),
+            (F.coalesce("score", F.lit(0)) > 0).alias("selected"),
+        )
+    )
+
+
+_DSIR_TGT_SQL = "source IN ({})".format(
+    ", ".join(f"'{s}'" for s in _DSIR_TARGET)
+)
+
+ORACLE_DSIR_SELECT = f"""
+WITH w AS (
+  SELECT doc_id, {_DSIR_TGT_SQL} AS in_target, {_WL} AS wl FROM documents),
+f AS (
+  SELECT doc_id, in_target,
+         unnest(list_cat(
+           list_distinct(wl),
+           list_distinct(list_transform(
+             generate_series(1, len(wl) - 1),
+             i -> wl[i] || ' ' || wl[i + 1])))) AS feat
+  FROM w),
+bk AS (
+  SELECT doc_id, in_target,
+         CAST(CAST(concat('0x', substr(md5('dsir:' || feat), 1, 8))
+              AS UBIGINT) % {_DSIR_B} AS BIGINT) AS bucket
+  FROM f),
+c AS (
+  SELECT bucket,
+         CAST(count(*) FILTER (in_target) AS BIGINT) AS ct_t,
+         CAST(count(*) FILTER (NOT in_target) AS BIGINT) AS ct_r
+  FROM bk GROUP BY bucket),
+wt AS (
+  SELECT bucket,
+         CASE WHEN (ct_t + 1) * (sum(ct_r) OVER () + {_DSIR_B})
+                 > (ct_r + 1) * (sum(ct_t) OVER () + {_DSIR_B})
+              THEN 1 ELSE -1 END AS w
+  FROM c),
+s AS (
+  SELECT doc_id, count(*) AS n_feats, CAST(sum(w) AS BIGINT) AS score
+  FROM bk JOIN wt USING (bucket) GROUP BY doc_id)
+SELECT d.doc_id, {_DSIR_TGT_SQL} AS in_target,
+       coalesce(n_feats, 0) AS n_feats,
+       coalesce(score, 0) AS score,
+       coalesce(score, 0) > 0 AS selected
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
 QUERIES = {
     "d_exact_dedup": d_exact_dedup,
     "d_fingerprint": d_fingerprint,
@@ -4471,6 +4613,7 @@ QUERIES = {
     "t_hybrid_rrf": t_hybrid_rrf,
     "d_split_leakage": d_split_leakage,
     "t_domain_mix": t_domain_mix,
+    "t_dsir_select": t_dsir_select,
     "e_semdedup": e_semdedup,
     "t_heavy_hitters": t_heavy_hitters,
     "t_cms_freq": t_cms_freq,
@@ -4543,6 +4686,7 @@ ORACLE = {
     "t_hybrid_rrf": ORACLE_HYBRID_RRF,
     "d_split_leakage": ORACLE_SPLIT_LEAKAGE,
     "t_domain_mix": ORACLE_DOMAIN_MIX,
+    "t_dsir_select": ORACLE_DSIR_SELECT,
     "t_heavy_hitters": ORACLE_HEAVY_HITTERS,
     "t_cms_freq": ORACLE_CMS_FREQ,
     "t_hll_distinct": ORACLE_HLL_DISTINCT,
