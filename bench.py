@@ -117,6 +117,7 @@ HEADLINE = [
     "d_url_dedup",
     "d_line_dedup",
     "t_dsir_select",
+    "s_url_dedup_stream",
 ]
 
 # Rotating wall-clock coverage for the ~109 registered queries that are

@@ -878,3 +878,25 @@ def test_interval_stream_equals_batch_islands(spark, duck):
         for r in rel.q72_interval_union(spark, SF_DIR_CORRECTNESS).collect()
     }
     assert roll == q72
+
+
+def test_url_dedup_stream_keys_equal_batch_dedup(spark):
+    """The streaming URL dedup's surviving canonical-key set must equal
+    the batch d_url_dedup's key relation exactly — same synthetic URL
+    derivation, same canonicalization, watermark wide enough that every
+    replayed duplicate lands in state."""
+    from tests.conftest import SF_DIR_CORRECTNESS
+    from udlang_spark.queries import llm
+    from udlang_spark.queries import streaming as squeries
+
+    got = {
+        r["canon_url"]
+        for r in squeries.s_url_dedup_stream(spark, SF_DIR_CORRECTNESS).collect()
+    }
+    want = {
+        r["canon_url"]
+        for r in llm.d_url_dedup(spark, SF_DIR_CORRECTNESS)
+        .select("canon_url")
+        .collect()
+    }
+    assert got == want and len(got) > 50

@@ -262,21 +262,13 @@ GROUP BY b.fp
 """
 
 
-def d_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL-canonicalization dedup (C4/CCNet "same page, different link"):
-    a deterministic synthetic URL per document (scheme/www/host-case/
-    trailing-slash/tracking-param/fragment noise keyed off doc_id — the
-    corpus carries no URL column, so both engines derive the identical
-    string, the multimodal-oracle convention), canonicalized by
-    functions/url.canonical_url (drop fragment + scheme, lowercase host,
-    strip www. and trailing slashes, drop utm_*/ref/fbclid/gclid params,
-    sort survivors) and collapsed to (canon_url, min-id keeper, copy and
-    raw-variant counts). Everything before the single groupBy is row-local
-    regexp/array work inside codegen — the one shuffle is keyed by the
-    canonical string, uniform by construction."""
-    docs = load_table(spark, "documents", sf_dir)
+def synthetic_url():
+    """Deterministic synthetic URL per document row (reads doc_id, source,
+    lang) — the corpus carries no URL column, so both engines derive the
+    identical string (the multimodal-oracle convention). Shared by
+    d_url_dedup (batch) and s_url_dedup_stream (ingest-time)."""
     n = (F.col("doc_id") % 40).cast("string")
-    url = F.concat(
+    return F.concat(
         F.when(F.col("doc_id") % 2 == 0, "https://").otherwise("http://"),
         F.when(F.col("doc_id") % 3 == 0, "www.").otherwise(""),
         F.when(F.col("doc_id") % 7 == 0, F.upper("source")).otherwise(
@@ -295,8 +287,23 @@ def d_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(""),
         F.when(F.col("doc_id") % 4 == 0, "#sec").otherwise(""),
     )
+
+
+def d_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup (C4/CCNet "same page, different link"):
+    a deterministic synthetic URL per document (scheme/www/host-case/
+    trailing-slash/tracking-param/fragment noise keyed off doc_id — the
+    corpus carries no URL column, so both engines derive the identical
+    string, the multimodal-oracle convention), canonicalized by
+    functions/url.canonical_url (drop fragment + scheme, lowercase host,
+    strip www. and trailing slashes, drop utm_*/ref/fbclid/gclid params,
+    sort survivors) and collapsed to (canon_url, min-id keeper, copy and
+    raw-variant counts). Everything before the single groupBy is row-local
+    regexp/array work inside codegen — the one shuffle is keyed by the
+    canonical string, uniform by construction."""
+    docs = load_table(spark, "documents", sf_dir)
     return (
-        docs.select("doc_id", url.alias("url"))
+        docs.select("doc_id", synthetic_url().alias("url"))
         .select("doc_id", "url", URL.canonical_url("url").alias("canon_url"))
         .groupBy("canon_url")
         .agg(
@@ -307,7 +314,9 @@ def d_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_URL_DEDUP = """
+# shared canonicalization CTE (relation c: doc_id, url, canon_url) — the
+# batch dedup and the streaming twin differ only in the final SELECT
+URL_CANON_CTE = """
 WITH u AS (
   SELECT doc_id,
     (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END ||
@@ -350,6 +359,9 @@ c AS (
     FROM p
   )
 )
+"""
+
+ORACLE_URL_DEDUP = URL_CANON_CTE + """
 SELECT canon_url, min(doc_id) AS keeper, count(*) AS n_copies,
        count(DISTINCT url) AS n_variants
 FROM c GROUP BY canon_url

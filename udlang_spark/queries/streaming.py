@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from udlang_spark.functions import text as TXT
+from udlang_spark.functions import url as URL
 from udlang_spark.kernel import ast
 from udlang_spark.kernel.api import compile_kernel
 from udlang_spark.queries import llm as _llm
@@ -255,6 +256,52 @@ def s_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = runner.streaming_dedup(src, ("simhash",), "ts", watermark="2 hours")
     out = runner.run_stream_to_memory(deduped, "q_s_neardup_stream", spark)
     return out.select("simhash").distinct().orderBy("simhash")
+
+
+def s_url_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time URL-canonicalization dedup — the streaming twin of
+    d_url_dedup: each arriving document derives its synthetic URL
+    (llm.synthetic_url, pure Column work — computable on a stream with no
+    state), canonicalizes it (functions/url.canonical_url: fragment/scheme/
+    www/host-case/trailing-slash/tracking-param/param-order noise all
+    collapse), and dropDuplicatesWithinWatermark keys on the canonical
+    string, so re-crawls of the same page arriving within the watermark
+    horizon admit only one copy. State holds canonical keys inside the
+    watermark, not the corpus — the C4 same-page collapse as a continuous
+    admission filter instead of a nightly batch job. Which ARRIVAL survives
+    is racy across micro-batches, so the contract output is the
+    deterministic surviving canonical-key set (= the batch dedup's key set,
+    pytest-pinned)."""
+    tmp = _replay_dir(
+        spark, sf_dir, table="documents",
+        cols=("doc_id", "lang", "source"),
+        prefix="udlang_stream_url",
+    )
+    doc_t = ast.TRecord(
+        (
+            ast.TRecordField("doc_id", ast.T_INT),
+            ast.TRecordField("lang", ast.T_STR),
+            ast.TRecordField("source", ast.T_STR),
+        )
+    )
+    src = (
+        spark.readStream.schema(json_lift.input_schema(doc_t))
+        .option("mode", "FAILFAST")
+        .json(tmp)
+        .withColumn(
+            "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") * 60)
+        )
+        .withColumn("canon_url", URL.canonical_url(_llm.synthetic_url()))
+    )
+    deduped = runner.streaming_dedup(src, ("canon_url",), "ts", watermark="2 hours")
+    out = runner.run_stream_to_memory(deduped, "q_s_url_dedup_stream", spark)
+    return out.select("canon_url").distinct().orderBy("canon_url")
+
+
+# the surviving canonical-key set equals the batch dedup's key relation
+ORACLE_URL_DEDUP_STREAM = _llm.URL_CANON_CTE + """
+SELECT DISTINCT canon_url FROM c
+"""
 
 
 def s_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -768,6 +815,7 @@ QUERIES = {
     "s_stream_join": s_stream_join,
     "s_dedup_stream": s_dedup_stream,
     "s_neardup_stream": s_neardup_stream,
+    "s_url_dedup_stream": s_url_dedup_stream,
     "s_cms_stream": s_cms_stream,
     "s_cms_merge": s_cms_merge,
     "s_hll_stream": s_hll_stream,
@@ -881,6 +929,7 @@ ORACLE: dict[str, str] = {
     "s_stream_join": ORACLE_STREAM_JOIN,
     "s_dedup_stream": ORACLE_DEDUP_STREAM,
     "s_neardup_stream": ORACLE_NEARDUP_STREAM,
+    "s_url_dedup_stream": ORACLE_URL_DEDUP_STREAM,
     "s_session_stream": ORACLE_SESSION_STREAM,
     "s_interval_stream": ORACLE_INTERVAL_STREAM,
     "s_cdc_apply": ORACLE_CDC_APPLY,
