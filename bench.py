@@ -118,6 +118,7 @@ HEADLINE = [
     "d_line_dedup",
     "t_dsir_select",
     "s_url_dedup_stream",
+    "t_length_outliers",
 ]
 
 # Rotating wall-clock coverage for the ~109 registered queries that are

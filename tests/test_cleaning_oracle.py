@@ -103,3 +103,21 @@ def test_line_dedup_removes_shared_lines_everywhere(spark):
         assert r["cleaned_md5"] == md5(f"{rare} other words {i}")
     assert (got[99]["n_lines"], got[99]["n_kept"]) == (0, 0)
     assert got[99]["cleaned_md5"] == md5("")
+
+
+def test_length_outliers_flags_only_extreme_docs(spark):
+    """Constructed strata: 10 ten-token docs plus one 200-token doc (z =
+    sqrt(10) > 3) flags exactly the long doc 'high'; a uniform stratum and
+    a mildly-varying stratum flag nothing (integer algebra: zero-variance
+    and small-sample deviations fail the strict inequality)."""
+    from udlang_spark.queries import cleaning as Q
+
+    rows = [(i, "en", "a", "w " * 10) for i in range(10)]
+    rows.append((99, "en", "a", "w " * 200))
+    rows += [(200 + i, "en", "b", "w " * 7) for i in range(6)]  # uniform
+    rows += [(300 + i, "en", "c", "w " * (i + 1)) for i in range(5)]  # mild
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    got = Q.length_outliers(docs).select("doc_id", "side").collect()
+    assert [(r["doc_id"], r["side"]) for r in got] == [(99, "high")]

@@ -779,3 +779,21 @@ def test_dsir_select_broadcasts_weights_no_python(spark):
     ):
         assert bad not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_length_outliers_broadcasts_stats_no_python(spark):
+    """Length-outlier screen: the per-stratum moments relation joins back
+    as a BROADCAST equi-join; everything else is row-local Column algebra
+    — no Python nodes, no nested-loop/cartesian joins."""
+    from udlang_spark.queries import cleaning
+
+    plan = plan_of(cleaning.QUERIES["t_length_outliers"](spark, SF_DIR_CORRECTNESS))
+    for bad in (
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "MapInPandas",
+        "CartesianProduct",
+        "BroadcastNestedLoop",
+    ):
+        assert bad not in plan
+    assert "BroadcastHashJoin" in plan

@@ -41,19 +41,20 @@ for mod in (kernels, llm, streaming, relational, cleaning):
 # 37 queries last confirmed r4, 50 last confirmed r5):
 #   (a) ALL 37 remaining r4-stale greens — after r8 drains them, no
 #       query's latest driver green is older than r5 (VERDICT r7 #1);
-#   (b) the 9 round-8 operators, registered AT LAND TIME, each
+#   (b) the 10 round-8 operators, registered AT LAND TIME, each
 #       strict-verified the day it landed (d_span_scrub, m_ahash_neardup,
 #       t_lang_quality_bands, s_interval_stream, d_incremental_dedup,
-#       d_url_dedup, d_line_dedup, t_dsir_select, s_url_dedup_stream);
+#       d_url_dedup, d_line_dedup, t_dsir_select, s_url_dedup_stream,
+#       t_length_outliers);
 #   (c) e_negative_pairs and e_pagerank — green at r5/r7 but their
 #       IMPLEMENTATIONS changed this round (negative_pairs: batch-local
 #       partial top-k prune, VERDICT r7 #2; pagerank: in-plan dangling
 #       mass, one action/iteration), so each re-earns a driver row on
 #       its new plan;
-#   (d) the 2 oldest r5 greens in the remaining slots.
-# 37 + 9 + 2 + 2 = 50. Round-9 debt, stalest first: the remaining 47
+#   (d) the oldest r5 green in the remaining slot.
+# 37 + 10 + 2 + 1 = 50. Round-9 debt, stalest first: the remaining 48
 # r5 greens (the s_* streaming block, e_* embedding family, q53–q66,
-# d_dedup_keeper, t_pii_scrub, t_bm25_topk, t_hybrid_rrf,
+# k_attempt, d_dedup_keeper, t_pii_scrub, t_bm25_topk, t_hybrid_rrf,
 # d_split_leakage, t_domain_mix), then the r6 block.
 _PRIORITY: list[str] = [
     # -- (a) the 37 r4-stale re-confirmations --
@@ -104,12 +105,12 @@ _PRIORITY: list[str] = [
     "d_line_dedup",
     "t_dsir_select",
     "s_url_dedup_stream",
+    "t_length_outliers",
     # -- (c) changed implementations this round: re-earn the driver row --
     "e_negative_pairs",
     "e_pagerank",
-    # -- (d) oldest r5 greens --
+    # -- (d) oldest r5 green --
     "k_comprehension",
-    "k_attempt",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50

@@ -15,6 +15,7 @@ only — the cross-engine determinism rule from queries/__init__.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from udlang_spark.functions import text as TXT
 from udlang_spark.operators import cleaning as OPS
@@ -635,6 +636,81 @@ FROM documents d LEFT JOIN per_doc USING (doc_id)
 ORACLE_BPE_ENCODE = _bpe_encode_oracle()
 
 
+# ---------------------------------------------------------------------------
+# per-stratum length-outlier detection (integer-exact 3-sigma test)
+# ---------------------------------------------------------------------------
+
+
+def t_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag documents whose token count is a >3σ outlier within their
+    (lang, source) stratum — the truncation/concatenation-artifact screen
+    corpus builds run per domain (a 5-token doc is normal in a chat source
+    and pathological in a book source; stratifying is the point).
+
+    Exactness-by-design: z-scores need mean/σ — division and sqrt. Both
+    engines' σ would agree only approximately, so the test is algebra-
+    rearranged into pure integer cross-multiplication:
+      |x − s1/n| > 3σ  ⟺  (x·n − s1)² > 9·(n·s2 − s1²)
+    with n, s1=Σx, s2=Σx² the per-stratum integer moments. Zero-variance
+    strata and singletons flag nothing (0 > 0 is false) with no special
+    case. (The products stay far inside int64 at test scale; at 100 TB
+    promote the comparison to DECIMAL(38,0) — same algebra.)
+
+    Scale shape: ONE (lang, source)-key moments aggregate (map-side
+    combine; the stats relation is |strata| rows, broadcast back), then a
+    row-local predicate — two scans' worth of work with the stats join
+    free, text never shuffled."""
+    return length_outliers(load_table(spark, "documents", sf_dir))
+
+
+def length_outliers(docs: DataFrame) -> DataFrame:
+    """Core per-(lang, source) length-outlier screen over any
+    (doc_id, lang, source, text) relation; see t_length_outliers."""
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(TXT.words("text")).cast("long").alias("n_tokens"),
+    )
+    stats = toks.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_tokens").alias("s1"),
+        F.sum(F.col("n_tokens") * F.col("n_tokens")).alias("s2"),
+    )
+    xn = F.col("n_tokens") * F.col("n")
+    return (
+        toks.join(F.broadcast(stats), ["lang", "source"])
+        .where(
+            (xn - F.col("s1")) * (xn - F.col("s1"))
+            > 9 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            F.when(xn < F.col("s1"), "low").otherwise("high").alias("side"),
+        )
+    )
+
+
+ORACLE_LENGTH_OUTLIERS = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, CAST(len({_WL}) AS BIGINT) AS n_tokens
+  FROM documents),
+s AS (
+  SELECT lang, source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_tokens) AS BIGINT) AS s1,
+         CAST(sum(n_tokens * n_tokens) AS BIGINT) AS s2
+  FROM t GROUP BY lang, source)
+SELECT doc_id, lang, source, n_tokens,
+       CASE WHEN n_tokens * n < s1 THEN 'low' ELSE 'high' END AS side
+FROM t JOIN s USING (lang, source)
+WHERE (n_tokens * n - s1) * (n_tokens * n - s1) > 9 * (n * s2 - s1 * s1)
+"""
+
+
 QUERIES = {
     "t_gopher_rules": t_gopher_rules,
     "t_dedup_words": t_dedup_words,
@@ -642,6 +718,7 @@ QUERIES = {
     "d_span_scrub": d_span_scrub,
     "d_line_dedup": d_line_dedup,
     "t_lang_quality_bands": t_lang_quality_bands,
+    "t_length_outliers": t_length_outliers,
     "t_bigram_lm": t_bigram_lm,
     "t_wordpiece": t_wordpiece,
     "t_bpe_learn": t_bpe_learn,
@@ -655,6 +732,7 @@ ORACLE = {
     "d_span_scrub": ORACLE_SPAN_SCRUB,
     "d_line_dedup": ORACLE_LINE_DEDUP,
     "t_lang_quality_bands": ORACLE_LANG_QUALITY_BANDS,
+    "t_length_outliers": ORACLE_LENGTH_OUTLIERS,
     "t_bigram_lm": ORACLE_BIGRAM_LM,
     "t_wordpiece": ORACLE_WORDPIECE,
     "t_bpe_learn": ORACLE_BPE_LEARN,
