@@ -119,6 +119,7 @@ HEADLINE = [
     "t_dsir_select",
     "s_url_dedup_stream",
     "t_length_outliers",
+    "d_incremental_neardup",
 ]
 
 # Rotating wall-clock coverage for the ~109 registered queries that are

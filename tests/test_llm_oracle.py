@@ -976,3 +976,37 @@ def test_dsir_select_prefers_target_like_docs(spark):
     assert (got[21]["n_feats"], got[21]["score"], got[21]["selected"]) == (
         0, 0, False,
     )
+
+
+def test_incremental_neardup_rejects_edited_recrawl_admits_fresh(spark):
+    """Constructed corpora: a batch doc that is a lightly-edited re-crawl
+    of a history doc (high shingle overlap) is rejected with its jaccard
+    reported; a disjoint-text batch doc is admitted; an exact within-batch
+    twin of an admitted doc is ALSO admitted (within-batch collapse is
+    minhash_dedup_corpus's job, pinned out of scope here)."""
+    from udlang_spark.operators import dedup as D
+
+    # 30 distinct words -> 28 distinct shingles; the 2-word edit adds 2:
+    # jaccard = 28/30 ≈ 0.93 >= 0.8
+    base = " ".join(f"word{i}" for i in range(30))
+    edited = base + " tail clause"
+    fresh = " ".join(f"other{i}" for i in range(30))
+    history = spark.createDataFrame(
+        [(1, base), (2, "unrelated history text entirely " * 4)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, edited), (11, fresh), (12, fresh)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in D.incremental_neardup(
+            history, batch, "text", "doc_id", threshold=0.8
+        ).collect()
+    }
+    assert not got[10]["admitted"]
+    assert got[10]["n_hist_matches"] >= 1 and got[10]["max_jaccard"] >= 0.8
+    for b in (11, 12):
+        assert got[b]["admitted"]
+        assert got[b]["n_hist_matches"] == 0 and got[b]["max_jaccard"] is None

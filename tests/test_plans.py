@@ -797,3 +797,20 @@ def test_length_outliers_broadcasts_stats_no_python(spark):
     ):
         assert bad not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_neardup_band_equijoin_no_cartesian(spark):
+    """Batch-vs-history admission: the cross-corpus contact point is an
+    EQUI-join on the band key — no cartesian/nested-loop anywhere, no
+    Python nodes; history text reaches only the verification join."""
+    from udlang_spark.queries import llm
+
+    plan = plan_of(llm.QUERIES["d_incremental_neardup"](spark, SF_DIR_CORRECTNESS))
+    for bad in (
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "MapInPandas",
+        "CartesianProduct",
+        "BroadcastNestedLoop",
+    ):
+        assert bad not in plan

@@ -79,18 +79,15 @@ def _signatures_from_shingles(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFr
     )
 
 
-def lsh_candidate_pairs(
+def band_keys(
     sigs: DataFrame, n_hashes: int = N_HASHES, band_rows: int = BAND_ROWS
 ) -> DataFrame:
-    """Explode each doc into its band keys; docs sharing a band key are
-    candidates. ONE shuffle on the band key (groupBy + collect_list), then
-    pair expansion inside each bucket — the signature pipeline upstream is
-    evaluated once, where a bands⋈bands self-join would evaluate it twice
-    (Spark can't reuse one side's exchange for the other). The bucket list
-    is sorted, so doc_a < doc_b by construction; in-bucket quadratic
-    expansion is bounded by bucket size, which the LSH parameters bound."""
+    """(doc, bkey): each doc exploded into its LSH band keys (md5 of the
+    band's signature slice, salted by band index). The unit both the batch
+    self-pairing (lsh_candidate_pairs) and the batch-vs-history admission
+    probe (incremental_neardup) key on."""
     n_bands = n_hashes // band_rows
-    bands = sigs.select(
+    return sigs.select(
         "doc",
         F.explode(
             F.array(
@@ -110,6 +107,19 @@ def lsh_candidate_pairs(
             )
         ).alias("bkey"),
     )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, n_hashes: int = N_HASHES, band_rows: int = BAND_ROWS
+) -> DataFrame:
+    """Explode each doc into its band keys; docs sharing a band key are
+    candidates. ONE shuffle on the band key (groupBy + collect_list), then
+    pair expansion inside each bucket — the signature pipeline upstream is
+    evaluated once, where a bands⋈bands self-join would evaluate it twice
+    (Spark can't reuse one side's exchange for the other). The bucket list
+    is sorted, so doc_a < doc_b by construction; in-bucket quadratic
+    expansion is bounded by bucket size, which the LSH parameters bound."""
+    bands = band_keys(sigs, n_hashes, band_rows)
     buckets = (
         bands.groupBy("bkey")
         .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
@@ -695,5 +705,74 @@ def incremental_dedup(
         .agg(
             F.min("_id").alias("keeper"),
             F.count(F.lit(1)).alias("n_batch_copies"),
+        )
+    )
+
+
+def incremental_neardup(
+    history: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Ingest-time NEAR-dup admission: decide, per new-batch document,
+    whether the historical corpus already contains a near-duplicate
+    (exact-verified jaccard >= threshold) — the MinHash-LSH twin of
+    incremental_dedup's exact-fingerprint admission.
+
+    Scale shape: the band key is the ONLY cross-corpus join key — the
+    batch's band keys (n_bands/doc) equi-join the history's band keys, so
+    history text beyond colliding candidates never moves; only its band
+    keys and the candidate docs' shingle arrays shuffle. At production
+    scale the history's signatures/bands are a PERSISTED index maintained
+    at ingest (the e_ivfpq_append pattern); here both sides derive
+    in-plan, which is plan-identical from the join down. Banding never
+    causes a false REJECTION: every candidate is verified with the exact
+    jaccard before a doc is refused admission (it can cause a false
+    admission, the standard LSH recall trade documented at
+    lsh_candidate_pairs).
+
+    Within-batch near-dup collapse is deliberately out of scope — compose
+    with minhash_dedup_corpus over the admitted set.
+
+    Returns one row per batch doc WITH shingles (docs under 3 words carry
+    no near-dup signal and are admitted trivially upstream):
+    (doc_id, n_hist_matches, max_jaccard — NULL when none, admitted)."""
+    sh_h = persist_tracked(shingle_sets(history, text_col, id_col))
+    sh_b = persist_tracked(shingle_sets(batch, text_col, id_col))
+    bands_h = band_keys(_signatures_from_shingles(sh_h)).select(
+        F.col("doc").alias("doc_h"), "bkey"
+    )
+    bands_b = band_keys(_signatures_from_shingles(sh_b)).select(
+        F.col("doc").alias("doc_b"), "bkey"
+    )
+    cand = bands_b.join(bands_h, "bkey").select("doc_b", "doc_h").distinct()
+    sa = sh_b.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_a"))
+    sb = sh_h.select(F.col("doc").alias("doc_h"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    matches = (
+        cand.join(sa, "doc_b")
+        .join(sb, "doc_h")
+        .select(
+            "doc_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_hist_matches"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+    return (
+        sh_b.select(F.col("doc").alias("doc_id"))
+        .join(matches.withColumnRenamed("doc_b", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hist_matches", F.lit(0)).alias("n_hist_matches"),
+            "max_jaccard",
+            (F.coalesce("n_hist_matches", F.lit(0)) == 0).alias("admitted"),
         )
     )

@@ -41,21 +41,22 @@ for mod in (kernels, llm, streaming, relational, cleaning):
 # 37 queries last confirmed r4, 50 last confirmed r5):
 #   (a) ALL 37 remaining r4-stale greens — after r8 drains them, no
 #       query's latest driver green is older than r5 (VERDICT r7 #1);
-#   (b) the 10 round-8 operators, registered AT LAND TIME, each
+#   (b) the 11 round-8 operators, registered AT LAND TIME, each
 #       strict-verified the day it landed (d_span_scrub, m_ahash_neardup,
 #       t_lang_quality_bands, s_interval_stream, d_incremental_dedup,
 #       d_url_dedup, d_line_dedup, t_dsir_select, s_url_dedup_stream,
-#       t_length_outliers);
+#       t_length_outliers, d_incremental_neardup);
 #   (c) e_negative_pairs and e_pagerank — green at r5/r7 but their
 #       IMPLEMENTATIONS changed this round (negative_pairs: batch-local
 #       partial top-k prune, VERDICT r7 #2; pagerank: in-plan dangling
 #       mass, one action/iteration), so each re-earns a driver row on
 #       its new plan;
-#   (d) the oldest r5 green in the remaining slot.
-# 37 + 10 + 2 + 1 = 50. Round-9 debt, stalest first: the remaining 48
-# r5 greens (the s_* streaming block, e_* embedding family, q53–q66,
-# k_attempt, d_dedup_keeper, t_pii_scrub, t_bm25_topk, t_hybrid_rrf,
-# d_split_leakage, t_domain_mix), then the r6 block.
+# 37 + 11 + 2 = 50 — the r4 drain, the new operators, and the two
+# changed implementations exactly fill the window. Round-9 debt, stalest
+# first: all 49 r5 greens (the s_* streaming block, e_* embedding family,
+# q53–q66, k_comprehension, k_attempt, d_dedup_keeper, t_pii_scrub,
+# t_bm25_topk, t_hybrid_rrf, d_split_leakage, t_domain_mix), then the r6
+# block.
 _PRIORITY: list[str] = [
     # -- (a) the 37 r4-stale re-confirmations --
     "k_match_lit",
@@ -106,11 +107,10 @@ _PRIORITY: list[str] = [
     "t_dsir_select",
     "s_url_dedup_stream",
     "t_length_outliers",
+    "d_incremental_neardup",
     # -- (c) changed implementations this round: re-earn the driver row --
     "e_negative_pairs",
     "e_pagerank",
-    # -- (d) oldest r5 green --
-    "k_comprehension",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50

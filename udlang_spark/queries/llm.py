@@ -289,6 +289,65 @@ def synthetic_url():
     )
 
 
+def d_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time NEAR-dup admission of a new batch (doc_id % 5 == 0)
+    against the historical corpus (the rest): MinHash band keys equi-join
+    across the corpora, exact-jaccard verification before any rejection
+    (operators/dedup.incremental_neardup). The near-dup twin of
+    d_incremental_dedup — a re-crawl with small edits sails through the
+    exact fingerprint but is caught here. History text never moves beyond
+    band-colliding candidates."""
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.incremental_neardup(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        "text",
+        "doc_id",
+        threshold=0.8,
+    )
+
+
+ORACLE_INCREMENTAL_NEARDUP = (
+    _SHINGLES_CTE
+    + ""","""
+    + """
+mh AS (
+  SELECT doc_id, h, min(md5(h::VARCHAR || ':' || s)) AS sig
+  FROM sh, LATERAL (SELECT unnest(sh.sh) AS s) u,
+       LATERAL (SELECT unnest(range(0, 8)) AS h) hh
+  GROUP BY doc_id, h
+),
+bands AS (
+  SELECT doc_id, h // 2 AS band, md5(string_agg(sig, '|' ORDER BY h)) AS key
+  FROM mh GROUP BY doc_id, h // 2
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS doc_b, h.doc_id AS doc_h
+  FROM bands b JOIN bands h ON b.band = h.band AND b.key = h.key
+  WHERE b.doc_id % 5 = 0 AND h.doc_id % 5 != 0
+),
+verified AS (
+  SELECT doc_b,
+    len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))::DOUBLE /
+    len(list_distinct(list_cat(sa.sh, sb.sh)))::DOUBLE AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_b
+  JOIN sh sb ON sb.doc_id = c.doc_h
+),
+m AS (
+  SELECT doc_b, count(*) AS n_hist_matches, max(jaccard) AS max_jaccard
+  FROM verified WHERE jaccard >= 0.8 GROUP BY doc_b
+)
+SELECT s.doc_id,
+       coalesce(n_hist_matches, 0) AS n_hist_matches,
+       max_jaccard,
+       coalesce(n_hist_matches, 0) = 0 AS admitted
+FROM sh s LEFT JOIN m ON m.doc_b = s.doc_id
+WHERE s.doc_id % 5 = 0
+"""
+)
+
+
 def d_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-canonicalization dedup (C4/CCNet "same page, different link"):
     a deterministic synthetic URL per document (scheme/www/host-case/
@@ -4604,6 +4663,7 @@ QUERIES = {
     "d_dedup_corpus": d_dedup_corpus,
     "d_dedup_keeper": d_dedup_keeper,
     "d_incremental_dedup": d_incremental_dedup,
+    "d_incremental_neardup": d_incremental_neardup,
     "d_url_dedup": d_url_dedup,
     "d_ngram_jaccard": d_ngram_jaccard,
     "d_simhash": d_simhash,
@@ -4677,6 +4737,7 @@ ORACLE = {
     "d_dedup_corpus": ORACLE_DEDUP_CORPUS,
     "d_dedup_keeper": ORACLE_DEDUP_KEEPER,
     "d_incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
+    "d_incremental_neardup": ORACLE_INCREMENTAL_NEARDUP,
     "d_url_dedup": ORACLE_URL_DEDUP,
     "d_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "d_simhash": ORACLE_SIMHASH,
