@@ -1010,3 +1010,21 @@ def test_incremental_neardup_rejects_edited_recrawl_admits_fresh(spark):
     for b in (11, 12):
         assert got[b]["admitted"]
         assert got[b]["n_hist_matches"] == 0 and got[b]["max_jaccard"] is None
+
+
+def test_incremental_neardup_catches_planted_recrawls_at_sf001(spark):
+    """The sf0.01 corpus plants ~25 near-dup pairs; those straddling the
+    %5 batch/history split must be caught (non-trivial rejection set), and
+    the no-false-rejection invariant holds: every rejection carries a
+    verified jaccard >= threshold."""
+    rows = llm.QUERIES["d_incremental_neardup"](spark, SF_DIR_CORRECTNESS).collect()
+    rejected = [r for r in rows if not r["admitted"]]
+    assert len(rejected) >= 5
+    assert all(
+        r["max_jaccard"] >= 0.8 and r["n_hist_matches"] >= 1 for r in rejected
+    )
+    assert all(
+        r["n_hist_matches"] == 0 and r["max_jaccard"] is None
+        for r in rows
+        if r["admitted"]
+    )
