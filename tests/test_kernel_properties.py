@@ -1090,3 +1090,95 @@ def test_sized_casts_compiled_equals_interp(spark, name, inputs):
                 Kernel(program=prog).apply(df, input_col="value").collect()
             with pytest.raises(InterpError, match="out of range"):
                 interp.run(v)
+
+
+# ---------------------------------------------------------------------------
+# Differential fuzz: comprehension chains — `[xs | f]` with f a lambda, a
+# bare `$`-partial expression, a bare `$`, or a native call with `$` args.
+# This family's first probe found the interp had NO bare-`$` support
+# (`[xs | $ + 3]` compiled fine but raised InterpError on the fallback
+# path) and that the interp curried `$` args to NATIVE calls where the
+# compiler resolves them from the partial context — both fixed to mirror
+# compile_comprehension / compile_call exactly (round 8).
+# ---------------------------------------------------------------------------
+def _comprehension_strategy():
+    from udlang_spark.kernel import ast as A
+
+    def elem_expr(var_leaf):
+        leaves = st.one_of(
+            st.integers(min_value=-5, max_value=5).map(A.Lit), var_leaf
+        )
+
+        def compound(kids):
+            return st.one_of(
+                st.tuples(st.sampled_from(["+", "-", "*"]), kids, kids).map(
+                    lambda t: A.Bin(t[0], t[1], t[2])
+                ),
+            )
+
+        return st.recursive(leaves, compound, max_leaves=4)
+
+    seq = st.lists(
+        elem_expr(st.just(A.In())), min_size=2, max_size=4
+    ).map(lambda xs: A.ListExpr(tuple(xs)))
+
+    def fn_form(draw_body):
+        from udlang_spark.kernel import ast as A
+
+        lam = draw_body(st.just(A.Id("x"))).map(
+            lambda b: A.Lambda((("x", A.T_INT),), A.T_INT, b)
+        )
+        dollar_expr = draw_body(st.just(A.Partial()))
+        bare = st.just(A.Partial())
+        native = st.tuples(
+            st.sampled_from(["min", "max"]),
+            st.integers(min_value=-4, max_value=4),
+        ).map(lambda t: A.Call(A.Id(t[0]), (A.Partial(), A.Lit(t[1]))))
+        return st.one_of(lam, dollar_expr, bare, native)
+
+    fns = st.lists(fn_form(elem_expr), min_size=1, max_size=3)
+
+    def chain(t):
+        from udlang_spark.kernel import ast as A
+
+        s, fs = t
+        for f in fs:
+            s = A.Comprehension(seq=s, fn=f)
+        return s
+
+    return st.tuples(seq, fns).map(chain)
+
+
+@given(
+    expr=_comprehension_strategy(),
+    inputs=st.lists(
+        st.integers(min_value=-6, max_value=6), min_size=1, max_size=3,
+        unique=True,
+    ),
+)
+@settings(
+    max_examples=50,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_compiled_equals_interp_on_comprehension_chains(spark, expr, inputs):
+    from udlang_spark.kernel import ast as A
+    from udlang_spark.kernel.api import Kernel
+    from udlang_spark.kernel.interp import Interp
+
+    prog = A.Program(
+        kind="script",
+        desc="fuzz",
+        decls=(),
+        input=A.T_INT,
+        output=A.TList(A.T_INT),
+        body=(A.Out(expr),),
+    )
+    df = spark.createDataFrame([(v,) for v in inputs], "value long")
+    compiled = {
+        tuple(r[0])
+        for r in Kernel(program=prog).apply(df, input_col="value").collect()
+    }
+    interp = Interp(prog)
+    expect = {tuple(out) for v in inputs for out in interp.run(v)}
+    assert compiled == expect

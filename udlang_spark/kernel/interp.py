@@ -161,6 +161,12 @@ class Interp:
             if e.name not in env:
                 raise InterpError(f"unbound identifier {e.name!r}")
             return env[e.name]
+        if isinstance(e, ast.Partial):
+            # `$` as a term: the comprehension/partial-expression element —
+            # mirrors compiler.compile_expr's Partial case (env lookup)
+            if "$" in env:
+                return env["$"]
+            raise InterpError("`$` used outside a partial context")
         if isinstance(e, ast.Lambda):
             return Closure(e, env)
         if isinstance(e, ast.Attempt):
@@ -176,8 +182,16 @@ class Interp:
                 return self.eval(e.fallback, fb_env, in_value, outs)
         if isinstance(e, ast.Call):
             # `$` / `$...` partials desugar to a closure over the current
-            # env, mirroring the compiler's compile-time curry
-            if any(isinstance(a, (ast.Partial, ast.PartialRest)) for a in e.args):
+            # env, mirroring the compiler's compile-time curry — for USER
+            # functions only: compile_call's SNative branch never curries
+            # (built-ins have fixed arity), it resolves `$` as a term from
+            # the enclosing partial context instead, so the interp must
+            # evaluate native args directly too (the Partial case above).
+            # The callee evaluates first either way, like compile_call.
+            fn = self.eval(e.func, env, in_value, outs)
+            if not isinstance(fn, Native) and any(
+                isinstance(a, (ast.Partial, ast.PartialRest)) for a in e.args
+            ):
                 fresh: list[tuple[str, ast.Type]] = []
                 filled: list[ast.Expr] = []
                 rest: tuple[str, ast.Type] | None = None
@@ -198,7 +212,6 @@ class Interp:
                     rest_param=rest,
                 )
                 return Closure(lam, dict(env))
-            fn = self.eval(e.func, env, in_value, outs)
             args = []
             for a in e.args:
                 if isinstance(a, ast.Spread):
@@ -298,7 +311,21 @@ class Interp:
             seq = self.eval(e.seq, env, in_value, outs)
             if not isinstance(seq, list):
                 raise InterpError("comprehension over a non-list value")
-            fn = self.eval(e.fn, env, in_value, outs)
+            # mirror compile_comprehension's three fn forms: a lambda, a
+            # bound function value, or ANY other expression as an implicit
+            # one-param `$`-lambda (`[xs | $ + 3]`)
+            fnexpr = e.fn
+            if isinstance(fnexpr, ast.Lambda):
+                fn = Closure(fnexpr, dict(env))
+            elif isinstance(fnexpr, ast.Id) and isinstance(
+                env.get(fnexpr.name), (Closure, Native)
+            ):
+                fn = env[fnexpr.name]
+            else:
+                fn = Closure(
+                    ast.Lambda((("$", ast.T_ANY),), ast.T_ANY, fnexpr),
+                    dict(env),
+                )
             return [self.apply_fn(fn, [x], in_value, outs) for x in seq]
         raise InterpError(f"unsupported expression in interp fallback: {type(e).__name__}")
 
