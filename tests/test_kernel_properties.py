@@ -1182,3 +1182,51 @@ def test_compiled_equals_interp_on_comprehension_chains(spark, expr, inputs):
     interp = Interp(prog)
     expect = {tuple(out) for v in inputs for out in interp.run(v)}
     assert compiled == expect
+
+
+def test_interp_list_map_iter_and_destructure_match_compiled(spark):
+    """Round-8 fallback-path hole: ListIter / MapIter / Destructure had no
+    interpreter support — a recursive kernel containing a `for` loop died
+    with InterpError on the documented fallback. The interp now mirrors
+    compile_list_iter / compile_map_iter / the Destructure bind; this
+    differential pins out-emission ORDER as well as values."""
+    from udlang_spark.kernel import ast as A
+    from udlang_spark.kernel.api import Kernel
+    from udlang_spark.kernel.interp import Interp
+
+    body = (
+        # for x in [in, in+1, 7] { out x * 2; }
+        A.ListIter(
+            var="x",
+            source=A.ListExpr((A.In(), A.Bin("+", A.In(), A.Lit(1)), A.Lit(7))),
+            body=A.Block(stmts=(A.Out(A.Bin("*", A.Id("x"), A.Lit(2))),), ret=None),
+        ),
+        # for x in [in | $ + 3] { out x; }   (runtime list source)
+        A.ListIter(
+            var="x",
+            source=A.Comprehension(
+                seq=A.ListExpr((A.In(), A.Lit(4))), fn=A.Bin("+", A.Partial(), A.Lit(3))
+            ),
+            body=A.Block(stmts=(A.Out(A.Id("x")),), ret=None),
+        ),
+        # for (k, v) in {"a": in, "b": 9} { out v; }
+        A.MapIter(
+            key_var="k",
+            val_var="v",
+            source=A.MapExpr((("a", A.In()), ("b", A.Lit(9)))),
+            body=A.Block(stmts=(A.Out(A.Id("v")),), ret=None),
+        ),
+        # let {p} = {"p": in}; out p;
+        A.Destructure(names=("p",), value=A.MapExpr((("p", A.In()),))),
+        A.Out(A.Id("p")),
+    )
+    prog = A.Program(
+        kind="script", desc="iters", decls=(), input=A.T_INT,
+        output=A.T_INT, body=body,
+    )
+    df = spark.createDataFrame([(5,)], "value long")
+    compiled = [
+        r[0] for r in Kernel(program=prog).apply(df, input_col="value").collect()
+    ]
+    expect = Interp(prog).run(5)
+    assert compiled == expect == [10, 12, 14, 8, 7, 5, 9, 5]

@@ -143,6 +143,38 @@ class Interp:
             self.eval(stmt.expr, env, in_value, outs)
         elif isinstance(stmt, ast.TypeDef):
             pass
+        elif isinstance(stmt, ast.Destructure):
+            # `let {a, b} = expr;` — mirror compile_stmt: each name binds
+            # the record field / map value (Dot semantics)
+            val = self.eval(stmt.value, env, in_value, outs)
+            if not isinstance(val, dict):
+                raise InterpError("destructure of a non-record/map value")
+            for name in stmt.names:
+                if name not in val:
+                    raise InterpError(f"destructure: missing field {name!r}")
+                env[name] = val[name]
+        elif isinstance(stmt, ast.ListIter):
+            # mirror compile_list_iter: per element, execute the body for
+            # effect with the loop var scoped to the iteration (a fresh
+            # env copy per element — body Lets never leak)
+            src = self.eval(stmt.source, env, in_value, outs)
+            if not isinstance(src, list):
+                raise InterpError("for..in over a non-list value")
+            for item in src:
+                inner = dict(env)
+                inner[stmt.var] = item
+                self.eval(stmt.body, inner, in_value, outs)
+        elif isinstance(stmt, ast.MapIter):
+            # mirror compile_map_iter: construction-order entries (Python
+            # dicts and Spark map_entries both preserve insertion order)
+            src = self.eval(stmt.source, env, in_value, outs)
+            if not isinstance(src, dict):
+                raise InterpError("for (k, v) over a non-map value")
+            for k, item in src.items():
+                inner = dict(env)
+                inner[stmt.key_var] = k
+                inner[stmt.val_var] = item
+                self.eval(stmt.body, inner, in_value, outs)
         elif isinstance(stmt, ast.Throw):
             raise InterpThrow(str(self.eval(stmt.value, env, in_value, outs)))
         else:
