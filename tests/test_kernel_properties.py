@@ -1230,3 +1230,60 @@ def test_interp_list_map_iter_and_destructure_match_compiled(spark):
     ]
     expect = Interp(prog).run(5)
     assert compiled == expect == [10, 12, 14, 8, 7, 5, 9, 5]
+
+
+def test_interp_destructure_missing_map_key_binds_null(spark):
+    """Round-9 ADVICE: `let {a} = someMap;` with an absent key binds NULL on
+    the compiled path (compile_dot's TMap branch -> element_at) and in the
+    interp's own ast.Dot case, but the Destructure branch hard-errored —
+    a compiled-vs-interp divergence. Both paths must now bind NULL."""
+    from udlang_spark.kernel import ast as A
+    from udlang_spark.kernel.api import Kernel
+    from udlang_spark.kernel.interp import Interp
+
+    body = (
+        # let {a} = {"b": in};  out a;  out 42;
+        A.Destructure(names=("a",), value=A.MapExpr((("b", A.In()),))),
+        A.Out(A.Id("a")),
+        A.Out(A.Lit(42)),
+    )
+    prog = A.Program(
+        kind="script", desc="destructure-miss", decls=(), input=A.T_INT,
+        output=A.T_INT, body=body,
+    )
+    df = spark.createDataFrame([(5,)], "value long")
+    compiled = [
+        r[0] for r in Kernel(program=prog).apply(df, input_col="value").collect()
+    ]
+    expect = Interp(prog).run(5)
+    assert compiled == expect == [None, 42]
+
+
+def test_interp_comprehension_builtin_id_raises_both_paths(spark):
+    """Round-9 ADVICE: `[xs | someBuiltin]` — compile_comprehension only
+    special-cases SFunc, so a builtin id falls into the implicit-$ branch
+    and fails as_col (function value escapes to runtime). The interp used
+    to silently map the builtin; it must now reject the program too."""
+    import pytest
+
+    from udlang_spark.kernel import ast as A
+    from udlang_spark.kernel.api import Kernel
+    from udlang_spark.kernel.compiler import KernelCompileError
+    from udlang_spark.kernel.interp import Interp, InterpError
+
+    body = (
+        A.Out(
+            A.Comprehension(
+                seq=A.ListExpr((A.In(), A.Lit(4))), fn=A.Id("abs")
+            )
+        ),
+    )
+    prog = A.Program(
+        kind="script", desc="builtin-comprehension", decls=(), input=A.T_INT,
+        output=A.TList(A.T_INT), body=body,
+    )
+    with pytest.raises(KernelCompileError, match="function value"):
+        df = spark.createDataFrame([(5,)], "value long")
+        Kernel(program=prog).apply(df, input_col="value").collect()
+    with pytest.raises(InterpError, match="function value"):
+        Interp(prog).run(5)

@@ -377,3 +377,41 @@ def test_ahash64_band_recall_equals_brute_force(spark):
     }
     assert brute, "corpus must contain at least one near-dup pair"
     assert banded == brute
+
+
+def test_banded_hamming_pairs_non_divisor_band_counts(spark):
+    """Round-9 ADVICE regression: n_bands = max_hamming + 1 made
+    max_hamming=2 raise (64 % 3 != 0), regressing the pre-r8 fixed-4-band
+    API that handled 0..3. The band count is now the smallest divisor of
+    n_bits >= max_hamming + 1 (pigeonhole needs only n_bands > max_hamming);
+    recall must stay exact vs brute force at every max_hamming in 0..4."""
+    import random
+
+    from udlang_spark.operators import dedup
+
+    rng = random.Random(9)
+    base = rng.getrandbits(64)
+    ints = {}
+    for i in range(24):
+        v = base
+        for _ in range(rng.randrange(0, 6)):  # 0..5 bit flips from base
+            v ^= 1 << rng.randrange(64)
+        ints[f"d{i:02d}"] = v
+    fp = spark.createDataFrame(
+        [(k, format(v, "064b")) for k, v in ints.items()], "doc string, bits string"
+    )
+    ids = sorted(ints)
+    for mh in (0, 1, 2, 3, 4):
+        brute = {
+            (a, b, bin(ints[a] ^ ints[b]).count("1"))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin(ints[a] ^ ints[b]).count("1") <= mh
+        }
+        banded = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in dedup.banded_hamming_pairs(
+                fp, bits_col="bits", n_bits=64, max_hamming=mh
+            ).collect()
+        }
+        assert banded == brute, f"max_hamming={mh}"

@@ -150,9 +150,10 @@ class Interp:
             if not isinstance(val, dict):
                 raise InterpError("destructure of a non-record/map value")
             for name in stmt.names:
-                if name not in val:
-                    raise InterpError(f"destructure: missing field {name!r}")
-                env[name] = val[name]
+                # Mirror Dot / compiled element_at semantics: an absent map
+                # key binds NULL (record fields are statically checked, so
+                # for records this get() always hits).
+                env[name] = val.get(name)
         elif isinstance(stmt, ast.ListIter):
             # mirror compile_list_iter: per element, execute the body for
             # effect with the loop var scoped to the iteration (a fresh
@@ -350,7 +351,12 @@ class Interp:
             if isinstance(fnexpr, ast.Lambda):
                 fn = Closure(fnexpr, dict(env))
             elif isinstance(fnexpr, ast.Id) and isinstance(
-                env.get(fnexpr.name), (Closure, Native)
+                # Closure only — compile_comprehension's bound-function form
+                # accepts SFunc but NOT builtins (an SNative id falls to the
+                # implicit-$ branch and fails as_col there); mirror that so
+                # `[xs | someBuiltin]` errors identically on both paths.
+                env.get(fnexpr.name),
+                Closure,
             ):
                 fn = env[fnexpr.name]
             else:
@@ -358,7 +364,13 @@ class Interp:
                     ast.Lambda((("$", ast.T_ANY),), ast.T_ANY, fnexpr),
                     dict(env),
                 )
-            return [self.apply_fn(fn, [x], in_value, outs) for x in seq]
+            mapped = [self.apply_fn(fn, [x], in_value, outs) for x in seq]
+            # mirror as_col's escape check: the compiled implicit-$ branch
+            # raises "function value escapes to runtime" when the element
+            # expression is itself a function (e.g. `[xs | someBuiltin]`)
+            if any(isinstance(m, (Closure, Native)) for m in mapped):
+                raise InterpError("function value escapes to runtime")
+            return mapped
         raise InterpError(f"unsupported expression in interp fallback: {type(e).__name__}")
 
     def _match(self, e: ast.Match, env, in_value, outs):

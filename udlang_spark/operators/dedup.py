@@ -281,9 +281,17 @@ def banded_hamming_pairs(
     the 64-bit perceptual image aHash, m_ahash_neardup) reuse the exact
     shuffle shape. `bits_col` is an n_bits-char '0'/'1' string; recall is
     EXACT for max_hamming < n_bands by pigeonhole."""
-    n_bands = max_hamming + 1
-    if n_bits % n_bands:
-        raise ValueError(f"{n_bits} bits not divisible into {n_bands} bands")
+    # Pigeonhole recall only needs n_bands > max_hamming; pick the SMALLEST
+    # divisor of n_bits at or above max_hamming+1 so every max_hamming in
+    # [0, n_bits) works (e.g. max_hamming=2 over 64 bits → 4 bands, exactly
+    # the pre-r8 fixed-4-band behavior, rather than failing on 64 % 3).
+    # Bands must also fit a SIGNED long (conv → cast long), so width ≤ 63.
+    min_bands = max(max_hamming + 1, -(-n_bits // 63))
+    n_bands = next(
+        (b for b in range(min_bands, n_bits + 1) if n_bits % b == 0), None
+    )
+    if n_bands is None:
+        raise ValueError(f"max_hamming={max_hamming} needs > {n_bits} bands")
     band_w = n_bits // n_bands
     # band values as int64 ONCE per doc (conv at pair time was the
     # hot spot: 64-CASE string hamming ran interpreted at ~50µs/pair, 29 s
