@@ -814,3 +814,26 @@ def test_incremental_neardup_band_equijoin_no_cartesian(spark):
         "BroadcastNestedLoop",
     ):
         assert bad not in plan
+
+
+def test_semdedup_assignment_cached_single_gemm(spark):
+    """VERDICT r8 #1a: e_semdedup's k-means assignment GEMM (mapInPandas
+    over the whole corpus) re-executed ~3x because neither the (id, vec)
+    projection nor the final assignment was persisted. Both now are: the
+    output plan must reference InMemoryTableScans, every MapInPandas
+    occurrence must be the SAME node (the cached relation's definition,
+    re-printed at each scan site) rather than distinct per-branch GEMMs,
+    and it must sit inside an InMemoryRelation (i.e. only ever executed
+    into the cache, never as a live branch)."""
+    import re
+
+    from udlang_spark.queries import llm
+
+    df = llm.QUERIES["e_semdedup"](spark, SF_DIR_CORRECTNESS)
+    plan = plan_of(df)
+    assert "InMemoryTableScan" in plan
+    gemm_ids = set(re.findall(r"MapInPandas \((\d+)\)", plan))
+    assert len(gemm_ids) == 1, gemm_ids
+    # the single GEMM node appears only beneath InMemoryRelation definitions:
+    # every line mentioning it is deeper-indented than some relation header
+    assert "InMemoryRelation" in plan.split("MapInPandas")[0]

@@ -176,6 +176,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     block_col: str,
     threshold: float = 0.5,
+    max_block_docs: int = 20_000,
 ) -> DataFrame:
     """Exact jaccard within blocking-key groups (no LSH): quadratic only
     inside each block, so the blocking key must bound group size at scale.
@@ -187,7 +188,31 @@ def ngram_jaccard_pairs(
     whole shingle arrays through the join. Only pairs sharing ≥1 shingle
     surface, which is exactly the threshold>0 result set. At 100 TB, cap
     shingle document-frequency first (drop boilerplate shingles) to bound
-    the join's hot keys."""
+    the join's hot keys.
+
+    `max_block_docs` ENFORCES the bounded-block contract (r8 VERDICT #2:
+    at corpus scale a language block IS most of the corpus, and silently
+    going quadratic there is the failure): a one-job size probe REFUSES
+    any block over the cap, naming the scale paths — this is the exact-
+    small-block tool, minhash_lsh_pairs is the big-block one. Mirrors
+    similarity._guarded_to_pandas's refuse-with-alternatives pattern."""
+    worst = (
+        df.groupBy(F.col(block_col).alias("blk"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_block_docs)
+        .orderBy(F.desc("n"))
+        .limit(1)
+        .collect()
+    )
+    if worst:
+        raise ValueError(
+            f"ngram_jaccard_pairs: block {worst[0]['blk']!r} has "
+            f"{worst[0]['n']} docs (> max_block_docs={max_block_docs}); "
+            "exact pairwise jaccard is quadratic per block and does not "
+            "scale there. Use a finer block_col, raise max_block_docs "
+            "explicitly, or use minhash_lsh_pairs (the sub-quadratic "
+            "scale path for large blocks)."
+        )
     sh = df.select(
         F.col(id_col).alias("doc"),
         F.col(block_col).alias("blk"),
@@ -613,6 +638,7 @@ def semantic_dedup(
     k: int = 8,
     n_iter: int = 3,
     threshold: float = 0.8,
+    max_cluster_size: int | None = 50_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column:
     k-means cluster the vectors (operators.similarity.kmeans_assign —
@@ -628,24 +654,68 @@ def semantic_dedup(
     join whose per-key fan-out IS the cluster block. The drop rule
     (smaller id wins, compared against ALL cluster-mates — not only kept
     ones) is order-free, hence deterministic under any partitioning.
+
+    `max_cluster_size` ENFORCES the Σ|cluster|² bound (r8 VERDICT #1b —
+    real embedding distributions are skewed, so "choose k well" is not a
+    guard): clusters over the cap are deterministically sub-split into
+    blocks of ≤ cap members before the compare. Members are ranked inside
+    the oversized cluster by (round-6 cos_sim to the centroid, vec_id) —
+    near-identical vectors have near-identical centroid cosines, so dup
+    groups land in the same block except at block boundaries; the split is
+    exactly SemDeDup's own approximation knob (a locally larger k). The
+    output `centroid` stays the ORIGINAL cluster id — the sub-split is an
+    execution bound on the compare, not a semantic re-clustering. The
+    driver-side size probe is one ≤k-row collect; when nothing exceeds the
+    cap (every test corpus; the default cap is 50k ⇒ ≤ 2.5e9 pairs per
+    block worst-case) the compare plan is byte-identical to the uncapped
+    one. The rank window sorts one oversized cluster in one task — O(n log
+    n), vs the O(n²) compare it prevents.
     """
+    from pyspark.sql.window import Window
+
     from udlang_spark.operators.similarity import cosine, kmeans_assign
 
     assign = kmeans_assign(df, vec_col, id_col, k=k, n_iter=n_iter).select(
-        "vec_id", "centroid"
+        "vec_id", "centroid", "cos_sim"
     )
-    e = (
+    e = persist_tracked(
         df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
         .join(assign, "vec_id")
     )
+    # the compare key: equal to `centroid` unless the cluster is oversized
+    e = e.withColumn("cmp_cluster", F.col("centroid"))
+    if max_cluster_size is not None:
+        oversized = [
+            r["centroid"]
+            for r in e.groupBy("centroid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_cluster_size)
+            .collect()  # bounded by k rows — a driver-side size probe
+        ]
+        if oversized:
+            rank = F.row_number().over(
+                Window.partitionBy("centroid").orderBy("cos_sim", "vec_id")
+            )
+            sub = ((rank - F.lit(1)) / F.lit(max_cluster_size)).cast("long")
+            e = persist_tracked(
+                e.withColumn(
+                    "cmp_cluster",
+                    F.when(
+                        F.col("centroid").isin(oversized),
+                        # (centroid, sub) packed collision-free: sub < k·n/cap
+                        # and centroid < k, so centroid·2^32 + sub is unique
+                        F.col("centroid") * F.lit(1 << 32) + sub,
+                    ).otherwise(F.col("centroid")),
+                )
+            )
     a = e.select(
         F.col("vec_id").alias("id_a"),
-        F.col("centroid").alias("ca"),
+        F.col("cmp_cluster").alias("ca"),
         F.col("vec").alias("va"),
     )
     b = e.select(
         F.col("vec_id").alias("id_b"),
-        F.col("centroid").alias("cb"),
+        F.col("cmp_cluster").alias("cb"),
         F.col("vec").alias("vb"),
     )
     dropped = (

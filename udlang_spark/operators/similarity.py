@@ -360,7 +360,17 @@ def kmeans_assign(
     """
     import numpy as np
 
-    sdf = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    from udlang_spark.session import persist_tracked
+
+    if n_iter < 1:
+        raise ValueError("kmeans_assign needs n_iter >= 1")
+    # persist the (id, vec) projection ONCE: every iteration scans it twice
+    # (the GEMM input and the update join) and the returned assignment scans
+    # it again — without the cache each of those re-reads parquet (VERDICT
+    # r8 #1a: e_semdedup's corpus GEMM ran ~3x).
+    sdf = persist_tracked(
+        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    )
     seed = (
         sdf.orderBy("vec_id").limit(k).toPandas().sort_values("vec_id")
     )
@@ -373,7 +383,7 @@ def kmeans_assign(
     # actual centroid matrix or the assignment would reference ghost cells
     c_ids = np.arange(len(seed))
 
-    def make_assign(bc):
+    def make_assign(bc, with_vec: bool):
         def assign(batches):
             import pandas as pd
 
@@ -388,13 +398,18 @@ def kmeans_assign(
                 cos /= c_norm_[None, :]
                 np.round(cos, 6, out=cos)
                 best = np.argmax(cos, axis=1)  # first max = min centroid idx
-                yield pd.DataFrame(
-                    {
-                        "vec_id": pb["vec_id"].to_numpy(),
-                        "centroid": c_ids_[best].astype(np.int64),
-                        "cos_sim": np.take_along_axis(cos, best[:, None], 1).ravel(),
-                    }
-                )
+                out = {
+                    "vec_id": pb["vec_id"].to_numpy(),
+                    "centroid": c_ids_[best].astype(np.int64),
+                    "cos_sim": np.take_along_axis(cos, best[:, None], 1).ravel(),
+                }
+                if with_vec:
+                    # update iterations carry the vector THROUGH the GEMM so
+                    # the centroid update needs no corpus-size vec_id join —
+                    # mapInPandas output feeds the explode + partial agg on
+                    # the same executor; only k×dim partials ever shuffle
+                    out["vec"] = pb["vec"]
+                yield pd.DataFrame(out)
 
         return assign
 
@@ -409,19 +424,25 @@ def kmeans_assign(
             StructField("cos_sim", DoubleType(), True),
         ]
     )
-    assigned = None
-    for _ in range(n_iter):
+    vec_schema = StructType(
+        list(out_schema.fields) + [StructField("vec", sdf.schema["vec"].dataType)]
+    )
+    for it in range(n_iter):
         c_norm = _safe_norms(c_mat)
         bc = sc.broadcast((c_ids, c_mat, c_norm))
-        assigned = sdf.mapInPandas(make_assign(bc), out_schema)
+        if it + 1 == n_iter:
+            break  # the final assignment below runs against the updated c_mat
         # exact fixed-point update (see e_label_centroids): int64 sums per
         # dimension survive any partitioning; k×dim result → driver.
         # posexplode + (centroid, d) agg keeps the aggregate at two tiny
         # expressions inside whole-stage codegen — the previous shape (dim
         # separate per-dimension sum expressions on the un-exploded rows)
         # is the one e_label_centroids measured 3× slower: expression
-        # count, not row count, was the bottleneck.
-        joined = assigned.join(sdf, "vec_id")
+        # count, not row count, was the bottleneck. The GEMM output carries
+        # `vec` (r9): the update previously re-joined the corpus on vec_id —
+        # a full-size shuffle per iteration; now the per-iteration shuffle
+        # is only the k×dim×partitions partial sums.
+        joined = sdf.mapInPandas(make_assign(bc, with_vec=True), vec_schema)
         per_dim = (
             joined.select("centroid", F.posexplode("vec").alias("d", "x"))
             .groupBy("centroid", "d")
@@ -442,7 +463,13 @@ def kmeans_assign(
                 / int(grp["n"].iloc[0])
             )
         c_mat = new_mat
-    return assigned
+    # the FINAL assignment is what callers fan out over (semantic_dedup
+    # derives three relations from it) — persist so the last GEMM executes
+    # once into cache instead of once per downstream reference. It runs
+    # against the centroids ENTERING the last iteration (n_iter-1 updates),
+    # exactly like the pre-r9 loop, whose n-th centroid update was computed
+    # and thrown away.
+    return persist_tracked(sdf.mapInPandas(make_assign(bc, with_vec=False), out_schema))
 
 
 def _plane_matrix(n_planes: int, n_dims: int, table: int):
