@@ -1104,3 +1104,75 @@ def test_ngram_jaccard_refuses_oversized_block(spark):
         df, "text", "doc_id", "lang", threshold=0.5, max_block_docs=8
     ).collect()
     assert len(ok) == 28  # 8 identical docs: all C(8,2) pairs at jaccard 1.0
+
+
+def _neardup_idx_corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    edit = base.replace("runs far", "sprints very far")
+    rows = [
+        (1, base, ), (2, "completely unrelated text about parquet files and shuffles",),
+        (3, "a third document with its own distinct words entirely",),
+        (4, edit,),  # near-dup of 1 (small edit)
+        (10, base,),  # batch: exact text of history doc 1
+        (11, "novel batch document sharing nothing with history",),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_neardup_index_append_equals_rebuild(spark, tmp_path):
+    """Appending a batch into a persisted near-dup index produces a
+    bit-identical index to rebuilding from scratch over the union — band
+    keys and shingles are pure per-doc md5 functions, so the append path
+    may never recompute (or drift from) history."""
+    from udlang_spark.operators import dedup
+
+    docs = _neardup_idx_corpus(spark).filter("doc_id < 10")
+    grown, rebuilt = str(tmp_path / "grown"), str(tmp_path / "rebuilt")
+    dedup.write_neardup_index(docs.filter("doc_id <= 2"), "text", "doc_id", grown)
+    dedup.append_to_neardup_index(docs.filter("doc_id > 2"), "text", "doc_id", grown)
+    dedup.write_neardup_index(docs, "text", "doc_id", rebuilt)
+    def canon(row):
+        return tuple(
+            tuple(v) if isinstance(v, list) else v for v in row
+        )
+
+    for sub in ("/bands", "/shingles"):
+        a = {canon(r) for r in spark.read.parquet(grown + sub).collect()}
+        b = {canon(r) for r in spark.read.parquet(rebuilt + sub).collect()}
+        assert a == b, sub
+    assert a  # shingles non-empty: the comparison compared something
+
+
+def test_neardup_index_probe_matches_inplan(spark, tmp_path):
+    """probe_neardup_index over a persisted index == incremental_neardup
+    over the same (history, batch) — the index is an execution layout,
+    not a semantic change. Includes an empty-history index: every batch
+    doc admitted (the explicit-schema read path)."""
+    from udlang_spark.operators import dedup
+
+    corpus = _neardup_idx_corpus(spark)
+    hist, batch = corpus.filter("doc_id < 10"), corpus.filter("doc_id >= 10")
+    path = str(tmp_path / "idx")
+    dedup.write_neardup_index(hist, "text", "doc_id", path)
+    got = {
+        tuple(r)
+        for r in dedup.probe_neardup_index(
+            spark, path, batch, "text", "doc_id", threshold=0.8
+        ).collect()
+    }
+    expect = {
+        tuple(r)
+        for r in dedup.incremental_neardup(
+            hist, batch, "text", "doc_id", threshold=0.8
+        ).collect()
+    }
+    assert got == expect
+    assert any(not admitted for (_, _, _, admitted) in got)  # doc 10 caught
+    assert any(admitted for (_, _, _, admitted) in got)  # doc 11 admitted
+
+    emptyp = str(tmp_path / "empty_idx")
+    dedup.write_neardup_index(hist.filter("doc_id < 0"), "text", "doc_id", emptyp)
+    all_admitted = dedup.probe_neardup_index(
+        spark, emptyp, batch, "text", "doc_id", threshold=0.8
+    ).collect()
+    assert len(all_admitted) == 2 and all(r.admitted for r in all_admitted)

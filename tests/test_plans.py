@@ -837,3 +837,29 @@ def test_semdedup_assignment_cached_single_gemm(spark):
     # the single GEMM node appears only beneath InMemoryRelation definitions:
     # every line mentioning it is deeper-indented than some relation header
     assert "InMemoryRelation" in plan.split("MapInPandas")[0]
+
+
+def test_neardup_index_probe_prunes_band_partitions(spark, tmp_path):
+    """The persisted near-dup index exists to make small-batch ingest
+    probes cheap: the history bands scan must be pruned at PLAN time to
+    the batch's band-key prefixes (PartitionFilters on bpfx), mirroring
+    probe_ivf_index's cell pruning — and the plan must stay equi-join
+    only (no NLJ/cartesian)."""
+    from udlang_spark.operators import dedup
+
+    hist = spark.createDataFrame(
+        [(i, f"history document number {i} with words w{i} x{i} y{i} z{i}")
+         for i in range(1, 40)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, "one small batch document probing the index")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    dedup.write_neardup_index(hist, "text", "doc_id", path)
+    df = dedup.probe_neardup_index(spark, path, batch, "text", "doc_id")
+    plan = plan_of(df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l and "bpfx" in l]
+    assert pf and any("bpfx IN" in l or "bpfx#" in l for l in pf), plan[:2000]
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan

@@ -854,3 +854,149 @@ def incremental_neardup(
             (F.coalesce("n_hist_matches", F.lit(0)) == 0).alias("admitted"),
         )
     )
+
+
+# -- persisted near-dup ingest index (r9, completing incremental_neardup's
+# -- "at production the history bands/shingles are a persisted index") ----
+
+NEARDUP_IDX_PREFIXES = 64  # band-key prefix partitions of the bands dir
+
+
+def _bpfx(n_prefixes: int = NEARDUP_IDX_PREFIXES):
+    """Partition column for the bands dir: first 2 hex chars of the
+    md5 band key (uniform by construction) mod n_prefixes."""
+    return F.pmod(
+        F.conv(F.substring("bkey", 1, 2), 16, 10).cast("int"), F.lit(n_prefixes)
+    ).alias("bpfx")
+
+
+def write_neardup_index(
+    df: DataFrame, text_col: str, id_col: str, path: str
+) -> None:
+    """Build and persist the MinHash-LSH ingest index over the historical
+    corpus: `<path>/bands` — (doc, bkey) partitioned by band-key prefix —
+    and `<path>/shingles` — (doc, sh) for the exact-jaccard verify.
+
+    This materializes what incremental_neardup derives in-plan, so ingest
+    admission stops recomputing history shingles/signatures per batch
+    (the whole point at 100 TB: the history side is written ONCE and only
+    ever equi-joined). The bands partitioning makes small-batch probes
+    prune history band partitions at PLAN time (the probe collects the
+    batch's ≤ NEARDUP_IDX_PREFIXES distinct prefixes — bounded by the
+    layout, never by |batch| — mirroring probe_ivf_index's cell pruning).
+    Shingles are written last: a crashed build leaves no complete-looking
+    verify relation over partial bands (probe requires both)."""
+    sh = persist_tracked(shingle_sets(df, text_col, id_col))
+    bands = band_keys(_signatures_from_shingles(sh)).select("doc", "bkey")
+    bands.withColumn("bpfx", _bpfx()).write.mode("overwrite").partitionBy(
+        "bpfx"
+    ).parquet(path + "/bands")
+    sh.write.mode("overwrite").parquet(path + "/shingles")
+
+
+def append_to_neardup_index(
+    batch: DataFrame, text_col: str, id_col: str, path: str
+) -> None:
+    """Add a batch to an existing index: the batch's shingles/bands are
+    computed once and APPENDED — history is never rescanned or rewritten
+    (O(new rows), the e_ivfpq_append contract). Band keys are pure
+    md5-derived functions of the text, so appended entries are
+    bit-identical to what a from-scratch rebuild would produce
+    (tests/test_llm_oracle.py::test_neardup_index_append_equals_rebuild)."""
+    sh = persist_tracked(shingle_sets(batch, text_col, id_col))
+    bands = band_keys(_signatures_from_shingles(sh)).select("doc", "bkey")
+    bands.withColumn("bpfx", _bpfx()).write.mode("append").partitionBy(
+        "bpfx"
+    ).parquet(path + "/bands")
+    sh.write.mode("append").parquet(path + "/shingles")
+
+
+def probe_neardup_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """incremental_neardup's admission decision against a PERSISTED index:
+    same candidate generation (batch bands ⋈ history bands on bkey), same
+    exact-jaccard verification, same output schema — but the history side
+    is the parquet index, scanned with plan-time partition pruning to the
+    batch's band-key prefixes, and its shingles are only ever equi-joined
+    on surviving candidate docs. Value-identical to incremental_neardup
+    over (indexed corpus, batch) for identical parameters
+    (tests/test_llm_oracle.py::test_neardup_index_probe_matches_inplan)."""
+    sh_b = persist_tracked(shingle_sets(batch, text_col, id_col))
+    bands_b = persist_tracked(
+        band_keys(_signatures_from_shingles(sh_b))
+        .select(F.col("doc").alias("doc_b"), "bkey")
+        .withColumn("bpfx", _bpfx())
+    )
+    # bounded collect: ≤ NEARDUP_IDX_PREFIXES ints, a property of the
+    # layout — this is what turns the runtime filter into plan-time
+    # directory pruning on the bands scan
+    pfxs = sorted(
+        r["bpfx"] for r in bands_b.select("bpfx").distinct().collect()
+    )
+    # explicit schemas (id type mirrored from the batch): an index built
+    # over an EMPTY history writes directories without data files, which
+    # schema inference cannot read — with the schema supplied they read as
+    # empty relations and every batch doc is (correctly) admitted
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    id_type = sh_b.schema["doc"].dataType
+    bands_schema = StructType(
+        [
+            StructField("doc", id_type),
+            StructField("bkey", StringType()),
+            StructField("bpfx", IntegerType()),
+        ]
+    )
+    sh_schema = StructType(
+        [StructField("doc", id_type), StructField("sh", ArrayType(StringType()))]
+    )
+    bands_h = (
+        spark.read.schema(bands_schema)
+        .parquet(path + "/bands")
+        .where(F.col("bpfx").isin([int(p) for p in pfxs]))
+        .select(F.col("doc").alias("doc_h"), "bkey", "bpfx")
+    )
+    cand = (
+        bands_b.join(bands_h, ["bkey", "bpfx"]).select("doc_b", "doc_h").distinct()
+    )
+    sh_h = spark.read.schema(sh_schema).parquet(path + "/shingles")
+    sa = sh_b.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_a"))
+    sb = sh_h.select(F.col("doc").alias("doc_h"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    matches = (
+        cand.join(sa, "doc_b")
+        .join(sb, "doc_h")
+        .select(
+            "doc_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_hist_matches"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+    return (
+        sh_b.select(F.col("doc").alias("doc_id"))
+        .join(matches.withColumnRenamed("doc_b", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hist_matches", F.lit(0)).alias("n_hist_matches"),
+            "max_jaccard",
+            (F.coalesce("n_hist_matches", F.lit(0)) == 0).alias("admitted"),
+        )
+    )
