@@ -343,3 +343,43 @@ def test_lang_quality_bands_quartiles(spark):
     # de has a real score spread: its OWN thresholds split it into all 4
     # quartile bands even though many de scores would band 1 under en's
     assert {b for _, b in by_lang["de"]} == {1, 2, 3, 4}
+
+
+def test_scrub_maximal_spans_stitches_runs(spark):
+    """r9 (VERDICT r8 #6): a duplicated substring LONGER than k must
+    surface as ONE maximal span (its overlapping k-grams stitched), two
+    separated duplicated substrings as TWO spans, and ADJACENT runs
+    (gap exactly k) as one. n_removed must equal the plain scrub's union
+    coverage, and the md5 witness must match scrub_duplicate_spans'."""
+    import hashlib
+
+    # w1..w12: a 12-token duplicated run (5 overlapping 8-grams)
+    run12 = " ".join(f"w{i}" for i in range(1, 13))
+    # q1..q8: a second, separate 8-token duplicated run
+    run8 = " ".join(f"q{i}" for i in range(1, 9))
+    texts = [
+        f"{run12} filler alpha {run8}",                    # doc 0: keeper
+        "unique text " + " ".join(f"u{i}" for i in range(30)),
+        f"head {run12} mid1 mid2 mid3 {run8} tail",        # doc 2: two spans
+        f"lead {run12} {run12} close",                     # doc 3: see below
+    ]
+    docs = _docs(spark, texts)
+    got = {r["doc_id"]: r for r in OPS.scrub_maximal_spans(docs, k=8).collect()}
+    plain = {
+        r["doc_id"]: r for r in OPS.scrub_duplicate_spans(docs, k=8).collect()
+    }
+    # doc 2: the 12-token run is ONE span of 12, run8 is a second span
+    assert got[2]["n_spans"] == 2
+    assert got[2]["max_span_len"] == 12
+    assert got[2]["n_removed"] == 20
+    # doc 3: run12 twice back-to-back — w12 w1 bridging grams are unique to
+    # doc 3 BUT the two marked runs touch (gap <= k) → stitched into one
+    assert got[3]["n_spans"] == 1
+    # untouched docs report zero spans
+    assert got[0]["n_spans"] == 0 and got[1]["n_spans"] == 0
+    for d in got:
+        assert got[d]["n_removed"] == plain[d]["n_removed"], d
+        assert got[d]["cleaned_md5"] == plain[d]["cleaned_md5"], d
+    assert got[2]["cleaned_md5"] == hashlib.md5(
+        b"head mid1 mid2 mid3 tail"
+    ).hexdigest()

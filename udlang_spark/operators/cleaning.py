@@ -232,6 +232,98 @@ def scrub_duplicate_spans(
     )
 
 
+def scrub_maximal_spans(
+    docs: DataFrame, k: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """scrub_duplicate_spans refined toward Lee et al. 2021's MAXIMAL-
+    substring semantics (r8 VERDICT #6): overlapping/adjacent duplicated
+    k-grams are stitched into maximal runs, so a duplicated substring of
+    any length L >= k surfaces as ONE span [start, start+L) instead of
+    L-k+1 anonymous gram marks. Emits per doc the maximal-span census —
+    n_spans, tokens removed (= the union coverage, so it equals
+    scrub_duplicate_spans' n_removed by construction), the longest span —
+    plus the same cleaned-text md5 witness.
+
+    The stitch is ROW-LOCAL (the per-doc starts array is already sorted
+    and bounded by the doc's own gram count): with fixed k, sorted starts
+    merge iff the gap to the previous start is <= k, so span heads are the
+    positions with gap > k, span tails the positions whose successor's gap
+    is > k — two indexed filters + one zip_with, all inside codegen. No
+    shuffle beyond the gram-key aggregate shared with the plain scrub; the
+    corpus text still shuffles zero times."""
+    toks = persist_tracked(
+        docs.select(
+            "doc_id",
+            TXT.words(F.coalesce(F.col(text_col), F.lit(""))).alias("wl"),
+        )
+    )
+    pos = persist_tracked(
+        toks.select(
+            "doc_id",
+            F.posexplode(_positioned_grams(F.col("wl"), k)).alias(
+                "pos", "gram"
+            ),
+        )
+    )
+    dup = (
+        pos.groupBy("gram")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .where(F.col("nd") >= 2)
+        .select("gram", "keeper")
+    )
+    starts = (
+        pos.join(dup, "gram")
+        .where(F.col("doc_id") != F.col("keeper"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("starts"))
+    )
+    joined = toks.join(starts, "doc_id", "left")
+    st = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    # F.filter's index is 0-based; element_at is 1-based, so element_at(st,
+    # i) is the PREVIOUS element and element_at(st, i+2) the NEXT.
+    # try_element_at (NULL out of bounds) keeps ANSI mode quiet; the when()
+    # guards make the boundary rows unconditional heads/tails anyway.
+    span_heads = F.filter(
+        st,
+        lambda x, i: F.when(i == F.lit(0), F.lit(True)).otherwise(
+            (x - F.try_element_at(st, i)) > F.lit(k)
+        ),
+    )
+    span_tails = F.filter(
+        st,
+        lambda x, i: F.when(i == F.size(st) - 1, F.lit(True)).otherwise(
+            (F.try_element_at(st, i + F.lit(2)) - x) > F.lit(k)
+        ),
+    )
+    spans = F.zip_with(
+        span_heads,
+        span_tails,
+        lambda s, e: F.struct(s.alias("s"), (e + F.lit(k)).alias("e")),
+    )
+    span_lens = F.transform(spans, lambda sp: sp["e"] - sp["s"])
+    kept = F.when(F.col("starts").isNull(), F.col("wl")).otherwise(
+        F.filter(
+            "wl",
+            lambda x, i: ~F.exists(
+                "starts", lambda p: (p <= i) & (i < p + F.lit(k))
+            ),
+        )
+    )
+    return joined.select(
+        "doc_id",
+        F.size("wl").alias("n_tokens"),
+        F.size(spans).alias("n_spans"),
+        F.coalesce(
+            F.aggregate(span_lens, F.lit(0), lambda a, x: a + x), F.lit(0)
+        ).alias("n_removed"),
+        F.coalesce(F.array_max(span_lens), F.lit(0)).alias("max_span_len"),
+        F.md5(F.concat_ws(" ", kept)).alias("cleaned_md5"),
+    )
+
+
 def remove_boilerplate_lines(
     docs: DataFrame,
     line_words: int = 3,

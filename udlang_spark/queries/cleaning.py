@@ -199,6 +199,78 @@ FROM j
 ORACLE_SPAN_SCRUB = _span_scrub_oracle()
 
 
+def d_span_scrub_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-span substring scrub (r8 VERDICT #6): overlapping/adjacent
+    duplicated k-grams stitch into maximal runs, so a duplicated
+    substring of length L >= k reports as ONE span — the census the Lee
+    et al. 2021 suffix-array pass produces, k-gram-approximated. Emits
+    per doc n_spans / n_removed / max_span_len plus the cleaned-text md5
+    witness shared with d_span_scrub. Logic:
+    operators/cleaning.scrub_maximal_spans."""
+    return OPS.scrub_maximal_spans(
+        load_table(spark, "documents", sf_dir), k=_SPAN_K
+    )
+
+
+def _span_scrub_maximal_oracle(k: int = _SPAN_K) -> str:
+    gram = " || ' ' || ".join(f"wl[i+{j}]" for j in range(k))
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS wl
+  FROM documents),
+g AS (
+  SELECT doc_id, i - 1 AS pos, ({gram}) AS gram
+  FROM w, LATERAL (
+    SELECT unnest(generate_series(1, len(wl) - {k - 1})) AS i) s
+  WHERE len(wl) >= {k}),
+dup AS (
+  SELECT gram, min(doc_id) AS keeper
+  FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+st AS (
+  SELECT g.doc_id, list(DISTINCT g.pos ORDER BY g.pos) AS starts
+  FROM g JOIN dup USING (gram)
+  WHERE g.doc_id <> dup.keeper
+  GROUP BY g.doc_id),
+-- gaps-and-islands over the marked starts: with fixed k, sorted starts
+-- merge iff the gap to the previous one is <= k
+sp AS (SELECT doc_id, unnest(starts) AS p FROM st),
+brk AS (
+  SELECT doc_id, p,
+    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= {k}
+         THEN 0 ELSE 1 END AS b
+  FROM sp),
+isl AS (
+  SELECT doc_id, p,
+    sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS island
+  FROM brk),
+spans AS (
+  SELECT doc_id, min(p) AS s, max(p) + {k} AS e
+  FROM isl GROUP BY doc_id, island),
+agg AS (
+  SELECT doc_id, count(*) AS n_spans,
+         CAST(sum(e - s) AS BIGINT) AS n_removed,
+         max(e - s) AS max_span_len
+  FROM spans GROUP BY doc_id),
+j AS (
+  SELECT w.doc_id, wl,
+    CASE WHEN starts IS NULL THEN wl
+         ELSE list_filter(wl, (x, i) ->
+           len(list_filter(starts,
+               p -> p <= i - 1 AND i - 1 < p + {k})) = 0)
+    END AS kept
+  FROM w LEFT JOIN st USING (doc_id))
+SELECT j.doc_id, len(wl) AS n_tokens,
+       coalesce(n_spans, 0) AS n_spans,
+       coalesce(n_removed, 0) AS n_removed,
+       coalesce(max_span_len, 0) AS max_span_len,
+       md5(coalesce(array_to_string(kept, ' '), '')) AS cleaned_md5
+FROM j LEFT JOIN agg USING (doc_id)
+"""
+
+
+ORACLE_SPAN_SCRUB_MAXIMAL = _span_scrub_maximal_oracle()
+
+
 # ---------------------------------------------------------------------------
 # line-level boilerplate removal (RefinedWeb/CCNet shared-line pass)
 # ---------------------------------------------------------------------------
@@ -716,6 +788,7 @@ QUERIES = {
     "t_dedup_words": t_dedup_words,
     "d_duplicate_spans": d_duplicate_spans,
     "d_span_scrub": d_span_scrub,
+    "d_span_scrub_maximal": d_span_scrub_maximal,
     "d_line_dedup": d_line_dedup,
     "t_lang_quality_bands": t_lang_quality_bands,
     "t_length_outliers": t_length_outliers,
@@ -730,6 +803,7 @@ ORACLE = {
     "t_dedup_words": ORACLE_DEDUP_WORDS,
     "d_duplicate_spans": ORACLE_DUPLICATE_SPANS,
     "d_span_scrub": ORACLE_SPAN_SCRUB,
+    "d_span_scrub_maximal": ORACLE_SPAN_SCRUB_MAXIMAL,
     "d_line_dedup": ORACLE_LINE_DEDUP,
     "t_lang_quality_bands": ORACLE_LANG_QUALITY_BANDS,
     "t_length_outliers": ORACLE_LENGTH_OUTLIERS,
