@@ -120,41 +120,57 @@ HEADLINE = [
     "s_url_dedup_stream",
     "t_length_outliers",
     "d_incremental_neardup",
+    # round-9 additions (d_neardup_index: the cached index build is a
+    # one-time cost like ivfpq — the warm timing is the probe, the
+    # production steady state)
+    "d_neardup_index",
+    "d_span_scrub_maximal",
 ]
 
-# Rotating wall-clock coverage for the ~109 registered queries that are
-# not in HEADLINE (r7 VERDICT #6): ~20 per round, stalest-benched first,
-# spanning every query family, measured with the SAME protocol as the
-# headline but reported under a separate "rotation" key so the headline
-# metric stays round-over-round comparable. Next round: replace with the
-# next 20 never/oldest-benched names (track via BENCH_r*.json keys).
+# Rotating wall-clock coverage for the ~111 registered queries that are
+# not in HEADLINE (r7 VERDICT #6; widened to ~30/round per r8 VERDICT #5):
+# stalest-benched first — this r9 batch is entirely NEVER-benched names
+# (the kernel family, the r5 dedup/embedding/media tails, and the two
+# round-9 operators) — measured with the SAME protocol as the headline
+# but reported under a separate "rotation" key so the headline metric
+# stays round-over-round comparable. Next round: replace with the next
+# ~30 never/oldest-benched names (track via BENCH_r*.json keys).
 ROTATION = [
-    # kernels
-    "k_match_lit",
-    "k_builtins",
-    "k_modules",
-    "k_spread",
-    # dedup family
-    "d_exact_dedup",
-    "d_ngram_jaccard",
-    "d_dedup_corpus",
-    # text analysis
-    "t_token_stats",
-    "t_langid",
-    "t_rarity",
-    "t_heavy_hitters",
+    # dedup / leakage tails
+    "d_dedup_keeper",
+    "d_fingerprint",
+    "d_split_leakage",
     # embeddings
-    "e_near_dups",
-    "e_semdedup",
-    "e_pagerank",
-    # streaming
-    "s_cdc_apply",
-    "s_kernel_stream",
-    "s_session_stream",
-    # relational
-    "q04_order_priority",
-    "q21_range_join",
-    "q51_transitions",
+    "e_ann_lsh",
+    "e_kmeans",
+    # kernel family (never benched — row-local codegen, cheap but owed rows)
+    "k_attempt",
+    "k_cast",
+    "k_comprehension",
+    "k_count_interp",
+    "k_fact",
+    "k_function",
+    "k_generic",
+    "k_hello",
+    "k_lists",
+    "k_loop",
+    "k_mapiter",
+    "k_match_union",
+    "k_methods",
+    "k_pipeline",
+    "k_point",
+    "k_scopes",
+    "k_simple",
+    "k_subjunctive",
+    "k_tower",
+    # multimodal tails
+    "m_features",
+    "m_frames",
+    "m_payload_meta",
+    # relational tail
+    "q06_customers_without_orders",
+    "q10_set_ops",
+    "q11_distinct_counts",
 ]
 
 

@@ -36,81 +36,78 @@ for mod in (kernels, llm, streaming, relational, cleaning):
 # both engines; strict checker now hashes driver-faithful pandas dtypes).
 # r7 (50/50 green): k_tower + 5 never-checked + q34–q50 (r3-stale) + the
 # 17 round-7 operators at land time + 10 oldest r4 kernel greens.
-# Round-8 window (cumulative state after r7: every one of the 186
-# registered queries green at its latest driver check; staleness debt =
-# 37 queries last confirmed r4, 50 last confirmed r5):
-#   (a) ALL 37 remaining r4-stale greens — after r8 drains them, no
-#       query's latest driver green is older than r5 (VERDICT r7 #1);
-#   (b) the 11 round-8 operators, registered AT LAND TIME, each
-#       strict-verified the day it landed (d_span_scrub, m_ahash_neardup,
-#       t_lang_quality_bands, s_interval_stream, d_incremental_dedup,
-#       d_url_dedup, d_line_dedup, t_dsir_select, s_url_dedup_stream,
-#       t_length_outliers, d_incremental_neardup);
-#   (c) e_negative_pairs and e_pagerank — green at r5/r7 but their
-#       IMPLEMENTATIONS changed this round (negative_pairs: batch-local
-#       partial top-k prune, VERDICT r7 #2; pagerank: in-plan dangling
-#       mass, one action/iteration), so each re-earns a driver row on
-#       its new plan;
-# 37 + 11 + 2 = 50 — the r4 drain, the new operators, and the two
-# changed implementations exactly fill the window. Round-9 debt, stalest
-# first: all 49 r5 greens (the s_* streaming block, e_* embedding family,
-# q53–q66, k_comprehension, k_attempt, d_dedup_keeper, t_pii_scrub,
-# t_bm25_topk, t_hybrid_rrf, d_split_leakage, t_domain_mix), then the r6
-# block.
+# Round-9 window (cumulative state after r8: all 197 registered queries
+# green at their latest driver check — 50 at r8, 49 each at r7/r6/r5;
+# staleness debt = the 49 r5 greens, then the 49 r6 greens):
+#   (a) ALL 49 r5-stale greens (VERDICT r8 next-round #1 — the entire
+#       streaming block, the embedding family, q53–q66, the tokenizer/
+#       retrieval rows, the media rows). Among them, e_semdedup and
+#       e_kmeans CHANGED this round (kmeans_assign: cached assignment +
+#       fused per-iteration update, bit-identical numbers; semantic_dedup:
+#       enforced cluster-size cap, no-op below the cap — VERDICT r8 #1a/b),
+#       so their rows re-earn on the new plans;
+#   (b) d_neardup_index — NEW this round (VERDICT r8 #4: the persisted
+#       near-dup ingest index), registered at land time, strict-verified
+#       the day it landed, sharing d_incremental_neardup's oracle.
+# 49 + 1 = 50. After r9 drains, no query's latest driver green is older
+# than r6. ALSO new this round: d_span_scrub_maximal (VERDICT r8 #6) —
+# oracled + strict-checker-green at land time, but the window is full;
+# it is FIRST IN LINE for the r10 window, followed by the 49 r6-stale
+# greens (q01–q33 relational block, e_pq/ivfpq family, s_* sketch
+# streams, k_generic, q67/q68, t_cms/hll/quantile/weighted rows).
 _PRIORITY: list[str] = [
-    # -- (a) the 37 r4-stale re-confirmations --
-    "k_match_lit",
-    "k_match_union",
-    "k_cast",
-    "k_builtins",
-    "k_modules",
-    "k_methods",
-    "k_pipeline",
-    "k_spread",
-    "d_exact_dedup",
-    "d_fingerprint",
-    "d_minhash_lsh",
-    "d_dedup_corpus",
-    "d_ngram_jaccard",
-    "d_simhash",
-    "d_simhash_neardup",
-    "t_token_stats",
-    "t_quality",
-    "t_langid",
-    "t_ngram_topk",
-    "t_repetition",
-    "t_chunks",
-    "t_pack_greedy",
-    "t_tfidf_topk",
-    "t_lift_bigrams",
-    "t_rarity",
-    "t_span_corrupt",
-    "t_decontam",
-    "t_corpus_pipeline",
-    "t_heavy_hitters",
-    "e_centroid_assign",
-    "e_cosine_topk",
-    "e_near_dups",
-    "m_payload_meta",
-    "m_image_meta",
-    "s_cdc_apply",
-    "q51_transitions",
-    "q52_retention",
-    # -- (b) round-8 operators, registered at land time --
-    "d_span_scrub",
-    "m_ahash_neardup",
-    "t_lang_quality_bands",
-    "s_interval_stream",
-    "d_incremental_dedup",
-    "d_url_dedup",
-    "d_line_dedup",
-    "t_dsir_select",
-    "s_url_dedup_stream",
-    "t_length_outliers",
-    "d_incremental_neardup",
-    # -- (c) changed implementations this round: re-earn the driver row --
-    "e_negative_pairs",
-    "e_pagerank",
+    # -- (a) the 49 r5-stale re-confirmations --
+    "d_dedup_keeper",
+    "d_duplicate_spans",
+    "d_split_leakage",
+    "e_ann_lsh",
+    "e_int8_quantize",
+    "e_ivf_ann",
+    "e_kmeans",
+    "e_label_centroids",
+    "e_mmr_rerank",
+    "e_near_dups_lsh",
+    "e_random_proj",
+    "e_semdedup",
+    "k_attempt",
+    "k_comprehension",
+    "m_features",
+    "m_frames",
+    "m_real_decode",
+    "m_video_frames",
+    "q53_sketch_stats",
+    "q54_pattern_match",
+    "q55_user_ema",
+    "q56_nation_trade_volume",
+    "q57_product_profit",
+    "q58_returned_items",
+    "q59_promo_effect",
+    "q60_top_supplier",
+    "q61_large_volume_customers",
+    "q62_dominant_suppliers",
+    "q63_running_distinct",
+    "q64_global_seq",
+    "q65_snapshot_diff",
+    "q66_salted_join",
+    "s_dedup_stream",
+    "s_kernel_stream",
+    "s_neardup_stream",
+    "s_session_stream",
+    "s_stateful_totals",
+    "s_stream_join",
+    "s_windowed_stream",
+    "t_bigram_lm",
+    "t_bm25_topk",
+    "t_bpe_encode",
+    "t_bpe_learn",
+    "t_dedup_words",
+    "t_domain_mix",
+    "t_gopher_rules",
+    "t_hybrid_rrf",
+    "t_pii_scrub",
+    "t_wordpiece",
+    # -- (b) round-9 operator, registered at land time --
+    "d_neardup_index",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50

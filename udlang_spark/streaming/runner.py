@@ -100,6 +100,14 @@ def stateful_running_totals(
     Emits one row per key per micro-batch with the post-batch totals. At
     scale, state is partitioned by key across executors (RocksDB state
     store in production), so memory is O(distinct keys / executor).
+
+    transformWithStateInPandas (the Spark 4 successor API) remains
+    container-blocked: its state-server protocol requires google.protobuf,
+    which is absent from this container and cannot be installed here
+    (re-verified round 9: `import google.protobuf` → ModuleNotFoundError).
+    applyInPandasWithState covers the same semantics (keyed user state +
+    timeouts) through the stable API, so only the API surface — not any
+    capability — is affected.
     """
     import pandas as pd
 
