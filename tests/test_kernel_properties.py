@@ -1287,3 +1287,97 @@ def test_interp_comprehension_builtin_id_raises_both_paths(spark):
         Kernel(program=prog).apply(df, input_col="value").collect()
     with pytest.raises(InterpError, match="function value"):
         Interp(prog).run(5)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 fuzz family: map/record ACCESS surface — Destructure + Dot + Has
+# over randomly-shaped map literals with randomly MISSING keys. This is the
+# exact area the r8 ADVICE flagged (the interp's Destructure hard-errored on
+# absent map keys where the compiled element_at binds NULL); the family pins
+# the whole access matrix so the two paths can't drift again: Dot of a
+# missing key is NULL, `.?.` is a boolean presence test (False for absent
+# AND for present-but-NULL — isNotNull semantics), Destructure mirrors Dot,
+# and NULL propagates through arithmetic identically on both paths.
+# ---------------------------------------------------------------------------
+def _map_access_strategy():
+    from udlang_spark.kernel import ast as A
+
+    keys = ["a", "b", "c", "d"]
+    # a map literal over a random subset of keys; values are small ints,
+    # In(), or (for one key at most) a nested single-entry map
+    val = st.one_of(
+        st.integers(min_value=-5, max_value=5).map(A.Lit),
+        st.just(A.In()),
+    )
+    subset = st.lists(
+        st.sampled_from(keys), min_size=0, max_size=4, unique=True
+    )
+    mapexpr = st.tuples(subset, st.lists(val, min_size=4, max_size=4)).map(
+        lambda t: A.MapExpr(tuple((k, t[1][i]) for i, k in enumerate(t[0])))
+    )
+
+    def access(m):
+        k = st.sampled_from(keys)
+        dot = k.map(lambda kk: A.Dot(m, kk))
+        # Has → emit as Int (out typing): if m .?. k { 1 } else { 0 }
+        has = k.map(
+            lambda kk: A.Cond(
+                clauses=((A.Has(m, kk), A.Lit(1)),), default=A.Lit(0)
+            )
+        )
+        # arithmetic over a Dot (NULL propagation)
+        arith = st.tuples(k, st.integers(min_value=-3, max_value=3)).map(
+            lambda t: A.Bin("+", A.Dot(m, t[0]), A.Lit(t[1]))
+        )
+        return st.one_of(dot, has, arith)
+
+    return mapexpr.flatmap(access)
+
+
+@given(
+    expr=_map_access_strategy(),
+    destructure_key=st.sampled_from(["a", "b", "z"]),
+    inputs=st.lists(
+        st.integers(min_value=-7, max_value=7), min_size=1, max_size=2,
+        unique=True,
+    ),
+)
+@settings(
+    max_examples=50,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_compiled_equals_interp_on_map_access(
+    spark, expr, destructure_key, inputs
+):
+    from udlang_spark.kernel import ast as A
+    from udlang_spark.kernel.api import Kernel
+    from udlang_spark.kernel.interp import Interp
+
+    body = (
+        A.Out(expr),
+        # let {k} = {"a": in, "b": 2}; out k;  — k may be absent (NULL)
+        A.Destructure(
+            names=(destructure_key,),
+            value=A.MapExpr((("a", A.In()), ("b", A.Lit(2)))),
+        ),
+        A.Out(A.Id(destructure_key)),
+    )
+    prog = A.Program(
+        kind="script", desc="fuzz-mapaccess", decls=(), input=A.T_INT,
+        output=A.T_INT, body=body,
+    )
+    df = spark.createDataFrame([(v,) for v in inputs], "value long")
+    compiled = sorted(
+        (
+            (r[0],)
+            for r in Kernel(program=prog).apply(df, input_col="value").collect()
+        ),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    interp = Interp(prog)
+    expect = sorted(
+        ((out,) for v in inputs for out in interp.run(v)),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    assert compiled == expect

@@ -860,6 +860,24 @@ class Compiler:
         x, y = a.value, b.value
         ta, tb = vtype(a), vtype(b)
         both_int = ta is ast.T_INT and tb is ast.T_INT
+        if x is None or y is None:
+            # NULL propagation must not depend on constant folding (r9
+            # map-access fuzz): mirror the runtime Column semantics —
+            # arithmetic/comparison with NULL is NULL; and/or are Kleene
+            # (Spark's & / | on nullable booleans), so a known-deciding
+            # operand still decides
+            if op in ("<", ">", "<=", ">=", "=="):
+                return None, ast.T_BOOL
+            if op == "and" and (x is False or y is False):
+                return False, ast.T_BOOL
+            if op == "or" and (x is True or y is True):
+                return True, ast.T_BOOL
+            if op in ("and", "or", "xor"):
+                bools = ta is ast.T_BOOL or tb is ast.T_BOOL
+                return None, (ast.T_BOOL if bools else ast.T_INT)
+            if op == "+" and (ta is ast.T_STR or tb is ast.T_STR):
+                return None, ast.T_STR
+            return None, (ast.T_INT if both_int else ast.T_FLOAT)
         if op == "+":
             if ta is ast.T_STR and tb is ast.T_STR:
                 return x + y, ast.T_STR
@@ -922,6 +940,8 @@ class Compiler:
             return a, outs
         t = vtype(a)
         if isinstance(a, SConst) and not isinstance(a.value, (list, dict)):
+            if a.value is None:  # NULL propagation (see fold_bin None branch)
+                return SConst(None, t), outs
             if expr.op == "-":
                 return SConst(-a.value, t), outs
             if expr.op == "not":
@@ -1104,6 +1124,12 @@ class Compiler:
         if isinstance(obj, SConst) and isinstance(obj.value, dict):
             if expr.name in obj.value:
                 return obj.value[expr.name], outs
+            # semantics may not depend on constant folding: a MAP binds NULL
+            # for an absent key (mirroring the runtime element_at branch and
+            # the interp — found by the r9 map-access fuzz family); only a
+            # RECORD's missing field is the hard (statically-checkable) error
+            if isinstance(t, ast.TMap):
+                return SConst(None, self.resolve_type(t.value)), outs
             raise KernelCompileError(f"no field {expr.name!r} in constant map")
         if isinstance(t, ast.TRecord):
             ft = next((f.type for f in t.fields if f.name == expr.name), None)

@@ -279,6 +279,8 @@ class Interp:
             a = self.eval(e.a, env, in_value, outs)
             if e.op == "!":
                 return a  # debug tap: pass-through
+            if a is None:
+                return None  # NULL propagation (compiled -col / ~col)
             if e.op == "-":
                 return -a
             if e.op == "not":
@@ -556,6 +558,15 @@ class Interp:
         return q
 
     def _bin(self, op: str, a, b):
+        if a is None or b is None:
+            # NULL propagation mirroring the compiled Column semantics (and
+            # compiler.fold_bin's None branch): arithmetic/comparison with
+            # NULL is NULL; and/or are Kleene, so a deciding operand decides
+            if op == "and" and (a is False or b is False):
+                return False
+            if op == "or" and (a is True or b is True):
+                return True
+            return None
         both_int = isinstance(a, int) and isinstance(b, int) and not (
             isinstance(a, bool) or isinstance(b, bool)
         )
