@@ -71,6 +71,7 @@ WHITELIST: dict[str, set[str]] = {
     # grouped Arrow path (applyInPandas): per-bucket / per-cell /
     # per-query GEMM where the GROUP is the unit of vectorization.
     "FlatMapGroupsInPandas": {
+        "e_semdedup",  # within-cluster compare GEMM (r9; operators/dedup.semantic_dedup)
         "e_near_dups_lsh",  # per-bucket threshold GEMM
         "e_ann_lsh",  # per-bucket top-k GEMM
         "e_ivf_ann",  # per-cell probe GEMM

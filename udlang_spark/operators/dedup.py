@@ -638,7 +638,7 @@ def semantic_dedup(
     k: int = 8,
     n_iter: int = 3,
     threshold: float = 0.8,
-    max_cluster_size: int | None = 50_000,
+    max_cluster_size: int | None = 8192,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column:
     k-means cluster the vectors (operators.similarity.kmeans_assign —
@@ -666,21 +666,30 @@ def semantic_dedup(
     output `centroid` stays the ORIGINAL cluster id — the sub-split is an
     execution bound on the compare, not a semantic re-clustering. The
     driver-side size probe is one ≤k-row collect; when nothing exceeds the
-    cap (every test corpus; the default cap is 50k ⇒ ≤ 2.5e9 pairs per
-    block worst-case) the compare plan is byte-identical to the uncapped
-    one. The rank window sorts one oversized cluster in one task — O(n log
+    cap (every test corpus; the default 8192 keeps a block's GEMM at
+    ≤ 8192²·dim ≈ 4e9 flops and its chunked cosine rows in tens of MB)
+    the compare plan is byte-identical to the uncapped one. The rank window sorts one oversized cluster in one task — O(n log
     n), vs the O(n²) compare it prevents.
     """
     from pyspark.sql.window import Window
 
-    from udlang_spark.operators.similarity import cosine, kmeans_assign
+    from udlang_spark.operators.similarity import kmeans_assign
 
     assign = kmeans_assign(df, vec_col, id_col, k=k, n_iter=n_iter).select(
         "vec_id", "centroid", "cos_sim"
     )
+    # The compare join below broadcasts one side, so its COMPUTE parallelism
+    # is this cached relation's partition count — and AQE, seeing only the
+    # join's tiny input bytes, coalesces the vec_id-join output to ~1
+    # partition before the cache, serializing the O(Σ|cluster|²) pair work
+    # onto one task (measured: a 20k-vector 10× run sat >15 min in a 1-task
+    # stage). An EXPLICIT-count repartition is exempt from AQE coalescing
+    # and pins the pair expansion to full parallelism.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
     e = persist_tracked(
         df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
         .join(assign, "vec_id")
+        .repartition(n_parts, "vec_id")
     )
     # the compare key: equal to `centroid` unless the cluster is oversized
     e = e.withColumn("cmp_cluster", F.col("centroid"))
@@ -708,21 +717,53 @@ def semantic_dedup(
                     ).otherwise(F.col("centroid")),
                 )
             )
-    a = e.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("cmp_cluster").alias("ca"),
-        F.col("vec").alias("va"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("cmp_cluster").alias("cb"),
-        F.col("vec").alias("vb"),
-    )
+    # Within-cluster compare: ONE chunked numpy GEMM per cmp_cluster block
+    # (applyInPandas, the lsh_bucket shape) instead of a self-join with the
+    # interpreted cosine() HOF per pair — measured at 10× sf0.1 the HOF
+    # filter cost ~5 µs/pair (25M pairs → 130 s); the GEMM does the same
+    # round-6 cosines in BLAS (~2 s). Values identical: round-6 masks
+    # accumulation-order differences (dim·ulp ≪ 5e-7, the same argument
+    # kmeans_assign's GEMM already relies on vs its unrolled SQL oracle),
+    # and _safe_norms gives zero vectors cos 0.0 exactly like cosine().
+    # Parallelism = #blocks; per-task memory is chunk×|block| cosines,
+    # bounded by max_cluster_size.
+    import pandas as pd
+
+    from pyspark.sql.types import StructField, StructType
+
+    from udlang_spark.operators.similarity import _safe_norms
+
+    def find_dropped(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_id": pdf["vec_id"][:0]})
+        mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        nrm = _safe_norms(mat)
+        dropped_mask = np.zeros(n, dtype=bool)
+        chunk = 1024
+        cols = np.arange(n)
+        for s in range(1, n, chunk):  # the min id (row 0) can never drop
+            t = min(s + chunk, n)
+            cos = mat[s:t] @ mat.T
+            cos /= nrm[s:t, None]
+            cos /= nrm[None, :]
+            np.round(cos, 6, out=cos)
+            # any LOWER-id cluster-mate at/over threshold drops a row —
+            # compared against ALL mates, not only kept ones (order-free)
+            lower = cols[None, :] < np.arange(s, t)[:, None]
+            dropped_mask[s:t] = ((cos >= threshold) & lower).any(axis=1)
+        return pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy()[dropped_mask]})
+
+    id_type = e.schema["vec_id"].dataType
     dropped = (
-        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b")))
-        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
+        e.select("cmp_cluster", "vec_id", "vec")
+        .groupBy("cmp_cluster")
+        .applyInPandas(
+            find_dropped, StructType([StructField("vec_id", id_type)])
+        )
         .withColumn("_dropped", F.lit(True))
     )
     return (
