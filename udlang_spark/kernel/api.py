@@ -119,15 +119,30 @@ class Kernel:
             from udlang_spark.kernel.interp import Interp
 
             interp = Interp(prog)
+            # interp.run is a pure function of the scalar input (each row's
+            # outs are independent — no cross-row state), so memoize per
+            # DISTINCT value: the per-row AST walk was ~160 µs/row and
+            # dominated the r9 bench rotation (k_count_interp 58 s at
+            # sf0.1); with the memo the walk runs once per distinct input.
+            # Bounded so an all-distinct column can't grow without limit
+            # (misses just fall through to a fresh walk).
+            memo: dict = {}
             for pdf in batches:
                 rows: dict[str, list] = {c: [] for c in list(keep) + [out_name]}
-                for _, r in pdf.iterrows():
-                    v = r[in_col]
+                keep_arrays = {c: pdf[c].to_numpy() for c in keep}
+                in_arr = pdf[in_col].to_numpy()
+                for i in range(len(pdf)):
+                    v = in_arr[i]
                     if hasattr(v, "item"):  # numpy scalar → Python scalar
                         v = v.item()
-                    for o in interp.run(v):
+                    outs = memo.get(v)
+                    if outs is None:
+                        outs = interp.run(v)
+                        if len(memo) < 65536:
+                            memo[v] = outs
+                    for o in outs:
                         for c in keep:
-                            rows[c].append(r[c])
+                            rows[c].append(keep_arrays[c][i])
                         rows[out_name].append(o)
                 yield pd.DataFrame(rows, columns=list(keep) + [out_name])
 
