@@ -41,10 +41,11 @@ for mod in (kernels, llm, streaming, relational, cleaning):
 # staleness debt = the 49 r5 greens, then the 49 r6 greens):
 #   (a) ALL 49 r5-stale greens (VERDICT r8 next-round #1 — the entire
 #       streaming block, the embedding family, q53–q66, the tokenizer/
-#       retrieval rows, the media rows). Among them, e_semdedup and
-#       e_kmeans CHANGED this round (kmeans_assign: cached assignment +
-#       fused per-iteration update, bit-identical numbers; semantic_dedup:
-#       enforced cluster-size cap, no-op below the cap — VERDICT r8 #1a/b),
+#       retrieval rows, the media rows). Among them, e_semdedup, e_kmeans
+#       and q53_sketch_stats CHANGED this round (kmeans_assign: cached
+#       assignment + fused per-iteration update; semantic_dedup: enforced
+#       cluster-size cap + GEMM compare — VERDICT r8 #1a/b; q53: distinct
+#       count split out of the mixed agg to kill the Expand — 23 s → 2.4 s),
 #       so their rows re-earn on the new plans;
 #   (b) d_neardup_index — NEW this round (VERDICT r8 #4: the persisted
 #       near-dup ingest index), registered at land time, strict-verified
