@@ -495,6 +495,11 @@ def language_quality_bands(
     from pyspark.sql.window import Window
 
     fam = bigram_familiarity(docs, text_col=text_col)
+    # explicit-count repartition before the cache: this is a JOIN output
+    # whose bytes are tiny, so AQE would coalesce the cached relation to ~1
+    # partition and serialize both downstream consumers (the corpus-wide
+    # histogram agg and the final banding join) onto one task — the
+    # semantic_dedup r9 trap (explicit-count repartitions are exempt).
     scored = persist_tracked(
         fam.where(F.col("n_bigrams") > 0)
         .join(docs.select("doc_id", lang_col), "doc_id")
@@ -503,6 +508,7 @@ def language_quality_bands(
             F.col(lang_col).alias("lang"),
             F.expr("(1000 * n_familiar) div n_bigrams").alias("score"),
         )
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
     )
     hist = scored.groupBy("lang", "score").agg(F.count(F.lit(1)).alias("n"))
     cum = hist.withColumn(
