@@ -1329,7 +1329,22 @@ def _map_access_strategy():
         arith = st.tuples(k, st.integers(min_value=-3, max_value=3)).map(
             lambda t: A.Bin("+", A.Dot(m, t[0]), A.Lit(t[1]))
         )
-        return st.one_of(dot, has, arith)
+        # NESTED access through a possibly-missing intermediate key (r9
+        # probe: Dot/Has/cast on a NULL object must propagate, not raise):
+        # {"w": m}.{w|z}.k — Dot chain, Has chain, and a cast of the chain
+        outer = st.sampled_from(["w", "z"]).map(
+            lambda mid: A.Dot(A.MapExpr((("w", m),)), mid)
+        )
+        nested_dot = st.tuples(outer, k).map(lambda t: A.Dot(t[0], t[1]))
+        nested_has = st.tuples(outer, k).map(
+            lambda t: A.Cond(
+                clauses=((A.Has(t[0], t[1]), A.Lit(1)),), default=A.Lit(0)
+            )
+        )
+        nested_cast = st.tuples(outer, k).map(
+            lambda t: A.Cast(A.Dot(t[0], t[1]), A.T_INT)
+        )
+        return st.one_of(dot, has, arith, nested_dot, nested_has, nested_cast)
 
     return mapexpr.flatmap(access)
 

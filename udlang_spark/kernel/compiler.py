@@ -139,6 +139,18 @@ def as_col(v: SVal) -> Column:
     if isinstance(v, SCol):
         return v.col
     if isinstance(v, SConst):
+        if v.value is None:
+            # TYPED null literal: a bare lit(None) is VOID, which functions
+            # like element_at/map_contains_key reject at analysis — cast to
+            # the constant's declared type so a NULL map/record/list object
+            # keeps NULL-propagating like its runtime Column twin (r9
+            # nested-access fuzz). Unknown/Any types keep the bare lit.
+            try:
+                from udlang_spark.kernel.types import to_spark
+
+                return F.lit(None).cast(to_spark(v.type))
+            except Exception:  # noqa: BLE001 — T_ANY and friends
+                return F.lit(None)
         if isinstance(v.value, list):
             return F.array(*[as_col(x) for x in v.value])
         if isinstance(v.value, dict):
@@ -1121,6 +1133,17 @@ class Compiler:
                 f"module {obj.name!r} has no exported member {expr.name!r}"
             )
         t = vtype(obj)
+        if isinstance(obj, SConst) and obj.value is None:
+            # Dot on a constant NULL object (e.g. a missing nested map key
+            # chain) NULL-propagates like the runtime element_at/getField
+            if isinstance(t, ast.TMap):
+                return SConst(None, self.resolve_type(t.value)), outs
+            if isinstance(t, ast.TRecord):
+                ft = next(
+                    (f.type for f in t.fields if f.name == expr.name), None
+                )
+                if ft is not None:
+                    return SConst(None, self.resolve_type(ft)), outs
         if isinstance(obj, SConst) and isinstance(obj.value, dict):
             if expr.name in obj.value:
                 return obj.value[expr.name], outs
@@ -1176,7 +1199,22 @@ class Compiler:
         if isinstance(t, ast.TRecord):
             return SCol(as_col(obj).getField(expr.name).isNotNull(), ast.T_BOOL), outs
         if isinstance(t, ast.TMap):
-            return SCol(F.map_contains_key(as_col(obj), F.lit(expr.name)), ast.T_BOOL), outs
+            # coalesce to False: map_contains_key over a NULL object (e.g. a
+            # missing nested key upstream) is NULL, but `.?.` is a presence
+            # test — a missing object has nothing. This also makes the map
+            # branch agree with the record branch (isNotNull never yields
+            # NULL) and with the interp's uniform False (r9 nested-access
+            # fuzz probe).
+            return (
+                SCol(
+                    F.coalesce(
+                        F.map_contains_key(as_col(obj), F.lit(expr.name)),
+                        F.lit(False),
+                    ),
+                    ast.T_BOOL,
+                ),
+                outs,
+            )
         raise KernelTypeError(f".?. on {t!r}")
 
     def compile_index(self, expr: ast.Index, env: dict):
@@ -1297,6 +1335,10 @@ class Compiler:
         v, outs = self.compile_expr(expr.expr, env)
         t = self.resolve_type(expr.type)
         vt = vtype(v)
+        if isinstance(v, SConst) and v.value is None:
+            # NULL casts to NULL of the target type (Column.cast semantics;
+            # sized views pass too — their range check is NULL-transparent)
+            return SConst(None, ast.T_INT if is_sized_int(t) else t), outs
         if vt == t:
             return v, outs
         if is_sized_int(t):

@@ -291,6 +291,8 @@ class Interp:
         if isinstance(e, ast.Index):
             obj = self.eval(e.obj, env, in_value, outs)
             idx = self.eval(e.index, env, in_value, outs)
+            if obj is None or idx is None:
+                return None  # compiled element_at/getField NULL propagation
             if (
                 isinstance(obj, dict)
                 and not isinstance(obj, MapVal)
@@ -324,6 +326,10 @@ class Interp:
             }
         if isinstance(e, ast.Dot):
             obj = self.eval(e.obj, env, in_value, outs)
+            if obj is None:
+                # NULL object (e.g. a missing nested map key upstream):
+                # compiled element_at/getField on a NULL column is NULL
+                return None
             if isinstance(obj, dict):
                 # records always carry the field in a type-checked program;
                 # maps return NULL for absent keys (element_at semantics)
@@ -334,6 +340,11 @@ class Interp:
             )
         if isinstance(e, ast.Has):
             obj = self.eval(e.obj, env, in_value, outs)
+            if obj is None:
+                # compiled map_contains_key/isNotNull over a NULL object is
+                # NULL/false, and `if (NULL)` takes the else branch — the
+                # observable value of `x.?.f` on NULL x is False
+                return False
             if isinstance(obj, MapVal):
                 # map: key containment (map_contains_key, compiler.py
                 # compile_has) — True even when the held value is NULL
@@ -617,6 +628,8 @@ class Interp:
     def _cast(v, t: ast.Type):
         from udlang_spark.kernel.types import SIZED_INTS
 
+        if v is None:
+            return None  # compiled Column.cast propagates NULL
         if isinstance(t, ast.TName) and t.name in SIZED_INTS:
             t = ast.TPrim(t.name)
         if isinstance(t, ast.TPrim) and t.name in SIZED_INTS:
