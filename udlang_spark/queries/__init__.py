@@ -36,79 +36,72 @@ for mod in (kernels, llm, streaming, relational, cleaning):
 # both engines; strict checker now hashes driver-faithful pandas dtypes).
 # r7 (50/50 green): k_tower + 5 never-checked + q34–q50 (r3-stale) + the
 # 17 round-7 operators at land time + 10 oldest r4 kernel greens.
-# Round-9 window (cumulative state after r8: all 197 registered queries
-# green at their latest driver check — 50 at r8, 49 each at r7/r6/r5;
-# staleness debt = the 49 r5 greens, then the 49 r6 greens):
-#   (a) ALL 49 r5-stale greens (VERDICT r8 next-round #1 — the entire
-#       streaming block, the embedding family, q53–q66, the tokenizer/
-#       retrieval rows, the media rows). Among them, e_semdedup, e_kmeans
-#       and q53_sketch_stats CHANGED this round (kmeans_assign: cached
-#       assignment + fused per-iteration update; semantic_dedup: enforced
-#       cluster-size cap + GEMM compare — VERDICT r8 #1a/b; q53: distinct
-#       count split out of the mixed agg to kill the Expand — 23 s → 2.4 s),
-#       so their rows re-earn on the new plans;
-#   (b) d_neardup_index — NEW this round (VERDICT r8 #4: the persisted
-#       near-dup ingest index), registered at land time, strict-verified
-#       the day it landed, sharing d_incremental_neardup's oracle.
-# 49 + 1 = 50. After r9 drains, no query's latest driver green is older
-# than r6. ALSO new this round: d_span_scrub_maximal (VERDICT r8 #6) —
-# oracled + strict-checker-green at land time, but the window is full;
-# it is FIRST IN LINE for the r10 window, followed by the 49 r6-stale
-# greens (q01–q33 relational block, e_pq/ivfpq family, s_* sketch
-# streams, k_generic, q67/q68, t_cms/hll/quantile/weighted rows).
+# Round-10 window (cumulative state after r9: all 199 registered queries
+# green at their latest driver check — 50 at r9, 50 at r8, 49 each at
+# r7/r6 — EXCEPT d_span_scrub_maximal, strict-green at land time (r9) but
+# never driver-checked because the r9 window was full):
+#   (a) d_span_scrub_maximal FIRST — the only registered query with no
+#       driver row (VERDICT r9 next-round #1);
+#   (b) ALL 49 r6-stale greens (VERDICT r9 next-round #1: the q01–q33
+#       relational block, the PQ/IVF-PQ/hamming family, the sketch
+#       streams s_cms/s_hll/s_quantile/s_enrich, k_generic, q67/q68,
+#       t_cms/hll/quantile/weighted). Computed programmatically as
+#       {q : latest CORRECTNESS round == 6} — exactly 49.
+# 1 + 49 = 50. After r10 drains, every query's latest driver green is r7
+# or newer and zero queries lack a driver row.
 _PRIORITY: list[str] = [
-    # -- (a) the 49 r5-stale re-confirmations --
-    "d_dedup_keeper",
-    "d_duplicate_spans",
-    "d_split_leakage",
-    "e_ann_lsh",
-    "e_int8_quantize",
-    "e_ivf_ann",
-    "e_kmeans",
-    "e_label_centroids",
-    "e_mmr_rerank",
-    "e_near_dups_lsh",
-    "e_random_proj",
-    "e_semdedup",
-    "k_attempt",
-    "k_comprehension",
-    "m_features",
-    "m_frames",
-    "m_real_decode",
-    "m_video_frames",
-    "q53_sketch_stats",
-    "q54_pattern_match",
-    "q55_user_ema",
-    "q56_nation_trade_volume",
-    "q57_product_profit",
-    "q58_returned_items",
-    "q59_promo_effect",
-    "q60_top_supplier",
-    "q61_large_volume_customers",
-    "q62_dominant_suppliers",
-    "q63_running_distinct",
-    "q64_global_seq",
-    "q65_snapshot_diff",
-    "q66_salted_join",
-    "s_dedup_stream",
-    "s_kernel_stream",
-    "s_neardup_stream",
-    "s_session_stream",
-    "s_stateful_totals",
-    "s_stream_join",
-    "s_windowed_stream",
-    "t_bigram_lm",
-    "t_bm25_topk",
-    "t_bpe_encode",
-    "t_bpe_learn",
-    "t_dedup_words",
-    "t_domain_mix",
-    "t_gopher_rules",
-    "t_hybrid_rrf",
-    "t_pii_scrub",
-    "t_wordpiece",
-    # -- (b) round-9 operator, registered at land time --
-    "d_neardup_index",
+    # -- (a) the round-9 operator awaiting its first driver row --
+    "d_span_scrub_maximal",
+    # -- (b) the 49 r6-stale re-confirmations --
+    "e_hamming_topk",
+    "e_ivfpq_ann",
+    "e_pq_adc",
+    "e_pq_encode",
+    "k_generic",
+    "q01_pricing_summary",
+    "q02_forecast_revenue",
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q05_region_volume",
+    "q06_customers_without_orders",
+    "q07_custdist",
+    "q08_topk_per_group",
+    "q09_running_totals",
+    "q10_set_ops",
+    "q11_distinct_counts",
+    "q12_rollup",
+    "q13_events_tumbling",
+    "q14_events_json",
+    "q15_orders_monthly",
+    "q16_part_strings",
+    "q17_supplier_by_region",
+    "q18_asof_join",
+    "q19_cube",
+    "q20_median_udaf",
+    "q21_range_join",
+    "q22_salted_agg",
+    "q23_percentiles",
+    "q24_lag_lead",
+    "q25_disjunctive_pricing",
+    "q26_small_qty_revenue",
+    "q27_grouping_sets",
+    "q28_pivot",
+    "q29_window_frames",
+    "q30_hash_sample",
+    "q31_gap_fill",
+    "q32_sessionize",
+    "q33_unpivot",
+    "q67_bloom_prune",
+    "q68_hierarchy",
+    "s_cms_merge",
+    "s_cms_stream",
+    "s_enrich_stream",
+    "s_hll_stream",
+    "s_quantile_stream",
+    "t_cms_freq",
+    "t_hll_distinct",
+    "t_quantile_sketch",
+    "t_weighted_sample",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50
