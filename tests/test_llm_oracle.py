@@ -1086,6 +1086,48 @@ def test_semdedup_cluster_cap_engages_on_skew(spark):
     assert run(200) == uncapped
 
 
+def test_semdedup_subsplit_key_no_collision_with_cluster_zero(spark):
+    """ADVICE r9 (high): the sub-split pack key must not collide with plain
+    centroid ids when the OVERSIZED cluster is centroid 0. The old packing
+    centroid·2^32 + sub yields 0,1,2,… for centroid 0 — the same values
+    non-oversized clusters keep — so mega sub-block 1 merged with cluster 1
+    in the compare. Constructed trap: 90 identical vectors along m (cluster
+    0, oversized at cap 30 → sub-blocks {0,2..30}, {31..60}, {61..90}) plus
+    ONE vector d with cos(d, m) ≈ 0.995 ≥ threshold 0.99 seeding its own
+    singleton cluster 1 (cos(d, c1) = 1 keeps it there; mega stays at c0
+    since cos(m, d) < 1). Correct: mega keeps one row per sub-block (ids 0,
+    31, 61) and d keeps. Colliding packing: every block-1 row sees lower-id
+    d at 0.995 ≥ threshold and drops — block 1 loses its keeper."""
+    import math
+
+    import numpy as np
+
+    from udlang_spark.operators.dedup import semantic_dedup
+
+    m = np.array([1.0, 2.0, 3.0, 4.0, 0.0, 0.0, 0.0, 0.0])
+    m_hat = m / np.linalg.norm(m)
+    u = np.array([0.0] * 4 + [1.0, 0.0, 0.0, 0.0])  # orthogonal to m
+    cos_t = 0.995
+    d = cos_t * m_hat + math.sqrt(1.0 - cos_t * cos_t) * u
+    rows = [(0, [float(x) for x in m]), (1, [float(x) for x in d])] + [
+        (i, [float(x) for x in m]) for i in range(2, 91)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    got = {
+        r.vec_id: (r.centroid, r.keep)
+        for r in semantic_dedup(
+            df, "vec", "vec_id", k=2, n_iter=2, threshold=0.99,
+            max_cluster_size=30,
+        ).collect()
+    }
+    mega_ids = [0] + list(range(2, 91))
+    assert all(got[i][0] == got[0][0] for i in mega_ids)
+    assert got[1][0] != got[0][0]  # d is its own cluster
+    assert got[1][1] is True  # singleton cluster: nothing to drop it
+    # one keeper per rank block — id 31 is the one the collision killed
+    assert [i for i in mega_ids if got[i][1]] == [0, 31, 61]
+
+
 def test_ngram_jaccard_refuses_oversized_block(spark):
     """VERDICT r8 #2: ngram_jaccard_pairs is the exact-SMALL-block tool;
     it must refuse a block over max_block_docs with the scale path named

@@ -711,9 +711,14 @@ def semantic_dedup(
                     "cmp_cluster",
                     F.when(
                         F.col("centroid").isin(oversized),
-                        # (centroid, sub) packed collision-free: sub < k·n/cap
-                        # and centroid < k, so centroid·2^32 + sub is unique
-                        F.col("centroid") * F.lit(1 << 32) + sub,
+                        # (centroid, sub) packed collision-free: oversized
+                        # keys are (centroid+1)·2^32 + sub ≥ 2^32, while
+                        # non-oversized clusters keep their plain centroid
+                        # < k ≪ 2^32 — the +1 matters for centroid 0, whose
+                        # unshifted packing (0·2^32 + sub = 0,1,2,…) would
+                        # alias other clusters' plain ids and silently merge
+                        # cluster-0 sub-blocks into their compares
+                        (F.col("centroid") + F.lit(1)) * F.lit(1 << 32) + sub,
                     ).otherwise(F.col("centroid")),
                 )
             )
