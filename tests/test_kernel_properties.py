@@ -705,6 +705,71 @@ def test_interp_tuple_typed_bind_and_index():
     assert Interp(prog).run(4) == [5]
 
 
+def test_constant_null_index_null_propagates_both_paths(spark):
+    """r9 ADVICE (medium): xs[m.missing_key] — Dot on a missing map key
+    folds to SConst(None); compile_index's list branch then did
+    F.lit(None + 1) (TypeError) and the tuple branch t.items[None]. Both
+    must NULL-propagate like the interp (interp.py Index: idx None →
+    None), and a NULL-object index too."""
+    from udlang_spark.kernel import ast as A
+    from udlang_spark.kernel.api import Kernel
+    from udlang_spark.kernel.interp import Interp
+
+    missing = A.Dot(A.MapExpr((("i", A.Lit(0)),)), "zz")  # folds to NULL
+    cases = [
+        # list indexed by constant NULL
+        A.Index(A.ListExpr((A.Lit(7), A.Lit(8))), missing),
+        # homogeneous tuple indexed by constant NULL
+        A.Index(A.TupleExpr((A.Lit(1), A.Lit(2))), missing),
+        # NULL object indexed by a constant — Dot chain through a missing
+        # intermediate gives a NULL map; index it
+        A.Index(A.Dot(A.MapExpr((("w", A.MapExpr((("k", A.Lit(3)),))),)), "z"), A.Lit("k")),
+    ]
+    for expr in cases:
+        prog = A.Program(
+            kind="script", desc="null-index", decls=(), input=A.T_INT,
+            output=A.T_INT, body=(A.Out(expr),),
+        )
+        df = spark.createDataFrame([(1,)], "value long")
+        got = [r[0] for r in Kernel(program=prog).apply(df, input_col="value").collect()]
+        assert got == [None], expr
+        assert Interp(prog).run(1) == [None], expr
+
+
+def test_fold_bin_null_operand_still_validates_types():
+    """r9 ADVICE (low): fold_bin's NULL branch must validate op/type
+    compatibility BEFORE NULL-propagating — an ill-typed expression with a
+    NULL constant operand raises exactly like the non-constant compile_bin
+    path, instead of semantics depending on constant folding."""
+    import pytest
+
+    from udlang_spark.kernel import ast as A
+    from udlang_spark.kernel.compiler import Compiler
+    from udlang_spark.kernel.types import KernelTypeError
+
+    null_int = A.Dot(A.MapExpr((("i", A.Lit(0)),)), "zz")  # NULL, typed Int
+
+    def compile_expr(expr):
+        prog = A.Program(
+            kind="script", desc="fold-null-typed", decls=(), input=A.T_INT,
+            output=A.T_INT, body=(A.Out(expr),),
+        )
+        comp = Compiler(prog)
+        return comp.compile_expr(expr, {})
+
+    # '-' involving a string must raise even though one side is NULL
+    with pytest.raises(KernelTypeError):
+        compile_expr(A.Bin("-", A.Lit("s"), null_int))
+    # relational on a bool operand must raise (compile_bin rejects it)
+    with pytest.raises(KernelTypeError):
+        compile_expr(A.Bin("<", A.Lit(True), A.Bin("==", null_int, null_int)))
+    # well-typed NULL arithmetic still folds to NULL (no regression)
+    from udlang_spark.kernel.compiler import SConst
+
+    val, _ = compile_expr(A.Bin("+", null_int, A.Lit(3)))
+    assert isinstance(val, SConst) and val.value is None
+
+
 def _attempt_source_strategy():
     """Random SOURCE programs over the attempt/recover surface: a risky
     function with 0-2 throw guards (first-throw-wins order matters), a
@@ -1344,7 +1409,30 @@ def _map_access_strategy():
         nested_cast = st.tuples(outer, k).map(
             lambda t: A.Cast(A.Dot(t[0], t[1]), A.T_INT)
         )
-        return st.one_of(dot, has, arith, nested_dot, nested_has, nested_cast)
+        # LIST indexed by a possibly-missing map key (r9 ADVICE, medium: a
+        # constant NULL index must NULL-propagate at compile time, not
+        # crash in compile_index's F.lit(idx.value + 1)). The index map's
+        # present values are in-range (0/1); a missing key gives NULL.
+        idx_map = A.MapExpr((("i", A.Lit(0)), ("j", A.Lit(1))))
+        list_by_key = st.sampled_from(["i", "j", "z"]).map(
+            lambda kk: A.Index(
+                A.ListExpr((A.Lit(7), A.Lit(8))), A.Dot(idx_map, kk)
+            )
+        )
+        # and through the nested possibly-NULL chain: xs[({"w": m}.mid).k]
+        # exercises NULL-object-ness of the index expression itself
+        list_by_chain = st.tuples(outer, k).map(
+            lambda t: A.Index(
+                A.ListExpr((A.Lit(0), A.Lit(1))),
+                A.Cond(
+                    clauses=((A.Has(t[0], t[1]), A.Lit(0)),), default=A.Lit(1)
+                ),
+            )
+        )
+        return st.one_of(
+            dot, has, arith, nested_dot, nested_has, nested_cast,
+            list_by_key, list_by_chain,
+        )
 
     return mapexpr.flatmap(access)
 

@@ -135,11 +135,17 @@ class Kernel:
                     v = in_arr[i]
                     if hasattr(v, "item"):  # numpy scalar → Python scalar
                         v = v.item()
-                    outs = memo.get(v)
+                    # NaN != NaN under dict equality, so raw NaN keys never
+                    # hit and each miss inserts another dead entry — a
+                    # NaN-heavy column would permanently exhaust the memo
+                    # cap with duplicates (r9 ADVICE, low). Normalize to a
+                    # sentinel key; interp.run sees the original value.
+                    key = ("nan",) if isinstance(v, float) and v != v else v
+                    outs = memo.get(key)
                     if outs is None:
                         outs = interp.run(v)
                         if len(memo) < 65536:
-                            memo[v] = outs
+                            memo[key] = outs
                     for o in outs:
                         for c in keep:
                             rows[c].append(keep_arrays[c][i])

@@ -874,22 +874,47 @@ class Compiler:
         both_int = ta is ast.T_INT and tb is ast.T_INT
         if x is None or y is None:
             # NULL propagation must not depend on constant folding (r9
-            # map-access fuzz): mirror the runtime Column semantics —
-            # arithmetic/comparison with NULL is NULL; and/or are Kleene
-            # (Spark's & / | on nullable booleans), so a known-deciding
-            # operand still decides
-            if op in ("<", ">", "<=", ">=", "=="):
+            # map-access fuzz) — and neither may TYPE ERRORS (r9 ADVICE,
+            # low): validate op/type compatibility exactly like the
+            # non-constant compile_bin path BEFORE NULL-propagating, so an
+            # ill-typed expression with a NULL constant operand raises
+            # instead of silently folding to NULL. Where valid: mirror the
+            # runtime Column semantics — arithmetic/comparison with NULL is
+            # NULL; and/or are Kleene (Spark's & / | on nullable booleans),
+            # so a known-deciding operand still decides.
+            if op == "==":
+                try:
+                    unify(ta, tb)
+                except KernelTypeError:
+                    # cross-type equality is `false`, never an error —
+                    # matches compile_bin's non-constant == branch
+                    return False, ast.T_BOOL
                 return None, ast.T_BOOL
-            if op == "and" and (x is False or y is False):
-                return False, ast.T_BOOL
-            if op == "or" and (x is True or y is True):
-                return True, ast.T_BOOL
+            t = unify(ta, tb)  # raises on incompatible operands
+            if op in ("<", ">", "<=", ">="):
+                if t not in (ast.T_INT, ast.T_FLOAT, ast.T_STR):
+                    raise KernelTypeError(f"relational {op} on {t!r}")
+                return None, ast.T_BOOL
             if op in ("and", "or", "xor"):
-                bools = ta is ast.T_BOOL or tb is ast.T_BOOL
-                return None, (ast.T_BOOL if bools else ast.T_INT)
-            if op == "+" and (ta is ast.T_STR or tb is ast.T_STR):
-                return None, ast.T_STR
-            return None, (ast.T_INT if both_int else ast.T_FLOAT)
+                if t is ast.T_BOOL:
+                    if op == "and" and (x is False or y is False):
+                        return False, ast.T_BOOL
+                    if op == "or" and (x is True or y is True):
+                        return True, ast.T_BOOL
+                    return None, ast.T_BOOL
+                if t is ast.T_INT:
+                    return None, ast.T_INT
+                raise KernelTypeError(
+                    f"operator {op} not defined for {ta!r}, {tb!r}"
+                )
+            if op in ("+", "-", "*", "/", "%", "^"):
+                if t in (ast.T_INT, ast.T_FLOAT):
+                    return None, t
+                if op == "+" and t is ast.T_STR:
+                    return None, ast.T_STR
+            raise KernelTypeError(
+                f"operator {op} not defined for {ta!r}, {tb!r}"
+            )
         if op == "+":
             if ta is ast.T_STR and tb is ast.T_STR:
                 return x + y, ast.T_STR
@@ -1222,6 +1247,32 @@ class Compiler:
         idx, outs_i = self.compile_expr(expr.index, env)
         outs = concat_outs(self.ctx, [outs_o, outs_i])
         t = vtype(obj)
+        if (isinstance(obj, SConst) and obj.value is None) or (
+            isinstance(idx, SConst) and idx.value is None
+        ):
+            # a constant NULL object OR index NULL-propagates like the
+            # runtime element_at (and interp.py Index: obj/idx None → None)
+            # — newly reachable since Dot/Index on missing map keys fold to
+            # SConst(None); e.g. xs[m.missing_key] (r9 ADVICE, medium)
+            if isinstance(t, ast.TList):
+                return SConst(None, self.resolve_type(t.item)), outs
+            if isinstance(t, ast.TMap):
+                return SConst(None, self.resolve_type(t.value)), outs
+            if isinstance(t, ast.TTuple):
+                if isinstance(idx, SConst) and idx.value is not None:
+                    return (
+                        SConst(None, self.resolve_type(t.items[idx.value])),
+                        outs,
+                    )
+                # NULL index on a tuple: the element type is only knowable
+                # when the tuple is homogeneous (the interp returns NULL
+                # unconditionally, but the compiled path must pick a type)
+                rts = [self.resolve_type(it) for it in t.items]
+                if rts and all(r == rts[0] for r in rts):
+                    return SConst(None, rts[0]), outs
+                raise KernelTypeError(
+                    "NULL index into a heterogeneous tuple has no type"
+                )
         if isinstance(obj, SConst) and isinstance(idx, SConst) and isinstance(
             obj.value, list
         ):
