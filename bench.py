@@ -127,56 +127,107 @@ HEADLINE = [
     "d_span_scrub_maximal",
 ]
 
-# Rotating wall-clock coverage for the ~111 registered queries that are
-# not in HEADLINE (r7 VERDICT #6; widened to ~30/round per r8 VERDICT #5):
-# stalest-benched first — this r9 batch is entirely NEVER-benched names
-# (the kernel family, the r5 dedup/embedding/media tails, and the two
-# round-9 operators) — measured with the SAME protocol as the headline
-# but reported under a separate "rotation" key so the headline metric
-# stays round-over-round comparable. Next round: replace with the next
-# ~30 never/oldest-benched names (track via BENCH_r*.json keys).
+# Rotating wall-clock coverage for the registered queries not in HEADLINE
+# (r7 VERDICT #6; ~30/round per r8 VERDICT #5): stalest-benched first.
+# This r10 batch = the 30 OLDEST-registered names never benched under the
+# standard min-of-N protocol (the q12–q50 relational tail — their only
+# wall-clock row is the one-shot FULL_BENCH_r09 pass) PLUS
+# q53_sketch_stats, pinned per r9 VERDICT #3 so its 23 s → 2.4 s fix
+# (distinct count split out of the mixed percentile agg) has a min-of-N
+# artifact row. Remaining never-protocol-benched tail after this round
+# ≈ 28 (q52/q54–q69, the s_* streaming block, t_bpe_learn/t_dedup_words/
+# t_domain_mix/t_lift_bigrams/t_repetition/t_retrieval_eval/
+# t_span_corrupt) — that is the r11 rotation.
 ROTATION = [
-    # dedup / leakage tails
-    "d_dedup_keeper",
-    "d_fingerprint",
-    "d_split_leakage",
-    # embeddings
-    "e_ann_lsh",
-    "e_kmeans",
-    # kernel family (never benched — row-local codegen, cheap but owed rows)
-    "k_attempt",
-    "k_cast",
-    "k_comprehension",
-    "k_count_interp",
-    "k_fact",
-    "k_function",
-    "k_generic",
-    "k_hello",
-    "k_lists",
-    "k_loop",
-    "k_mapiter",
-    "k_match_union",
-    "k_methods",
-    "k_pipeline",
-    "k_point",
-    "k_scopes",
-    "k_simple",
-    "k_subjunctive",
-    "k_tower",
-    # multimodal tails
-    "m_features",
-    "m_frames",
-    "m_payload_meta",
-    # relational tail
-    "q06_customers_without_orders",
-    "q10_set_ops",
-    "q11_distinct_counts",
+    "q12_rollup",
+    "q14_events_json",
+    "q15_orders_monthly",
+    "q16_part_strings",
+    "q17_supplier_by_region",
+    "q20_median_udaf",
+    "q22_salted_agg",
+    "q23_percentiles",
+    "q24_lag_lead",
+    "q25_disjunctive_pricing",
+    "q28_pivot",
+    "q30_hash_sample",
+    "q31_gap_fill",
+    "q32_sessionize",
+    "q33_unpivot",
+    "q34_upsert",
+    "q35_scd2",
+    "q36_sql_passthrough",
+    "q37_data_audit",
+    "q38_histogram",
+    "q39_variant_json",
+    "q40_sole_latest_shipper",
+    "q42_important_parts",
+    "q43_market_share",
+    "q45_zscore_outliers",
+    "q46_stratified_sample",
+    "q47_shipmode_priority",
+    "q48_supplier_variety",
+    "q49_inactive_rich_customers",
+    "q50_funnel",
+    # pinned per r9 VERDICT #3 (post-fix min-of-N row)
+    "q53_sketch_stats",
 ]
+
+
+class StderrCodegenGate:
+    """Codegen-compile-fallback detector (r9 VERDICT #2): a whole-stage
+    codegen class that fails janino compilation makes Spark log
+    `ERROR CodeGenerator` and silently fall back to INTERPRETED execution
+    for that stage — the query stays green while running at interpreter
+    speed, the one plan regression the physical-plan audit cannot see.
+
+    Mechanism: dup2 fd 2 to a capture file BEFORE the JVM launches (the
+    gateway child inherits fd 2, so log4j's console appender lands in the
+    file), write a `[bench-query] <name>` marker line around each timed
+    query, then attribute every `ERROR CodeGenerator` line to the query
+    whose marker precedes it. The captured stderr is replayed to the real
+    stderr at exit so nothing is hidden."""
+
+    MARKER = "[bench-query] "
+
+    def __init__(self) -> None:
+        import tempfile
+
+        self.orig_fd = os.dup(2)
+        fd, self.path = tempfile.mkstemp(prefix="bench_stderr_", suffix=".log")
+        os.dup2(fd, 2)
+        os.close(fd)
+
+    def mark(self, name: str) -> None:
+        os.write(2, f"{self.MARKER}{name}\n".encode())
+
+    def finish(self) -> dict[str, int]:
+        """Restore fd 2, replay the capture, return {query: n_fallbacks}."""
+        os.dup2(self.orig_fd, 2)
+        os.close(self.orig_fd)
+        hits: dict[str, int] = {}
+        current = "<session-setup>"
+        try:
+            with open(self.path, "rb") as f:
+                data = f.read()
+            os.write(2, data)
+            for line in data.decode("utf-8", errors="replace").splitlines():
+                if line.startswith(self.MARKER):
+                    current = line[len(self.MARKER):].strip()
+                elif "ERROR CodeGenerator" in line:
+                    hits[current] = hits.get(current, 0) + 1
+        finally:
+            try:
+                os.remove(self.path)
+            except OSError:
+                pass
+        return hits
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    gate = StderrCodegenGate()  # before get_spark: the JVM must inherit fd 2
     spark = get_spark("udlang_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -215,6 +266,7 @@ def main() -> None:
         for name in names:
             if name not in QUERIES:
                 continue
+            gate.mark(name)
             # noop sink: fully materializes every row on the executors
             # without driver-side collection — measures engine throughput,
             # not Python deserialization of multi-million-row results.
@@ -240,6 +292,17 @@ def main() -> None:
     timings, cold = run_set(HEADLINE)
     rotation, _rot_cold = run_set(ROTATION)
     total = round(sum(timings.values()), 4)
+    # Flush JVM log buffers before scanning: stop the session so log4j's
+    # console appender has written everything it will write.
+    spark.stop()
+    codegen_fallbacks = gate.finish()
+    # k_tower is the one KNOWN-benign fallback: its sized-int range-check
+    # when-chains emit a ~16k-line generated class past janino's method
+    # limit; Spark interprets that stage and the query runs 1.8 s. Any
+    # OTHER query with a fallback is a perf regression to investigate.
+    unexpected = {
+        q: n for q, n in codegen_fallbacks.items() if q != "k_tower"
+    }
     print(
         json.dumps(
             {
@@ -252,6 +315,8 @@ def main() -> None:
                 "ivfpq_build_sec": ivfpq_build_sec,
                 "rotation": rotation,
                 "rotation_total_sec": round(sum(rotation.values()), 4),
+                "codegen_fallbacks": codegen_fallbacks,
+                "codegen_gate": "fail" if unexpected else "pass",
             }
         )
     )
