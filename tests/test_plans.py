@@ -852,8 +852,16 @@ def test_neardup_index_probe_prunes_band_partitions(spark, tmp_path):
          for i in range(1, 40)],
         "doc_id long, text string",
     )
+    # the batch must yield ≥1 candidate (a recrawl of history doc 1):
+    # with ZERO candidates the dpfx prefix collect is empty and Catalyst
+    # collapses the whole verify subtree to an all-admitted constant plan
+    # (zero verify I/O — the right degenerate plan, but not the one under
+    # test here)
     batch = spark.createDataFrame(
-        [(100, "one small batch document probing the index")],
+        [
+            (100, "one small batch document probing the index"),
+            (101, "history document number 1 with words w1 x1 y1 z1"),
+        ],
         "doc_id long, text string",
     )
     path = str(tmp_path / "idx")
@@ -862,4 +870,11 @@ def test_neardup_index_probe_prunes_band_partitions(spark, tmp_path):
     plan = plan_of(df)
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l and "bpfx" in l]
     assert pf and any("bpfx IN" in l or "bpfx#" in l for l in pf), plan[:2000]
+    # r9 VERDICT #5: the shingles VERIFY scan must be pruned too — to the
+    # candidates' doc-prefix partitions (PartitionFilters on dpfx) and
+    # semi-joined on the broadcast candidate ids, so verify I/O is
+    # O(candidates) not O(history)
+    pfd = [l for l in plan.splitlines() if "PartitionFilters" in l and "dpfx" in l]
+    assert pfd and any("dpfx IN" in l or "dpfx#" in l for l in pfd), plan[:2000]
+    assert "LeftSemi" in plan, plan[:2000]
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan

@@ -916,12 +916,28 @@ def _bpfx(n_prefixes: int = NEARDUP_IDX_PREFIXES):
     ).alias("bpfx")
 
 
+def _dpfx(doc_col: str = "doc", n_prefixes: int = NEARDUP_IDX_PREFIXES):
+    """Partition column for the shingles dir: first 2 hex chars of
+    md5(doc id) mod n_prefixes — uniform for any id distribution, so the
+    verify relation is evenly spread over n_prefixes directories and a
+    probe can prune to the partitions holding its candidate docs (r9
+    VERDICT #5: without this, the exact-jaccard verify was a full
+    history-shingles scan — the probe's real cost at 100 TB)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.col(doc_col).cast("string")), 1, 2), 16, 10)
+        .cast("int"),
+        F.lit(n_prefixes),
+    ).alias("dpfx")
+
+
 def write_neardup_index(
     df: DataFrame, text_col: str, id_col: str, path: str
 ) -> None:
     """Build and persist the MinHash-LSH ingest index over the historical
     corpus: `<path>/bands` — (doc, bkey) partitioned by band-key prefix —
-    and `<path>/shingles` — (doc, sh) for the exact-jaccard verify.
+    and `<path>/shingles` — (doc, sh) for the exact-jaccard verify,
+    partitioned by doc-id md5 prefix so a probe reads only the partitions
+    holding its candidate docs (r9 VERDICT #5).
 
     This materializes what incremental_neardup derives in-plan, so ingest
     admission stops recomputing history shingles/signatures per batch
@@ -937,7 +953,9 @@ def write_neardup_index(
     bands.withColumn("bpfx", _bpfx()).write.mode("overwrite").partitionBy(
         "bpfx"
     ).parquet(path + "/bands")
-    sh.write.mode("overwrite").parquet(path + "/shingles")
+    sh.withColumn("dpfx", _dpfx()).write.mode("overwrite").partitionBy(
+        "dpfx"
+    ).parquet(path + "/shingles")
 
 
 def append_to_neardup_index(
@@ -954,7 +972,9 @@ def append_to_neardup_index(
     bands.withColumn("bpfx", _bpfx()).write.mode("append").partitionBy(
         "bpfx"
     ).parquet(path + "/bands")
-    sh.write.mode("append").parquet(path + "/shingles")
+    sh.withColumn("dpfx", _dpfx()).write.mode("append").partitionBy(
+        "dpfx"
+    ).parquet(path + "/shingles")
 
 
 def probe_neardup_index(
@@ -968,9 +988,11 @@ def probe_neardup_index(
     """incremental_neardup's admission decision against a PERSISTED index:
     same candidate generation (batch bands ⋈ history bands on bkey), same
     exact-jaccard verification, same output schema — but the history side
-    is the parquet index, scanned with plan-time partition pruning to the
-    batch's band-key prefixes, and its shingles are only ever equi-joined
-    on surviving candidate docs. Value-identical to incremental_neardup
+    is the parquet index: the bands scan is pruned at plan time to the
+    batch's band-key prefixes, and the shingles verify scan is pruned to
+    the CANDIDATES' doc-id prefixes then broadcast-semi-joined on the
+    candidate ids, so verify I/O is O(candidates), not O(history).
+    Value-identical to incremental_neardup
     over (indexed corpus, batch) for identical parameters
     (tests/test_llm_oracle.py::test_neardup_index_probe_matches_inplan)."""
     sh_b = persist_tracked(shingle_sets(batch, text_col, id_col))
@@ -1006,7 +1028,11 @@ def probe_neardup_index(
         ]
     )
     sh_schema = StructType(
-        [StructField("doc", id_type), StructField("sh", ArrayType(StringType()))]
+        [
+            StructField("doc", id_type),
+            StructField("sh", ArrayType(StringType())),
+            StructField("dpfx", IntegerType()),
+        ]
     )
     bands_h = (
         spark.read.schema(bands_schema)
@@ -1014,10 +1040,27 @@ def probe_neardup_index(
         .where(F.col("bpfx").isin([int(p) for p in pfxs]))
         .select(F.col("doc").alias("doc_h"), "bkey", "bpfx")
     )
-    cand = (
+    cand = persist_tracked(
         bands_b.join(bands_h, ["bkey", "bpfx"]).select("doc_b", "doc_h").distinct()
     )
-    sh_h = spark.read.schema(sh_schema).parquet(path + "/shingles")
+    # Candidate-side pruning of the VERIFY scan (r9 VERDICT #5 — without
+    # it, the exact-jaccard verify read ALL history shingles, the probe's
+    # real cost at 100 TB): collect the candidates' doc-prefix values
+    # (≤ NEARDUP_IDX_PREFIXES ints — bounded by the layout, never by the
+    # candidate count) for plan-time directory pruning, then broadcast
+    # the surviving candidate ids as a semi-join so only candidate docs'
+    # rows leave the scan. Probe I/O on shingles is O(candidate
+    # partitions); the verify join input is O(candidates).
+    dpfxs = sorted(
+        r["dpfx"] for r in cand.select(_dpfx("doc_h")).distinct().collect()
+    )
+    cand_ids = cand.select(F.col("doc_h").alias("doc")).distinct()
+    sh_h = (
+        spark.read.schema(sh_schema)
+        .parquet(path + "/shingles")
+        .where(F.col("dpfx").isin([int(p) for p in dpfxs]))
+        .join(F.broadcast(cand_ids), "doc", "semi")
+    )
     sa = sh_b.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_a"))
     sb = sh_h.select(F.col("doc").alias("doc_h"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
