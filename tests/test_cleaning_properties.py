@@ -306,6 +306,39 @@ def test_span_scrub_overlapping_spans_union_coverage(spark):
     assert r2[1]["cleaned_md5"] == hashlib.md5(b"").hexdigest()
 
 
+def test_span_scrub_dup_heavy_worst_case(spark):
+    """r9 VERDICT #6: the constructed worst case for the per-doc starts
+    array — EVERY gram duplicated (a long doc recrawled verbatim), so
+    |starts| ~ |wl|. The old exists-per-token kept-filter was O(|wl| *
+    |starts|) = quadratic here (~4M lambda evals/doc at 2k tokens); the
+    gap-slice reconstruction is O(|wl| + n_spans). Semantics pinned: the
+    keeper copy is untouched, every other copy scrubs to empty in ONE
+    maximal span of the full doc length, and an alternating half-dup doc
+    keeps exactly its unique tokens."""
+    import hashlib
+
+    L = 2000
+    long_doc = " ".join(f"tok{i}" for i in range(L))
+    # doc 0 = keeper; docs 1,2 verbatim recrawls; doc 3 = second half dup
+    half = " ".join(f"tok{i}" for i in range(L // 2, L))
+    docs = _docs(spark, [long_doc, long_doc, long_doc, f"uniq3a uniq3b {half}"])
+    plain = {r["doc_id"]: r for r in OPS.scrub_duplicate_spans(docs, k=8).collect()}
+    assert plain[0]["n_removed"] == 0
+    for d in (1, 2):
+        assert plain[d]["n_kept"] == 0 and plain[d]["n_removed"] == L
+        assert plain[d]["cleaned_md5"] == hashlib.md5(b"").hexdigest()
+    assert plain[3]["n_kept"] == 2  # only the two unique tokens survive
+    mx = {r["doc_id"]: r for r in OPS.scrub_maximal_spans(docs, k=8).collect()}
+    assert mx[0]["n_spans"] == 0
+    for d in (1, 2):
+        # the whole doc is ONE stitched maximal span, not L-k+1 gram marks
+        assert mx[d]["n_spans"] == 1 and mx[d]["max_span_len"] == L
+        assert mx[d]["n_removed"] == plain[d]["n_removed"]
+        assert mx[d]["cleaned_md5"] == plain[d]["cleaned_md5"]
+    assert mx[3]["n_spans"] == 1 and mx[3]["max_span_len"] == L - L // 2
+    assert mx[3]["cleaned_md5"] == plain[3]["cleaned_md5"]
+
+
 def test_lang_quality_bands_quartiles(spark):
     """Per-language banding invariants on a crafted corpus: bands span
     1..4 within each language, band is monotone in score, and each

@@ -163,6 +163,56 @@ def _positioned_grams(wl, k: int):
     return F.when(sz >= k, grams).otherwise(F.array().cast("array<string>"))
 
 
+def _maximal_spans(st, k: int):
+    """array<struct<s,e>> of MAXIMAL merged spans from a sorted starts
+    array: gram intervals [p, p+k) whose consecutive gap is <= k touch or
+    overlap and stitch into one run, so span heads are positions with gap
+    > k and span tails positions whose successor's gap is > k — two
+    indexed filters + one zip_with, all codegen. The union of the
+    returned (sorted, disjoint) spans equals the union of the raw gram
+    intervals by construction.
+
+    F.filter's index is 0-based; element_at is 1-based, so element_at(st,
+    i) is the PREVIOUS element and element_at(st, i+2) the NEXT.
+    try_element_at (NULL out of bounds) keeps ANSI mode quiet; the when()
+    guards make the boundary rows unconditional heads/tails anyway."""
+    span_heads = F.filter(
+        st,
+        lambda x, i: F.when(i == F.lit(0), F.lit(True)).otherwise(
+            (x - F.try_element_at(st, i)) > F.lit(k)
+        ),
+    )
+    span_tails = F.filter(
+        st,
+        lambda x, i: F.when(i == F.size(st) - 1, F.lit(True)).otherwise(
+            (F.try_element_at(st, i + F.lit(2)) - x) > F.lit(k)
+        ),
+    )
+    return F.zip_with(
+        span_heads,
+        span_tails,
+        lambda s, e: F.struct(s.alias("s"), (e + F.lit(k)).alias("e")),
+    )
+
+
+def _kept_outside_spans(wl, spans):
+    """Tokens of `wl` outside the sorted DISJOINT `spans`: the complement
+    gaps [prev_e, next_s) sliced out of wl and flattened — O(|wl| +
+    n_spans) row-local array copies. The naive form (filter wl, exists
+    over starts per token) is O(|wl| * |starts|): quadratic in doc length
+    on a dup-heavy doc where |starts| ~ |wl| (r9 VERDICT #6 — the 7.42x
+    10x-stress ratio was exactly this corner). Spans are maximal, so
+    consecutive gaps are non-empty except possibly the first/last; slice
+    with length 0 returns []."""
+    gap_s = F.concat(F.array(F.lit(0)), F.transform(spans, lambda sp: sp["e"]))
+    gap_e = F.concat(F.transform(spans, lambda sp: sp["s"]), F.array(F.size(wl)))
+    return F.flatten(
+        F.zip_with(
+            gap_s, gap_e, lambda gs, ge: F.slice(wl, gs + F.lit(1), ge - gs)
+        )
+    )
+
+
 def scrub_duplicate_spans(
     docs: DataFrame, k: int = 8, text_col: str = "text"
 ) -> DataFrame:
@@ -215,13 +265,12 @@ def scrub_duplicate_spans(
         .agg(F.sort_array(F.collect_set("pos")).alias("starts"))
     )
     joined = toks.join(starts, "doc_id", "left")
+    # kept = complement of the union of [p, p+k) over starts == complement
+    # of the maximal merged spans — reconstructed by gap slices, O(|wl| +
+    # n_spans) per row instead of exists-per-token O(|wl| * |starts|)
+    spans = _maximal_spans(F.col("starts"), k)
     kept = F.when(F.col("starts").isNull(), F.col("wl")).otherwise(
-        F.filter(
-            "wl",
-            lambda x, i: ~F.exists(
-                "starts", lambda p: (p <= i) & (i < p + F.lit(k))
-            ),
-        )
+        _kept_outside_spans(F.col("wl"), spans)
     )
     return joined.select(
         "doc_id",
@@ -282,35 +331,13 @@ def scrub_maximal_spans(
     )
     joined = toks.join(starts, "doc_id", "left")
     st = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
-    # F.filter's index is 0-based; element_at is 1-based, so element_at(st,
-    # i) is the PREVIOUS element and element_at(st, i+2) the NEXT.
-    # try_element_at (NULL out of bounds) keeps ANSI mode quiet; the when()
-    # guards make the boundary rows unconditional heads/tails anyway.
-    span_heads = F.filter(
-        st,
-        lambda x, i: F.when(i == F.lit(0), F.lit(True)).otherwise(
-            (x - F.try_element_at(st, i)) > F.lit(k)
-        ),
-    )
-    span_tails = F.filter(
-        st,
-        lambda x, i: F.when(i == F.size(st) - 1, F.lit(True)).otherwise(
-            (F.try_element_at(st, i + F.lit(2)) - x) > F.lit(k)
-        ),
-    )
-    spans = F.zip_with(
-        span_heads,
-        span_tails,
-        lambda s, e: F.struct(s.alias("s"), (e + F.lit(k)).alias("e")),
-    )
+    spans = _maximal_spans(st, k)
     span_lens = F.transform(spans, lambda sp: sp["e"] - sp["s"])
+    # gap-slice reconstruction: O(|wl| + n_spans) per row (r9 VERDICT #6 —
+    # the exists-per-token form was O(|wl| * |starts|), quadratic on a
+    # dup-heavy doc where every gram is duplicated and |starts| ~ |wl|)
     kept = F.when(F.col("starts").isNull(), F.col("wl")).otherwise(
-        F.filter(
-            "wl",
-            lambda x, i: ~F.exists(
-                "starts", lambda p: (p <= i) & (i < p + F.lit(k))
-            ),
-        )
+        _kept_outside_spans(F.col("wl"), spans)
     )
     return joined.select(
         "doc_id",
