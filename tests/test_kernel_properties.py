@@ -736,6 +736,100 @@ def test_constant_null_index_null_propagates_both_paths(spark):
         assert Interp(prog).run(1) == [None], expr
 
 
+# ---------------------------------------------------------------------------
+# Round-10 fuzz family: BUILTINS over possibly-NULL arguments. The r9 folding
+# work made Dot on a missing map key produce a compile-time NULL constant,
+# which reaches every builtin's constant-fold branch — the same class that
+# crashed compile_index (float(None), abs(None), len(None)). The family pins
+# the whole named-function library's NULL matrix on both paths: builtins
+# NULL-propagate like their compiled Column forms, EXCEPT min/max, whose
+# least/greatest runtime SKIPS NULLs (the non-NULL operand wins). Sources
+# mix compile-time NULLs (constant missing key) with RUNTIME NULLs (a
+# non-constant branch selecting a missing key) so both the fold path and the
+# Column path are exercised.
+# ---------------------------------------------------------------------------
+def _builtin_null_strategy():
+    from udlang_spark.kernel import ast as A
+
+    imap = A.MapExpr((("p", A.Lit(3)), ("q", A.In())))
+
+    def dot(k):
+        return A.Dot(imap, k)
+
+    num = st.sampled_from(
+        [
+            A.Lit(4),
+            A.Lit(-2),
+            A.In(),
+            dot("p"),
+            dot("q"),
+            dot("zz"),  # compile-time NULL constant
+            # RUNTIME-nullable: branch between a missing and a present key
+            A.Cond(
+                clauses=(((A.Bin(">", A.In(), A.Lit(0))), dot("zz")),),
+                default=dot("p"),
+            ),
+        ]
+    )
+    unary = st.tuples(st.sampled_from(["abs", "floor", "ceil"]), num).map(
+        lambda t: A.Call(A.Id(t[0]), (t[1],))
+    )
+    binary = st.tuples(st.sampled_from(["min", "max"]), num, num).map(
+        lambda t: A.Call(A.Id(t[0]), (t[1], t[2]))
+    )
+    shift = st.tuples(
+        st.sampled_from(["shl", "shr"]), num, st.integers(0, 3)
+    ).map(lambda t: A.Call(A.Id(t[0]), (t[1], A.Lit(t[2]))))
+    smap = A.MapExpr((("s", A.Lit("ab CD e")),))
+    sdot = st.sampled_from(["s", "zz"]).map(lambda k: A.Dot(smap, k))
+    strlen = st.tuples(st.sampled_from(["upper", "lower", "trim"]), sdot).map(
+        lambda t: A.Call(A.Id("length"), (A.Call(A.Id(t[0]), (t[1],)),))
+    )
+    splitlen = sdot.map(
+        lambda s: A.Call(
+            A.Id("length"), (A.Call(A.Id("split"), (s, A.Lit(" "))),)
+        )
+    )
+    return st.one_of(unary, binary, shift, strlen, splitlen)
+
+
+@given(
+    expr=_builtin_null_strategy(),
+    inputs=st.lists(
+        st.integers(min_value=-7, max_value=7), min_size=1, max_size=2,
+        unique=True,
+    ),
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_compiled_equals_interp_on_builtin_nulls(spark, expr, inputs):
+    from udlang_spark.kernel import ast as A
+    from udlang_spark.kernel.api import Kernel
+    from udlang_spark.kernel.interp import Interp
+
+    prog = A.Program(
+        kind="script", desc="fuzz-builtin-null", decls=(), input=A.T_INT,
+        output=A.T_INT, body=(A.Out(expr),),
+    )
+    df = spark.createDataFrame([(v,) for v in inputs], "value long")
+    compiled = sorted(
+        (
+            (r[0],)
+            for r in Kernel(program=prog).apply(df, input_col="value").collect()
+        ),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    interp = Interp(prog)
+    expect = sorted(
+        ((out,) for v in inputs for out in interp.run(v)),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    assert compiled == expect
+
+
 def test_fold_bin_null_operand_still_validates_types():
     """r9 ADVICE (low): fold_bin's NULL branch must validate op/type
     compatibility BEFORE NULL-propagating — an ill-typed expression with a

@@ -1685,6 +1685,11 @@ def _num2(comp, args, py, flt, name):
     if t not in (ast.T_INT, ast.T_FLOAT):
         raise KernelTypeError(f"{name} on {t!r}")
     if isinstance(a, SConst) and isinstance(b, SConst):
+        # least/greatest SKIP NULLs (return the non-NULL operand, NULL only
+        # when both are) — the constant fold must match that runtime
+        nn = [v for v in (a.value, b.value) if v is not None]
+        if len(nn) < 2:
+            return SConst(nn[0] if nn else None, t)
         return SConst(py(a.value, b.value), t)
     ca, cb = as_col(a), as_col(b)
     if t is ast.T_FLOAT:
@@ -1698,6 +1703,8 @@ def _math1(fname, pyf):
         if vtype(a) not in (ast.T_INT, ast.T_FLOAT):
             raise KernelTypeError(f"{fname} on {vtype(a)!r}")
         if isinstance(a, SConst):
+            if a.value is None:  # NULL-propagate like the runtime column
+                return SConst(None, ast.T_FLOAT)
             return SConst(float(pyf(a.value)), ast.T_FLOAT)
         return SCol(getattr(F, fname)(as_col(a).cast("double")), ast.T_FLOAT)
 
@@ -1718,6 +1725,8 @@ def _n_abs(comp, args):
     if t not in (ast.T_INT, ast.T_FLOAT):
         raise KernelTypeError(f"abs on {t!r}")
     if isinstance(a, SConst):
+        if a.value is None:  # NULL-propagate like the runtime column
+            return SConst(None, t)
         return SConst(abs(a.value), t)
     return SCol(F.abs(as_col(a)), t)
 
@@ -1728,6 +1737,8 @@ def _shift(direction):
         if vtype(a) is not ast.T_INT or vtype(b) is not ast.T_INT:
             raise KernelTypeError("shift on non-Int")
         if isinstance(a, SConst) and isinstance(b, SConst):
+            if a.value is None or b.value is None:  # runtime shift is NULL
+                return SConst(None, ast.T_INT)
             v = a.value << b.value if direction == "shiftleft" else a.value >> b.value
             return SConst(v, ast.T_INT)
         # SQL shiftleft/shiftright operate on INT/BIGINT; both args as cols
@@ -1744,6 +1755,8 @@ def _floorceil(fname, pyf):
         if vtype(a) not in (ast.T_INT, ast.T_FLOAT):
             raise KernelTypeError(f"{fname} on {vtype(a)!r}")
         if isinstance(a, SConst):
+            if a.value is None:  # NULL-propagate like the runtime column
+                return SConst(None, ast.T_INT)
             return SConst(int(pyf(a.value)), ast.T_INT)
         return SCol(getattr(F, fname)(as_col(a)).cast("long"), ast.T_INT)
 
@@ -1753,6 +1766,12 @@ def _floorceil(fname, pyf):
 def _n_length(comp, args):
     (a,) = args
     t = vtype(a)
+    if (
+        isinstance(a, SConst)
+        and a.value is None
+        and (t is ast.T_STR or isinstance(t, (ast.TList, ast.TMap)))
+    ):
+        return SConst(None, ast.T_INT)  # length/size of NULL is NULL
     if isinstance(a, SConst) and isinstance(a.value, (str, list, dict)):
         return SConst(len(a.value), ast.T_INT)
     if t is ast.T_STR:
@@ -1790,6 +1809,8 @@ def _n_split(comp, args):
     s, sep = args
     if vtype(s) is not ast.T_STR or not isinstance(sep, SConst):
         raise KernelTypeError("split(s, sep) needs a Str and a constant separator")
+    if sep.value is None:  # split on a NULL pattern is NULL
+        return SConst(None, ast.TList(ast.T_STR))
     return SCol(F.split(as_col(s), _re.escape(sep.value)), ast.TList(ast.T_STR))
 
 

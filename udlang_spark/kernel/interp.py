@@ -113,6 +113,22 @@ class Interp:
         if isinstance(fn, Native):
             if len(args) != fn.arity:
                 raise InterpError(f"{fn.name} expects {fn.arity} args")
+            # NULL propagation, mirroring the compiled Column builtins
+            # (r10 builtins-null fuzz family): least/greatest SKIP NULLs
+            # (non-NULL operand wins, NULL only when both are); reduce's
+            # NULL init flows into the merge exactly like F.aggregate's;
+            # every other builtin is NULL on any NULL argument.
+            # Function-valued args (map/filter/reduce lambdas) are never
+            # None, so the generic any() check is safe for them.
+            if fn.name in ("min", "max"):
+                nn = [a for a in args if a is not None]
+                if len(nn) < 2:
+                    return nn[0] if nn else None
+            elif fn.name == "reduce":
+                if args[0] is None:
+                    return None
+            elif any(a is None for a in args):
+                return None
             return fn.fn(self, args, in_value, outs)
         if not isinstance(fn, Closure):
             raise InterpError("call of a non-function value")
