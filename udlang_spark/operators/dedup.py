@@ -535,24 +535,28 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        new_label = F.least(
+            labels["label"], F.coalesce("nbr_label", labels["label"])
+        )
+        # carry the moved flag through the checkpoint: the convergence
+        # probe is then one tiny agg over already-materialized data
+        # instead of a labels⋈labels join-and-count job per round
+        # (2 jobs/round instead of 3 — the loop cost is fixed job
+        # overhead, not data volume, on shallow near-dup clusters)
         new_labels = (
             labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
             .select(
                 labels["node"],
-                F.least(
-                    labels["label"], F.coalesce("nbr_label", labels["label"])
-                ).alias("label"),
+                new_label.alias("label"),
+                (new_label != labels["label"]).cast("long").alias("moved"),
             )
             .localCheckpoint(eager=True)  # truncate lineage each round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        # sum over zero rows is NULL: an empty pair relation must read as
+        # converged (0 moved), not loop to the max_iter refusal
+        changed = new_labels.agg(F.sum("moved")).collect()[0][0] or 0
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.drop("moved")
         if changed == 0:
             break
     else:
