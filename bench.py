@@ -125,6 +125,8 @@ HEADLINE = [
     # production steady state)
     "d_neardup_index",
     "d_span_scrub_maximal",
+    # round-10 addition
+    "t_shard_plan",
 ]
 
 # Rotating wall-clock coverage for the registered queries not in HEADLINE

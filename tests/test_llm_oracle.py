@@ -1218,3 +1218,41 @@ def test_neardup_index_probe_matches_inplan(spark, tmp_path):
         spark, emptyp, batch, "text", "doc_id", threshold=0.8
     ).collect()
     assert len(all_admitted) == 2 and all(r.admitted for r in all_admitted)
+
+
+def test_shard_plan_deterministic_uniform_and_census(spark):
+    """round-10 t_shard_plan invariants: assignment is a pure function of
+    (id, salt) — identical across runs, a fresh permutation per salt;
+    shards cover [0, n); the census pins the full within-shard order and
+    partitions the corpus exactly."""
+    from udlang_spark.operators.indexing import shard_census, shard_plan
+
+    docs = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a1 = {tuple(r) for r in shard_plan(docs, "doc_id", n_shards=8).collect()}
+    a2 = {tuple(r) for r in shard_plan(docs, "doc_id", n_shards=8).collect()}
+    assert a1 == a2 and len(a1) == 500
+    assert all(0 <= s < 8 and 0 <= k < 2**48 for (_, s, k) in a1)
+    # uniformity sanity: no shard is empty or hogs the corpus at n=500/8
+    from collections import Counter
+
+    per = Counter(s for (_, s, _) in a1)
+    assert len(per) == 8 and max(per.values()) < 3 * min(per.values())
+    # a different salt is a DIFFERENT permutation of the same rows
+    b = {tuple(r) for r in shard_plan(docs, "doc_id", n_shards=8,
+                                      salt="epoch2").collect()}
+    assert {i for (i, _, _) in b} == {i for (i, _, _) in a1}
+    assert b != a1
+    # census: counts partition the corpus; per-shard permutation witness
+    # equals a driver-side reconstruction
+    cen = {r["shard"]: r for r in shard_census(
+        shard_plan(docs, "doc_id", n_shards=8), "doc_id").collect()}
+    assert sum(r["n_rows"] for r in cen.values()) == 500
+    import hashlib
+
+    by_shard: dict = {}
+    for i, s, k in sorted(a1, key=lambda t: (t[1], t[2], t[0])):
+        by_shard.setdefault(s, []).append(str(i))
+    for s, ids in by_shard.items():
+        expect = hashlib.md5(",".join(ids).encode()).hexdigest()
+        assert cen[s]["perm_md5"] == expect
+        assert cen[s]["n_rows"] == len(ids)

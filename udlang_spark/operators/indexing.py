@@ -78,3 +78,62 @@ def global_row_number(
         .withColumn(out_col, F.col("_offset") + F.col("_local_idx") + 1)
         .drop("_pid", "_local_idx", "_offset")
     )
+
+
+def shard_plan(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 64,
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic epoch-shuffle resharding for training data: every row
+    gets a shard id and a within-shard order key, both pure salted-md5
+    functions of its id — reproducible across retries, engines, and
+    cluster sizes (no rand(), no monotonically_increasing_id; change
+    `salt` per epoch to get a fresh permutation). The reference has no
+    analog; this is the layout step a pre-training pipeline runs between
+    cleaning and tokenized-shard writing.
+
+    shard = first 8 md5 hex chars mod n_shards (uniform for ANY id
+    distribution — sequential ids, hashes, URLs); okey = the NEXT 12 hex
+    chars as a 48-bit int (independent digest bits, so the within-shard
+    order is an unbiased shuffle; < 2^53, exact in doubles and summable
+    exactly in int64 across billions of rows).
+
+    Scale shape: assignment is pure map-side Column work. MATERIALIZING
+    the shards is df.repartition(n_shards, "shard")
+    .sortWithinPartitions("okey", id_col).write... — one hash exchange +
+    per-partition sorts; NEVER a global orderBy (single-task sort) or a
+    per-shard row_number window (one task per shard holding the whole
+    shard). Returns the assignment relation (row-level, composable);
+    shard_census() is the verification summary."""
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    return df.select(
+        F.col(id_col),
+        F.pmod(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(n_shards)
+        ).alias("shard"),
+        F.conv(F.substring(h, 9, 12), 16, 10).cast("long").alias("okey"),
+    )
+
+
+def shard_census(assign: DataFrame, id_col: str) -> DataFrame:
+    """Per-shard verification census over a shard_plan assignment: row
+    count, exact int64 okey sum (order-free), and an md5 witness of the
+    FULL within-shard permutation (ids concatenated in (okey, id) order) —
+    pins byte-for-byte that two engines/runs produce the identical
+    shuffle. The permutation witness collects one shard per row
+    (collect_list bounded by shard size — a diagnostic run at sampled
+    scale; production trusts sortWithinPartitions and verifies counts +
+    sums, which stay O(1) per shard)."""
+    ordered_ids = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("okey"), F.col(id_col).alias("i")))
+        ),
+        lambda x: x["i"].cast("string"),
+    )
+    return assign.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("okey").alias("okey_sum"),
+        F.md5(F.concat_ws(",", ordered_ids)).alias("perm_md5"),
+    )

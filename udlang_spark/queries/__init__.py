@@ -48,7 +48,13 @@ for mod in (kernels, llm, streaming, relational, cleaning):
 #       t_cms/hll/quantile/weighted). Computed programmatically as
 #       {q : latest CORRECTNESS round == 6} — exactly 49.
 # 1 + 49 = 50. After r10 drains, every query's latest driver green is r7
-# or newer and zero queries lack a driver row.
+# or newer and zero queries lack a driver row — EXCEPT t_shard_plan (NEW
+# round 10: deterministic epoch-shuffle resharding), registered at land
+# time, strict-checker-green the day it landed, but the window was
+# already full; it is FIRST IN LINE for the r11 window, followed by the
+# changed-this-round implementations (d_span_scrub r8-green,
+# d_incremental_neardup r8-green — both strict-re-verified post-change)
+# and the 50 r7-stale greens.
 _PRIORITY: list[str] = [
     # -- (a) the round-9 operator awaiting its first driver row --
     "d_span_scrub_maximal",

@@ -4530,6 +4530,47 @@ _MIX_WEIGHTS = [
 ]
 
 
+def t_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-shuffle resharding (round 10): every doc gets a
+    shard (md5 prefix mod 64) and a 48-bit within-shard order key — the
+    reproducible global-shuffle layout step between cleaning and
+    tokenized-shard writing (operators/indexing.shard_plan; change the
+    salt per epoch for a fresh permutation; no rand(), so retries,
+    engines, and cluster sizes agree byte-for-byte). The checked output is
+    shard_census: per-shard count, exact int64 okey sum, and an md5
+    witness of the FULL within-shard permutation — the oracle pins the
+    entire shuffle order, not just membership. Production materializes
+    shards with repartition(n, shard).sortWithinPartitions(okey) — one
+    hash exchange, never a global orderBy or per-shard window."""
+    from udlang_spark.operators.indexing import shard_census, shard_plan
+
+    docs = load_table(spark, "documents", sf_dir)
+    assign = shard_plan(docs, "doc_id", n_shards=64)
+    return shard_census(assign, "doc_id").orderBy("shard")
+
+
+_SHARD_H = "md5('shard:' || CAST(doc_id AS VARCHAR))"
+
+ORACLE_SHARD_PLAN = f"""
+WITH a AS (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substr({_SHARD_H}, 1, 8)) AS UBIGINT) % 64
+              AS BIGINT) AS shard,
+         CAST(CAST(concat('0x', substr({_SHARD_H}, 9, 12)) AS UBIGINT)
+              AS BIGINT) AS okey
+  FROM documents
+)
+SELECT shard,
+       count(*) AS n_rows,
+       CAST(sum(okey) AS BIGINT) AS okey_sum,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY okey, doc_id))
+         AS perm_md5
+FROM a
+GROUP BY shard
+ORDER BY shard
+"""
+
+
 def t_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture-weighted corpus resampling: draw a 40%-of-corpus doc budget,
     allocated across sources proportionally to configured
@@ -4779,6 +4820,7 @@ QUERIES = {
     "t_hybrid_rrf": t_hybrid_rrf,
     "d_split_leakage": d_split_leakage,
     "t_domain_mix": t_domain_mix,
+    "t_shard_plan": t_shard_plan,
     "t_dsir_select": t_dsir_select,
     "e_semdedup": e_semdedup,
     "t_heavy_hitters": t_heavy_hitters,
@@ -4856,6 +4898,7 @@ ORACLE = {
     "t_hybrid_rrf": ORACLE_HYBRID_RRF,
     "d_split_leakage": ORACLE_SPLIT_LEAKAGE,
     "t_domain_mix": ORACLE_DOMAIN_MIX,
+    "t_shard_plan": ORACLE_SHARD_PLAN,
     "t_dsir_select": ORACLE_DSIR_SELECT,
     "t_heavy_hitters": ORACLE_HEAVY_HITTERS,
     "t_cms_freq": ORACLE_CMS_FREQ,
