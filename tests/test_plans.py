@@ -870,11 +870,46 @@ def test_neardup_index_probe_prunes_band_partitions(spark, tmp_path):
     plan = plan_of(df)
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l and "bpfx" in l]
     assert pf and any("bpfx IN" in l or "bpfx#" in l for l in pf), plan[:2000]
-    # r9 VERDICT #5: the shingles VERIFY scan must be pruned too — to the
-    # candidates' doc-prefix partitions (PartitionFilters on dpfx) and
-    # semi-joined on the broadcast candidate ids, so verify I/O is
-    # O(candidates) not O(history)
+    # r9 VERDICT #5: the shingles VERIFY scan must be pruned too. Fast
+    # path (candidates under the cap): literal dpfx partition filter +
+    # doc-id pushdown into the parquet scan, no extra plan subtrees.
     pfd = [l for l in plan.splitlines() if "PartitionFilters" in l and "dpfx" in l]
-    assert pfd and any("dpfx IN" in l or "dpfx#" in l for l in pfd), plan[:2000]
-    assert "LeftSemi" in plan, plan[:2000]
+    assert pfd and any("IN" in l for l in pfd), plan[:2000]  # IN / INSET
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "In(doc" in l]
+    assert pushed, plan[:2000]
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # Fallback path (cap forced to 0): the scan is broadcast-SEMI-joined
+    # on (doc, dpfx) against the candidate ids instead — bounded
+    # broadcast, still no full-history row flow into the verify join.
+    df2 = dedup.probe_neardup_index(
+        spark, path, batch, "text", "doc_id", max_probe_candidates=0
+    )
+    plan2 = plan_of(df2)
+    assert "LeftSemi" in plan2, plan2[:2000]
+    assert "CartesianProduct" not in plan2 and "NestedLoop" not in plan2
+    # both paths agree with each other
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, df2.collect()))
+
+
+def test_shard_plan_census_single_exchange_no_python(spark):
+    """t_shard_plan (round 10): the census is map-side assignment + ONE
+    hash exchange on the shard key (partial agg collapses rows map-side);
+    no Python eval nodes, no global sort, no window — the anti-patterns a
+    naive shuffle (orderBy(rand()) / per-shard row_number) would show."""
+    from udlang_spark.queries import llm
+
+    df = llm.QUERIES["t_shard_plan"](spark, SF_DIR_CORRECTNESS)
+    plan = plan_of(df)
+    # exactly one shuffle for the shard-key aggregate (the trailing
+    # orderBy adds a rangepartitioning exchange over 64 census rows —
+    # exclude it by counting hashpartitioning exchanges only)
+    # formatted-plan detail section: each Exchange's partitioning is on
+    # its "Arguments:" line (the tree header is just "Exchange (n)")
+    hash_ex = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("Arguments: hashpartitioning")
+    ]
+    assert len(hash_ex) == 1, plan[:1500]
+    for tok in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                "Window", "CartesianProduct"):
+        assert tok not in plan, tok

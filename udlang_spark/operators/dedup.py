@@ -954,12 +954,15 @@ def write_neardup_index(
     verify relation over partial bands (probe requires both)."""
     sh = persist_tracked(shingle_sets(df, text_col, id_col))
     bands = band_keys(_signatures_from_shingles(sh)).select("doc", "bkey")
-    bands.withColumn("bpfx", _bpfx()).write.mode("overwrite").partitionBy(
-        "bpfx"
-    ).parquet(path + "/bands")
-    sh.withColumn("dpfx", _dpfx()).write.mode("overwrite").partitionBy(
-        "dpfx"
-    ).parquet(path + "/shingles")
+    bands.withColumn("bpfx", _bpfx()).repartition(
+        NEARDUP_IDX_PREFIXES, F.col("bpfx")
+    ).write.mode("overwrite").partitionBy("bpfx").parquet(path + "/bands")
+    # repartition on the partition column first: without it every one of
+    # the shuffle's tasks writes a file into every dpfx directory (tasks ×
+    # 64 small files), and probe-side scan cost becomes file-open-bound
+    sh.withColumn("dpfx", _dpfx()).repartition(
+        NEARDUP_IDX_PREFIXES, F.col("dpfx")
+    ).write.mode("overwrite").partitionBy("dpfx").parquet(path + "/shingles")
 
 
 def append_to_neardup_index(
@@ -973,12 +976,12 @@ def append_to_neardup_index(
     (tests/test_llm_oracle.py::test_neardup_index_append_equals_rebuild)."""
     sh = persist_tracked(shingle_sets(batch, text_col, id_col))
     bands = band_keys(_signatures_from_shingles(sh)).select("doc", "bkey")
-    bands.withColumn("bpfx", _bpfx()).write.mode("append").partitionBy(
-        "bpfx"
-    ).parquet(path + "/bands")
-    sh.withColumn("dpfx", _dpfx()).write.mode("append").partitionBy(
-        "dpfx"
-    ).parquet(path + "/shingles")
+    bands.withColumn("bpfx", _bpfx()).repartition(
+        NEARDUP_IDX_PREFIXES, F.col("bpfx")
+    ).write.mode("append").partitionBy("bpfx").parquet(path + "/bands")
+    sh.withColumn("dpfx", _dpfx()).repartition(
+        NEARDUP_IDX_PREFIXES, F.col("dpfx")
+    ).write.mode("append").partitionBy("dpfx").parquet(path + "/shingles")
 
 
 def probe_neardup_index(
@@ -988,15 +991,18 @@ def probe_neardup_index(
     text_col: str,
     id_col: str,
     threshold: float = 0.8,
+    max_probe_candidates: int = 10_000,
 ) -> DataFrame:
     """incremental_neardup's admission decision against a PERSISTED index:
     same candidate generation (batch bands ⋈ history bands on bkey), same
     exact-jaccard verification, same output schema — but the history side
     is the parquet index: the bands scan is pruned at plan time to the
     batch's band-key prefixes, and the shingles verify scan is pruned to
-    the CANDIDATES' doc-id prefixes then broadcast-semi-joined on the
-    candidate ids, so verify I/O is O(candidates), not O(history).
-    Value-identical to incremental_neardup
+    the CANDIDATES — literal dpfx/doc-id scan filters when the candidate
+    set fits max_probe_candidates (plan-time directory pruning + parquet
+    InSet pushdown, zero extra plan subtrees), a broadcast semi-join on
+    (doc, dpfx) above it — so verify I/O is O(candidates), not
+    O(history). Value-identical to incremental_neardup
     over (indexed corpus, batch) for identical parameters
     (tests/test_llm_oracle.py::test_neardup_index_probe_matches_inplan)."""
     sh_b = persist_tracked(shingle_sets(batch, text_col, id_col))
@@ -1044,27 +1050,52 @@ def probe_neardup_index(
         .where(F.col("bpfx").isin([int(p) for p in pfxs]))
         .select(F.col("doc").alias("doc_h"), "bkey", "bpfx")
     )
-    cand = persist_tracked(
-        bands_b.join(bands_h, ["bkey", "bpfx"]).select("doc_b", "doc_h").distinct()
-    )
+    cand_src = bands_b.join(bands_h, ["bkey", "bpfx"]).select("doc_b", "doc_h")
     # Candidate-side pruning of the VERIFY scan (r9 VERDICT #5 — without
     # it, the exact-jaccard verify read ALL history shingles, the probe's
-    # real cost at 100 TB): collect the candidates' doc-prefix values
-    # (≤ NEARDUP_IDX_PREFIXES ints — bounded by the layout, never by the
-    # candidate count) for plan-time directory pruning, then broadcast
-    # the surviving candidate ids as a semi-join so only candidate docs'
-    # rows leave the scan. Probe I/O on shingles is O(candidate
-    # partitions); the verify join input is O(candidates).
-    dpfxs = sorted(
-        r["dpfx"] for r in cand.select(_dpfx("doc_h")).distinct().collect()
-    )
-    cand_ids = cand.select(F.col("doc_h").alias("doc")).distinct()
-    sh_h = (
-        spark.read.schema(sh_schema)
-        .parquet(path + "/shingles")
-        .where(F.col("dpfx").isin([int(p) for p in dpfxs]))
-        .join(F.broadcast(cand_ids), "doc", "semi")
-    )
+    # real cost at 100 TB). Small-batch fast path: collect the candidate
+    # history ids ONCE (capped), derive their partition prefixes DRIVER-
+    # side (the same md5-prefix function, computed in Python — no extra
+    # Spark job beyond the candidate collect), and push BOTH as literal
+    # scan filters: dpfx IN (...) prunes directories at plan time, doc IN
+    # (...) reaches parquet as an InSet pushdown (row-group stats
+    # skipping). No broadcast subtree, no persist — the verify join stays
+    # fused in the single final job exactly like the unpruned shape.
+    # Above the cap: persist the candidates and broadcast-SEMI-join the
+    # scan on (doc, dpfx) — O(candidates) rows leave the scan and the
+    # broadcast stays bounded by max_probe_candidates having already
+    # told us the set is large. Probe I/O on shingles is O(candidate
+    # partitions) either way.
+    import hashlib
+
+    hist_ids = [
+        r["doc_h"]
+        for r in cand_src.select("doc_h")
+        .distinct()
+        .limit(max_probe_candidates + 1)
+        .collect()
+    ]
+    scan = spark.read.schema(sh_schema).parquet(path + "/shingles")
+    if len(hist_ids) <= max_probe_candidates:
+        dpfxs = sorted(
+            {
+                int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16)
+                % NEARDUP_IDX_PREFIXES
+                for i in hist_ids
+            }
+        )
+        cand = cand_src.distinct()
+        sh_h = scan.where(F.col("dpfx").isin(dpfxs)).where(
+            F.col("doc").isin(hist_ids)
+        )
+    else:
+        cand = persist_tracked(cand_src.distinct())
+        cand_keys = (
+            cand.select(F.col("doc_h").alias("doc"))
+            .distinct()
+            .withColumn("dpfx", _dpfx("doc"))
+        )
+        sh_h = scan.join(F.broadcast(cand_keys), ["doc", "dpfx"], "semi")
     sa = sh_b.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_a"))
     sb = sh_h.select(F.col("doc").alias("doc_h"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -348,7 +348,7 @@ WHERE s.doc_id % 5 = 0
 )
 
 
-_NDIDX_FMT = 2  # bump on any index layout change (2: shingles partitioned by dpfx)
+_NDIDX_FMT = 3  # bump on any layout change (2: dpfx shingles; 3: one file/dir)
 
 
 def _neardup_idx_cache(sf_dir: str) -> tuple[str, str, str]:
