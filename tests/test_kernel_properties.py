@@ -737,6 +737,98 @@ def test_constant_null_index_null_propagates_both_paths(spark):
 
 
 # ---------------------------------------------------------------------------
+# Round-10 fuzz family (second): the CAST matrix over possibly-NULL and
+# mixed-sign sources — Float→Int truncation toward zero (incl. negatives),
+# Int→Bool (zero edge), Str→Bool (empty/non-empty/NULL), sized-int views
+# (in-range I8/I16 range-check pass-through), and chained casts, each with
+# compile-time NULL constants AND runtime-nullable branch values. Pins the
+# r9 "NULL casts NULL" rule and the truncation/bool rules on both paths.
+# ---------------------------------------------------------------------------
+def _cast_matrix_strategy():
+    from udlang_spark.kernel import ast as A
+
+    imap = A.MapExpr((("p", A.Lit(3)), ("q", A.In())))
+
+    def dot(k):
+        return A.Dot(imap, k)
+
+    num = st.sampled_from(
+        [
+            A.Lit(4),
+            A.Lit(-3),
+            A.Lit(0),
+            A.In(),
+            dot("p"),
+            dot("q"),
+            dot("zz"),  # compile-time NULL Int
+            A.Cond(  # runtime-nullable Int
+                clauses=(((A.Bin(">", A.In(), A.Lit(0))), dot("zz")),),
+                default=A.In(),
+            ),
+        ]
+    )
+    fsrc = st.sampled_from(
+        [
+            A.Lit(2.5),
+            A.Lit(-2.5),
+            A.Bin("/", A.In(), A.Lit(2.0)),  # runtime Float incl. negatives
+            A.Cast(dot("zz"), A.T_FLOAT),  # NULL Float
+        ]
+    )
+    smap = A.MapExpr((("s", A.Lit("xy")), ("e", A.Lit("")),))
+    ssrc = st.sampled_from(["s", "e", "zz"]).map(lambda k: A.Dot(smap, k))
+    sized = st.tuples(num, st.sampled_from(["I8", "I16", "U16"])).map(
+        # inputs are -7..7: in range for I8/I16; U16 only on abs()
+        lambda t: A.Cast(
+            A.Call(A.Id("abs"), (t[0],)) if t[1].startswith("U") else t[0],
+            A.TPrim(t[1]),
+        )
+    )
+    via_float = num.map(lambda e: A.Cast(A.Cast(e, A.T_FLOAT), A.T_INT))
+    f_to_int = fsrc.map(lambda e: A.Cast(e, A.T_INT))
+    bool_to_int = num.map(lambda e: A.Cast(A.Cast(e, A.T_BOOL), A.T_INT))
+    str_to_int = ssrc.map(lambda e: A.Cast(A.Cast(e, A.T_BOOL), A.T_INT))
+    return st.one_of(sized, via_float, f_to_int, bool_to_int, str_to_int)
+
+
+@given(
+    expr=_cast_matrix_strategy(),
+    inputs=st.lists(
+        st.integers(min_value=-7, max_value=7), min_size=1, max_size=2,
+        unique=True,
+    ),
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_compiled_equals_interp_on_cast_matrix(spark, expr, inputs):
+    from udlang_spark.kernel import ast as A
+    from udlang_spark.kernel.api import Kernel
+    from udlang_spark.kernel.interp import Interp
+
+    prog = A.Program(
+        kind="script", desc="fuzz-cast-matrix", decls=(), input=A.T_INT,
+        output=A.T_INT, body=(A.Out(expr),),
+    )
+    df = spark.createDataFrame([(v,) for v in inputs], "value long")
+    compiled = sorted(
+        (
+            (r[0],)
+            for r in Kernel(program=prog).apply(df, input_col="value").collect()
+        ),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    interp = Interp(prog)
+    expect = sorted(
+        ((out,) for v in inputs for out in interp.run(v)),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    assert compiled == expect
+
+
+# ---------------------------------------------------------------------------
 # Round-10 fuzz family: BUILTINS over possibly-NULL arguments. The r9 folding
 # work made Dot on a missing map key produce a compile-time NULL constant,
 # which reaches every builtin's constant-fold branch — the same class that
