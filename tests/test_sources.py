@@ -278,3 +278,29 @@ def test_write_msgpack_overwrites_stale_parts(spark, tmp_path):
     assert formats.read_msgpack(
         spark, out, ast.TRecord((ast.TRecordField("event_id", ast.T_INT),))
     ).count() == 20
+
+
+def test_bench_codegen_gate_attributes_errors_to_marked_query():
+    """bench.StderrCodegenGate (r9 VERDICT #2): ERROR CodeGenerator lines
+    are attributed to the query whose marker precedes them, session-setup
+    noise attributes to the sentinel, and the capture is replayed to the
+    real stderr (nothing hidden)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import StderrCodegenGate
+
+    gate = StderrCodegenGate()
+    try:
+        os.write(2, b"26/08/15 ERROR CodeGenerator: setup-time failure\n")
+        gate.mark("q_alpha")
+        os.write(2, b"some WARN line\n")
+        os.write(2, b"26/08/15 ERROR CodeGenerator: failed to compile\n")
+        os.write(2, b"org.codehaus.janino.InternalCompilerException: ...\n")
+        gate.mark("q_beta")
+        os.write(2, b"26/08/15 ERROR CodeGenerator: x\n")
+        os.write(2, b"26/08/15 ERROR CodeGenerator: y\n")
+    finally:
+        hits = gate.finish()
+    assert hits == {"<session-setup>": 1, "q_alpha": 1, "q_beta": 2}
