@@ -204,9 +204,15 @@ class StderrCodegenGate:
         os.write(2, f"{self.MARKER}{name}\n".encode())
 
     def finish(self) -> dict[str, int]:
-        """Restore fd 2, replay the capture, return {query: n_fallbacks}."""
+        """Restore fd 2, replay the capture, return {query: n_fallbacks}.
+        Idempotent: main() calls it in a finally so a mid-bench crash still
+        restores fd 2 and replays the traceback (ADVICE r10) — the second
+        call is then a no-op."""
+        if self.orig_fd is None:
+            return {}
         os.dup2(self.orig_fd, 2)
         os.close(self.orig_fd)
+        self.orig_fd = None
         hits: dict[str, int] = {}
         current = "<session-setup>"
         try:
@@ -227,9 +233,20 @@ class StderrCodegenGate:
 
 
 def main() -> None:
+    gate = StderrCodegenGate()  # before get_spark: the JVM must inherit fd 2
+    try:
+        _run(gate)
+    finally:
+        # always restore fd 2 and replay the capture — without this a
+        # mid-bench exception's traceback lands in the capture file and the
+        # run appears to die silently (ADVICE r10); on the success path
+        # _run already called finish() and this is a no-op
+        gate.finish()
+
+
+def _run(gate: StderrCodegenGate) -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    gate = StderrCodegenGate()  # before get_spark: the JVM must inherit fd 2
     spark = get_spark("udlang_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -298,13 +315,11 @@ def main() -> None:
     # console appender has written everything it will write.
     spark.stop()
     codegen_fallbacks = gate.finish()
-    # k_tower is the one KNOWN-benign fallback: its sized-int range-check
-    # when-chains emit a ~16k-line generated class past janino's method
-    # limit; Spark interprets that stage and the query runs 1.8 s. Any
-    # OTHER query with a fallback is a perf regression to investigate.
-    unexpected = {
-        q: n for q, n in codegen_fallbacks.items() if q != "k_tower"
-    }
+    # EMPTY allowlist (r10 VERDICT #2): k_tower's sized-int checks now hoist
+    # large operands into intermediate projections and skip subsumed
+    # re-checks (kernel/compiler.py HOIST_MIN_EXPR_CHARS), so its generated
+    # class compiles. ANY query with a fallback is a perf regression.
+    unexpected = dict(codegen_fallbacks)
     print(
         json.dumps(
             {

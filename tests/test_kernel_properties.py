@@ -1344,6 +1344,116 @@ def test_sized_casts_compiled_equals_interp(spark, name, inputs):
 
 
 # ---------------------------------------------------------------------------
+# Range-check operand hoisting + subsumed-recheck elimination (r10 VERDICT
+# #1, the k_tower janino fix): nested checks used to copy their operand 5×
+# per level, so k_tower's checked-sum-of-checks generated a ~16k-line class
+# past janino's 64 KB method limit and the stage silently ran INTERPRETED.
+# ---------------------------------------------------------------------------
+def test_tower_plan_has_no_duplicated_checks(spark):
+    """k_tower's optimized plan carries exactly ONE raise_error per check
+    (5 inner casts + 1 U64 output cast; the output COERCION is subsumed by
+    the cast's check), with the big sum hoisted to a projection binding."""
+    from udlang_spark.queries.kernels import k_tower
+
+    df = k_tower(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("raise_error") == 6, plan.count("raise_error")
+    assert "__ud_hoist" in plan
+    # the whole plan is now small enough that the Generate stage's
+    # generated class compiles (the old plan was ~36k chars; janino fell
+    # back at ~16k generated lines)
+    assert len(plan) < 8000, len(plan)
+
+
+def test_subsumed_recheck_skipped_and_narrowing_still_checks(spark):
+    from udlang_spark.kernel.api import compile_kernel
+
+    # widening re-entry is subsumed: (in as U8) as I16 checks ONCE
+    wide = compile_kernel(
+        'version 0.1-pre_mvp;\nscript "w";\ninput Int;\noutput Int;\n'
+        "out (in as U8) as I16;\n"
+    ).apply(spark.createDataFrame([(250,)], "v long"), input_col="v")
+    plan = wide._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("raise_error") == 1, plan
+    assert [r["out"] for r in wide.collect()] == [250]
+    # narrowing is NOT subsumed: (in as I16) as U8 must still catch 300
+    narrow = compile_kernel(
+        'version 0.1-pre_mvp;\nscript "n";\ninput Int;\noutput Int;\n'
+        "out (in as I16) as U8;\n"
+    ).apply(spark.createDataFrame([(300,)], "v long"), input_col="v")
+    with pytest.raises(Exception, match="out of range for U8"):
+        narrow.collect()
+
+
+# 200 terms ≈ well past HOIST_MIN_EXPR_CHARS once compiled, so the lazy
+# tests genuinely exercise the guard (an unguarded hoist WOULD fire)
+_BIG_SUM = "(" + " + ".join(["in.x"] * 200) + ")"
+
+
+def test_hoist_never_fires_in_lazy_branch(spark):
+    """A check under an untaken when()-branch must never evaluate, even
+    when its operand is large enough to hoist — a hoisted projection
+    binding would evaluate (and raise) unconditionally. 80×2000=160000 is
+    out of U16 range, but every row takes the `then` branch."""
+    from udlang_spark.kernel.api import compile_kernel
+
+    src = (
+        'version 0.1-pre_mvp;\nscript "lazy";\n'
+        "input {field x: Int; field c: Bool;};\noutput Int;\n"
+        f"out if (in.c) {{ 0 }} else {{ {_BIG_SUM} as U16 }};\n"
+    )
+    df = spark.createDataFrame([(2000, True)], "x long, c boolean")
+    out = compile_kernel(src).apply(df, keep=())
+    assert [r["out"] for r in out.collect()] == [0]
+
+
+def test_hoist_never_fires_through_lazy_let(spark):
+    """Same guarantee through a let: let values inline lazily at use
+    sites, so a let-bound big checked cast used only in an untaken branch
+    must not raise."""
+    from udlang_spark.kernel.api import compile_kernel
+
+    src = (
+        'version 0.1-pre_mvp;\nscript "lazylet";\n'
+        "input {field x: Int; field c: Bool;};\noutput Int;\n"
+        f"let b = {_BIG_SUM} as U16;\n"
+        "out if (in.c) { 0 } else { b };\n"
+    )
+    df = spark.createDataFrame([(2000, True)], "x long, c boolean")
+    out = compile_kernel(src).apply(df, keep=())
+    assert [r["out"] for r in out.collect()] == [0]
+    # and on the eager path the same kernel still raises
+    bad = compile_kernel(src).apply(
+        spark.createDataFrame([(2000, False)], "x long, c boolean"), keep=()
+    )
+    with pytest.raises(Exception, match="out of range for U16"):
+        bad.collect()
+
+
+def test_hoisted_binding_fires_on_eager_out(spark):
+    """An unconditional `out` with a big checked operand hoists (plan has
+    the binding) and still raises for out-of-range rows."""
+    from udlang_spark.kernel.api import compile_kernel
+
+    src = (
+        'version 0.1-pre_mvp;\nscript "eager";\n'
+        "input {field x: Int; field c: Bool;};\noutput Int;\n"
+        f"out {_BIG_SUM} as U32;\n"
+    )
+    ok = compile_kernel(src).apply(
+        spark.createDataFrame([(5, True)], "x long, c boolean"), keep=()
+    )
+    plan = ok._jdf.queryExecution().optimizedPlan().toString()
+    assert "__ud_hoist" in plan
+    assert [r["out"] for r in ok.collect()] == [1000]
+    bad = compile_kernel(src).apply(
+        spark.createDataFrame([(-1, True)], "x long, c boolean"), keep=()
+    )
+    with pytest.raises(Exception, match="out of range for U32"):
+        bad.collect()
+
+
+# ---------------------------------------------------------------------------
 # Differential fuzz: comprehension chains — `[xs | f]` with f a lambda, a
 # bare `$`-partial expression, a bare `$`, or a native call with `$` args.
 # This family's first probe found the interp had NO bare-`$` support

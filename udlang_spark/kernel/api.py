@@ -49,15 +49,22 @@ class Kernel:
         return self.program.output
 
     def outputs_column(self, in_val: SVal) -> Column:
-        """array<output> Column for one input record symbol."""
-        return Compiler(self.program, self.max_depth, self.libs).compile(in_val)
+        """array<output> Column for one input record symbol. Compiled with
+        hoisting disabled so the result is a single self-contained
+        expression (dump-expr/explain); apply() uses the hoisting path."""
+        return Compiler(
+            self.program, self.max_depth, self.libs, allow_hoist=False
+        ).compile(in_val)
 
-    def _outputs_and_debug(self, in_val: SVal) -> tuple[Column, Column | None]:
-        """(array<output>, array<string> of `!` taps or None)."""
+    def _outputs_and_debug(
+        self, in_val: SVal
+    ) -> tuple[Column, Column | None, tuple[tuple[str, Column], ...]]:
+        """(array<output>, array<string> of `!` taps or None, hoisted
+        intermediate-projection bindings — see Compiler._maybe_hoist)."""
         c = Compiler(self.program, self.max_depth, self.libs)
         outs = c.compile(in_val)
         dbg = F.array(*c.debug_taps) if c.debug_taps else None
-        return outs, dbg
+        return outs, dbg, tuple(c.bindings)
 
     def _in_sval(self, df: DataFrame, input_col: str | None) -> SVal:
         # resolve aliases/value-types so `in` carries a structural type
@@ -187,7 +194,10 @@ class Kernel:
         if result[0] == "none":
             return None
         if result[0] == "out":
-            return df.select(*[F.col(c) for c in keep], result[1].alias(out_name))
+            base = df
+            for bname, bcol in result[2]:
+                base = base.select("*", bcol.alias(bname))
+            return base.select(*[F.col(c) for c in keep], result[1].alias(out_name))
         return df.filter(result[1]).select(
             *[F.col(c) for c in keep], result[2].alias(out_name)
         )
@@ -209,11 +219,16 @@ class Kernel:
             comp.compile_stmt(d, env)
         stmt = body[0]
         if isinstance(stmt, ast.Out):
-            val, outs = comp.compile_expr(stmt.value, env)
-            if outs is not None:
-                return ("none",)
-            out_col = comp.coerce_to(val, comp.resolve_type(self.program.output))
-            return ("out", out_col)
+            # unconditional single `out`: eager per row, so hoisting large
+            # range-check operands is safe here (mirrors compile_stmt's Out
+            # arm); the filter case below stays unarmed — its out expression
+            # only evaluates for rows passing the predicate
+            with comp._hoist_scope():
+                val, outs = comp.compile_expr(stmt.value, env)
+                if outs is not None:
+                    return ("none",)
+                out_col = comp.coerce_to(val, comp.resolve_type(self.program.output))
+            return ("out", out_col, tuple(comp.bindings))
         if (
             isinstance(stmt, ast.ExprStmt)
             and isinstance(stmt.expr, ast.Cond)
@@ -284,13 +299,20 @@ class Kernel:
         if cached is None:
             cached = self._outputs_and_debug(self._in_sval(df, input_col))
             self._expr_cache[key] = cached
-        outs, dbg = cached
+        outs, dbg, bindings = cached
+        # hoisted range-check operands become narrow intermediate
+        # projections below the output select; Catalyst's CollapseProject
+        # re-inlines the cheap ones and keeps the expensive multi-referenced
+        # ones split — which is the point (janino-limit fix, SURVEY §2.3)
+        base = df
+        for bname, bcol in bindings:
+            base = base.select("*", bcol.alias(bname))
         exploded = F.posexplode(outs)
         cols = [F.col(c) for c in keep]
         if debug and dbg is not None:
-            sel = df.select(*cols, dbg.alias("_debug"), exploded.alias("pos", out_name))
+            sel = base.select(*cols, dbg.alias("_debug"), exploded.alias("pos", out_name))
         else:
-            sel = df.select(*cols, exploded.alias("pos", out_name))
+            sel = base.select(*cols, exploded.alias("pos", out_name))
         if not with_pos:
             sel = sel.drop("pos")
         return sel
