@@ -1053,43 +1053,39 @@ def probe_neardup_index(
     cand_src = bands_b.join(bands_h, ["bkey", "bpfx"]).select("doc_b", "doc_h")
     # Candidate-side pruning of the VERIFY scan (r9 VERDICT #5 — without
     # it, the exact-jaccard verify read ALL history shingles, the probe's
-    # real cost at 100 TB). Small-batch fast path: collect the candidate
-    # history ids ONCE (capped), derive their partition prefixes DRIVER-
-    # side (the same md5-prefix function, computed in Python — no extra
-    # Spark job beyond the candidate collect), and push BOTH as literal
-    # scan filters: dpfx IN (...) prunes directories at plan time, doc IN
+    # real cost at 100 TB). The candidate relation is PERSISTED before the
+    # bounded collect, so the bands join is computed exactly once: the
+    # collect materializes the cache and the final verify job reuses it
+    # instead of re-running the join (r10 VERDICT #4 — the collect used to
+    # pay a full second bands-join job). The collect fetches each
+    # candidate's dpfx ALONGSIDE its id, computed by the SAME Spark
+    # `_dpfx` expression the index writer used — byte-exact for ANY id
+    # type (r10 ADVICE: a driver-side hashlib replica diverged from
+    # Spark's cast-to-string rendering for boolean/float/decimal/timestamp
+    # ids, silently pruning away the partitions holding the candidates).
+    # Small-batch fast path: push the collected ids/prefixes as literal
+    # scan filters — dpfx IN (...) prunes directories at plan time, doc IN
     # (...) reaches parquet as an InSet pushdown (row-group stats
-    # skipping). No broadcast subtree, no persist — the verify join stays
-    # fused in the single final job exactly like the unpruned shape.
-    # Above the cap: persist the candidates and broadcast-SEMI-join the
-    # scan on (doc, dpfx) — O(candidates) rows leave the scan and the
-    # broadcast stays bounded by max_probe_candidates having already
-    # told us the set is large. Probe I/O on shingles is O(candidate
-    # partitions) either way.
-    import hashlib
-
-    hist_ids = [
-        r["doc_h"]
-        for r in cand_src.select("doc_h")
+    # skipping). Above the cap: broadcast-SEMI-join the scan on
+    # (doc, dpfx) — O(candidates) rows leave the scan and the broadcast
+    # stays bounded by the cap having told us the set is large. Probe I/O
+    # on shingles is O(candidate partitions) either way.
+    cand = persist_tracked(cand_src.distinct())
+    hist = (
+        cand.select(F.col("doc_h").alias("doc"))
         .distinct()
+        .withColumn("dpfx", _dpfx("doc"))
         .limit(max_probe_candidates + 1)
         .collect()
-    ]
+    )
     scan = spark.read.schema(sh_schema).parquet(path + "/shingles")
-    if len(hist_ids) <= max_probe_candidates:
-        dpfxs = sorted(
-            {
-                int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16)
-                % NEARDUP_IDX_PREFIXES
-                for i in hist_ids
-            }
-        )
-        cand = cand_src.distinct()
+    if len(hist) <= max_probe_candidates:
+        hist_ids = [r["doc"] for r in hist]
+        dpfxs = sorted({int(r["dpfx"]) for r in hist})
         sh_h = scan.where(F.col("dpfx").isin(dpfxs)).where(
             F.col("doc").isin(hist_ids)
         )
     else:
-        cand = persist_tracked(cand_src.distinct())
         cand_keys = (
             cand.select(F.col("doc_h").alias("doc"))
             .distinct()
