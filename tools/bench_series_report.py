@@ -69,8 +69,13 @@ def main() -> None:
         shared = sorted(set(heads) & set(oq))
         s_tot = sum(heads[k] for k in shared)
         o_tot = sum(oq[k] for k in shared)
-        print(f"vs DuckDB oracle on {len(shared)} shared: spark {s_tot:.1f}s "
-              f"duck {o_tot:.1f}s ratio {s_tot / o_tot:.2f}")
+        if shared and o_tot:
+            print(f"vs DuckDB oracle on {len(shared)} shared: spark {s_tot:.1f}s "
+                  f"duck {o_tot:.1f}s ratio {s_tot / o_tot:.2f}")
+        else:
+            # wrong file / renamed queries: say so instead of dying on /0
+            print(f"vs DuckDB oracle: no shared queries with {args.oracle} "
+                  f"({len(oq)} oracle entries, {len(heads)} series entries)")
 
 
 if __name__ == "__main__":

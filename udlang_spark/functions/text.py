@@ -171,28 +171,44 @@ def rolling_fingerprint(col_name: str, k: int = 4, gram: int = 8) -> Column:
     )
 
 
+def let1(val: Column, f) -> Column:
+    """Expression-level `let`: evaluate `val` ONCE and bind it as the
+    lambda variable of a single-element transform — Catalyst has no sharing
+    inside one expression tree, so a subexpression referenced k times is
+    otherwise evaluated k times (HOF arguments like zip_with/aggregate run
+    interpreted, where there is no codegen CSE to save you)."""
+    return F.element_at(F.transform(F.array(val), f), 1)
+
+
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles (default 3): the unit for jaccard /
     MinHash dedup. Empty array for docs with fewer than n words.
 
-    Implementation note: built from n aligned `slice`s zipped together, NOT
-    `transform(sequence, i -> element_at(w, i+j))`. In the latter, `w` (the
-    regex split) sits INSIDE the lambda and is re-evaluated on every element
-    access — ~3·|w| regex splits per row. Slices are HOF *arguments*, so the
-    split runs n times per row total. ~50× faster on real documents."""
-    w = words(col)
-    sz = F.size(w)
-    m = sz - (n - 1)  # number of shingles
-    grams = F.slice(w, 1, m)
-    for j in range(1, n):
-        grams = F.zip_with(
-            grams,
-            F.slice(w, j + 1, m),
-            lambda a, b: F.concat(a, F.lit(" "), b),
+    Implementation notes: built from n aligned `slice`s zipped together,
+    NOT `transform(sequence, i -> element_at(w, i+j))` — in the latter `w`
+    (the regex split) sits INSIDE the lambda and is re-evaluated on every
+    element access, ~3·|w| regex splits per row; slices are HOF
+    *arguments*, so the split runs n times per row total (~50× faster on
+    real documents). The split itself is bound ONCE via let1 (round 11):
+    the n+2 references below would otherwise each re-run
+    regexp_extract_all over the text — measured 1.9× on the sf0.1
+    gram-explode stage, value-identical."""
+
+    def build(w: Column) -> Column:
+        sz = F.size(w)
+        m = sz - (n - 1)  # number of shingles
+        grams = F.slice(w, 1, m)
+        for j in range(1, n):
+            grams = F.zip_with(
+                grams,
+                F.slice(w, j + 1, m),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        return F.when(sz >= n, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
         )
-    return F.when(sz >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    return let1(words(col), build)
 
 
 def simhash_bits(col: Column | str, n_bits: int = 16) -> Column:

@@ -1807,10 +1807,14 @@ def _num2(comp, args, py, flt, name):
     if isinstance(a, SConst) and isinstance(b, SConst):
         # least/greatest SKIP NULLs (return the non-NULL operand, NULL only
         # when both are) — the constant fold must match that runtime
-        nn = [v for v in (a.value, b.value) if v is not None]
+        # coerce the surviving operand(s) to the unified type so the SConst
+        # payload/type invariant holds (min(2, NULL-Float) is T_FLOAT and
+        # must carry 2.0, not int 2 — r10 ADVICE)
+        conv = float if t is ast.T_FLOAT else int
+        nn = [conv(v) for v in (a.value, b.value) if v is not None]
         if len(nn) < 2:
             return SConst(nn[0] if nn else None, t)
-        return SConst(py(a.value, b.value), t)
+        return SConst(py(*nn), t)
     ca, cb = as_col(a), as_col(b)
     if t is ast.T_FLOAT:
         ca, cb = ca.cast("double"), cb.cast("double")
