@@ -141,38 +141,41 @@ HEADLINE = [
 # t_domain_mix/t_lift_bigrams/t_repetition/t_retrieval_eval/
 # t_span_corrupt) — that is the r11 rotation.
 ROTATION = [
-    "q12_rollup",
-    "q14_events_json",
-    "q15_orders_monthly",
-    "q16_part_strings",
-    "q17_supplier_by_region",
-    "q20_median_udaf",
-    "q22_salted_agg",
-    "q23_percentiles",
-    "q24_lag_lead",
-    "q25_disjunctive_pricing",
-    "q28_pivot",
-    "q30_hash_sample",
-    "q31_gap_fill",
-    "q32_sessionize",
-    "q33_unpivot",
-    "q34_upsert",
-    "q35_scd2",
-    "q36_sql_passthrough",
-    "q37_data_audit",
-    "q38_histogram",
-    "q39_variant_json",
-    "q40_sole_latest_shipper",
-    "q42_important_parts",
-    "q43_market_share",
-    "q45_zscore_outliers",
-    "q46_stratified_sample",
-    "q47_shipmode_priority",
-    "q48_supplier_variety",
-    "q49_inactive_rich_customers",
-    "q50_funnel",
-    # pinned per r9 VERDICT #3 (post-fix min-of-N row)
-    "q53_sketch_stats",
+    # r11: the 29 never-protocol-benched (computed from
+    # artifacts/BENCH_r*_local*.json keys — q52/q54..q69 gaps, the s_*
+    # streaming block, the tokenization/text family, plus the new
+    # s_shard_stream), + k_tower pinned per r10 VERDICT #2 (the janino
+    # codegen fix needs a compiled-speed protocol row).
+    "k_tower",
+    "q52_retention",
+    "q54_pattern_match",
+    "q55_user_ema",
+    "q56_nation_trade_volume",
+    "q57_product_profit",
+    "q59_promo_effect",
+    "q60_top_supplier",
+    "q61_large_volume_customers",
+    "q63_running_distinct",
+    "q65_snapshot_diff",
+    "q66_salted_join",
+    "q69_udtf",
+    "s_cms_stream",
+    "s_dedup_stream",
+    "s_enrich_stream",
+    "s_hll_stream",
+    "s_neardup_stream",
+    "s_quantile_stream",
+    "s_shard_stream",
+    "s_stateful_totals",
+    "s_stream_join",
+    "s_windowed_stream",
+    "t_bpe_learn",
+    "t_dedup_words",
+    "t_domain_mix",
+    "t_lift_bigrams",
+    "t_repetition",
+    "t_retrieval_eval",
+    "t_span_corrupt",
 ]
 
 

@@ -900,3 +900,24 @@ def test_url_dedup_stream_keys_equal_batch_dedup(spark):
         .collect()
     }
     assert got == want and len(got) > 50
+
+
+def test_shard_stream_census_equals_batch_plan(spark):
+    """s_shard_stream's drained partitionBy(shard) layout must census
+    identically to t_shard_plan's batch assignment — same counts, same
+    exact okey sums, same full-permutation md5 witness per shard — and the
+    forced multi-batch replay (maxFilesPerTrigger=2 over 4 files) means
+    the partitioned APPEND path is what produced it."""
+    from tests.conftest import SF_DIR_SMOKE
+    from udlang_spark.queries import llm
+    from udlang_spark.queries import streaming as squeries
+
+    got = [
+        tuple(r)
+        for r in squeries.s_shard_stream(spark, SF_DIR_SMOKE).collect()
+    ]
+    want = [
+        tuple(r) for r in llm.t_shard_plan(spark, SF_DIR_SMOKE).collect()
+    ]
+    assert got == want
+    assert len(got) == 64  # every shard populated at smoke scale

@@ -36,78 +36,89 @@ for mod in (kernels, llm, streaming, relational, cleaning):
 # both engines; strict checker now hashes driver-faithful pandas dtypes).
 # r7 (50/50 green): k_tower + 5 never-checked + q34–q50 (r3-stale) + the
 # 17 round-7 operators at land time + 10 oldest r4 kernel greens.
-# Round-10 window (cumulative state after r9: all 199 registered queries
-# green at their latest driver check — 50 at r9, 50 at r8, 49 each at
-# r7/r6 — EXCEPT d_span_scrub_maximal, strict-green at land time (r9) but
-# never driver-checked because the r9 window was full):
-#   (a) d_span_scrub_maximal FIRST — the only registered query with no
-#       driver row (VERDICT r9 next-round #1);
-#   (b) ALL 49 r6-stale greens (VERDICT r9 next-round #1: the q01–q33
-#       relational block, the PQ/IVF-PQ/hamming family, the sketch
-#       streams s_cms/s_hll/s_quantile/s_enrich, k_generic, q67/q68,
-#       t_cms/hll/quantile/weighted). Computed programmatically as
-#       {q : latest CORRECTNESS round == 6} — exactly 49.
-# 1 + 49 = 50. After r10 drains, every query's latest driver green is r7
-# or newer and zero queries lack a driver row — EXCEPT t_shard_plan (NEW
-# round 10: deterministic epoch-shuffle resharding), registered at land
-# time, strict-checker-green the day it landed, but the window was
-# already full; it is FIRST IN LINE for the r11 window, followed by the
-# changed-this-round implementations (d_span_scrub r8-green,
-# d_incremental_neardup r8-green — both strict-re-verified post-change)
-# and the 50 r7-stale greens.
+# Round-11 window (cumulative state after r10: all 200 then-registered
+# queries green at their latest driver check — staleness histogram r7:49,
+# r8:50, r9:50, r10:50 — with t_shard_plan the sole query lacking a
+# driver row, strict-green at land time but landed after the r10 window
+# filled):
+#   (a) the two queries with NO driver row: t_shard_plan (r10 VERDICT #1:
+#       "first in line") and s_shard_stream (NEW round 11 — its streaming
+#       twin, r10 VERDICT #6; shares ORACLE_SHARD_PLAN verbatim);
+#   (b) the five implementations changed in round 10 AFTER their last
+#       driver row (r10 VERDICT #1: all strict-re-verified post-change,
+#       none driver-checked on the new code): d_span_scrub,
+#       d_span_scrub_maximal, d_neardup_index, d_incremental_neardup,
+#       e_semdedup — d_neardup_index changed AGAIN in r11 (persisted
+#       candidate relation + Spark-side dpfx) and d_span_scrub[_maximal]
+#       ride the r11 shingles let1 change, so their rows verify the
+#       latest code;
+#   (c) 43 of the 49 r7-stale greens (computed programmatically as
+#       {q : latest CORRECTNESS round == 7}), k_tower first — its sized-
+#       int compilation changed in r11 (range-check operand hoisting +
+#       subsumed-recheck elimination, the janino fix). The 6 deferred to
+#       r12 are the trivially-pinned kernels whose compile paths are
+#       covered by in-window siblings and pytest (k_hello, k_simple,
+#       k_point, k_scopes, k_count — k_count_interp stays in — and
+#       k_lists); r12 should lead with them plus the r8-stale block
+#       (which includes every shingles-consumer re-shaped by r11's let1:
+#       d_minhash_lsh, d_dedup_corpus, d_simhash_neardup, d_exact_dedup,
+#       d_incremental_dedup, t_decontam, d_line_dedup — all strict-green
+#       on the new code this round).
+# 2 + 5 + 43 = 50.
 _PRIORITY: list[str] = [
-    # -- (a) the round-9 operator awaiting its first driver row --
+    # -- (a) no driver row yet --
+    "t_shard_plan",
+    "s_shard_stream",
+    # -- (b) changed after their last driver row --
+    "d_span_scrub",
     "d_span_scrub_maximal",
-    # -- (b) the 49 r6-stale re-confirmations --
-    "e_hamming_topk",
-    "e_ivfpq_ann",
-    "e_pq_adc",
-    "e_pq_encode",
-    "k_generic",
-    "q01_pricing_summary",
-    "q02_forecast_revenue",
-    "q03_shipping_priority",
-    "q04_order_priority",
-    "q05_region_volume",
-    "q06_customers_without_orders",
-    "q07_custdist",
-    "q08_topk_per_group",
-    "q09_running_totals",
-    "q10_set_ops",
-    "q11_distinct_counts",
-    "q12_rollup",
-    "q13_events_tumbling",
-    "q14_events_json",
-    "q15_orders_monthly",
-    "q16_part_strings",
-    "q17_supplier_by_region",
-    "q18_asof_join",
-    "q19_cube",
-    "q20_median_udaf",
-    "q21_range_join",
-    "q22_salted_agg",
-    "q23_percentiles",
-    "q24_lag_lead",
-    "q25_disjunctive_pricing",
-    "q26_small_qty_revenue",
-    "q27_grouping_sets",
-    "q28_pivot",
-    "q29_window_frames",
-    "q30_hash_sample",
-    "q31_gap_fill",
-    "q32_sessionize",
-    "q33_unpivot",
-    "q67_bloom_prune",
-    "q68_hierarchy",
-    "s_cms_merge",
-    "s_cms_stream",
-    "s_enrich_stream",
-    "s_hll_stream",
-    "s_quantile_stream",
-    "t_cms_freq",
-    "t_hll_distinct",
-    "t_quantile_sketch",
-    "t_weighted_sample",
+    "d_neardup_index",
+    "d_incremental_neardup",
+    "e_semdedup",
+    # -- (c) r7-stale re-confirmations (43 of 49; k_tower changed r11) --
+    "k_tower",
+    "k_count_interp",
+    "k_fact",
+    "k_filter",
+    "k_function",
+    "k_loop",
+    "k_mapiter",
+    "k_subjunctive",
+    "d_split_temporal",
+    "e_ivfpq_append",
+    "e_norm_audit",
+    "e_pca_cov",
+    "m_ahash_dedup",
+    "m_audio_features",
+    "q34_upsert",
+    "q35_scd2",
+    "q36_sql_passthrough",
+    "q37_data_audit",
+    "q38_histogram",
+    "q39_variant_json",
+    "q40_sole_latest_shipper",
+    "q41_min_cost_supplier",
+    "q42_important_parts",
+    "q43_market_share",
+    "q44_fuzzy_part_pairs",
+    "q45_zscore_outliers",
+    "q46_stratified_sample",
+    "q47_shipmode_priority",
+    "q48_supplier_variety",
+    "q49_inactive_rich_customers",
+    "q50_funnel",
+    "q69_udtf",
+    "q70_bucketed_join",
+    "q71_zorder_layout",
+    "q72_interval_union",
+    "q73_copurchase_pairs",
+    "q74_skew_probe",
+    "s_kmv_stream",
+    "t_classifier_score",
+    "t_dataset_card",
+    "t_group_quantiles",
+    "t_kmv_jaccard",
+    "t_retrieval_eval",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50

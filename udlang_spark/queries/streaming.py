@@ -808,6 +808,50 @@ FROM ak
 ORACLE_KMV_STREAM = _kmv_stream_oracle()
 
 
+def s_shard_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resharding at INGEST — the streaming twin of t_shard_plan (r10
+    VERDICT #6, completing the batch/stream pair the other layout ops
+    have): shard and okey are pure row-local salted-md5 Columns
+    (operators/indexing.shard_plan), so the assignment runs UNCHANGED on a
+    readStream; the sink is the production shape — an exactly-once
+    partitionBy(shard) parquet writeStream, each micro-batch appending
+    files only under the shard= directories it carries rows for (never a
+    shuffle, never a global sort; a restart resumes after the last
+    committed batch). maxFilesPerTrigger=2 over the 4-file replay forces
+    ≥2 micro-batches, so the multi-batch append path is what's verified.
+    The checked output is the same shard_census over the drained layout —
+    per-shard count, exact int64 okey sum, and the md5 witness of the
+    FULL within-shard permutation — so this query shares t_shard_plan's
+    oracle verbatim: a green row proves stream assignment == batch
+    assignment row-for-row, through the real partitioned sink."""
+    from udlang_spark.operators.indexing import shard_census, shard_plan
+
+    tmp = _replay_dir(
+        spark, sf_dir, table="documents", cols=("doc_id",),
+        prefix="udlang_stream_shard",
+    )
+    doc_t = ast.TRecord((ast.TRecordField("doc_id", ast.T_INT),))
+    src = (
+        spark.readStream.schema(json_lift.input_schema(doc_t))
+        .option("mode", "FAILFAST")
+        .option("maxFilesPerTrigger", 2)
+        .json(tmp)
+    )
+    assign = shard_plan(src, "doc_id", n_shards=64)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    target = os.path.join(tempfile.gettempdir(), f"udlang_shard_target_{tag}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"udlang_shard_ckpt_{tag}")
+    shutil.rmtree(target, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    runner.run_stream_to_parquet(assign, target, ckpt, partition_by=("shard",))
+    # shard comes back as the inferred hive partition column (int) — cast
+    # to the assignment's long so the census schema matches the batch twin
+    layout = spark.read.parquet(target).select(
+        "doc_id", F.col("shard").cast("long").alias("shard"), "okey"
+    )
+    return shard_census(layout, "doc_id").orderBy("shard")
+
+
 QUERIES = {
     "s_kernel_stream": s_kernel_stream,
     "s_windowed_stream": s_windowed_stream,
@@ -825,6 +869,7 @@ QUERIES = {
     "s_session_stream": s_session_stream,
     "s_interval_stream": s_interval_stream,
     "s_cdc_apply": s_cdc_apply,
+    "s_shard_stream": s_shard_stream,
 }
 
 # Each query's drained result is a pure function of the event set (module
@@ -944,4 +989,9 @@ ORACLE: dict[str, str] = {
     # the streaming histogram equals the batch histogram exactly
     # (associative integer counts), so the batch quantile oracle applies
     "s_quantile_stream": _llm.ORACLE_QUANTILE_SKETCH,
+    # the drained partitionBy(shard) layout carries exactly the batch
+    # assignment (shard/okey are pure per-row md5 functions), so the batch
+    # census oracle pins the streaming path verbatim — including the full
+    # within-shard permutation witness
+    "s_shard_stream": _llm.ORACLE_SHARD_PLAN,
 }

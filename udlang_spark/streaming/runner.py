@@ -211,6 +211,7 @@ def run_stream_to_parquet(
     checkpoint_path: str,
     timeout_s: int = 120,
     output_mode: str = "append",
+    partition_by: tuple[str, ...] = (),
 ) -> None:
     """Durable sink with exactly-once file output: the checkpoint records
     which source files/offsets each committed batch consumed, so a restart
@@ -220,14 +221,18 @@ def run_stream_to_parquet(
     is the test/debug harness. At scale the checkpoint lives on shared
     storage (S3/HDFS) and the parquet sink's _spark_metadata makes readers
     see only committed files."""
-    q = (
+    w = (
         result.writeStream.format("parquet")
         .option("path", out_path)
         .option("checkpointLocation", checkpoint_path)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .start()
     )
+    if partition_by:
+        # hive-layout sink (e.g. shard=N dirs for s_shard_stream): each
+        # micro-batch appends only to the partitions it carries rows for
+        w = w.partitionBy(*partition_by)
+    q = w.start()
     if not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(f"stream did not finish in {timeout_s}s")
