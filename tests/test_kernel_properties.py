@@ -1344,6 +1344,201 @@ def test_sized_casts_compiled_equals_interp(spark, name, inputs):
 
 
 # ---------------------------------------------------------------------------
+# Differential fuzz (round 11 family): spread `...xs` / rest-param arity —
+# random fixed-arity prefixes, optional rest param, call sites mixing plain
+# args, `in`, and spreads of list literals (constant and input-bearing),
+# optionally routed through a `$...` partial. Checks compiled == interp on
+# values AND that arity violations error on BOTH paths.
+# ---------------------------------------------------------------------------
+def _spread_call_source(nfix, has_rest, args_spec, via_partial):
+    """Build kernel source for func f(p0..p{nfix-1}, [...xs]) and one call.
+
+    args_spec: list of ("lit", n) | ("in",) | ("spread", [n, ...]) |
+    ("spread_in", [n, ...]) — spread_in injects `in` as the first element.
+    Returns (source, expected_fn) where expected_fn(v) computes the
+    expected output for input v in Python."""
+    params = ", ".join(f"p{i}: Int" for i in range(nfix))
+    if has_rest:
+        params = params + (", " if params else "") + "...xs: Int"
+    coeff = [10 ** (i + 1) for i in range(nfix)]
+    body_terms = [f"p{i} * {coeff[i]}" for i in range(nfix)]
+    body_terms.append(
+        "reduce(xs, 0, (a: Int, x: Int) => a + x)" if has_rest else "0"
+    )
+    pieces, flat = [], []
+    for spec in args_spec:
+        if spec[0] == "lit":
+            pieces.append(str(spec[1]))
+            flat.append(("lit", spec[1]))
+        elif spec[0] == "in":
+            pieces.append("in")
+            flat.append(("in",))
+        else:
+            elems = (["in"] if spec[0] == "spread_in" else []) + [
+                str(n) for n in spec[1]
+            ]
+            pieces.append("...[" + ", ".join(elems) + "]")
+            if spec[0] == "spread_in":
+                flat.append(("in",))
+            flat.extend(("lit", n) for n in spec[1])
+    if via_partial:
+        # `$...` requires a rest param, and the FIXED prefix binds at
+        # partial-creation time (reference README.md:370-373; the k_spread
+        # example's `wrap(100, $...)`) — callers must keep the first nfix
+        # args non-spread so the prefix is splittable
+        fixed, rest = pieces[:nfix], pieces[nfix:]
+        head = ", ".join(fixed + ["$..."])
+        decl_call = f"let g = f({head});\nout g(" + ", ".join(rest) + ");"
+    else:
+        decl_call = "out f(" + ", ".join(pieces) + ");"
+    src = (
+        'version 0.1-pre_mvp;\nscript "spreadfuzz";\n'
+        "input Int;\noutput Int;\n"
+        f"func f({params}) -> Int {{\n  {' + '.join(body_terms)}\n}}\n"
+        f"{decl_call}\n"
+    )
+
+    def expected(v):
+        vals = [v if t[0] == "in" else t[1] for t in flat]
+        tot = sum(c * x for c, x in zip(coeff, vals[:nfix]))
+        return tot + sum(vals[nfix:])
+
+    return src, expected
+
+
+_ARG_ITEM = st.one_of(
+    st.integers(min_value=-4, max_value=4).map(lambda n: ("lit", n)),
+    st.just(("in",)),
+    st.lists(st.integers(min_value=-3, max_value=3), max_size=3).map(
+        lambda ns: ("spread", ns)
+    ),
+    st.lists(st.integers(min_value=-3, max_value=3), max_size=2).map(
+        lambda ns: ("spread_in", ns)
+    ),
+)
+
+
+@given(
+    nfix=st.integers(min_value=0, max_value=2),
+    has_rest=st.booleans(),
+    raw_args=st.lists(_ARG_ITEM, max_size=4),
+    via_partial=st.booleans(),
+    inputs=st.lists(
+        st.integers(min_value=-5, max_value=5), min_size=1, max_size=2,
+        unique=True,
+    ),
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_compiled_equals_interp_on_spread_arity(
+    spark, nfix, has_rest, raw_args, via_partial, inputs
+):
+    from udlang_spark.kernel.api import compile_kernel
+    from udlang_spark.kernel.interp import Interp
+    from udlang_spark.kernel.parser import parse
+
+    def flat_len(args):
+        return sum(
+            (1 if a[0] in ("lit", "in") else len(a[1]) + (a[0] == "spread_in"))
+            for a in args
+        )
+
+    via_partial = via_partial and has_rest  # $... requires a rest param
+    if via_partial:
+        # the fixed prefix binds at partial time and must be splittable:
+        # nfix non-spread items up front, then the random rest mix
+        args = [("lit", i + 1) for i in range(nfix)] + list(raw_args)
+    else:
+        # pad with literal args until the fixed prefix is satisfiable, then
+        # trim spreads that overshoot a rest-less signature
+        args = list(raw_args)
+        while flat_len(args) < nfix:
+            args.append(("lit", 1))
+        if not has_rest:
+            while flat_len(args) > nfix:
+                args.pop()
+            while flat_len(args) < nfix:
+                args.append(("lit", 1))
+    src, expected = _spread_call_source(nfix, has_rest, args, via_partial)
+    prog = parse(src)
+    df = spark.createDataFrame([(v,) for v in inputs], "value long")
+    got = sorted(
+        r["out"]
+        for r in compile_kernel(src).apply(df, input_col="value").collect()
+    )
+    interp = Interp(prog)
+    want = sorted(out for v in inputs for out in interp.run(v))
+    assert got == want
+    assert want == sorted(expected(v) for v in inputs)
+
+
+@given(
+    nfix=st.integers(min_value=1, max_value=3),
+    shortfall=st.integers(min_value=1, max_value=2),
+    has_rest=st.booleans(),
+    overshoot=st.booleans(),
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_spread_arity_violations_error_on_both_paths(
+    spark, nfix, shortfall, has_rest, overshoot
+):
+    """Too FEW args for the fixed prefix (and, without a rest param, too
+    MANY) must error on the compiled path and the interp alike — never
+    silently bind garbage."""
+    from udlang_spark.kernel.api import compile_kernel
+    from udlang_spark.kernel.interp import Interp
+    from udlang_spark.kernel.parser import parse
+
+    if overshoot and not has_rest:
+        args = [("lit", 1)] * (nfix + shortfall)
+        label = "too many"
+    else:
+        args = [("lit", 1)] * max(0, nfix - shortfall)
+        label = "too few"
+    src, _ = _spread_call_source(nfix, has_rest, args, via_partial=False)
+    df = spark.createDataFrame([(1,)], "value long")
+    compiled_err = interp_err = None
+    try:
+        compile_kernel(src).apply(df, input_col="value").collect()
+    except Exception as e:  # KernelTypeError/CompileError or runtime
+        compiled_err = e
+    try:
+        Interp(parse(src)).run(1)
+    except Exception as e:
+        interp_err = e
+    assert compiled_err is not None, f"compiled path accepted {label} args"
+    assert interp_err is not None, f"interp accepted {label} args"
+
+
+def test_dollar_spread_without_rest_param_errors_on_both_paths(spark):
+    """`$...` against a callee with no rest parameter is a compile error
+    on both paths (reference README.md:370-373)."""
+    import pytest as _pytest
+
+    from udlang_spark.kernel.api import compile_kernel
+    from udlang_spark.kernel.interp import Interp
+    from udlang_spark.kernel.parser import parse
+
+    src = (
+        'version 0.1-pre_mvp;\nscript "norest";\ninput Int;\noutput Int;\n'
+        "func f(a: Int) -> Int { a }\n"
+        "let g = f($...);\nout g(in);\n"
+    )
+    df = spark.createDataFrame([(1,)], "value long")
+    with _pytest.raises(Exception, match="rest"):
+        compile_kernel(src).apply(df, input_col="value").collect()
+    with _pytest.raises(Exception):
+        Interp(parse(src)).run(1)
+
+
+# ---------------------------------------------------------------------------
 # Range-check operand hoisting + subsumed-recheck elimination (r10 VERDICT
 # #1, the k_tower janino fix): nested checks used to copy their operand 5×
 # per level, so k_tower's checked-sum-of-checks generated a ~16k-line class

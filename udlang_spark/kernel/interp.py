@@ -246,6 +246,18 @@ class Interp:
                 rest: tuple[str, ast.Type] | None = None
                 for i, a in enumerate(e.args):
                     if isinstance(a, ast.PartialRest):
+                        # mirror compile_call's checks exactly: `$...` must
+                        # be last and requires the callee to declare a rest
+                        # parameter (r11 spread-arity fuzz found the interp
+                        # silently accepting both violations)
+                        if a is not e.args[-1]:
+                            raise InterpError("`$...` must be the final argument")
+                        decl = fn.fn if isinstance(fn, Closure) else None
+                        if decl is not None and decl.rest_param is None:
+                            raise InterpError(
+                                "`$...` requires the callee to declare a "
+                                "rest parameter (reference README.md:370-373)"
+                            )
                         rest = ("__rest", ast.T_ANY)
                         filled.append(ast.Spread(ast.Id("__rest")))
                     elif isinstance(a, ast.Partial):
