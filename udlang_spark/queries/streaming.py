@@ -844,11 +844,13 @@ def s_shard_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(target, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     runner.run_stream_to_parquet(assign, target, ckpt, partition_by=("shard",))
-    # shard comes back as the inferred hive partition column (int) — cast
-    # to the assignment's long so the census schema matches the batch twin
-    layout = spark.read.parquet(target).select(
-        "doc_id", F.col("shard").cast("long").alias("shard"), "okey"
-    )
+    # explicit read schema: a zero-row source commits batches but writes no
+    # data files, which inference can't read (degenerate-sweep pin); shard
+    # is declared long so the hive partition dirs parse straight into the
+    # assignment's type and the census schema matches the batch twin
+    layout = spark.read.schema("doc_id long, okey long, shard long").parquet(
+        target
+    ).select("doc_id", "shard", "okey")
     return shard_census(layout, "doc_id").orderBy("shard")
 
 
