@@ -176,6 +176,10 @@ ROTATION = [
     "t_repetition",
     "t_retrieval_eval",
     "t_span_corrupt",
+    # r11 late additions (registered + strict-green this round; never
+    # protocol-benched, so they join the rotation at land time)
+    "e_ann_recall",
+    "t_maxsim_topk",
 ]
 
 

@@ -1256,3 +1256,82 @@ def test_shard_plan_deterministic_uniform_and_census(spark):
         expect = hashlib.md5(",".join(ids).encode()).hexdigest()
         assert cen[s]["perm_md5"] == expect
         assert cen[s]["n_rows"] == len(ids)
+
+
+def test_e_ann_recall_histogram_consistency(spark):
+    """The in-plan recall histogram must equal the recall computed
+    set-wise from the two underlying queries it composes."""
+    exact = [
+        (r.vec_id, r.nbr)
+        for r in llm.QUERIES["e_cosine_topk"](spark, SF_DIR_CORRECTNESS).collect()
+    ]
+    approx = {
+        (r.vec_id, r.nbr)
+        for r in llm.QUERIES["e_ivf_ann"](spark, SF_DIR_CORRECTNESS).collect()
+    }
+    from collections import Counter
+
+    hits: Counter = Counter()
+    vecs = set()
+    for v, n in exact:
+        vecs.add(v)
+        if (v, n) in approx:
+            hits[v] += 1
+    expect = Counter(round(hits[v] / 5.0, 2) for v in vecs)
+    got = {
+        r.recall_at_5: r.n_queries
+        for r in llm.QUERIES["e_ann_recall"](spark, SF_DIR_CORRECTNESS).collect()
+    }
+    assert got == dict(expect)
+    assert sum(got.values()) == len(vecs)
+
+
+def test_maxsim_matches_python_replica(spark):
+    """t_maxsim_topk vs an independent pure-Python MaxSim implementation
+    (hashlib embeddings, numpy-free) over the same parquet — catches any
+    divergence between engine md5/round semantics and the intended math."""
+    import math
+    import re
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF_DIR_CORRECTNESS}/documents.parquet").to_pydict()
+    qvecs = [
+        [llm._msim_qvec(t) for t in q.split()] for q in llm._MSIM_QUERIES
+    ]
+    scores: dict[int, list[float]] = {}
+    for doc_id, text in zip(tbl["doc_id"], tbl["text"]):
+        toks = sorted(set(re.findall(r"[a-z0-9]+", text.lower())))
+        if not toks:
+            continue
+        dvs = [llm._msim_qvec(t) for t in toks]  # same family as doc side
+        per_q = []
+        for qts in qvecs:
+            total = 0.0
+            for qv in qts:
+                nqq = sum(c * c for c in qv)
+                best = None
+                for dv in dvs:
+                    naa = sum(c * c for c in dv)
+                    if naa > 0:
+                        cos = round(
+                            sum(a * b for a, b in zip(dv, qv))
+                            / (math.sqrt(naa) * math.sqrt(nqq)),
+                            6,
+                        )
+                    else:
+                        cos = 0.0
+                    best = cos if best is None or cos > best else best
+                total = total + best
+            per_q.append(total)
+        scores[doc_id] = per_q
+    expect = set()
+    for qi in range(len(llm._MSIM_QUERIES)):
+        ranked = sorted(scores, key=lambda d: (-scores[d][qi], d))[: llm._MSIM_TOPK]
+        for rnk, d in enumerate(ranked, 1):
+            expect.add((qi, d, round(scores[d][qi], 6), rnk))
+    got = {
+        (r.qid, r.doc_id, round(r.score, 6), r.rnk)
+        for r in llm.QUERIES["t_maxsim_topk"](spark, SF_DIR_CORRECTNESS).collect()
+    }
+    assert got == expect

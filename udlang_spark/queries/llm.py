@@ -1914,9 +1914,10 @@ def e_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # routing replicates ivf_ann_topk: centroid cosine in the same op order
 # (dot / |q| / |c|, unrounded), member = rank-1 cell, probes = rank ≤ 6;
 # candidates = members of probed cells; in-cell top-k pruning is lossless
-# for the final per-query top-k, so the oracle ranks the full candidate set
-ORACLE_E_IVF_ANN = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+# for the final per-query top-k, so the oracle ranks the full candidate set.
+# Shared between ORACLE_E_IVF_ANN and ORACLE_E_ANN_RECALL (the recall eval
+# joins this exact IVF result against the brute-force exact top-k).
+_IVF_CTE = """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cent AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
   FROM e ORDER BY vec_id LIMIT 16
@@ -1947,11 +1948,81 @@ scored AS (
        ELSE 0.0 END
       AS cos_sim
   FROM cand c JOIN e ea ON c.vec_id = ea.vec_id JOIN e eb ON c.nbr = eb.vec_id
-)
-SELECT vec_id, nbr, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
-  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr) AS rnk
+),
+ivk AS (
+  SELECT vec_id, nbr, cos_sim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr) AS rnk
   FROM scored
-) WHERE rnk <= 5
+)"""
+
+ORACLE_E_IVF_ANN = f"""
+WITH {_IVF_CTE}
+SELECT vec_id, nbr, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM ivk WHERE rnk <= 5
+"""
+
+
+def e_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index quality eval: recall@5 of the IVF index (16 cells, 6
+    probes) against the brute-force exact top-5, entirely in-plan — the
+    acceptance gate every deployment runs before swapping an approximate
+    index into a retrieval path. Output is the recall distribution
+    (recall value → number of query vectors), deterministic because both
+    rankings use 6-decimal-rounded cosine with ascending-id tie-breaks.
+
+    Scale: the exact arm is the expensive one by definition (brute force
+    is the baseline being audited) — at 100 TB it runs over a SAMPLED
+    query set against the full corpus via the broadcast-guarded GEMM path
+    (cosine_topk refuses an over-sized neighbor matrix and names the
+    bucketed alternatives); the overlap join is keyed on (vec_id, nbr) —
+    linear in k·|queries| — and the histogram is a (k+1)-bucket agg.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    exact = similarity.cosine_topk(emb, "embedding", "vec_id", k=5).select(
+        "vec_id", "nbr"
+    )
+    approx = (
+        similarity.ivf_ann_topk(emb, "embedding", "vec_id", k=5, n_cells=16, n_probe=6)
+        .select("vec_id", "nbr")
+        .withColumn("hit", F.lit(1))
+    )
+    per = (
+        exact.join(approx, ["vec_id", "nbr"], "left")
+        .groupBy("vec_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"))
+    )
+    return (
+        per.groupBy(F.round(F.col("n_hit") / F.lit(5.0), 2).alias("recall_at_5"))
+        .agg(F.count(F.lit(1)).alias("n_queries"))
+        .orderBy("recall_at_5")
+    )
+
+
+ORACLE_E_ANN_RECALL = f"""
+WITH {_IVF_CTE},
+bf AS (
+  SELECT vec_id, nbr FROM (
+    SELECT vec_id, nbr,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr) AS rk
+    FROM (
+      SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+        CASE WHEN list_dot_product(a.v, a.v) > 0 AND list_dot_product(b.v, b.v) > 0
+           THEN round(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+           ELSE 0.0 END
+          AS cos_sim
+      FROM e a, e b WHERE a.vec_id <> b.vec_id
+    )
+  ) WHERE rk <= 5
+),
+iv AS (SELECT vec_id, nbr FROM ivk WHERE rnk <= 5),
+per AS (
+  SELECT x.vec_id,
+         sum(CASE WHEN i.nbr IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM bf x LEFT JOIN iv i ON x.vec_id = i.vec_id AND x.nbr = i.nbr
+  GROUP BY x.vec_id
+)
+SELECT round(n_hit / 5.0, 2) AS recall_at_5, count(*) AS n_queries
+FROM per GROUP BY recall_at_5 ORDER BY recall_at_5
 """
 
 
@@ -4467,6 +4538,136 @@ FROM fused
 )
 
 
+# ---------------------------------------------------------------------------
+# late-interaction retrieval (MaxSim): score(q, d) = Σ_{qt∈q} max_{dt∈d}
+# cos(emb(qt), emb(dt)) — the ColBERT scoring rule, here over deterministic
+# md5-hash token embeddings (the container has no model; the Spark-side
+# plumbing — per-token scoring, per-doc max-pool, per-query top-k — is the
+# real artifact, exactly like the LSH plane matrices in _plane_matrix).
+# ---------------------------------------------------------------------------
+
+_MSIM_QUERIES = ("fast hash join", "window agg stream", "sort merge table scan")
+_MSIM_DIMS = 8
+_MSIM_TOPK = 10
+
+
+def _msim_qvec(tok: str) -> list[int]:
+    """Query-token embedding, derived driver-side: same md5 integer family
+    the engines compute for doc tokens (md5 is md5 — hashlib, Spark, and
+    DuckDB agree byte-for-byte on 'msim:<tok>:<dim>')."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"msim:{tok}:{d}".encode()).hexdigest()[:15], 16) % 2001
+        - 1000
+        for d in range(_MSIM_DIMS)
+    ]
+
+
+def t_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (MaxSim) top-10 per query: token-level query/doc
+    interaction — each query token picks its best-matching doc token, the
+    per-token maxima sum to the doc score (ColBERT's scoring rule; finer
+    than one-vector cosine, cheaper than cross-attention).
+
+    Scale shape: doc tokens are per-doc DISTINCT (max-pooling is
+    duplicate-invariant, so dup tokens are dropped at the scan); the query
+    side is a FIXED literal set, so every per-(query-token) cosine is a
+    pure codegen column over the (doc, tok) relation — no query×doc join,
+    no explode beyond the token relation, ONE groupBy(doc) max-pool
+    shuffle, and a per-query top-k window over |Q| partitions. With a
+    learned vocab the embedding lookup becomes a broadcast dictionary
+    join against (tok → vector); everything downstream is unchanged.
+
+    Determinism: integer token components (md5 mod 2001 − 1000), exact
+    int64 dots, cosine rounded to 6 decimals before the max-pool (max is
+    order-invariant), and the final score is a fixed-arity left-to-right
+    sum of the per-token maxima — written in the same association order in
+    both engines, hence bit-identical.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_WORDS))).alias("tok")
+    )
+    comp = [
+        f"(CAST(conv(substring(md5(concat('msim:', tok, ':{d}')), 1, 15), 16, 10)"
+        f" AS BIGINT) % 2001 - 1000)"
+        for d in range(_MSIM_DIMS)
+    ]
+    row = toks.select(
+        "doc_id", *[F.expr(e).alias(f"a{d}") for d, e in enumerate(comp)]
+    )
+    naa = " + ".join(f"a{d} * a{d}" for d in range(_MSIM_DIMS))
+    cos_cols, agg_cols, score_exprs = [], [], []
+    for qi, q in enumerate(_MSIM_QUERIES):
+        terms = q.split()
+        for j, qt in enumerate(terms):
+            qv = _msim_qvec(qt)
+            dot = " + ".join(f"a{d} * ({qv[d]})" for d in range(_MSIM_DIMS))
+            nqq = sum(c * c for c in qv)
+            cos_cols.append(
+                F.expr(
+                    f"CASE WHEN ({naa}) > 0 THEN round(({dot}) / "
+                    f"(sqrt({naa}) * sqrt({nqq})), 6) ELSE 0.0 END"
+                ).alias(f"c{qi}_{j}")
+            )
+            agg_cols.append(F.max(f"c{qi}_{j}").alias(f"m{qi}_{j}"))
+        score_exprs.append(
+            "(" + " + ".join(f"m{qi}_{j}" for j in range(len(terms))) + ")"
+        )
+    m = row.select("doc_id", *cos_cols).groupBy("doc_id").agg(*agg_cols)
+    stack = ", ".join(f"{qi}, {se}" for qi, se in enumerate(score_exprs))
+    s = m.selectExpr(
+        "doc_id", f"stack({len(_MSIM_QUERIES)}, {stack}) AS (qid, score)"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        s.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _MSIM_TOPK)
+        .select("qid", "doc_id", "score", "rnk")
+    )
+
+
+def _maxsim_oracle() -> str:
+    comp = ", ".join(
+        f"CAST(CAST(concat('0x', substr(md5('msim:' || tok || ':{d}'), 1, 15))"
+        f" AS UBIGINT) % 2001 AS BIGINT) - 1000 AS a{d}"
+        for d in range(_MSIM_DIMS)
+    )
+    naa = " + ".join(f"a{d} * a{d}" for d in range(_MSIM_DIMS))
+    cos_cols, max_cols, score_rows = [], [], []
+    for qi, q in enumerate(_MSIM_QUERIES):
+        terms = q.split()
+        for j, qt in enumerate(terms):
+            qv = _msim_qvec(qt)
+            dot = " + ".join(f"a{d} * ({qv[d]})" for d in range(_MSIM_DIMS))
+            nqq = sum(c * c for c in qv)
+            cos_cols.append(
+                f"CASE WHEN ({naa}) > 0 THEN round(({dot}) / "
+                f"(sqrt({naa}) * sqrt({nqq})), 6) ELSE 0.0 END AS c{qi}_{j}"
+            )
+            max_cols.append(f"max(c{qi}_{j}) AS m{qi}_{j}")
+        ssum = " + ".join(f"m{qi}_{j}" for j in range(len(terms)))
+        score_rows.append(f"SELECT doc_id, {qi} AS qid, ({ssum}) AS score FROM m")
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_distinct({_WORDS_DUCK})) AS tok FROM documents
+),
+v AS (SELECT doc_id, {comp} FROM t),
+c AS (SELECT doc_id, {", ".join(cos_cols)} FROM v),
+m AS (SELECT doc_id, {", ".join(max_cols)} FROM c GROUP BY doc_id),
+s AS ({" UNION ALL ".join(score_rows)})
+SELECT CAST(qid AS INTEGER) AS qid, doc_id, score, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+  FROM s
+) WHERE rnk <= {_MSIM_TOPK}
+"""
+
+
+ORACLE_T_MAXSIM = _maxsim_oracle()
+
+
 def d_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/valid/test split: every near-dup CLUSTER lands
     wholly in one split, so no eval document has a training near-duplicate
@@ -4818,6 +5019,7 @@ QUERIES = {
     "t_pii_scrub": t_pii_scrub,
     "t_bm25_topk": t_bm25_topk,
     "t_hybrid_rrf": t_hybrid_rrf,
+    "t_maxsim_topk": t_maxsim_topk,
     "d_split_leakage": d_split_leakage,
     "t_domain_mix": t_domain_mix,
     "t_shard_plan": t_shard_plan,
@@ -4840,6 +5042,7 @@ QUERIES = {
     "e_near_dups_lsh": e_near_dups_lsh,
     "e_ann_lsh": e_ann_lsh,
     "e_ivf_ann": e_ivf_ann,
+    "e_ann_recall": e_ann_recall,
     "e_random_proj": e_random_proj,
     "e_mmr_rerank": e_mmr_rerank,
     "e_pq_encode": e_pq_encode,
@@ -4896,6 +5099,7 @@ ORACLE = {
     "t_pii_scrub": ORACLE_PII_SCRUB,
     "t_bm25_topk": ORACLE_BM25,
     "t_hybrid_rrf": ORACLE_HYBRID_RRF,
+    "t_maxsim_topk": ORACLE_T_MAXSIM,
     "d_split_leakage": ORACLE_SPLIT_LEAKAGE,
     "t_domain_mix": ORACLE_DOMAIN_MIX,
     "t_shard_plan": ORACLE_SHARD_PLAN,
@@ -4933,6 +5137,7 @@ ORACLE = {
     "e_near_dups_lsh": ORACLE_E_NEAR_DUPS_LSH,
     "e_ann_lsh": ORACLE_E_ANN_LSH,
     "e_ivf_ann": ORACLE_E_IVF_ANN,
+    "e_ann_recall": ORACLE_E_ANN_RECALL,
     "e_random_proj": ORACLE_E_RANDOM_PROJ,
     "e_mmr_rerank": ORACLE_E_MMR_RERANK,
     "e_pq_encode": ORACLE_E_PQ_ENCODE,
