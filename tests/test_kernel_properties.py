@@ -1975,3 +1975,149 @@ def test_compiled_equals_interp_on_map_access(
         key=lambda t: (t[0] is None, t[0]),
     )
     assert compiled == expect
+
+
+# ---------------------------------------------------------------------------
+# Round-11 fuzz family (second): the subjunctive. `suppose(p(in)) { ... }`
+# captures the delegate's outs, replays them at each `...;`, and falls to
+# the else-leaf when the delegate emitted nothing (reference src/ir.rs:
+# 900-924, src/vm.rs:583-638). Fuzzes: 0-2 conditional delegate outs, a
+# branch mixing literal outs with 0-3 replays, an optional NESTED suppose
+# inside the branch (capture-stack discipline: the inner `...;` must
+# replay the INNER delegate's outs only, and the inner delegate's outs
+# must not leak into the outer capture), and the empty-capture leaf path.
+# Order-sensitive comparison: compiled (posexplode pos) == interp == a
+# direct Python model of the semantics.
+# ---------------------------------------------------------------------------
+def _suppose_source(douts, qouts, branch_items, leaf_lits):
+    def proc_src(name, outs):
+        lines = []
+        for kind, t, c in outs:
+            expr = f"v * {c}" if kind == "mul" else f"v + {c}"
+            lines.append(f"  if (v > {t}) {{ out {expr}; }}")
+        body = "\n".join(lines) if lines else "  let _u = 0;"
+        return f"proc {name}(v: Int) {{\n{body}\n}}\n"
+
+    def item_src(it):
+        if it[0] == "lit":
+            return f"  out {it[1]};"
+        if it[0] == "cap":
+            return "  ...;"
+        inner_items = "\n  ".join(item_src(j).strip() for j in it[1])
+        inner_leaf = "\n  ".join(f"out {n};" for n in it[2]) or "let _u = 0;"
+        return (
+            "  suppose(q(in)) {\n  "
+            + inner_items
+            + "\n  } else {\n  "
+            + inner_leaf
+            + "\n  }"
+        )
+
+    branch = "\n".join(item_src(it) for it in branch_items)
+    leaf = "\n".join(f"  out {n};" for n in leaf_lits) or "  let _u = 0;"
+    return (
+        'version 0.1-pre_mvp;\nscript "supposefuzz";\n'
+        "input Int;\noutput Int;\n"
+        + proc_src("p", douts)
+        + proc_src("q", qouts)
+        + f"suppose(p(in)) {{\n{branch}\n}} else {{\n{leaf}\n}}\n"
+    )
+
+
+def _suppose_expected(v, douts, qouts, branch_items, leaf_lits):
+    def caps_of(outs):
+        res = []
+        for kind, t, c in outs:
+            if v > t:
+                res.append(v * c if kind == "mul" else v + c)
+        return res
+
+    caps = caps_of(douts)
+    if not caps:
+        return list(leaf_lits)
+    out: list = []
+    for it in branch_items:
+        if it[0] == "lit":
+            out.append(it[1])
+        elif it[0] == "cap":
+            out.extend(caps)
+        else:
+            icaps = caps_of(qouts)
+            if icaps:
+                for j in it[1]:
+                    if j[0] == "lit":
+                        out.append(j[1])
+                    else:
+                        out.extend(icaps)
+            else:
+                out.extend(it[2])
+    return out
+
+
+_DOUT = st.tuples(
+    st.sampled_from(["mul", "add"]),
+    st.integers(min_value=-3, max_value=3),
+    st.integers(min_value=1, max_value=5),
+)
+_FLAT_ITEM = st.one_of(
+    st.integers(min_value=-9, max_value=9).map(lambda n: ("lit", n)),
+    st.just(("cap",)),
+)
+
+
+@given(
+    douts=st.lists(_DOUT, max_size=2),
+    qouts=st.lists(_DOUT, max_size=2),
+    flat_items=st.lists(_FLAT_ITEM, min_size=1, max_size=4),
+    nest_inner=st.one_of(
+        st.none(),
+        st.tuples(
+            st.lists(_FLAT_ITEM, min_size=1, max_size=3),
+            st.lists(st.integers(min_value=-9, max_value=9), max_size=2),
+            st.integers(min_value=0, max_value=4),
+        ),
+    ),
+    leaf_lits=st.lists(st.integers(min_value=-9, max_value=9), max_size=2),
+    inputs=st.lists(
+        st.integers(min_value=-5, max_value=5), min_size=1, max_size=3,
+        unique=True,
+    ),
+)
+@settings(
+    max_examples=50,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_compiled_equals_interp_on_suppose(
+    spark, douts, qouts, flat_items, nest_inner, leaf_lits, inputs
+):
+    from udlang_spark.kernel.api import compile_kernel
+    from udlang_spark.kernel.interp import Interp
+    from udlang_spark.kernel.parser import parse
+
+    branch_items = list(flat_items)
+    if nest_inner is not None:
+        inner_items, inner_leaf, pos = nest_inner
+        branch_items.insert(
+            min(pos, len(branch_items)), ("nest", inner_items, inner_leaf)
+        )
+    src = _suppose_source(douts, qouts, branch_items, leaf_lits)
+    prog = parse(src)
+    expect = {
+        v: _suppose_expected(v, douts, qouts, branch_items, leaf_lits)
+        for v in inputs
+    }
+    interp = Interp(prog)
+    for v in inputs:
+        assert list(interp.run(v)) == expect[v], f"interp diverged at in={v}"
+    df = spark.createDataFrame(
+        list(enumerate(inputs)), "rid long, value long"
+    )
+    got = compile_kernel(src).apply(
+        df, input_col="value", keep=("rid",), with_pos=True
+    ).collect()
+    by_rid: dict = {i: [] for i in range(len(inputs))}
+    for r in sorted(got, key=lambda r: (r.rid, r.pos)):
+        by_rid[r.rid].append(r.out)
+    for i, v in enumerate(inputs):
+        assert by_rid[i] == expect[v], f"compiled diverged at in={v}"

@@ -86,6 +86,9 @@ class Interp:
         self.program = program
         self.max_steps = max_steps
         self._steps = 0
+        # active suppose-capture buffer (reference src/vm.rs:355 capture
+        # stack top): `...;` replays it; None outside any suppose branch
+        self._active_caps: list | None = None
 
     def run(self, in_value) -> list:
         """Execute decls + body for one input record; returns outputs."""
@@ -194,6 +197,29 @@ class Interp:
                 self.eval(stmt.body, inner, in_value, outs)
         elif isinstance(stmt, ast.Throw):
             raise InterpThrow(str(self.eval(stmt.value, env, in_value, outs)))
+        elif isinstance(stmt, ast.Suppose):
+            # subjunctive (reference src/ir.rs:900-924, src/vm.rs:603-638):
+            # run the delegate with its outs redirected into a capture
+            # buffer; non-empty → run the branch with `...;` replaying the
+            # buffer, empty → run the leaf. The explicit outs threading IS
+            # the VM's capture stack: a nested suppose in the branch (or
+            # the delegate) allocates its own buffer recursively, so the
+            # inner `...;` replays the inner captures only.
+            caps: list = []
+            self.eval(stmt.delegate, env, in_value, caps)
+            if caps:
+                prev = self._active_caps
+                self._active_caps = caps
+                try:
+                    self.eval(stmt.branch, env, in_value, outs)
+                finally:
+                    self._active_caps = prev
+            else:
+                self.eval(stmt.leaf, env, in_value, outs)
+        elif isinstance(stmt, ast.EffectCapture):
+            if self._active_caps is None:
+                raise InterpError("`...;` outside a suppose branch")
+            outs.extend(self._active_caps)
         else:
             raise InterpError(f"unsupported statement in interp fallback: {type(stmt).__name__}")
 
