@@ -4575,9 +4575,19 @@ def t_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is a FIXED literal set, so every per-(query-token) cosine is a
     pure codegen column over the (doc, tok) relation — no query×doc join,
     no explode beyond the token relation, ONE groupBy(doc) max-pool
-    shuffle, and a per-query top-k window over |Q| partitions. With a
-    learned vocab the embedding lookup becomes a broadcast dictionary
-    join against (tok → vector); everything downstream is unchanged.
+    shuffle (map-side partial max, so the exchange carries ≤ n_docs rows
+    of (doc_id, |Q·terms| doubles)), and a per-query top-k window over
+    |Q| partitions (the hamming_topk shape: the windowed relation is the
+    REDUCED per-doc score relation, tiny rows, never the corpus text; for
+    >10⁹-doc corpora prepend a (qid, partition) partial top-k — measured
+    +1.3 s of pure stage overhead at sf0.1, so not the default). Shapes
+    measured and rejected at sf0.1: per-token HOF max-pool (transform/
+    array_max are interpreted, not codegen — 2× slower scan), persist +
+    per-query TakeOrderedAndProject (+1.5 s cache-stage overhead), and
+    un-persisted TakeOrdered branches (no ReusedExchange — triple scan).
+    With a learned vocab the embedding lookup becomes a broadcast
+    dictionary join against (tok → vector); everything downstream is
+    unchanged.
 
     Determinism: integer token components (md5 mod 2001 − 1000), exact
     int64 dots, cosine rounded to 6 decimals before the max-pool (max is
