@@ -1961,6 +1961,9 @@ SELECT vec_id, nbr, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM ivk WHERE rnk <= 5
 """
 
 
+_ANN_RECALL_PANEL = 500
+
+
 def e_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN index quality eval: recall@5 of the IVF index (16 cells, 6
     probes) against the brute-force exact top-5, entirely in-plan — the
@@ -1970,18 +1973,25 @@ def e_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rankings use 6-decimal-rounded cosine with ascending-id tie-breaks.
 
     Scale: the exact arm is the expensive one by definition (brute force
-    is the baseline being audited) — at 100 TB it runs over a SAMPLED
-    query set against the full corpus via the broadcast-guarded GEMM path
-    (cosine_topk refuses an over-sized neighbor matrix and names the
-    bucketed alternatives); the overlap join is keyed on (vec_id, nbr) —
-    linear in k·|queries| — and the histogram is a (k+1)-bucket agg.
+    is the baseline being audited), so the eval runs over a FIXED
+    deterministic query panel (vec_id < 500 — the production protocol:
+    recall is estimated on a bounded sample, never all-pairs; the 10×
+    scale stress is linear in the corpus because the panel does not
+    grow). At sf0.01 the panel IS the whole corpus, so the driver checks
+    full coverage. The panel's exact top-5 scans the full corpus through
+    the broadcast-guarded GEMM path (cosine_topk refuses an over-sized
+    neighbor matrix and names the bucketed alternatives); the overlap
+    join is keyed on (vec_id, nbr) — linear in k·|panel| — and the
+    histogram is a (k+1)-bucket agg.
     """
     emb = load_table(spark, "embeddings", sf_dir)
-    exact = similarity.cosine_topk(emb, "embedding", "vec_id", k=5).select(
-        "vec_id", "nbr"
-    )
+    panel = emb.filter(F.col("vec_id") < _ANN_RECALL_PANEL)
+    exact = similarity.cosine_topk(
+        panel, "embedding", "vec_id", k=5, candidates=emb
+    ).select("vec_id", "nbr")
     approx = (
         similarity.ivf_ann_topk(emb, "embedding", "vec_id", k=5, n_cells=16, n_probe=6)
+        .filter(F.col("vec_id") < _ANN_RECALL_PANEL)
         .select("vec_id", "nbr")
         .withColumn("hit", F.lit(1))
     )
@@ -2010,11 +2020,13 @@ bf AS (
                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
            ELSE 0.0 END
           AS cos_sim
-      FROM e a, e b WHERE a.vec_id <> b.vec_id
+      FROM e a, e b
+      WHERE a.vec_id <> b.vec_id AND a.vec_id < {_ANN_RECALL_PANEL}
     )
   ) WHERE rk <= 5
 ),
-iv AS (SELECT vec_id, nbr FROM ivk WHERE rnk <= 5),
+iv AS (SELECT vec_id, nbr FROM ivk
+       WHERE rnk <= 5 AND vec_id < {_ANN_RECALL_PANEL}),
 per AS (
   SELECT x.vec_id,
          sum(CASE WHEN i.nbr IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
