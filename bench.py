@@ -180,6 +180,7 @@ ROTATION = [
     # protocol-benched, so they join the rotation at land time)
     "e_ann_recall",
     "t_maxsim_topk",
+    "s_maxsim_stream",
 ]
 
 

@@ -122,11 +122,14 @@ _PRIORITY: list[str] = [
 ]
 # Round-11 late additions (registered AFTER the window above filled, same
 # pattern as t_shard_plan in r10): e_ann_recall (in-plan IVF recall@5 vs
-# brute-force eval) and t_maxsim_topk (ColBERT-style late-interaction
-# MaxSim top-k) — both strict-green at sf0.001/0.01/0.1 at land time, both
-# with independent pytest replicas. r12's window should lead with these
-# two, then the 6 deferred kernels (k_hello, k_simple, k_point, k_scopes,
-# k_count, k_lists) and the r8-stale block (see note above).
+# brute-force eval over a fixed 500-query panel), t_maxsim_topk
+# (ColBERT-style late-interaction MaxSim top-k), and s_maxsim_stream
+# (its stateless-ingest streaming twin, sharing ORACLE_T_MAXSIM
+# verbatim) — all strict-green at sf0.001/0.01/0.1 at land time, with
+# independent pytest replicas for the batch pair. r12's window should
+# lead with these three, then the 6 deferred kernels (k_hello, k_simple,
+# k_point, k_scopes, k_count, k_lists) and the r8-stale block (see note
+# above).
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50
 assert all(n in _ALL_QUERIES and n in ORACLE for n in _PRIORITY), [

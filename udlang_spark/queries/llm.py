@@ -4576,6 +4576,75 @@ def _msim_qvec(tok: str) -> list[int]:
     ]
 
 
+def _msim_terms():
+    """(qi, j, query-token vector) triples plus the per-query score
+    expressions over the max columns m{qi}_{j} (fixed-arity left-to-right
+    sums — the association order both engines share)."""
+    triples, score_exprs = [], []
+    for qi, q in enumerate(_MSIM_QUERIES):
+        ts = q.split()
+        for j, qt in enumerate(ts):
+            triples.append((qi, j, _msim_qvec(qt)))
+        score_exprs.append(
+            "(" + " + ".join(f"m{qi}_{j}" for j in range(len(ts))) + ")"
+        )
+    return triples, score_exprs
+
+
+def _msim_tvn_sql() -> str:
+    """Row-local token-vector array: array_distinct tokens -> 8 md5
+    integer components each, paired with the exact int64 self-dot."""
+    comps = ", ".join(
+        f"(CAST(conv(substring(md5(concat('msim:', t, ':{d}')), 1, 15), 16, 10)"
+        f" AS BIGINT) % 2001 - 1000)"
+        for d in range(_MSIM_DIMS)
+    )
+    vn = " + ".join(f"v[{d}] * v[{d}]" for d in range(_MSIM_DIMS))
+    return (
+        f"transform(transform(array_distinct({_WORDS}), t -> array({comps})), "
+        f"v -> named_struct('v', v, 'n', {vn}))"
+    )
+
+
+def _msim_hof_max_cols() -> list:
+    """Row-local (HOF) MaxSim maxima — the STREAMING form: transform +
+    array_max over the record's own token list is a pure per-record map,
+    so scoring runs unchanged on a readStream with no state. The HOF
+    lambdas are interpreted (not whole-stage codegen), ~2x the scan cost
+    of the batch explode+groupBy shape at sf0.1 — the price of
+    statelessness; batch t_maxsim_topk uses the codegen shape. Columns
+    reference a bound `tvn` array column (projection-level subexpression
+    elimination computes it once per row)."""
+    cols = []
+    for qi, j, qv in _msim_terms()[0]:
+        dot = " + ".join(f"x.v[{d}] * ({qv[d]})" for d in range(_MSIM_DIMS))
+        nqq = sum(c * c for c in qv)
+        cols.append(
+            F.expr(
+                f"array_max(transform(tvn, x -> "
+                f"CASE WHEN x.n > 0 THEN round(({dot}) / "
+                f"(sqrt(x.n) * sqrt({nqq})), 6) ELSE 0.0 END))"
+            ).alias(f"m{qi}_{j}")
+        )
+    return cols
+
+
+def _msim_topk_from_maxes(m: DataFrame) -> DataFrame:
+    """Per-query top-k over the reduced (doc_id, maxima) relation —
+    shared by the batch query and the streaming twin's drained read."""
+    _, score_exprs = _msim_terms()
+    stack = ", ".join(f"{qi}, {se}" for qi, se in enumerate(score_exprs))
+    s = m.selectExpr(
+        "doc_id", f"stack({len(_MSIM_QUERIES)}, {stack}) AS (qid, score)"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        s.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _MSIM_TOPK)
+        .select("qid", "doc_id", "score", "rnk")
+    )
+
+
 def t_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-interaction (MaxSim) top-10 per query: token-level query/doc
     interaction — each query token picks its best-matching doc token, the
@@ -4620,34 +4689,19 @@ def t_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", *[F.expr(e).alias(f"a{d}") for d, e in enumerate(comp)]
     )
     naa = " + ".join(f"a{d} * a{d}" for d in range(_MSIM_DIMS))
-    cos_cols, agg_cols, score_exprs = [], [], []
-    for qi, q in enumerate(_MSIM_QUERIES):
-        terms = q.split()
-        for j, qt in enumerate(terms):
-            qv = _msim_qvec(qt)
-            dot = " + ".join(f"a{d} * ({qv[d]})" for d in range(_MSIM_DIMS))
-            nqq = sum(c * c for c in qv)
-            cos_cols.append(
-                F.expr(
-                    f"CASE WHEN ({naa}) > 0 THEN round(({dot}) / "
-                    f"(sqrt({naa}) * sqrt({nqq})), 6) ELSE 0.0 END"
-                ).alias(f"c{qi}_{j}")
-            )
-            agg_cols.append(F.max(f"c{qi}_{j}").alias(f"m{qi}_{j}"))
-        score_exprs.append(
-            "(" + " + ".join(f"m{qi}_{j}" for j in range(len(terms))) + ")"
+    cos_cols, agg_cols = [], []
+    for qi, j, qv in _msim_terms()[0]:
+        dot = " + ".join(f"a{d} * ({qv[d]})" for d in range(_MSIM_DIMS))
+        nqq = sum(c * c for c in qv)
+        cos_cols.append(
+            F.expr(
+                f"CASE WHEN ({naa}) > 0 THEN round(({dot}) / "
+                f"(sqrt({naa}) * sqrt({nqq})), 6) ELSE 0.0 END"
+            ).alias(f"c{qi}_{j}")
         )
+        agg_cols.append(F.max(f"c{qi}_{j}").alias(f"m{qi}_{j}"))
     m = row.select("doc_id", *cos_cols).groupBy("doc_id").agg(*agg_cols)
-    stack = ", ".join(f"{qi}, {se}" for qi, se in enumerate(score_exprs))
-    s = m.selectExpr(
-        "doc_id", f"stack({len(_MSIM_QUERIES)}, {stack}) AS (qid, score)"
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (
-        s.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _MSIM_TOPK)
-        .select("qid", "doc_id", "score", "rnk")
-    )
+    return _msim_topk_from_maxes(m)
 
 
 def _maxsim_oracle() -> str:

@@ -854,6 +854,57 @@ def s_shard_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_census(layout, "doc_id").orderBy("shard")
 
 
+def s_maxsim_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction scoring at INGEST — the streaming twin of
+    t_maxsim_topk: the per-doc MaxSim maxima are computed by the row-local
+    HOF form (llm._msim_hof_max_cols — tokenize, per-query-token
+    max-cosine over the record's own token list), a pure per-record map
+    with NO state, so the scoring runs unchanged on a readStream; the
+    sink appends the reduced (doc_id, maxima) relation — the stored
+    scoring artifact a retrieval service maintains as documents arrive.
+    maxFilesPerTrigger=2 over the 4-file replay forces ≥2 micro-batches.
+    The checked output is the same per-query top-k over the drained
+    relation, so this query shares ORACLE_T_MAXSIM verbatim: a green row
+    proves stream scoring == batch scoring row-for-row through the real
+    exactly-once parquet sink."""
+    tmp = _replay_dir(
+        spark, sf_dir, table="documents", cols=("doc_id", "text"),
+        prefix="udlang_stream_msim",
+    )
+    doc_t = ast.TRecord(
+        (
+            ast.TRecordField("doc_id", ast.T_INT),
+            ast.TRecordField("text", ast.T_STR),
+        )
+    )
+    src = (
+        spark.readStream.schema(json_lift.input_schema(doc_t))
+        .option("mode", "FAILFAST")
+        .option("maxFilesPerTrigger", 2)
+        .json(tmp)
+    )
+    scored = (
+        src.select("doc_id", F.expr(_llm._msim_tvn_sql()).alias("tvn"))
+        .filter(F.expr("size(tvn) > 0"))
+        .select("doc_id", *_llm._msim_hof_max_cols())
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    target = os.path.join(tempfile.gettempdir(), f"udlang_msim_target_{tag}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"udlang_msim_ckpt_{tag}")
+    shutil.rmtree(target, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    runner.run_stream_to_parquet(scored, target, ckpt)
+    # explicit read schema (zero-row sources commit batches but write no
+    # data files — the s_shard_stream degenerate-sweep pin)
+    schema = "doc_id long, " + ", ".join(
+        f"{c} double"
+        for c in scored.columns
+        if c != "doc_id"
+    )
+    maxes = spark.read.schema(schema).parquet(target)
+    return _llm._msim_topk_from_maxes(maxes)
+
+
 QUERIES = {
     "s_kernel_stream": s_kernel_stream,
     "s_windowed_stream": s_windowed_stream,
@@ -872,6 +923,7 @@ QUERIES = {
     "s_interval_stream": s_interval_stream,
     "s_cdc_apply": s_cdc_apply,
     "s_shard_stream": s_shard_stream,
+    "s_maxsim_stream": s_maxsim_stream,
 }
 
 # Each query's drained result is a pure function of the event set (module
@@ -996,4 +1048,8 @@ ORACLE: dict[str, str] = {
     # census oracle pins the streaming path verbatim — including the full
     # within-shard permutation witness
     "s_shard_stream": _llm.ORACLE_SHARD_PLAN,
+    # the drained (doc_id, maxima) relation carries exactly the batch
+    # scoring (row-local md5 cosines), so the batch MaxSim oracle pins
+    # the streaming twin verbatim
+    "s_maxsim_stream": _llm.ORACLE_T_MAXSIM,
 }
