@@ -2121,3 +2121,141 @@ def test_compiled_equals_interp_on_suppose(
         by_rid[r.rid].append(r.out)
     for i, v in enumerate(inputs):
         assert by_rid[i] == expect[v], f"compiled diverged at in={v}"
+
+
+# ---------------------------------------------------------------------------
+# Round-11 fuzz family (third): attempt × suppose × throw. The transactional
+# guarantees compose: a throw inside the suppose DELEGATE aborts the capture
+# and reaches the enclosing attempt; a throw inside the BRANCH (possibly
+# after replays already ran) must still discard every out the attempt body
+# emitted; the recover value is the only emission on the aborted path; the
+# no-throw path keeps body outs ordered before the trailing-expression out.
+# Order-sensitive three-way compare: compiled == interp == Python model.
+# ---------------------------------------------------------------------------
+class _Boom(Exception):
+    def __init__(self, msg: str):
+        self.msg = msg
+
+
+def _as_source(dstmts, branch_items, leaf_lits, ret_mod):
+    dl = []
+    for it in dstmts:
+        if it[0] == "out_mul":
+            dl.append(f"  if (v > {it[1]}) {{ out v * {it[2]}; }}")
+        elif it[0] == "out_add":
+            dl.append(f"  if (v > {it[1]}) {{ out v + {it[2]}; }}")
+        else:
+            dl.append(f'  if (v > {it[1]}) {{ throw "{it[2]}"; }}')
+    body = "\n".join(dl) if dl else "  let _u = 0;"
+    bl = []
+    for it in branch_items:
+        if it[0] == "lit":
+            bl.append(f"    out {it[1]};")
+        elif it[0] == "cap":
+            bl.append("    ...;")
+        else:
+            bl.append(f'    if (in > {it[1]}) {{ throw "{it[2]}"; }}')
+    branch = "\n".join(bl) if bl else "    let _u = 0;"
+    leaf = "\n".join(f"    out {n};" for n in leaf_lits) or "    let _u = 0;"
+    return (
+        'version 0.1-pre_mvp;\nscript "attemptfuzz";\n'
+        "input Int;\noutput Int;\n"
+        f"proc p(v: Int) {{\n{body}\n}}\n"
+        "out attempt {\n"
+        f"  suppose(p(in)) {{\n{branch}\n  }} else {{\n{leaf}\n  }}\n"
+        f"  in % {ret_mod}\n"
+        "} recover (m) 0 - length(m);\n"
+    )
+
+
+def _as_expected(v, dstmts, branch_items, leaf_lits, ret_mod):
+    def delegate():
+        caps = []
+        for it in dstmts:
+            k = it[0]
+            if k == "out_mul" and v > it[1]:
+                caps.append(v * it[2])
+            elif k == "out_add" and v > it[1]:
+                caps.append(v + it[2])
+            elif k == "throw" and v > it[1]:
+                raise _Boom(it[2])
+        return caps
+
+    outs: list = []
+    try:
+        body: list = []
+        caps = delegate()
+        if caps:
+            for it in branch_items:
+                if it[0] == "lit":
+                    body.append(it[1])
+                elif it[0] == "cap":
+                    body.extend(caps)
+                elif v > it[1]:
+                    raise _Boom(it[2])
+        else:
+            body.extend(leaf_lits)
+        outs.extend(body)
+        outs.append(v % ret_mod)  # v >= 0: Python % == truncated mod
+    except _Boom as b:
+        outs.append(-len(b.msg))
+    return outs
+
+
+_AS_DSTMT = st.one_of(
+    st.tuples(st.just("out_mul"), st.integers(min_value=-2, max_value=4),
+              st.integers(min_value=1, max_value=5)),
+    st.tuples(st.just("out_add"), st.integers(min_value=-2, max_value=4),
+              st.integers(min_value=1, max_value=5)),
+    st.tuples(st.just("throw"), st.integers(min_value=0, max_value=5),
+              st.sampled_from(["bb", "cccc", "dddddd"])),
+)
+_AS_BITEM = st.one_of(
+    st.integers(min_value=-9, max_value=9).map(lambda n: ("lit", n)),
+    st.just(("cap",)),
+    st.tuples(st.just("throwif"), st.integers(min_value=0, max_value=5),
+              st.sampled_from(["z", "yyy", "xxxxx"])).map(
+        lambda t: ("throwif", t[1], t[2])
+    ),
+)
+
+
+@given(
+    dstmts=st.lists(_AS_DSTMT, max_size=3),
+    branch_items=st.lists(_AS_BITEM, min_size=1, max_size=4),
+    leaf_lits=st.lists(st.integers(min_value=-9, max_value=9), max_size=2),
+    ret_mod=st.integers(min_value=1, max_value=7),
+    inputs=st.lists(
+        st.integers(min_value=0, max_value=6), min_size=1, max_size=3,
+        unique=True,
+    ),
+)
+@settings(
+    max_examples=50,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_compiled_equals_interp_on_attempt_suppose(
+    spark, dstmts, branch_items, leaf_lits, ret_mod, inputs
+):
+    from udlang_spark.kernel.api import compile_kernel
+    from udlang_spark.kernel.interp import Interp
+    from udlang_spark.kernel.parser import parse
+
+    src = _as_source(dstmts, branch_items, leaf_lits, ret_mod)
+    expect = {
+        v: _as_expected(v, dstmts, branch_items, leaf_lits, ret_mod)
+        for v in inputs
+    }
+    interp = Interp(parse(src))
+    for v in inputs:
+        assert list(interp.run(v)) == expect[v], f"interp diverged at in={v}"
+    df = spark.createDataFrame(list(enumerate(inputs)), "rid long, value long")
+    got = compile_kernel(src).apply(
+        df, input_col="value", keep=("rid",), with_pos=True
+    ).collect()
+    by_rid: dict = {i: [] for i in range(len(inputs))}
+    for r in sorted(got, key=lambda r: (r.rid, r.pos)):
+        by_rid[r.rid].append(r.out)
+    for i, v in enumerate(inputs):
+        assert by_rid[i] == expect[v], f"compiled diverged at in={v}"
