@@ -127,6 +127,10 @@ HEADLINE = [
     "d_span_scrub_maximal",
     # round-10 addition
     "t_shard_plan",
+    # round-11 additions (the streaming twin s_maxsim_stream rides the
+    # rotation, like s_shard_stream)
+    "e_ann_recall",
+    "t_maxsim_topk",
 ]
 
 # Rotating wall-clock coverage for the registered queries not in HEADLINE
@@ -176,10 +180,8 @@ ROTATION = [
     "t_repetition",
     "t_retrieval_eval",
     "t_span_corrupt",
-    # r11 late additions (registered + strict-green this round; never
-    # protocol-benched, so they join the rotation at land time)
-    "e_ann_recall",
-    "t_maxsim_topk",
+    # r11 late addition (streaming twin; the batch pair e_ann_recall /
+    # t_maxsim_topk joined HEADLINE per the round-additions convention)
     "s_maxsim_stream",
 ]
 
