@@ -4566,13 +4566,15 @@ _MSIM_TOPK = 10
 def _msim_qvec(tok: str) -> list[int]:
     """Query-token embedding, derived driver-side: same md5 integer family
     the engines compute for doc tokens (md5 is md5 — hashlib, Spark, and
-    DuckDB agree byte-for-byte on 'msim:<tok>:<dim>')."""
+    DuckDB agree byte-for-byte on 'msim:<tok>'). ONE digest per token:
+    the 8 components are disjoint 16-bit hex windows of the single md5 —
+    8× less hashing than a per-(token, dim) digest, and at 100 TB the
+    hash is the scan's dominant CPU term."""
     import hashlib
 
+    h = hashlib.md5(f"msim:{tok}".encode()).hexdigest()
     return [
-        int(hashlib.md5(f"msim:{tok}:{d}".encode()).hexdigest()[:15], 16) % 2001
-        - 1000
-        for d in range(_MSIM_DIMS)
+        int(h[4 * d : 4 * d + 4], 16) % 2001 - 1000 for d in range(_MSIM_DIMS)
     ]
 
 
@@ -4595,13 +4597,14 @@ def _msim_tvn_sql() -> str:
     """Row-local token-vector array: array_distinct tokens -> 8 md5
     integer components each, paired with the exact int64 self-dot."""
     comps = ", ".join(
-        f"(CAST(conv(substring(md5(concat('msim:', t, ':{d}')), 1, 15), 16, 10)"
+        f"(CAST(conv(substring(h, {1 + 4 * d}, 4), 16, 10)"
         f" AS BIGINT) % 2001 - 1000)"
         for d in range(_MSIM_DIMS)
     )
     vn = " + ".join(f"v[{d}] * v[{d}]" for d in range(_MSIM_DIMS))
     return (
-        f"transform(transform(array_distinct({_WORDS}), t -> array({comps})), "
+        f"transform(transform(transform(array_distinct({_WORDS}), "
+        f"t -> md5(concat('msim:', t))), h -> array({comps})), "
         f"v -> named_struct('v', v, 'n', {vn}))"
     )
 
@@ -4681,13 +4684,13 @@ def t_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array_distinct(F.expr(_WORDS))).alias("tok")
     )
     comp = [
-        f"(CAST(conv(substring(md5(concat('msim:', tok, ':{d}')), 1, 15), 16, 10)"
+        f"(CAST(conv(substring(h, {1 + 4 * d}, 4), 16, 10)"
         f" AS BIGINT) % 2001 - 1000)"
         for d in range(_MSIM_DIMS)
     ]
     row = toks.select(
-        "doc_id", *[F.expr(e).alias(f"a{d}") for d, e in enumerate(comp)]
-    )
+        "doc_id", F.expr("md5(concat('msim:', tok))").alias("h")
+    ).select("doc_id", *[F.expr(e).alias(f"a{d}") for d, e in enumerate(comp)])
     naa = " + ".join(f"a{d} * a{d}" for d in range(_MSIM_DIMS))
     cos_cols, agg_cols = [], []
     for qi, j, qv in _msim_terms()[0]:
@@ -4706,7 +4709,7 @@ def t_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _maxsim_oracle() -> str:
     comp = ", ".join(
-        f"CAST(CAST(concat('0x', substr(md5('msim:' || tok || ':{d}'), 1, 15))"
+        f"CAST(CAST(concat('0x', substr(h, {1 + 4 * d}, 4))"
         f" AS UBIGINT) % 2001 AS BIGINT) - 1000 AS a{d}"
         for d in range(_MSIM_DIMS)
     )
@@ -4727,7 +4730,8 @@ def _maxsim_oracle() -> str:
         score_rows.append(f"SELECT doc_id, {qi} AS qid, ({ssum}) AS score FROM m")
     return f"""
 WITH t AS (
-  SELECT doc_id, unnest(list_distinct({_WORDS_DUCK})) AS tok FROM documents
+  SELECT doc_id, md5('msim:' || unnest(list_distinct({_WORDS_DUCK}))) AS h
+  FROM documents
 ),
 v AS (SELECT doc_id, {comp} FROM t),
 c AS (SELECT doc_id, {", ".join(cos_cols)} FROM v),
