@@ -1335,3 +1335,13 @@ def test_maxsim_matches_python_replica(spark):
         for r in llm.QUERIES["t_maxsim_topk"](spark, SF_DIR_CORRECTNESS).collect()
     }
     assert got == expect
+
+
+def test_msim_embedding_golden_pin():
+    """The MaxSim token-embedding derivation is a STORAGE contract: the
+    streaming twin persists (doc_id, maxima) parquet, so a silent change
+    to the digest/window scheme would make old artifacts disagree with
+    new queries. Golden values pin the exact derivation (one md5 per
+    token, 8 disjoint 16-bit hex windows, % 2001 - 1000)."""
+    assert llm._msim_qvec("hash") == [591, 50, 518, -833, 366, -769, -193, -312]
+    assert llm._msim_qvec("join") == [350, 6, 658, 107, -305, 609, -723, -562]
