@@ -2259,3 +2259,77 @@ def test_compiled_equals_interp_on_attempt_suppose(
         by_rid[r.rid].append(r.out)
     for i, v in enumerate(inputs):
         assert by_rid[i] == expect[v], f"compiled diverged at in={v}"
+
+
+# ---------------------------------------------------------------------------
+# Round-12 parity pins (r11 ADVICE): `...;` resolves LEXICALLY on both
+# execution paths. The r11 subjunctive fuzz family only placed `...;`
+# textually inside the branch; these pins place it behind a CALL boundary.
+# A callee defined OUTSIDE the branch must be rejected by both paths (the
+# interp used to resolve `...` dynamically and would silently replay the
+# caller's captures); a closure defined INSIDE the branch captures the
+# replay list with its environment and works on both paths.
+# ---------------------------------------------------------------------------
+_CAP_OUTSIDE_SRC = (
+    'version 0.1-pre_mvp;\nscript "capboundary";\n'
+    "input Int;\noutput Int;\n"
+    "proc p(v: Int) {\n  if (v > 0) { out v * 2; }\n}\n"
+    "proc r(v: Int) {\n  ...;\n  out v;\n}\n"
+    "suppose(p(in)) {\n  r(in);\n} else {\n  out -1;\n}\n"
+)
+
+
+def test_effect_capture_rejected_across_proc_boundary(spark):
+    """A `...;` inside a proc defined OUTSIDE the suppose branch is an
+    error on BOTH paths — never a silent replay of the dynamically
+    active captures (r11 ADVICE #1)."""
+    from udlang_spark.kernel.api import compile_kernel
+    from udlang_spark.kernel.compiler import KernelCompileError
+    from udlang_spark.kernel.interp import Interp, InterpError
+    from udlang_spark.kernel.parser import parse
+
+    df = spark.createDataFrame([(3,)], "value long")
+    with pytest.raises(KernelCompileError, match="suppose"):
+        # Column compilation is lazy — apply() triggers it
+        compile_kernel(_CAP_OUTSIDE_SRC).apply(df, input_col="value")
+    interp = Interp(parse(_CAP_OUTSIDE_SRC))
+    with pytest.raises(InterpError, match="suppose"):
+        interp.run(3)
+
+
+def test_effect_capture_lexical_in_branch_closure(spark):
+    """A closure defined INSIDE the branch captures `...` lexically:
+    invoking it (even twice) replays the branch's captures on both
+    paths, in order."""
+    from udlang_spark.kernel.api import compile_kernel
+    from udlang_spark.kernel.interp import Interp
+    from udlang_spark.kernel.parser import parse
+
+    src = (
+        'version 0.1-pre_mvp;\nscript "caplexical";\n'
+        "input Int;\noutput Int;\n"
+        "proc p(v: Int) {\n  if (v > 0) { out v * 2; out v + 1; }\n}\n"
+        "suppose(p(in)) {\n"
+        "  let f = (x: Int) => { ...; out x; x };\n"
+        "  let _a = f(10);\n"
+        "  let _b = f(20);\n"
+        "} else {\n  out -1;\n}\n"
+    )
+    expect = {
+        3: [6, 4, 10, 6, 4, 20],  # two replays of [6, 4] + the two outs
+        -2: [-1],
+    }
+    interp = Interp(parse(src))
+    for v, want in expect.items():
+        assert list(interp.run(v)) == want, f"interp diverged at in={v}"
+    df = spark.createDataFrame(
+        list(enumerate(expect)), "rid long, value long"
+    )
+    got = compile_kernel(src).apply(
+        df, input_col="value", keep=("rid",), with_pos=True
+    ).collect()
+    by_rid: dict = {i: [] for i in range(len(expect))}
+    for r in sorted(got, key=lambda r: (r.rid, r.pos)):
+        by_rid[r.rid].append(r.out)
+    for i, v in enumerate(expect):
+        assert by_rid[i] == expect[v], f"compiled diverged at in={v}"

@@ -86,9 +86,6 @@ class Interp:
         self.program = program
         self.max_steps = max_steps
         self._steps = 0
-        # active suppose-capture buffer (reference src/vm.rs:355 capture
-        # stack top): `...;` replays it; None outside any suppose branch
-        self._active_caps: list | None = None
 
     def run(self, in_value) -> list:
         """Execute decls + body for one input record; returns outputs."""
@@ -208,18 +205,22 @@ class Interp:
             caps: list = []
             self.eval(stmt.delegate, env, in_value, caps)
             if caps:
-                prev = self._active_caps
-                self._active_caps = caps
-                try:
-                    self.eval(stmt.branch, env, in_value, outs)
-                finally:
-                    self._active_caps = prev
+                # the capture list binds LEXICALLY into the branch scope
+                # (same rule as the compiler's `branch_env["..."] = cand`):
+                # a closure defined inside the branch captures it with its
+                # env; a proc defined OUTSIDE the branch does not see it,
+                # so a `...;` in such a proc body is rejected on both
+                # execution paths instead of silently replaying whatever
+                # suppose happens to be dynamically active (r11 ADVICE).
+                branch_env = dict(env)
+                branch_env["..."] = caps
+                self.eval(stmt.branch, branch_env, in_value, outs)
             else:
                 self.eval(stmt.leaf, env, in_value, outs)
         elif isinstance(stmt, ast.EffectCapture):
-            if self._active_caps is None:
+            if "..." not in env:
                 raise InterpError("`...;` outside a suppose branch")
-            outs.extend(self._active_caps)
+            outs.extend(env["..."])
         else:
             raise InterpError(f"unsupported statement in interp fallback: {type(stmt).__name__}")
 
