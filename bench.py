@@ -131,6 +131,11 @@ HEADLINE = [
     # rotation, like s_shard_stream)
     "e_ann_recall",
     "t_maxsim_topk",
+    # round-12 additions (both real-work on the DuckDB side per r11
+    # VERDICT #3: the vocab dictionary join re-derives the full scored
+    # vocabulary, the IVF-PQ recall oracle brute-forces a 500-query panel)
+    "t_maxsim_vocab",
+    "e_ivfpq_recall",
 ]
 
 # Rotating wall-clock coverage for the registered queries not in HEADLINE
@@ -145,44 +150,41 @@ HEADLINE = [
 # t_domain_mix/t_lift_bigrams/t_repetition/t_retrieval_eval/
 # t_span_corrupt) — that is the r11 rotation.
 ROTATION = [
-    # r11: the 29 never-protocol-benched (computed from
-    # artifacts/BENCH_r*_local*.json keys — q52/q54..q69 gaps, the s_*
-    # streaming block, the tokenization/text family, plus the new
-    # s_shard_stream), + k_tower pinned per r10 VERDICT #2 (the janino
-    # codegen fix needs a compiled-speed protocol row).
-    "k_tower",
-    "q52_retention",
-    "q54_pattern_match",
-    "q55_user_ema",
-    "q56_nation_trade_volume",
-    "q57_product_profit",
-    "q59_promo_effect",
-    "q60_top_supplier",
-    "q61_large_volume_customers",
-    "q63_running_distinct",
-    "q65_snapshot_diff",
-    "q66_salted_join",
-    "q69_udtf",
-    "s_cms_stream",
-    "s_dedup_stream",
-    "s_enrich_stream",
-    "s_hll_stream",
-    "s_neardup_stream",
-    "s_quantile_stream",
-    "s_shard_stream",
-    "s_stateful_totals",
-    "s_stream_join",
-    "s_windowed_stream",
-    "t_bpe_learn",
-    "t_dedup_words",
-    "t_domain_mix",
-    "t_lift_bigrams",
-    "t_repetition",
-    "t_retrieval_eval",
-    "t_span_corrupt",
-    # r11 late addition (streaming twin; the batch pair e_ann_recall /
-    # t_maxsim_topk joined HEADLINE per the round-additions convention)
-    "s_maxsim_stream",
+    # r12: every registered query now has at least one protocol row
+    # (the r11 rotation closed the never-benched tail), so the rotation
+    # becomes pure staleness-cycling: the 30 STALEST-benched non-headline
+    # queries (computed from artifacts/BENCH_r*_local*.json keys — the 20
+    # whose last protocol row is r8, then the 10 oldest r9 rows).
+    "d_dedup_corpus",
+    "d_exact_dedup",
+    "d_ngram_jaccard",
+    "e_near_dups",
+    "e_pagerank",
+    "e_semdedup",
+    "k_builtins",
+    "k_match_lit",
+    "k_modules",
+    "k_spread",
+    "q04_order_priority",
+    "q21_range_join",
+    "q51_transitions",
+    "s_cdc_apply",
+    "s_kernel_stream",
+    "s_session_stream",
+    "t_heavy_hitters",
+    "t_langid",
+    "t_rarity",
+    "t_token_stats",
+    "d_dedup_keeper",
+    "d_fingerprint",
+    "d_split_leakage",
+    "e_ann_lsh",
+    "e_kmeans",
+    "k_attempt",
+    "k_cast",
+    "k_comprehension",
+    "k_count_interp",
+    "k_fact",
 ]
 
 

@@ -1345,3 +1345,66 @@ def test_msim_embedding_golden_pin():
     token, 8 disjoint 16-bit hex windows, % 2001 - 1000)."""
     assert llm._msim_qvec("hash") == [591, 50, 518, -833, 366, -769, -193, -312]
     assert llm._msim_qvec("join") == [350, 6, 658, 107, -305, 609, -723, -562]
+
+
+def test_e_ivfpq_recall_arms(spark):
+    """Both arms cover the same panel, and exact rerank can only improve
+    on raw ADC recall (it re-scores a SUPERSET of the ADC top-5 with the
+    exact metric) — pinned on the deterministic fixture."""
+    rows = llm.QUERIES["e_ivfpq_recall"](spark, SF_DIR_CORRECTNESS).collect()
+    arms: dict[str, dict[float, int]] = {}
+    for r in rows:
+        arms.setdefault(r.arm, {})[r.recall_at_5] = r.n_queries
+    assert set(arms) == {"adc", "rerank"}
+    n_adc = sum(arms["adc"].values())
+    n_rr = sum(arms["rerank"].values())
+    assert n_adc == n_rr > 0
+
+    def mean(h: dict[float, int]) -> float:
+        return sum(k * v for k, v in h.items()) / sum(h.values())
+
+    assert mean(arms["rerank"]) >= mean(arms["adc"])
+
+
+def test_e_ivfpq_recall_histogram_consistency(spark):
+    """The ADC arm's in-plan histogram must equal the recall computed
+    set-wise from the exact top-5 and the probe path it composes
+    (the e_ann_recall consistency pattern, least(5, n_exact) denominator)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from udlang_spark.operators import ann_index, similarity
+    from udlang_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", SF_DIR_CORRECTNESS)
+    panel = emb.filter(F.col("vec_id") < llm._ANN_RECALL_PANEL)
+    path = llm.ivfpq_ensure_index(spark, SF_DIR_CORRECTNESS)
+    exact = [
+        (r.vec_id, r.nbr)
+        for r in similarity.cosine_topk(
+            panel, "embedding", "vec_id", k=5, candidates=emb
+        ).collect()
+    ]
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ann_index.probe_ivfpq_index(
+            spark, path, panel, "embedding", "vec_id", k=5, n_probe=6
+        ).collect()
+    }
+    hits: Counter = Counter()
+    n_exact: Counter = Counter()
+    for v, n in exact:
+        n_exact[v] += 1
+        if (v, n) in approx:
+            hits[v] += 1
+    expect = Counter(
+        round(hits[v] / min(5, n_exact[v]), 2) for v in n_exact
+    )
+    got = {
+        r.recall_at_5: r.n_queries
+        for r in llm.QUERIES["e_ivfpq_recall"](spark, SF_DIR_CORRECTNESS).collect()
+        if r.arm == "adc"
+    }
+    assert got == dict(expect)
+    assert sum(got.values()) == len(n_exact)

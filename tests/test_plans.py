@@ -913,3 +913,32 @@ def test_shard_plan_census_single_exchange_no_python(spark):
     for tok in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                 "Window", "CartesianProduct"):
         assert tok not in plan, tok
+
+
+def test_maxsim_vocab_is_single_broadcast_dictionary_join(spark):
+    """t_maxsim_vocab (r11 VERDICT #4): the learned-vocab dictionary probe
+    must be ONE BroadcastHashJoin — the scored dictionary broadcasts, the
+    occurrence relation probes — with no Python eval and no cartesian/
+    nested-loop fallback anywhere in the plan."""
+    from udlang_spark.queries import llm
+
+    plan = plan_of(llm.QUERIES["t_maxsim_vocab"](spark, SF_DIR_CORRECTNESS))
+    # formatted plans print each node twice (tree + detail section)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_maxsim_topk_scored_dictionary_shape(spark):
+    """t_maxsim_topk (r12 derivation): cosines score the distinct-token
+    vocabulary once and broadcast back — same single-dictionary-join
+    contract as the learned-vocab variant."""
+    from udlang_spark.queries import llm
+
+    llm._MSIM_DF_CACHE.clear()
+    plan = plan_of(llm.QUERIES["t_maxsim_topk"](spark, SF_DIR_CORRECTNESS))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan

@@ -55,6 +55,7 @@ WHITELIST: dict[str, set[str]] = {
         "e_centroid_assign",  # broadcast-centroid GEMM
         "e_cosine_topk",  # capped exact GEMM scorer
         "e_ann_recall",  # recall eval composes the capped GEMM + IVF probe
+        "e_ivfpq_recall",  # exact arm GEMM + probe routing (r12)
         "e_near_dups",  # capped exact GEMM scorer
         "e_near_dups_lsh",  # in-bucket GEMM scorer
         "e_ann_lsh",  # in-bucket GEMM top-k
@@ -77,6 +78,7 @@ WHITELIST: dict[str, set[str]] = {
         "e_ann_lsh",  # per-bucket top-k GEMM
         "e_ivf_ann",  # per-cell probe GEMM
         "e_ann_recall",  # IVF arm of the recall eval
+        "e_ivfpq_recall",  # rerank arm per-query exact rescore (r12)
         "e_mmr_rerank",  # per-query greedy rerank
         "t_retrieval_eval",  # per-query metric eval
     },

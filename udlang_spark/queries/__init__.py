@@ -36,100 +36,92 @@ for mod in (kernels, llm, streaming, relational, cleaning):
 # both engines; strict checker now hashes driver-faithful pandas dtypes).
 # r7 (50/50 green): k_tower + 5 never-checked + q34–q50 (r3-stale) + the
 # 17 round-7 operators at land time + 10 oldest r4 kernel greens.
-# Round-11 window (cumulative state after r10: all 200 then-registered
-# queries green at their latest driver check — staleness histogram r7:49,
-# r8:50, r9:50, r10:50 — with t_shard_plan the sole query lacking a
-# driver row, strict-green at land time but landed after the r10 window
-# filled):
-#   (a) the two queries with NO driver row: t_shard_plan (r10 VERDICT #1:
-#       "first in line") and s_shard_stream (NEW round 11 — its streaming
-#       twin, r10 VERDICT #6; shares ORACLE_SHARD_PLAN verbatim);
-#   (b) the five implementations changed in round 10 AFTER their last
-#       driver row (r10 VERDICT #1: all strict-re-verified post-change,
-#       none driver-checked on the new code): d_span_scrub,
-#       d_span_scrub_maximal, d_neardup_index, d_incremental_neardup,
-#       e_semdedup — d_neardup_index changed AGAIN in r11 (persisted
-#       candidate relation + Spark-side dpfx) and d_span_scrub[_maximal]
-#       ride the r11 shingles let1 change, so their rows verify the
-#       latest code;
-#   (c) 43 of the 49 r7-stale greens (computed programmatically as
-#       {q : latest CORRECTNESS round == 7}), k_tower first — its sized-
-#       int compilation changed in r11 (range-check operand hoisting +
-#       subsumed-recheck elimination, the janino fix). The 6 deferred to
-#       r12 are the trivially-pinned kernels whose compile paths are
-#       covered by in-window siblings and pytest (k_hello, k_simple,
-#       k_point, k_scopes, k_count — k_count_interp stays in — and
-#       k_lists); r12 should lead with them plus the r8-stale block
-#       (which includes every shingles-consumer re-shaped by r11's let1:
-#       d_minhash_lsh, d_dedup_corpus, d_simhash_neardup, d_exact_dedup,
-#       d_incremental_dedup, t_decontam, d_line_dedup — all strict-green
-#       on the new code this round).
-# 2 + 5 + 43 = 50.
+# Round-12 window (cumulative state after r11: 201 of the 204 registered
+# queries have a driver row and ALL are green at their latest check —
+# staleness histogram r7:6, r8:48, r9:48, r10:49, r11:50; the 3 without a
+# row are the r11 late additions, strict-green at land time and
+# J-checked green by the r11 judge). Composition per r11 VERDICT #1:
+#   (a) the three queries with NO driver row: t_maxsim_topk (r12: now the
+#       scored-dictionary derivation + e_ann_recall's denominator fix —
+#       both re-strict-checked), e_ann_recall, s_maxsim_stream;
+#   (b) the two NEW round-12 queries, registered at land time:
+#       t_maxsim_vocab (learned-vocab broadcast dictionary join, r11
+#       VERDICT #4) and e_ivfpq_recall (recall@5 gate for the compressed
+#       IVF-PQ probe, ADC + rerank arms, r11 VERDICT #5);
+#   (c) the six r7-stale kernels deferred from the r11 window (k_hello,
+#       k_simple, k_point, k_scopes, k_count, k_lists) — clears the last
+#       r7 staleness;
+#   (d) 39 of the 48 r8-stale greens, led by the seven shingle consumers
+#       re-shaped by r11's let1 (d_minhash_lsh, d_dedup_corpus,
+#       d_simhash_neardup, d_exact_dedup, d_incremental_dedup, t_decontam,
+#       d_line_dedup — strict-green on the new code in r11). The 9
+#       deferred to r13, each with sibling coverage: q51_transitions,
+#       t_heavy_hitters (both J-checked green by the r11 judge on current
+#       code), m_image_meta, m_payload_meta, m_ahash_neardup (multimodal
+#       header/fingerprint family unchanged since r8; siblings
+#       m_ahash_dedup r11, m_real_decode r9), d_url_dedup (its streaming
+#       twin s_url_dedup_stream stays in-window), t_span_corrupt (span
+#       machinery re-rowed r11 via d_span_scrub/_maximal), k_pipeline
+#       (kernel compile paths re-rowed r11 + 6 kernel rows in THIS
+#       window), t_lift_bigrams (r11 protocol bench row; sibling
+#       t_bigram_lm covers the bigram path).
+# 3 + 2 + 6 + 39 = 50.
 _PRIORITY: list[str] = [
-    # -- (a) no driver row yet --
-    "t_shard_plan",
-    "s_shard_stream",
-    # -- (b) changed after their last driver row --
-    "d_span_scrub",
-    "d_span_scrub_maximal",
-    "d_neardup_index",
-    "d_incremental_neardup",
-    "e_semdedup",
-    # -- (c) r7-stale re-confirmations (43 of 49; k_tower changed r11) --
-    "k_tower",
-    "k_count_interp",
-    "k_fact",
-    "k_filter",
-    "k_function",
-    "k_loop",
-    "k_mapiter",
-    "k_subjunctive",
-    "d_split_temporal",
-    "e_ivfpq_append",
-    "e_norm_audit",
-    "e_pca_cov",
-    "m_ahash_dedup",
-    "m_audio_features",
-    "q34_upsert",
-    "q35_scd2",
-    "q36_sql_passthrough",
-    "q37_data_audit",
-    "q38_histogram",
-    "q39_variant_json",
-    "q40_sole_latest_shipper",
-    "q41_min_cost_supplier",
-    "q42_important_parts",
-    "q43_market_share",
-    "q44_fuzzy_part_pairs",
-    "q45_zscore_outliers",
-    "q46_stratified_sample",
-    "q47_shipmode_priority",
-    "q48_supplier_variety",
-    "q49_inactive_rich_customers",
-    "q50_funnel",
-    "q69_udtf",
-    "q70_bucketed_join",
-    "q71_zorder_layout",
-    "q72_interval_union",
-    "q73_copurchase_pairs",
-    "q74_skew_probe",
-    "s_kmv_stream",
-    "t_classifier_score",
-    "t_dataset_card",
-    "t_group_quantiles",
-    "t_kmv_jaccard",
-    "t_retrieval_eval",
+    # -- (a) no driver row yet (r11 late additions) --
+    "t_maxsim_topk",
+    "e_ann_recall",
+    "s_maxsim_stream",
+    # -- (b) new round-12 queries at land time --
+    "t_maxsim_vocab",
+    "e_ivfpq_recall",
+    # -- (c) the last r7-stale kernels --
+    "k_hello",
+    "k_simple",
+    "k_point",
+    "k_scopes",
+    "k_count",
+    "k_lists",
+    # -- (d) r8-stale, shingle consumers first --
+    "d_minhash_lsh",
+    "d_dedup_corpus",
+    "d_simhash_neardup",
+    "d_exact_dedup",
+    "d_incremental_dedup",
+    "t_decontam",
+    "d_line_dedup",
+    "d_fingerprint",
+    "d_ngram_jaccard",
+    "d_simhash",
+    "e_centroid_assign",
+    "e_cosine_topk",
+    "e_near_dups",
+    "e_negative_pairs",
+    "e_pagerank",
+    "k_builtins",
+    "k_cast",
+    "k_match_lit",
+    "k_match_union",
+    "k_methods",
+    "k_modules",
+    "k_spread",
+    "q52_retention",
+    "s_cdc_apply",
+    "s_interval_stream",
+    "s_url_dedup_stream",
+    "t_chunks",
+    "t_corpus_pipeline",
+    "t_dsir_select",
+    "t_lang_quality_bands",
+    "t_langid",
+    "t_length_outliers",
+    "t_ngram_topk",
+    "t_pack_greedy",
+    "t_quality",
+    "t_rarity",
+    "t_repetition",
+    "t_tfidf_topk",
+    "t_token_stats",
 ]
-# Round-11 late additions (registered AFTER the window above filled, same
-# pattern as t_shard_plan in r10): e_ann_recall (in-plan IVF recall@5 vs
-# brute-force eval over a fixed 500-query panel), t_maxsim_topk
-# (ColBERT-style late-interaction MaxSim top-k), and s_maxsim_stream
-# (its stateless-ingest streaming twin, sharing ORACLE_T_MAXSIM
-# verbatim) — all strict-green at sf0.001/0.01/0.1 at land time, with
-# independent pytest replicas for the batch pair. r12's window should
-# lead with these three, then the 6 deferred kernels (k_hello, k_simple,
-# k_point, k_scopes, k_count, k_lists) and the r8-stale block (see note
-# above).
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50
 assert all(n in _ALL_QUERIES and n in ORACLE for n in _PRIORITY), [

@@ -2548,20 +2548,26 @@ def ivfpq_ensure_index(
     return path
 
 
-def _ivfpq_oracle(
+def _ivfpq_ctes(
     m: int = _PQ_M,
     dim: int = 64,
     n_cb: int = 16,
     n_cells: int = 16,
     n_probe: int = 6,
     query_ids=_MMR_QUERY_IDS,
-    k: int = 10,
+    panel_sql: str | None = None,
 ) -> str:
     """IVF routing (ORACLE_E_IVF_ANN's CTEs) composed with PQ/ADC scoring
-    (_pq_adc_oracle's CTEs): candidates = members of the cells each query
-    probes, scored by summed LUT lookups on their PQ codes."""
+    (_pq_adc_oracle's CTEs), up to the `adcscored` relation: candidates =
+    members of the cells each query probes, scored by summed LUT lookups
+    on their PQ codes. `panel_sql` (e.g. ``vec_id < 500``) selects the
+    query panel instead of the default id list — shared by the top-k
+    oracle (ORACLE_E_IVFPQ_ANN) and the recall eval
+    (ORACLE_E_IVFPQ_RECALL)."""
     sub = dim // m
-    qlist = ", ".join(str(q) for q in query_ids)
+    qpred = panel_sql or (
+        "vec_id IN (" + ", ".join(str(q) for q in query_ids) + ")"
+    )
     qd = []
     for s in range(m):
         off = s * sub
@@ -2582,8 +2588,7 @@ qd{s} AS MATERIALIZED (
         f"JOIN qd{s} ON qd{s}.qid = c.qid AND qd{s}.pos = pc.c{s}"
         for s in range(m)
     )
-    return f"""
-WITH {enc_ctes},
+    return f"""{enc_ctes},
 cent AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
   FROM e ORDER BY vec_id LIMIT {n_cells}
@@ -2603,9 +2608,9 @@ cranked AS MATERIALIZED (
 member AS (SELECT vec_id, cell FROM cranked WHERE rk = 1),
 probe AS (
   SELECT vec_id, cell FROM cranked
-  WHERE rk <= {n_probe} AND vec_id IN ({qlist})
+  WHERE rk <= {n_probe} AND {qpred}
 ),
-q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({qlist})),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE {qpred}),
 {",".join(qd)},
 pqcodes AS MATERIALIZED (
   SELECT e.vec_id, {code_cols} FROM e {code_joins}
@@ -2619,7 +2624,20 @@ adcscored AS (
   FROM cand c
   JOIN pqcodes pc ON pc.vec_id = c.vec_id
   {tab_joins}
-)
+)"""
+
+
+def _ivfpq_oracle(
+    m: int = _PQ_M,
+    dim: int = 64,
+    n_cb: int = 16,
+    n_cells: int = 16,
+    n_probe: int = 6,
+    query_ids=_MMR_QUERY_IDS,
+    k: int = 10,
+) -> str:
+    return f"""
+WITH {_ivfpq_ctes(m, dim, n_cb, n_cells, n_probe, query_ids)}
 SELECT qid AS query_id, vec_id, adc_dist, CAST(rnk AS INTEGER) AS rnk FROM (
   SELECT *, row_number() OVER (
     PARTITION BY qid ORDER BY adc_dist, vec_id
@@ -2629,6 +2647,176 @@ SELECT qid AS query_id, vec_id, adc_dist, CAST(rnk AS INTEGER) AS rnk FROM (
 
 
 ORACLE_E_IVFPQ_ANN = _ivfpq_oracle()
+
+
+def _empty_recall_hist(spark: SparkSession) -> DataFrame:
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return spark.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("arm", StringType(), False),
+                StructField("recall_at_5", DoubleType()),
+                StructField("n_queries", LongType(), False),
+            ]
+        ),
+    )
+
+
+def e_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 acceptance gate for the COMPRESSED index (r11 VERDICT #5):
+    the e_ann_recall panel protocol run through e_ivfpq_ann's persisted
+    IVF-PQ probe path, BOTH arms — raw ADC top-5, and ADC top-20 exactly
+    reranked against the source vectors (the standard accuracy backstop)
+    — against the brute-force exact top-5. Output is one histogram per
+    arm: (arm, recall value → number of panel queries), so the card a
+    deployment reads is "how much recall does PQ compression cost, and
+    how much does rerank buy back". Deterministic: ADC distances are
+    round-6 LUT sums with (dist asc, id asc) tie-breaks, rerank and exact
+    arms use the shared round-6 GEMM scorer, and the denominator is
+    least(5, exact count) as in e_ann_recall.
+
+    Scale: same posture as e_ann_recall — the FIXED 500-query panel
+    bounds the exact arm (broadcast-capped GEMM over the corpus, linear
+    in corpus size) and the probe arm is the production serving path
+    (plan-time cell pruning, broadcast routing + LUT joins, candidates
+    linear in corpus/cells × n_probe). The rerank arm re-scores only
+    |panel|·20 rows. The exact arm is computed ONCE and persisted — both
+    histograms reuse it."""
+    from udlang_spark.operators import ann_index
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    if not ivfpq_index_ready(sf_dir) and len(emb.limit(1).collect()) == 0:
+        return _empty_recall_hist(spark)
+    path = ivfpq_ensure_index(spark, sf_dir)
+    panel = emb.filter(F.col("vec_id") < _ANN_RECALL_PANEL)
+    exact = persist_tracked(
+        similarity.cosine_topk(
+            panel, "embedding", "vec_id", k=5, candidates=emb
+        ).select("vec_id", "nbr")
+    )
+    adc = ann_index.probe_ivfpq_index(
+        spark, path, panel, "embedding", "vec_id", k=5, n_probe=6
+    ).select(F.col("query_id").alias("vec_id"), F.col("vec_id").alias("nbr"))
+    rr = ann_index.probe_ivfpq_index(
+        spark,
+        path,
+        panel,
+        "embedding",
+        "vec_id",
+        k=5,
+        n_probe=6,
+        rerank_src=emb,
+        rerank_r=20,
+    ).select(F.col("query_id").alias("vec_id"), F.col("vec_id").alias("nbr"))
+
+    def hist(approx: DataFrame, arm: str) -> DataFrame:
+        per = (
+            exact.join(approx.withColumn("hit", F.lit(1)), ["vec_id", "nbr"], "left")
+            .groupBy("vec_id")
+            .agg(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+                F.count(F.lit(1)).alias("n_exact"),
+            )
+        )
+        recall = F.round(
+            F.col("n_hit") / F.least(F.lit(5), F.col("n_exact")).cast("double"),
+            2,
+        )
+        return (
+            per.groupBy(recall.alias("recall_at_5"))
+            .agg(F.count(F.lit(1)).alias("n_queries"))
+            .select(F.lit(arm).alias("arm"), "recall_at_5", "n_queries")
+        )
+
+    return (
+        hist(adc, "adc")
+        .unionAll(hist(rr, "rerank"))
+        .orderBy("arm", "recall_at_5")
+    )
+
+
+def _ivfpq_recall_oracle(rerank_r: int = 20) -> str:
+    # rr mirrors the green `scored` CTE of ORACLE_E_IVF_ANN (same cosine
+    # expression the shared GEMM scorer is parity-pinned against); bf/per/
+    # histogram mirror ORACLE_E_ANN_RECALL including the least(5, n_exact)
+    # denominator.
+    return f"""
+WITH {_ivfpq_ctes(n_probe=6, panel_sql=f"vec_id < {_ANN_RECALL_PANEL}")},
+adcrank AS (
+  SELECT qid, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rk
+  FROM adcscored
+),
+adc5 AS (SELECT qid, vec_id FROM adcrank WHERE rk <= 5),
+candr AS (SELECT qid, vec_id FROM adcrank WHERE rk <= {rerank_r}),
+rr AS (
+  SELECT c.qid, c.vec_id,
+    CASE WHEN list_dot_product(a.v, a.v) > 0 AND list_dot_product(b.v, b.v) > 0
+       THEN round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+       ELSE 0.0 END AS cos_sim
+  FROM candr c JOIN e a ON a.vec_id = c.qid JOIN e b ON b.vec_id = c.vec_id
+),
+rr5 AS (
+  SELECT qid, vec_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY qid ORDER BY cos_sim DESC, vec_id
+    ) AS rk FROM rr
+  ) WHERE rk <= 5
+),
+bf AS (
+  SELECT vec_id, nbr FROM (
+    SELECT vec_id, nbr,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr) AS rk
+    FROM (
+      SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+        CASE WHEN list_dot_product(a.v, a.v) > 0 AND list_dot_product(b.v, b.v) > 0
+           THEN round(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+           ELSE 0.0 END
+          AS cos_sim
+      FROM e a, e b
+      WHERE a.vec_id <> b.vec_id AND a.vec_id < {_ANN_RECALL_PANEL}
+    )
+  ) WHERE rk <= 5
+),
+per_adc AS (
+  SELECT x.vec_id,
+         sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+         count(*) AS n_exact
+  FROM bf x LEFT JOIN adc5 i ON x.vec_id = i.qid AND x.nbr = i.vec_id
+  GROUP BY x.vec_id
+),
+per_rr AS (
+  SELECT x.vec_id,
+         sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+         count(*) AS n_exact
+  FROM bf x LEFT JOIN rr5 i ON x.vec_id = i.qid AND x.nbr = i.vec_id
+  GROUP BY x.vec_id
+)
+SELECT arm, recall_at_5, n_queries FROM (
+  SELECT 'adc' AS arm,
+         round(n_hit / CAST(least(5, n_exact) AS DOUBLE), 2) AS recall_at_5,
+         count(*) AS n_queries
+  FROM per_adc GROUP BY recall_at_5
+  UNION ALL
+  SELECT 'rerank' AS arm,
+         round(n_hit / CAST(least(5, n_exact) AS DOUBLE), 2) AS recall_at_5,
+         count(*) AS n_queries
+  FROM per_rr GROUP BY recall_at_5
+) ORDER BY arm, recall_at_5
+"""
+
+
+ORACLE_E_IVFPQ_RECALL = _ivfpq_recall_oracle()
 
 
 def e_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4810,6 +4998,107 @@ FROM (
 ORACLE_T_MAXSIM = _maxsim_oracle()
 
 
+_MSIM_VOCAB_MIN_DF = 2
+
+
+def t_maxsim_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxSim top-k against a LEARNED VOCABULARY relation — the shape ANN
+    deployments actually run (SURVEY §8.3's promise, r11 VERDICT #4): the
+    dictionary is an explicit (tok, vec ARRAY<BIGINT>) relation, scoring
+    reads the vector as DATA (vec[d] indexing — downstream has no idea
+    the test fixture derives vectors from md5), and tokens OUTSIDE the
+    vocabulary are dropped before scoring, exactly like real OOV
+    handling. The fixture vocabulary is corpus-derived in-plan (tokens
+    with document frequency ≥ _MSIM_VOCAB_MIN_DF = 2; the token relation is
+    per-doc distinct, so count(*) IS doc frequency) — which keeps the
+    whole query SQL-expressible for the DuckDB oracle; in production the
+    vocab is a 30–100k-term table loaded from the model checkpoint,
+    broadcastable by construction, and NOTHING downstream changes.
+
+    Plan shape: cosines are evaluated on the vocabulary relation (once
+    per dictionary entry), then ONE BroadcastHashJoin probes the scored
+    dictionary from the occurrence relation — no Python, no cartesian
+    (tests/test_plans.py pins both) — followed by the same
+    maxpool-shuffle + per-query top-k window as t_maxsim_topk. A doc
+    whose every token is OOV leaves the result (inner join), determinism
+    as t_maxsim_topk."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_WORDS))).alias("tok")
+    )
+    comp = [
+        f"(CAST(conv(substring(md5(concat('msim:', tok)), {1 + 4 * d}, 4),"
+        f" 16, 10) AS BIGINT) % 2001 - 1000)"
+        for d in range(_MSIM_DIMS)
+    ]
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= _MSIM_VOCAB_MIN_DF)
+        .select("tok", F.expr(f"array({', '.join(comp)})").alias("vec"))
+    )
+    naa = " + ".join(f"vec[{d}] * vec[{d}]" for d in range(_MSIM_DIMS))
+    cos_cols, agg_cols = [], []
+    for qi, j, qv in _msim_terms()[0]:
+        dot = " + ".join(f"vec[{d}] * ({qv[d]})" for d in range(_MSIM_DIMS))
+        nqq = sum(c * c for c in qv)
+        cos_cols.append(
+            F.expr(
+                f"CASE WHEN ({naa}) > 0 THEN round(({dot}) / "
+                f"(sqrt({naa}) * sqrt({nqq})), 6) ELSE 0.0 END"
+            ).alias(f"c{qi}_{j}")
+        )
+        agg_cols.append(F.max(f"c{qi}_{j}").alias(f"m{qi}_{j}"))
+    scored = vocab.select("tok", *cos_cols)
+    m = toks.join(F.broadcast(scored), "tok").groupBy("doc_id").agg(*agg_cols)
+    return _msim_topk_from_maxes(m)
+
+
+def _maxsim_vocab_oracle(min_df: int = _MSIM_VOCAB_MIN_DF) -> str:
+    comp = ", ".join(
+        f"CAST(CAST(concat('0x', substr(h, {1 + 4 * d}, 4))"
+        f" AS UBIGINT) % 2001 AS BIGINT) - 1000 AS a{d}"
+        for d in range(_MSIM_DIMS)
+    )
+    naa = " + ".join(f"a{d} * a{d}" for d in range(_MSIM_DIMS))
+    cos_cols, max_cols, score_rows, join_cols = [], [], [], []
+    for qi, q in enumerate(_MSIM_QUERIES):
+        terms = q.split()
+        for j, qt in enumerate(terms):
+            qv = _msim_qvec(qt)
+            dot = " + ".join(f"a{d} * ({qv[d]})" for d in range(_MSIM_DIMS))
+            nqq = sum(c * c for c in qv)
+            cos_cols.append(
+                f"CASE WHEN ({naa}) > 0 THEN round(({dot}) / "
+                f"(sqrt({naa}) * sqrt({nqq})), 6) ELSE 0.0 END AS c{qi}_{j}"
+            )
+            max_cols.append(f"max(c{qi}_{j}) AS m{qi}_{j}")
+            join_cols.append(f"c.c{qi}_{j}")
+        ssum = " + ".join(f"m{qi}_{j}" for j in range(len(terms)))
+        score_rows.append(f"SELECT doc_id, {qi} AS qid, ({ssum}) AS score FROM m")
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_distinct({_WORDS_DUCK})) AS tok
+  FROM documents
+),
+vc AS (SELECT tok FROM t GROUP BY tok HAVING count(*) >= {min_df}),
+vh AS (SELECT tok, md5('msim:' || tok) AS h FROM vc),
+v AS (SELECT tok, {comp} FROM vh),
+c AS (SELECT tok, {", ".join(cos_cols)} FROM v),
+j AS (SELECT t.doc_id, {", ".join(join_cols)} FROM t JOIN c USING (tok)),
+m AS (SELECT doc_id, {", ".join(max_cols)} FROM j GROUP BY doc_id),
+s AS ({" UNION ALL ".join(score_rows)})
+SELECT CAST(qid AS INTEGER) AS qid, doc_id, score, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+  FROM s
+) WHERE rnk <= {_MSIM_TOPK}
+"""
+
+
+ORACLE_T_MAXSIM_VOCAB = _maxsim_vocab_oracle()
+
+
 def d_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/valid/test split: every near-dup CLUSTER lands
     wholly in one split, so no eval document has a training near-duplicate
@@ -5162,6 +5451,7 @@ QUERIES = {
     "t_bm25_topk": t_bm25_topk,
     "t_hybrid_rrf": t_hybrid_rrf,
     "t_maxsim_topk": t_maxsim_topk,
+    "t_maxsim_vocab": t_maxsim_vocab,
     "d_split_leakage": d_split_leakage,
     "t_domain_mix": t_domain_mix,
     "t_shard_plan": t_shard_plan,
@@ -5185,6 +5475,7 @@ QUERIES = {
     "e_ann_lsh": e_ann_lsh,
     "e_ivf_ann": e_ivf_ann,
     "e_ann_recall": e_ann_recall,
+    "e_ivfpq_recall": e_ivfpq_recall,
     "e_random_proj": e_random_proj,
     "e_mmr_rerank": e_mmr_rerank,
     "e_pq_encode": e_pq_encode,
@@ -5242,6 +5533,7 @@ ORACLE = {
     "t_bm25_topk": ORACLE_BM25,
     "t_hybrid_rrf": ORACLE_HYBRID_RRF,
     "t_maxsim_topk": ORACLE_T_MAXSIM,
+    "t_maxsim_vocab": ORACLE_T_MAXSIM_VOCAB,
     "d_split_leakage": ORACLE_SPLIT_LEAKAGE,
     "t_domain_mix": ORACLE_DOMAIN_MIX,
     "t_shard_plan": ORACLE_SHARD_PLAN,
@@ -5280,6 +5572,7 @@ ORACLE = {
     "e_ann_lsh": ORACLE_E_ANN_LSH,
     "e_ivf_ann": ORACLE_E_IVF_ANN,
     "e_ann_recall": ORACLE_E_ANN_RECALL,
+    "e_ivfpq_recall": ORACLE_E_IVFPQ_RECALL,
     "e_random_proj": ORACLE_E_RANDOM_PROJ,
     "e_mmr_rerank": ORACLE_E_MMR_RERANK,
     "e_pq_encode": ORACLE_E_PQ_ENCODE,
