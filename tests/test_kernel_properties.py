@@ -2333,3 +2333,134 @@ def test_effect_capture_lexical_in_branch_closure(spark):
         by_rid[r.rid].append(r.out)
     for i, v in enumerate(expect):
         assert by_rid[i] == expect[v], f"compiled diverged at in={v}"
+
+
+# ---------------------------------------------------------------------------
+# Round-12 fuzz family: match/case OPTIONAL-SUBJECT semantics. The r9
+# family (test_compiled_equals_interp_on_match_exprs above) fuzzes literal
+# arm order/overlap over a non-null Int subject at the AST level; this one
+# goes through the PARSER and adds the axes it left out: random arm mixes of
+# literal patterns (first-match-wins ordering, cross-NULL equality false),
+# `None` patterns, typed binds (`x:Int` — must NOT match a NULL subject),
+# and untyped binds (always match, bind NULL as NULL), over an OPTIONAL
+# Int input (NULL subjects included; the compiler rightly rejects
+# arithmetic on Int?, so the subject is `in` itself, and an UNTYPED bind
+# preserves the optional type — its body emits the bound value unchanged,
+# while TYPED binds narrow to Int and may compute; the family's first run
+# surfaced exactly that distinction).
+# An untyped bind placed early shadows every later arm — the
+# ordering discipline the fuzz exercises. A trailing catch-all keeps the
+# no-match poison out of scope (pinned separately by the kernel tests).
+# Order-sensitive three-way compare: compiled == interp == Python model.
+# ---------------------------------------------------------------------------
+def _match_source(arms):
+    lines = []
+    for i, a in enumerate(arms):
+        if a[0] == "lit":
+            lines.append(f"  case {a[1]}: {a[2]};")
+        elif a[0] == "none":
+            lines.append(f"  case None: {a[1]};")
+        elif a[0] == "bind_typed":
+            lines.append(f"  case x{i}:Int: x{i} * {a[1]} + {a[2]};")
+        else:  # bind_any: binds Int? — no arithmetic without narrowing
+            lines.append(f"  case x{i}: x{i};")
+    lines.append("  case z: z;")  # catch-all: no-match poison out of scope
+    return (
+        'version 0.1-pre_mvp;\nscript "matchfuzz";\n'
+        "input Int?;\noutput Int;\n"
+        "out match in {\n" + "\n".join(lines) + "\n};\n"
+    )
+
+
+def _match_expected(v, arms):
+    subj = v
+    for a in arms:
+        if a[0] == "lit":
+            if subj is not None and subj == a[1]:
+                return a[2]
+        elif a[0] == "none":
+            if subj is None:
+                return a[1]
+        elif a[0] == "bind_typed":
+            if subj is not None:
+                return subj * a[1] + a[2]
+        else:  # bind_any: always matches, binds NULL as NULL
+            return subj
+    return subj  # catch-all
+
+
+_MATCH_ARM = st.one_of(
+    st.tuples(
+        st.just("lit"),
+        st.integers(min_value=-3, max_value=3),
+        st.integers(min_value=-9, max_value=9),
+    ),
+    st.tuples(st.just("none"), st.integers(min_value=-9, max_value=9)),
+    st.tuples(
+        st.just("bind_typed"),
+        st.integers(min_value=1, max_value=5),
+        st.integers(min_value=-4, max_value=4),
+    ),
+    st.tuples(
+        st.just("bind_any"),
+        st.integers(min_value=1, max_value=5),
+        st.integers(min_value=-4, max_value=4),
+    ),
+)
+
+
+@given(
+    arms=st.lists(_MATCH_ARM, max_size=5),
+    inputs=st.lists(
+        st.one_of(st.none(), st.integers(min_value=-6, max_value=6)),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+)
+@settings(
+    max_examples=50,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_compiled_equals_interp_on_optional_match(spark, arms, inputs):
+    from udlang_spark.kernel.api import compile_kernel
+    from udlang_spark.kernel.interp import Interp
+    from udlang_spark.kernel.parser import parse
+
+    src = _match_source(arms)
+    expect = {v: _match_expected(v, arms) for v in inputs}
+    interp = Interp(parse(src))
+    for v in inputs:
+        assert list(interp.run(v)) == [expect[v]], f"interp diverged at in={v}"
+    df = spark.createDataFrame(
+        list(enumerate(inputs)), "rid long, value long"
+    )
+    got = compile_kernel(src).apply(df, input_col="value", keep=("rid",)).collect()
+    by_rid = {r.rid: r.out for r in got}
+    for i, v in enumerate(inputs):
+        assert by_rid.get(i, "<no row>") == expect[v], f"compiled diverged at in={v}"
+
+
+def test_match_untyped_bind_keeps_optional(spark):
+    """The distinction the match fuzz family surfaced on its first run,
+    pinned: an UNTYPED bind over an `Int?` subject binds `Int?` — the
+    compiler statically rejects un-narrowed arithmetic on it (the typed
+    bind `x:Int` is the narrowing construct), while the dynamically-typed
+    interp fallback only fails per-record at runtime (NULL-propagates on
+    a NULL subject). Mirrors the reference's typechecker-vs-VM split."""
+    from udlang_spark.kernel.api import compile_kernel
+    from udlang_spark.kernel.interp import Interp
+    from udlang_spark.kernel.parser import parse
+    from udlang_spark.kernel.types import KernelTypeError
+
+    src = (
+        'version 0.1-pre_mvp;\nscript "optnarrow";\n'
+        "input Int?;\noutput Int;\n"
+        "out match in {\n  case x: x * 2;\n};\n"
+    )
+    df = spark.createDataFrame([(5,)], "value long")
+    with pytest.raises(KernelTypeError, match="TOption"):
+        compile_kernel(src).apply(df, input_col="value")
+    # the interp is a runtime walker: value present -> computes
+    assert Interp(parse(src)).run(5) == [10]
