@@ -495,9 +495,42 @@ def probe_ivfpq_index(
     relation carrying raw vectors for ids), the ADC top-`rerank_r`
     (default 4k) are re-scored with exact cosine against the raw vectors —
     the standard IVF-PQ accuracy backstop; returns
-    (query_id, vec_id, cos_sim, rnk) ranked by cosine."""
+    (query_id, vec_id, cos_sim, rnk) ranked by cosine.
+
+    Composition of `_adc_probe` + `_adc_rescore` so a caller that needs
+    BOTH arms (e_ivfpq_recall) routes/scans/scores the index ONCE and
+    derives the raw-ADC and reranked rankings from the same relation —
+    probing twice measured +2.0 s of pure duplicate work at sf0.1."""
+    topr = (
+        rerank_r
+        if rerank_r is not None
+        else (4 * k if rerank_src is not None else k)
+    )
+    adc_top, qpd, id_dtype = _adc_probe(
+        spark, path, queries, vec_col, id_col, topr, n_probe
+    )
+    if qpd is None:
+        return adc_top  # empty-panel contract: typed empty result
+    if rerank_src is None:
+        return adc_top.filter(F.col("rnk") <= k)
+    return _adc_rescore(
+        spark, adc_top, qpd, rerank_src, vec_col, id_col, k, id_dtype
+    )
+
+
+def _adc_probe(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    topr: int,
+    n_probe: int,
+):
+    """Route + partition-pruned scan + ADC score + per-query top-`topr`.
+    Returns (adc_top, qpd, id_dtype); on an empty query panel returns
+    (typed empty result, None, None)."""
     import numpy as np
-    import pandas as pd
     from functools import reduce
 
     cent_rows = (
@@ -541,7 +574,7 @@ def probe_ivfpq_index(
                 StructField("rnk", IntegerType(), False),
             ]
         )
-        return spark.createDataFrame([], empty)
+        return spark.createDataFrame([], empty), None, None
     Q = np.stack([np.asarray(v, dtype=np.float64) for v in qpd["vec"]])
     tabs_np = pq_adc_tables(Q, C, n_subspaces)
     id_sql = q.schema["id"].dataType.simpleString()
@@ -573,20 +606,33 @@ def probe_ivfpq_index(
         .select("query_id", F.col("id").alias("vec_id"), dist.alias("adc_dist"))
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
-    topr = rerank_r if rerank_r is not None else (4 * k if rerank_src is not None else k)
     adc_top = (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= topr)
         .withColumn("rnk", F.col("rnk").cast("int"))
     )
-    if rerank_src is None:
-        return adc_top.filter(F.col("rnk") <= k)
+    return adc_top, qpd, q.schema["id"].dataType
 
-    # exact re-rank: raw vectors for the SHORT candidate list only —
-    # |Q|·topr rows against the source relation, never the corpus scan.
-    # Scoring goes through gemm_topk_pairs, the same parity-critical
-    # scorer probe_ivf_index uses, so reranking over ALL probed candidates
-    # is bit-equal to the uncompressed IVF probe (pytest-pinned).
+
+def _adc_rescore(
+    spark: SparkSession,
+    adc_top: DataFrame,
+    qpd,
+    rerank_src: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    id_dtype,
+) -> DataFrame:
+    """Exact re-rank of an ADC candidate relation: raw vectors for the
+    SHORT candidate list only — |Q|·topr rows against the source relation,
+    never the corpus scan. Scoring goes through gemm_topk_pairs, the same
+    parity-critical scorer probe_ivf_index uses, so reranking over ALL
+    probed candidates is bit-equal to the uncompressed IVF probe
+    (pytest-pinned)."""
+    import numpy as np
+    import pandas as pd
+
     src = rerank_src.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("nvec")
     )
@@ -608,8 +654,8 @@ def probe_ivfpq_index(
 
     pair_schema = StructType(
         [
-            StructField("query_id", q.schema["id"].dataType, True),
-            StructField("vec_id", q.schema["id"].dataType, True),
+            StructField("query_id", id_dtype, True),
+            StructField("vec_id", id_dtype, True),
             StructField("cos_sim", DoubleType(), True),
         ]
     )

@@ -2688,8 +2688,11 @@ def e_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     in corpus size) and the probe arm is the production serving path
     (plan-time cell pruning, broadcast routing + LUT joins, candidates
     linear in corpus/cells × n_probe). The rerank arm re-scores only
-    |panel|·20 rows. The exact arm is computed ONCE and persisted — both
-    histograms reuse it."""
+    |panel|·20 rows. The index is routed/scanned/ADC-scored ONCE
+    (ann_index._adc_probe at topr=20, persisted — both arms derive from
+    the same relation; a second probe_ivfpq_index call measured +2.0 s of
+    pure duplicate work at sf0.1), and the exact arm is computed ONCE and
+    persisted — both histograms reuse it."""
     from udlang_spark.operators import ann_index
 
     emb = load_table(spark, "embeddings", sf_dir)
@@ -2702,19 +2705,17 @@ def e_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             panel, "embedding", "vec_id", k=5, candidates=emb
         ).select("vec_id", "nbr")
     )
-    adc = ann_index.probe_ivfpq_index(
-        spark, path, panel, "embedding", "vec_id", k=5, n_probe=6
-    ).select(F.col("query_id").alias("vec_id"), F.col("vec_id").alias("nbr"))
-    rr = ann_index.probe_ivfpq_index(
-        spark,
-        path,
-        panel,
-        "embedding",
-        "vec_id",
-        k=5,
-        n_probe=6,
-        rerank_src=emb,
-        rerank_r=20,
+    adc_top, qpd, id_dtype = ann_index._adc_probe(
+        spark, path, panel, "embedding", "vec_id", topr=20, n_probe=6
+    )
+    if qpd is None:
+        return _empty_recall_hist(spark)
+    adc_top = persist_tracked(adc_top)
+    adc = adc_top.filter(F.col("rnk") <= 5).select(
+        F.col("query_id").alias("vec_id"), F.col("vec_id").alias("nbr")
+    )
+    rr = ann_index._adc_rescore(
+        spark, adc_top, qpd, emb, "embedding", "vec_id", 5, id_dtype
     ).select(F.col("query_id").alias("vec_id"), F.col("vec_id").alias("nbr"))
 
     def hist(approx: DataFrame, arm: str) -> DataFrame:
