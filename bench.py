@@ -136,6 +136,7 @@ HEADLINE = [
     # vocabulary, the IVF-PQ recall oracle brute-forces a 500-query panel)
     "t_maxsim_vocab",
     "e_ivfpq_recall",
+    "e_ivfpq_append_recall",
 ]
 
 # Rotating wall-clock coverage for the registered queries not in HEADLINE

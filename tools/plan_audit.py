@@ -56,6 +56,7 @@ WHITELIST: dict[str, set[str]] = {
         "e_cosine_topk",  # capped exact GEMM scorer
         "e_ann_recall",  # recall eval composes the capped GEMM + IVF probe
         "e_ivfpq_recall",  # exact arm GEMM + probe routing (r12)
+        "e_ivfpq_append_recall",  # same arms vs the append-grown index
         "e_near_dups",  # capped exact GEMM scorer
         "e_near_dups_lsh",  # in-bucket GEMM scorer
         "e_ann_lsh",  # in-bucket GEMM top-k
@@ -79,6 +80,7 @@ WHITELIST: dict[str, set[str]] = {
         "e_ivf_ann",  # per-cell probe GEMM
         "e_ann_recall",  # IVF arm of the recall eval
         "e_ivfpq_recall",  # rerank arm per-query exact rescore (r12)
+        "e_ivfpq_append_recall",  # same arms vs the append-grown index
         "e_mmr_rerank",  # per-query greedy rerank
         "t_retrieval_eval",  # per-query metric eval
     },

@@ -44,17 +44,23 @@ for mod in (kernels, llm, streaming, relational, cleaning):
 #   (a) the three queries with NO driver row: t_maxsim_topk (r12: now the
 #       scored-dictionary derivation + e_ann_recall's denominator fix —
 #       both re-strict-checked), e_ann_recall, s_maxsim_stream;
-#   (b) the two NEW round-12 queries, registered at land time:
+#   (b) the three NEW round-12 queries, registered at land time:
 #       t_maxsim_vocab (learned-vocab broadcast dictionary join, r11
-#       VERDICT #4) and e_ivfpq_recall (recall@5 gate for the compressed
-#       IVF-PQ probe, ADC + rerank arms, r11 VERDICT #5);
+#       VERDICT #4), e_ivfpq_recall (recall@5 gate for the compressed
+#       IVF-PQ probe, ADC + rerank arms, r11 VERDICT #5), and
+#       e_ivfpq_append_recall (the same recall card against the
+#       append-grown index; shares ORACLE_E_IVFPQ_RECALL verbatim via the
+#       append==rebuild bit-identity — registered IN-window at land time
+#       so the no-driver-row pattern of the last two rounds stops
+#       recurring; its slot comes from deferring t_langid, whose langid
+#       path is exercised in-window by t_lang_quality_bands);
 #   (c) the six r7-stale kernels deferred from the r11 window (k_hello,
 #       k_simple, k_point, k_scopes, k_count, k_lists) — clears the last
 #       r7 staleness;
-#   (d) 39 of the 48 r8-stale greens, led by the seven shingle consumers
+#   (d) 38 of the 48 r8-stale greens, led by the seven shingle consumers
 #       re-shaped by r11's let1 (d_minhash_lsh, d_dedup_corpus,
 #       d_simhash_neardup, d_exact_dedup, d_incremental_dedup, t_decontam,
-#       d_line_dedup — strict-green on the new code in r11). The 9
+#       d_line_dedup — strict-green on the new code in r11). The 10
 #       deferred to r13, each with sibling coverage: q51_transitions,
 #       t_heavy_hitters (both J-checked green by the r11 judge on current
 #       code), m_image_meta, m_payload_meta, m_ahash_neardup (multimodal
@@ -64,8 +70,8 @@ for mod in (kernels, llm, streaming, relational, cleaning):
 #       machinery re-rowed r11 via d_span_scrub/_maximal), k_pipeline
 #       (kernel compile paths re-rowed r11 + 6 kernel rows in THIS
 #       window), t_lift_bigrams (r11 protocol bench row; sibling
-#       t_bigram_lm covers the bigram path).
-# 3 + 2 + 6 + 39 = 50.
+#       t_bigram_lm covers the bigram path), t_langid (see (b)).
+# 3 + 3 + 6 + 38 = 50.
 _PRIORITY: list[str] = [
     # -- (a) no driver row yet (r11 late additions) --
     "t_maxsim_topk",
@@ -74,6 +80,7 @@ _PRIORITY: list[str] = [
     # -- (b) new round-12 queries at land time --
     "t_maxsim_vocab",
     "e_ivfpq_recall",
+    "e_ivfpq_append_recall",
     # -- (c) the last r7-stale kernels --
     "k_hello",
     "k_simple",
@@ -112,7 +119,6 @@ _PRIORITY: list[str] = [
     "t_corpus_pipeline",
     "t_dsir_select",
     "t_lang_quality_bands",
-    "t_langid",
     "t_length_outliers",
     "t_ngram_topk",
     "t_pack_greedy",

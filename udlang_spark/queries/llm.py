@@ -2480,10 +2480,27 @@ def e_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: append each increment, rebuild only to re-balance."""
     from udlang_spark.operators import ann_index
 
-    key, path, marker = _ivfpq_cache(sf_dir, variant="append")
     emb = load_table(spark, "embeddings", sf_dir)
-    if not os.path.exists(marker) and len(emb.limit(1).collect()) == 0:
+    path = _ivfpq_append_index(spark, emb, sf_dir)
+    if path is None:
         return _empty_ivfpq_result(spark)
+    queries = emb.where(F.col("vec_id").isin(*_MMR_QUERY_IDS))
+    return ann_index.probe_ivfpq_index(
+        spark, path, queries, "embedding", "vec_id", k=10, n_probe=6
+    )
+
+
+def _ivfpq_append_index(
+    spark: SparkSession, emb: DataFrame, sf_dir: str
+) -> str | None:
+    """Build (once per corpus fingerprint) the half-build + append-grown
+    IVF-PQ index e_ivfpq_append and e_ivfpq_append_recall probe. Returns
+    None for an empty corpus (no index can exist)."""
+    from udlang_spark.operators import ann_index
+
+    key, path, marker = _ivfpq_cache(sf_dir, variant="append")
+    if not os.path.exists(marker) and len(emb.limit(1).collect()) == 0:
+        return None
     if not os.path.exists(marker):
         _ivfpq_gc_stale(key, path)
         max_id = emb.agg(F.max("vec_id")).collect()[0][0]
@@ -2504,10 +2521,7 @@ def e_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             ann_index.append_to_ivfpq_index(rest, "embedding", "vec_id", path)
         with open(marker, "w") as fh:
             fh.write(key)
-    queries = emb.where(F.col("vec_id").isin(*_MMR_QUERY_IDS))
-    return ann_index.probe_ivfpq_index(
-        spark, path, queries, "embedding", "vec_id", k=10, n_probe=6
-    )
+    return path
 
 
 def ivfpq_ensure_index(
@@ -2699,6 +2713,15 @@ def e_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not ivfpq_index_ready(sf_dir) and len(emb.limit(1).collect()) == 0:
         return _empty_recall_hist(spark)
     path = ivfpq_ensure_index(spark, sf_dir)
+    return _ivfpq_recall_arms(spark, emb, path)
+
+
+def _ivfpq_recall_arms(spark: SparkSession, emb: DataFrame, path: str) -> DataFrame:
+    """The two-arm panel recall eval against a persisted IVF-PQ index at
+    `path` — shared by e_ivfpq_recall (full build) and
+    e_ivfpq_append_recall (append-grown build)."""
+    from udlang_spark.operators import ann_index
+
     panel = emb.filter(F.col("vec_id") < _ANN_RECALL_PANEL)
     exact = persist_tracked(
         similarity.cosine_topk(
@@ -2742,6 +2765,26 @@ def e_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(hist(rr, "rerank"))
         .orderBy("arm", "recall_at_5")
     )
+
+
+def e_ivfpq_append_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall governance for INCREMENTAL index maintenance: the same
+    two-arm panel recall eval (_ivfpq_recall_arms) probed against the
+    APPEND-GROWN index e_ivfpq_append maintains (half build + frozen-
+    artifact append). Because the grown index is bit-identical to a
+    from-scratch build (tests/test_ann_index.py::
+    test_ivfpq_append_equals_rebuild), this query SHARES
+    ORACLE_E_IVFPQ_RECALL verbatim — a driver-green row proves the
+    append path serves IDENTICAL recall, which is exactly the check a
+    production ingest pipeline runs after each increment before
+    promoting the index (the daily-append pattern at 100 TB: append,
+    re-run the bounded-panel recall card, promote only on no-regression).
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    path = _ivfpq_append_index(spark, emb, sf_dir)
+    if path is None:
+        return _empty_recall_hist(spark)
+    return _ivfpq_recall_arms(spark, emb, path)
 
 
 def _ivfpq_recall_oracle(rerank_r: int = 20) -> str:
@@ -5477,6 +5520,7 @@ QUERIES = {
     "e_ivf_ann": e_ivf_ann,
     "e_ann_recall": e_ann_recall,
     "e_ivfpq_recall": e_ivfpq_recall,
+    "e_ivfpq_append_recall": e_ivfpq_append_recall,
     "e_random_proj": e_random_proj,
     "e_mmr_rerank": e_mmr_rerank,
     "e_pq_encode": e_pq_encode,
@@ -5574,6 +5618,8 @@ ORACLE = {
     "e_ivf_ann": ORACLE_E_IVF_ANN,
     "e_ann_recall": ORACLE_E_ANN_RECALL,
     "e_ivfpq_recall": ORACLE_E_IVFPQ_RECALL,
+    # shares the full-build oracle verbatim: append==rebuild bit-identity
+    "e_ivfpq_append_recall": ORACLE_E_IVFPQ_RECALL,
     "e_random_proj": ORACLE_E_RANDOM_PROJ,
     "e_mmr_rerank": ORACLE_E_MMR_RERANK,
     "e_pq_encode": ORACLE_E_PQ_ENCODE,
