@@ -136,7 +136,6 @@ HEADLINE = [
     # vocabulary, the IVF-PQ recall oracle brute-forces a 500-query panel)
     "t_maxsim_vocab",
     "e_ivfpq_recall",
-    "e_ivfpq_append_recall",
 ]
 
 # Rotating wall-clock coverage for the registered queries not in HEADLINE
@@ -155,7 +154,12 @@ ROTATION = [
     # (the r11 rotation closed the never-benched tail), so the rotation
     # becomes pure staleness-cycling: the 30 STALEST-benched non-headline
     # queries (computed from artifacts/BENCH_r*_local*.json keys — the 20
-    # whose last protocol row is r8, then the 10 oldest r9 rows).
+    # whose last protocol row is r8, then the 10 oldest r9 rows), plus
+    # e_ivfpq_append_recall: it is e_ivfpq_recall's TWIN (shares the
+    # oracle verbatim, same probe-path cost shape), and twins ride the
+    # rotation like s_maxsim_stream/s_shard_stream — the headline prices
+    # each distinct work shape once.
+    "e_ivfpq_append_recall",
     "d_dedup_corpus",
     "d_exact_dedup",
     "d_ngram_jaccard",
