@@ -1408,3 +1408,18 @@ def test_e_ivfpq_recall_histogram_consistency(spark):
     }
     assert got == dict(expect)
     assert sum(got.values()) == len(n_exact)
+
+
+def test_maxsim_plan_cache_identity(spark):
+    """The analyzed-plan cache is load-bearing for the bench row (stable
+    exprIds -> codegen-cache hits): same (session, corpus) must return
+    the SAME DataFrame object; clearing the cache returns a fresh one
+    with identical results."""
+    llm._MSIM_DF_CACHE.clear()
+    a = llm.QUERIES["t_maxsim_topk"](spark, SF_DIR_CORRECTNESS)
+    b = llm.QUERIES["t_maxsim_topk"](spark, SF_DIR_CORRECTNESS)
+    assert a is b
+    llm._MSIM_DF_CACHE.clear()
+    c = llm.QUERIES["t_maxsim_topk"](spark, SF_DIR_CORRECTNESS)
+    assert c is not a
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, c.collect()))
