@@ -136,60 +136,55 @@ HEADLINE = [
     # vocabulary, the IVF-PQ recall oracle brute-forces a 500-query panel)
     "t_maxsim_vocab",
     "e_ivfpq_recall",
+    # round-13 addition (the end-to-end retrieval pipeline; the oracle
+    # re-derives both arms — probe CTE chain + BM25 — plus the chunk
+    # MaxSim rerank, real work on the DuckDB side)
+    "t_retrieval_pipeline",
 ]
 
 # Rotating wall-clock coverage for the registered queries not in HEADLINE
 # (r7 VERDICT #6; ~30/round per r8 VERDICT #5): stalest-benched first.
-# This r10 batch = the 30 OLDEST-registered names never benched under the
-# standard min-of-N protocol (the q12–q50 relational tail — their only
-# wall-clock row is the one-shot FULL_BENCH_r09 pass) PLUS
-# q53_sketch_stats, pinned per r9 VERDICT #3 so its 23 s → 2.4 s fix
-# (distinct count split out of the mixed percentile agg) has a min-of-N
-# artifact row. Remaining never-protocol-benched tail after this round
-# ≈ 28 (q52/q54–q69, the s_* streaming block, t_bpe_learn/t_dedup_words/
-# t_domain_mix/t_lift_bigrams/t_repetition/t_retrieval_eval/
-# t_span_corrupt) — that is the r11 rotation.
 ROTATION = [
-    # r12: every registered query now has at least one protocol row
-    # (the r11 rotation closed the never-benched tail), so the rotation
-    # becomes pure staleness-cycling: the 30 STALEST-benched non-headline
-    # queries (computed from artifacts/BENCH_r*_local*.json keys — the 20
-    # whose last protocol row is r8, then the 10 oldest r9 rows), plus
-    # e_ivfpq_append_recall: it is e_ivfpq_recall's TWIN (shares the
-    # oracle verbatim, same probe-path cost shape), and twins ride the
-    # rotation like s_maxsim_stream/s_shard_stream — the headline prices
-    # each distinct work shape once.
+    # r13: pure staleness-cycling (the r11 rotation closed the
+    # never-benched tail; r12 cycled the r8/r9-stale rows). This batch =
+    # the 30 STALEST-benched non-headline queries computed from
+    # artifacts/BENCH_r*_local*.json keys — the 19 whose last protocol
+    # row is r9 (the kernel block + m_features/m_frames/m_payload_meta +
+    # q06/q10/q11), then the 11 oldest r10 rows — plus
+    # e_ivfpq_append_recall, e_ivfpq_recall's shared-oracle twin, riding
+    # the rotation as in r12 (the headline prices each distinct work
+    # shape once; both ratios are reported in the summary).
     "e_ivfpq_append_recall",
-    "d_dedup_corpus",
-    "d_exact_dedup",
-    "d_ngram_jaccard",
-    "e_near_dups",
-    "e_pagerank",
-    "e_semdedup",
-    "k_builtins",
-    "k_match_lit",
-    "k_modules",
-    "k_spread",
-    "q04_order_priority",
-    "q21_range_join",
-    "q51_transitions",
-    "s_cdc_apply",
-    "s_kernel_stream",
-    "s_session_stream",
-    "t_heavy_hitters",
-    "t_langid",
-    "t_rarity",
-    "t_token_stats",
-    "d_dedup_keeper",
-    "d_fingerprint",
-    "d_split_leakage",
-    "e_ann_lsh",
-    "e_kmeans",
-    "k_attempt",
-    "k_cast",
-    "k_comprehension",
-    "k_count_interp",
-    "k_fact",
+    "k_function",
+    "k_generic",
+    "k_hello",
+    "k_lists",
+    "k_loop",
+    "k_mapiter",
+    "k_match_union",
+    "k_methods",
+    "k_pipeline",
+    "k_point",
+    "k_scopes",
+    "k_simple",
+    "k_subjunctive",
+    "m_features",
+    "m_frames",
+    "m_payload_meta",
+    "q06_customers_without_orders",
+    "q10_set_ops",
+    "q11_distinct_counts",
+    "q12_rollup",
+    "q14_events_json",
+    "q15_orders_monthly",
+    "q16_part_strings",
+    "q17_supplier_by_region",
+    "q20_median_udaf",
+    "q22_salted_agg",
+    "q23_percentiles",
+    "q24_lag_lead",
+    "q25_disjunctive_pricing",
+    "q28_pivot",
 ]
 
 

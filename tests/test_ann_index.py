@@ -323,6 +323,46 @@ def test_ivfpq_append_equals_rebuild(spark, tmp_path):
     assert got == want and len(got) == queries.count() * 5
 
 
+def test_ivfpq_multi_increment_append_equals_rebuild(spark, tmp_path):
+    """Production ingest never appends exactly once (r12 VERDICT #7):
+    build on the first third, append the middle third, then append the
+    final third — the frozen-quantizer/frozen-codebook contract must
+    hold under REPEATED growth, so the twice-grown index probes
+    bit-identically to a from-scratch build over the full corpus."""
+    emb = _embeddings(spark)
+    p_inc = str(tmp_path / "ivfpq_inc3")
+    ann_index.write_ivfpq_index(
+        emb.where(F.col("vec_id") < 167), "embedding", "vec_id", p_inc, n_cells=16
+    )
+    ann_index.append_to_ivfpq_index(
+        emb.where((F.col("vec_id") >= 167) & (F.col("vec_id") < 334)),
+        "embedding",
+        "vec_id",
+        p_inc,
+    )
+    ann_index.append_to_ivfpq_index(
+        emb.where(F.col("vec_id") >= 334), "embedding", "vec_id", p_inc
+    )
+
+    p_full = str(tmp_path / "ivfpq_full3")
+    ann_index.write_ivfpq_index(emb, "embedding", "vec_id", p_full, n_cells=16)
+
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    got = {
+        tuple(r)
+        for r in ann_index.probe_ivfpq_index(
+            spark, p_inc, queries, "embedding", "vec_id", k=5, n_probe=4
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in ann_index.probe_ivfpq_index(
+            spark, p_full, queries, "embedding", "vec_id", k=5, n_probe=4
+        ).collect()
+    }
+    assert got == want and len(got) == queries.count() * 5
+
+
 def test_ivfpq_ensure_index_marker_crash_consistency(spark, tmp_path, monkeypatch):
     """ivfpq_ensure_index's cache contract: a directory WITHOUT the _BUILT
     marker (crashed build) is rebuilt, and a completed build is reused

@@ -1410,6 +1410,140 @@ def test_e_ivfpq_recall_histogram_consistency(spark):
     assert sum(got.values()) == len(n_exact)
 
 
+def test_retrieval_pipeline_card(spark):
+    """t_retrieval_pipeline semantics pins: the plan cache returns the
+    same DataFrame per (session, corpus); every served candidate came
+    from at least one arm with full provenance; rnk is dense 1..n in
+    (maxsim desc, ...) order."""
+    from udlang_spark.session import plan_cache
+
+    plan_cache.clear()
+    a = llm.QUERIES["t_retrieval_pipeline"](spark, SF_DIR_CORRECTNESS)
+    b = llm.QUERIES["t_retrieval_pipeline"](spark, SF_DIR_CORRECTNESS)
+    assert a is b
+    rows = a.collect()
+    assert 0 < len(rows) <= 10
+    assert all(r.lex_rank is not None or r.vec_rank is not None for r in rows)
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    ms = [r.maxsim for r in rows]
+    assert ms == sorted(ms, reverse=True)
+    # a candidate with no scoreable chunk has the sentinel pointer and a
+    # zero score; anything else carries a real passage pointer
+    assert all(r.maxsim == 0.0 for r in rows if r.best_chunk_idx == -1)
+
+
+def _maxsim_vocab_model(texts, min_df):
+    """Pure-Python MaxSim-with-learned-vocab model: per-doc DISTINCT
+    tokens, vocab = doc-frequency >= min_df, OOV tokens dropped BEFORE
+    scoring, docs with no in-vocab token absent from the result."""
+    import math
+    import re
+    from collections import Counter
+
+    from udlang_spark.queries import llm as L
+
+    doc_toks = {
+        i: sorted(set(re.findall(r"[a-z0-9]+", t.lower())))
+        for i, t in enumerate(texts)
+    }
+    df = Counter(t for toks in doc_toks.values() for t in toks)
+    vocab = {t for t, n in df.items() if n >= min_df}
+    qvecs = [[L._msim_qvec(t) for t in q.split()] for q in L._MSIM_QUERIES]
+    scores = {}
+    for i, toks in doc_toks.items():
+        dvs = [L._msim_qvec(t) for t in toks if t in vocab]
+        if not dvs:
+            continue  # all-OOV doc leaves the result (inner join)
+        per_q = []
+        for qts in qvecs:
+            total = 0.0
+            for qv in qts:
+                nqq = sum(c * c for c in qv)
+                best = None
+                for dv in dvs:
+                    naa = sum(c * c for c in dv)
+                    cos = (
+                        round(
+                            sum(a * b for a, b in zip(dv, qv))
+                            / (math.sqrt(naa) * math.sqrt(nqq)),
+                            6,
+                        )
+                        if naa > 0
+                        else 0.0
+                    )
+                    best = cos if best is None or cos > best else best
+                total = total + best
+            per_q.append(total)
+        scores[i] = per_q
+    expect = set()
+    for qi in range(len(L._MSIM_QUERIES)):
+        ranked = sorted(scores, key=lambda d: (-scores[d][qi], d))[
+            : L._MSIM_TOPK
+        ]
+        for rnk, d in enumerate(ranked, 1):
+            expect.add((qi, d, round(scores[d][qi], 6), rnk))
+    return expect
+
+
+def test_maxsim_vocab_oov_fuzz_family(spark):
+    """Differential fuzz over t_maxsim_vocab's OOV seam (r12 VERDICT #6):
+    random corpora where some tokens fall below the df threshold — a
+    silent inner-join->left-join drift (all-OOV docs surviving with NULL
+    maxima) or a df-counting drift (per-occurrence instead of per-doc)
+    diverges from the Python model. Tokens include the query terms, OOV
+    singletons, and docs that are entirely OOV."""
+    import random
+
+    from udlang_spark.queries import llm as L
+
+    pool = [
+        "hash", "join", "scan", "stream", "window",  # query-term overlap
+        "alpha", "beta", "gamma",  # common fillers
+        "zz1", "zz2", "zz3", "zz4", "zz5",  # likely-OOV singletons
+    ]
+    rng = random.Random(13)
+    for trial in range(8):
+        n = rng.randrange(2, 9)
+        texts = []
+        for _ in range(n):
+            k = rng.randrange(0, 7)
+            texts.append(" ".join(rng.choice(pool) for _ in range(k)))
+        if trial == 0:
+            texts = ["zz1", "zz2 zz3", ""]  # every doc all-OOV at df>=2
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {
+            (r.qid, r.doc_id, round(r.score, 6), r.rnk)
+            for r in L._maxsim_vocab_core(docs, min_df=2).collect()
+        }
+        assert got == _maxsim_vocab_model(texts, 2), (trial, texts)
+
+
+def test_maxsim_vocab_min_df1_equals_topk(spark):
+    """Scored-dictionary equivalence (r12 VERDICT #6): with min_df=1 the
+    learned-vocab path IS t_maxsim_topk — every corpus token is in-vocab,
+    so the dictionary join, maxima, and top-k agree row-for-row."""
+    import random
+
+    from udlang_spark.queries import llm as L
+
+    rng = random.Random(31)
+    pool = ["hash", "join", "scan", "alpha", "beta", "zz1", "zz2", "n0"]
+    texts = [
+        " ".join(rng.choice(pool) for _ in range(rng.randrange(0, 8)))
+        for _ in range(12)
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    vocab_rows = {
+        tuple(r) for r in L._maxsim_vocab_core(docs, min_df=1).collect()
+    }
+    topk_rows = {tuple(r) for r in L._maxsim_topk_core(docs).collect()}
+    assert vocab_rows == topk_rows and len(vocab_rows) > 0
+
+
 def test_maxsim_plan_cache_identity(spark):
     """The analyzed-plan cache is load-bearing for the bench row (stable
     exprIds -> codegen-cache hits): same (session, corpus) must return

@@ -55,14 +55,12 @@ WHITELIST: dict[str, set[str]] = {
         "e_centroid_assign",  # broadcast-centroid GEMM
         "e_cosine_topk",  # capped exact GEMM scorer
         "e_ann_recall",  # recall eval composes the capped GEMM + IVF probe
-        "e_ivfpq_recall",  # exact arm GEMM + probe routing (r12)
+        "e_ivfpq_recall",  # exact arm GEMM (probe routing is driver-side numpy since r13)
         "e_ivfpq_append_recall",  # same arms vs the append-grown index
         "e_near_dups",  # capped exact GEMM scorer
         "e_near_dups_lsh",  # in-bucket GEMM scorer
         "e_ann_lsh",  # in-bucket GEMM top-k
         "e_ivf_ann",  # per-cell GEMM probe
-        "e_ivfpq_ann",  # ADC rerank path
-        "e_ivfpq_append",  # shares the probe plan
         "e_kmeans",  # per-iteration assignment GEMM
         "e_semdedup",  # within-cluster GEMM
         "e_random_proj",  # plane-matrix GEMM per batch
@@ -97,6 +95,7 @@ WHITELIST: dict[str, set[str]] = {
         "t_rarity",  # 1-row totals sidecar
         "t_bm25_topk",  # 1-row avgdl sidecar
         "t_hybrid_rrf",  # 1-row totals sidecar
+        "t_retrieval_pipeline",  # BM25 arm's 1-row stats sidecar (r13)
         "t_domain_mix",  # 1-row total + tot_w sidecars
         "t_quantile_sketch",  # 1-row N-from-buckets sidecar
         "t_kmv_jaccard",  # 1-row (k-1)*2^48 threshold sidecar

@@ -518,6 +518,45 @@ def probe_ivfpq_index(
     )
 
 
+def probe_ivfpq_arms(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    rerank_src: DataFrame,
+    rerank_r: int = 20,
+    n_probe: int = 4,
+) -> tuple[DataFrame | None, DataFrame | None]:
+    """BOTH serving arms from ONE probe of a persisted IVF-PQ index: the
+    raw ADC top-`k` and the exact rerank of the ADC top-`rerank_r`
+    (re-scored against `rerank_src` raw vectors, re-ranked to top-`k`).
+
+    This is the public two-arm surface the recall governance cards
+    (e_ivfpq_recall / e_ivfpq_append_recall) consume — the index is
+    routed/scanned/ADC-scored ONCE (a second probe measured +2.0 s of
+    pure duplicate work at sf0.1) and both arms derive from the same
+    persisted candidate relation. Returns (adc_topk, reranked_topk,
+    candidates): adc_topk is (query_id, vec_id, adc_dist, rnk ≤ k),
+    reranked_topk is (query_id, vec_id, cos_sim, rnk ≤ k), and candidates
+    is the persisted ADC top-`rerank_r` relation both arms derive from —
+    a caller that holds the arms across a release_caches() cycle
+    re-persists it to re-arm the shared scan. On an empty query panel
+    returns (None, None, None) — the caller owns its typed-empty
+    contract."""
+    adc_top, qpd, id_dtype = _adc_probe(
+        spark, path, queries, vec_col, id_col, rerank_r, n_probe
+    )
+    if qpd is None:
+        return None, None, None
+    adc_top = persist_tracked(adc_top)
+    rr = _adc_rescore(
+        spark, adc_top, qpd, rerank_src, vec_col, id_col, k, id_dtype
+    )
+    return adc_top.filter(F.col("rnk") <= k), rr, adc_top
+
+
 def _adc_probe(
     spark: SparkSession,
     path: str,
@@ -528,8 +567,18 @@ def _adc_probe(
     n_probe: int,
 ):
     """Route + partition-pruned scan + ADC score + per-query top-`topr`.
-    Returns (adc_top, qpd, id_dtype); on an empty query panel returns
-    (typed empty result, None, None)."""
+
+    The query panel is bounded by the serving contract and collected ONCE
+    (toPandas — it was always collected here for the ADC tables): routing,
+    the probed-cell list, the (query, cell) routing relation, and the
+    per-query lookup tables all derive driver-side in numpy from that one
+    collect. The distributed mapInPandas router this replaces (r12 shape)
+    was a per-run Python-worker round-trip plus a persist and two extra
+    collect jobs that re-derived what the table build already held; the
+    routing kernel math is unchanged (_routing_gemm's round-6 cosine GEMM,
+    stable argsort, ties break low), so the probed cells are
+    bit-identical. Returns (adc_top, qpd, id_dtype); on an empty query
+    panel returns (typed empty result, None, None)."""
     import numpy as np
     from functools import reduce
 
@@ -539,32 +588,14 @@ def _adc_probe(
     if not cent_rows:
         raise ValueError(f"{path}: index has an empty _centroids sidecar")
     cent = np.stack([np.asarray(r["vec"]) for r in cent_rows]).astype(np.float64)
-    bc = spark.sparkContext.broadcast((cent, _safe_norms(cent)))
+    cent_norm = _safe_norms(cent)
     n_cells = len(cent_rows)
     n_probe = min(n_probe, n_cells)
     cb_rows = spark.read.parquet(path + "/_codebook").orderBy("pos").collect()
     C = np.stack([np.asarray(r["vec"]) for r in cb_rows]).astype(np.float64)
 
     q = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    routed_q = persist_tracked(
-        q.mapInPandas(_query_router(bc, n_probe), _routed_schema(q))
-    )
-    cells = sorted(
-        r["cell"] for r in routed_q.select("cell").distinct().collect()
-    )
-    codes = spark.read.parquet(path).where(
-        F.col("cell").isin([int(c) for c in cells])
-    )
-    n_subspaces = sum(1 for f in codes.schema.fields if f.name.startswith("c") and f.name != "cell")
-
-    # query vectors for the ADC tables — read from the persisted routing
-    # (no second execution of the queries lineage)
-    qpd = (
-        routed_q.select("id", "vec")
-        .dropDuplicates(["id"])
-        .toPandas()
-        .sort_values("id")
-    )
+    qpd = q.dropDuplicates(["id"]).toPandas().sort_values("id")
     if len(qpd) == 0:
         empty = StructType(
             [
@@ -576,6 +607,18 @@ def _adc_probe(
         )
         return spark.createDataFrame([], empty), None, None
     Q = np.stack([np.asarray(v, dtype=np.float64) for v in qpd["vec"]])
+    # driver-side routing: the same kernel math as _routing_gemm /
+    # _query_router, over the already-collected panel
+    qc = (Q @ cent.T) / _safe_norms(Q)[:, None] / cent_norm[None, :]
+    np.round(qc, 6, out=qc)
+    probe_cells = np.argsort(-qc, kind="stable", axis=1)[:, :n_probe]
+    cells = sorted({int(c) for c in probe_cells.ravel()})
+    codes = spark.read.parquet(path).where(F.col("cell").isin(cells))
+    n_subspaces = sum(
+        1
+        for f in codes.schema.fields
+        if f.name.startswith("c") and f.name != "cell"
+    )
     tabs_np = pq_adc_tables(Q, C, n_subspaces)
     id_sql = q.schema["id"].dataType.simpleString()
     tab_schema = f"query_id {id_sql}, " + ", ".join(
@@ -590,7 +633,14 @@ def _adc_probe(
     tabs = F.broadcast(spark.createDataFrame(tab_rows, tab_schema))
 
     routing = F.broadcast(
-        routed_q.select(F.col("id").alias("query_id"), "cell").distinct()
+        spark.createDataFrame(
+            [
+                (qid, int(c))
+                for qid, row in zip(qpd["id"], probe_cells)
+                for c in row
+            ],
+            f"query_id {id_sql}, cell int",
+        )
     )
     dist = reduce(
         lambda a, b: a + b,

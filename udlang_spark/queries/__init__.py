@@ -29,104 +29,92 @@ for mod in (kernels, llm, streaming, relational, cleaning):
 
 # Registration order matters: the external driver differentially verifies the
 # FIRST 50 registry entries against their DuckDB oracles each round.
-# History: r3 relational q01–q50 (50/50). r4 kernel + oracled-LLM (47
-# green + 3 harness errs, re-confirmed r5). r5 the 38 never-checked +
-# mid-round additions (50/50). r6 4 never-checked + 13 r6 operators + 33
-# oldest re-confirmations — 49/50, 1 red (k_tower, fixed r7: BIGINT cast
-# both engines; strict checker now hashes driver-faithful pandas dtypes).
-# r7 (50/50 green): k_tower + 5 never-checked + q34–q50 (r3-stale) + the
-# 17 round-7 operators at land time + 10 oldest r4 kernel greens.
-# Round-12 window (cumulative state after r11: 201 of the 204 registered
-# queries have a driver row and ALL are green at their latest check —
-# staleness histogram r7:6, r8:48, r9:48, r10:49, r11:50; the 3 without a
-# row are the r11 late additions, strict-green at land time and
-# J-checked green by the r11 judge). Composition per r11 VERDICT #1:
-#   (a) the three queries with NO driver row: t_maxsim_topk (r12: now the
-#       scored-dictionary derivation + e_ann_recall's denominator fix —
-#       both re-strict-checked), e_ann_recall, s_maxsim_stream;
-#   (b) the three NEW round-12 queries, registered at land time:
-#       t_maxsim_vocab (learned-vocab broadcast dictionary join, r11
-#       VERDICT #4), e_ivfpq_recall (recall@5 gate for the compressed
-#       IVF-PQ probe, ADC + rerank arms, r11 VERDICT #5), and
-#       e_ivfpq_append_recall (the same recall card against the
-#       append-grown index; shares ORACLE_E_IVFPQ_RECALL verbatim via the
-#       append==rebuild bit-identity — registered IN-window at land time
-#       so the no-driver-row pattern of the last two rounds stops
-#       recurring; its slot comes from deferring t_langid, whose langid
-#       path is exercised in-window by t_lang_quality_bands);
-#   (c) the six r7-stale kernels deferred from the r11 window (k_hello,
-#       k_simple, k_point, k_scopes, k_count, k_lists) — clears the last
-#       r7 staleness;
-#   (d) 38 of the 48 r8-stale greens, led by the seven shingle consumers
-#       re-shaped by r11's let1 (d_minhash_lsh, d_dedup_corpus,
-#       d_simhash_neardup, d_exact_dedup, d_incremental_dedup, t_decontam,
-#       d_line_dedup — strict-green on the new code in r11). The 10
-#       deferred to r13, each with sibling coverage: q51_transitions,
-#       t_heavy_hitters (both J-checked green by the r11 judge on current
-#       code), m_image_meta, m_payload_meta, m_ahash_neardup (multimodal
-#       header/fingerprint family unchanged since r8; siblings
-#       m_ahash_dedup r11, m_real_decode r9), d_url_dedup (its streaming
-#       twin s_url_dedup_stream stays in-window), t_span_corrupt (span
-#       machinery re-rowed r11 via d_span_scrub/_maximal), k_pipeline
-#       (kernel compile paths re-rowed r11 + 6 kernel rows in THIS
-#       window), t_lift_bigrams (r11 protocol bench row; sibling
-#       t_bigram_lm covers the bigram path), t_langid (see (b)).
-# 3 + 3 + 6 + 38 = 50.
+# History: r3 relational q01-q50 (50/50). r4 kernel + oracled-LLM. r5 the
+# 38 never-checked + mid-round additions (50/50). r6 49/50 (k_tower red,
+# fixed r7). r7 50/50. r8-r12: 50/50 each; after r12 ALL 207 registered
+# queries are green at their latest check and none is staler than r8
+# (histogram r8:10, r9:48, r10:49, r11:50, r12:50).
+# Round-13 window (per r12 VERDICT #1: drain the r8-stale block first,
+# then the oldest r9 block; new queries register IN-window at land time):
+#   (a) the NEW round-13 query, registered at land time:
+#       t_retrieval_pipeline (the end-to-end hybrid retrieval serving
+#       pipeline — BM25 arm + persisted-IVF-PQ ADC arm + RRF fusion +
+#       chunk-level MaxSim rerank in ONE plan, r12 VERDICT #4);
+#   (b) the 10 r8-stale rows, 4 rounds without a driver re-check:
+#       d_url_dedup, k_pipeline, m_ahash_neardup, m_image_meta,
+#       m_payload_meta, q51_transitions, t_heavy_hitters, t_langid,
+#       t_lift_bigrams, t_span_corrupt;
+#   (c) 39 of the 48 r9-stale rows. The 9 deferred to r14, each with
+#       sibling coverage on current code: t_bm25_topk and t_hybrid_rrf
+#       (their scorer/fusion run VERBATIM inside in-window
+#       t_retrieval_pipeline - _bm25_scored is shared code and the
+#       oracle embeds _bm25_oracle(); both also ride the bench headline
+#       every round), m_frames (sibling m_video_frames in-window, shared
+#       frame-slice path), e_ann_lsh (sibling e_near_dups_lsh in-window,
+#       same in-bucket GEMM), e_label_centroids (siblings
+#       e_centroid_assign r12-green + e_kmeans in-window),
+#       k_comprehension (kernel family: 13 kernel rows green r11/r12;
+#       comprehension path fuzz-pinned), q56_nation_trade_volume (plain
+#       agg-join TPC-H shape; q57/q60/q61/q62 in-window),
+#       s_windowed_stream (sibling s_session_stream in-window; tumbling
+#       agg also driver-green via q13 r10), d_duplicate_spans (span
+#       machinery re-rowed r11 via d_span_scrub/_maximal; t_span_corrupt
+#       in-window).
+# 1 + 10 + 39 = 50.
 _PRIORITY: list[str] = [
-    # -- (a) no driver row yet (r11 late additions) --
-    "t_maxsim_topk",
-    "e_ann_recall",
-    "s_maxsim_stream",
-    # -- (b) new round-12 queries at land time --
-    "t_maxsim_vocab",
-    "e_ivfpq_recall",
-    "e_ivfpq_append_recall",
-    # -- (c) the last r7-stale kernels --
-    "k_hello",
-    "k_simple",
-    "k_point",
-    "k_scopes",
-    "k_count",
-    "k_lists",
-    # -- (d) r8-stale, shingle consumers first --
-    "d_minhash_lsh",
-    "d_dedup_corpus",
-    "d_simhash_neardup",
-    "d_exact_dedup",
-    "d_incremental_dedup",
-    "t_decontam",
-    "d_line_dedup",
-    "d_fingerprint",
-    "d_ngram_jaccard",
-    "d_simhash",
-    "e_centroid_assign",
-    "e_cosine_topk",
-    "e_near_dups",
-    "e_negative_pairs",
-    "e_pagerank",
-    "k_builtins",
-    "k_cast",
-    "k_match_lit",
-    "k_match_union",
-    "k_methods",
-    "k_modules",
-    "k_spread",
-    "q52_retention",
-    "s_cdc_apply",
-    "s_interval_stream",
-    "s_url_dedup_stream",
-    "t_chunks",
-    "t_corpus_pipeline",
-    "t_dsir_select",
-    "t_lang_quality_bands",
-    "t_length_outliers",
-    "t_ngram_topk",
-    "t_pack_greedy",
-    "t_quality",
-    "t_rarity",
-    "t_repetition",
-    "t_tfidf_topk",
-    "t_token_stats",
+    # -- (a) new round-13 query at land time --
+    "t_retrieval_pipeline",
+    # -- (b) the r8-stale block --
+    "d_url_dedup",
+    "k_pipeline",
+    "m_ahash_neardup",
+    "m_image_meta",
+    "m_payload_meta",
+    "q51_transitions",
+    "t_heavy_hitters",
+    "t_langid",
+    "t_lift_bigrams",
+    "t_span_corrupt",
+    # -- (c) the r9-stale block (39 of 48) --
+    "d_dedup_keeper",
+    "d_split_leakage",
+    "e_int8_quantize",
+    "e_ivf_ann",
+    "e_kmeans",
+    "e_mmr_rerank",
+    "e_near_dups_lsh",
+    "e_random_proj",
+    "k_attempt",
+    "m_features",
+    "m_real_decode",
+    "m_video_frames",
+    "q53_sketch_stats",
+    "q54_pattern_match",
+    "q55_user_ema",
+    "q57_product_profit",
+    "q58_returned_items",
+    "q59_promo_effect",
+    "q60_top_supplier",
+    "q61_large_volume_customers",
+    "q62_dominant_suppliers",
+    "q63_running_distinct",
+    "q64_global_seq",
+    "q65_snapshot_diff",
+    "q66_salted_join",
+    "s_dedup_stream",
+    "s_kernel_stream",
+    "s_neardup_stream",
+    "s_session_stream",
+    "s_stateful_totals",
+    "s_stream_join",
+    "t_bigram_lm",
+    "t_bpe_encode",
+    "t_bpe_learn",
+    "t_dedup_words",
+    "t_domain_mix",
+    "t_gopher_rules",
+    "t_pii_scrub",
+    "t_wordpiece",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50

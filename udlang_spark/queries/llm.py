@@ -22,7 +22,7 @@ from pyspark.sql.window import Window
 from udlang_spark.functions import text as TXT
 from udlang_spark.functions import url as URL
 from udlang_spark.operators import dedup, multimodal, similarity
-from udlang_spark.session import persist_tracked
+from udlang_spark.session import persist_tracked, plan_cache
 from udlang_spark.sources.tables import load_table
 
 _WL = "regexp_extract_all(lower(text), '\\S+')"  # non-empty tokens, = words()
@@ -1985,10 +1985,9 @@ def e_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram is a (k+1)-bucket agg.
     """
     emb = load_table(spark, "embeddings", sf_dir)
-    panel = emb.filter(F.col("vec_id") < _ANN_RECALL_PANEL)
-    exact = similarity.cosine_topk(
-        panel, "embedding", "vec_id", k=5, candidates=emb
-    ).select("vec_id", "nbr")
+    # shared with the IVF-PQ recall cards: one GEMM pass, one analyzed
+    # plan per (session, corpus) — see _exact_panel_top5
+    exact = _exact_panel_top5(spark, sf_dir, emb)
     approx = (
         similarity.ivf_ann_topk(emb, "embedding", "vec_id", k=5, n_cells=16, n_probe=6)
         .filter(F.col("vec_id") < _ANN_RECALL_PANEL)
@@ -2703,43 +2702,90 @@ def e_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plan-time cell pruning, broadcast routing + LUT joins, candidates
     linear in corpus/cells × n_probe). The rerank arm re-scores only
     |panel|·20 rows. The index is routed/scanned/ADC-scored ONCE
-    (ann_index._adc_probe at topr=20, persisted — both arms derive from
-    the same relation; a second probe_ivfpq_index call measured +2.0 s of
-    pure duplicate work at sf0.1), and the exact arm is computed ONCE and
-    persisted — both histograms reuse it."""
-    from udlang_spark.operators import ann_index
-
+    (ann_index.probe_ivfpq_arms at rerank_r=20, persisted — both arms
+    derive from the same relation; a second probe_ivfpq_index call
+    measured +2.0 s of pure duplicate work at sf0.1), and the exact arm
+    is computed ONCE per (session, corpus) and shared with e_ann_recall
+    and e_ivfpq_append_recall (_exact_panel_top5) — both histograms and
+    all three cards reuse it (r12 VERDICT #1)."""
     emb = load_table(spark, "embeddings", sf_dir)
     if not ivfpq_index_ready(sf_dir) and len(emb.limit(1).collect()) == 0:
         return _empty_recall_hist(spark)
     path = ivfpq_ensure_index(spark, sf_dir)
-    return _ivfpq_recall_arms(spark, emb, path)
+    return _ivfpq_recall_arms(spark, sf_dir, emb, path)
 
 
-def _ivfpq_recall_arms(spark: SparkSession, emb: DataFrame, path: str) -> DataFrame:
-    """The two-arm panel recall eval against a persisted IVF-PQ index at
-    `path` — shared by e_ivfpq_recall (full build) and
-    e_ivfpq_append_recall (append-grown build)."""
-    from udlang_spark.operators import ann_index
+def _exact_panel_top5(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
+    """The brute-force exact top-5 of the fixed recall panel — the arm
+    every recall card (e_ann_recall, e_ivfpq_recall,
+    e_ivfpq_append_recall) compares against. Built ONCE per (session,
+    corpus fingerprint) and persisted: the three cards share one GEMM
+    pass and one analyzed plan (stable exprIds → codegen-cache hits), and
+    each call re-arms the persist so a release_caches() between queries
+    never leaves the shared arm uncached while two histograms consume it
+    (r12 VERDICT #1: the pair paid the exact arm twice)."""
+    from udlang_spark.sources.tables import table_fingerprint
 
-    panel = emb.filter(F.col("vec_id") < _ANN_RECALL_PANEL)
-    exact = persist_tracked(
-        similarity.cosine_topk(
+    key = ("ann_panel_exact5", sf_dir, table_fingerprint(sf_dir, "embeddings"))
+    hit = plan_cache.get(spark, key)
+    if hit is None:
+        panel = emb.filter(F.col("vec_id") < _ANN_RECALL_PANEL)
+        hit = similarity.cosine_topk(
             panel, "embedding", "vec_id", k=5, candidates=emb
         ).select("vec_id", "nbr")
+        plan_cache.put(spark, key, hit)
+    return persist_tracked(hit)
+
+
+def _ivfpq_recall_arms(
+    spark: SparkSession, sf_dir: str, emb: DataFrame, path: str
+) -> DataFrame:
+    """The two-arm panel recall eval against a persisted IVF-PQ index at
+    `path` — shared by e_ivfpq_recall (full build) and
+    e_ivfpq_append_recall (append-grown build). The probe runs FIRST so
+    an empty panel returns before any persisted relation is registered
+    (r12 ADVICE #3), through the public two-arm API (r12 ADVICE #4). The
+    finished card is plan-cached per (session, corpus, index path): the
+    probe's bounded driver round-trips (routing, ADC tables) are
+    per-corpus setup, while re-execution still pays the pruned code scan,
+    ADC scoring, rerank, and both histogram joins."""
+    from udlang_spark.operators import ann_index
+    from udlang_spark.sources.tables import table_fingerprint
+
+    key = (
+        "ivfpq_recall_card",
+        sf_dir,
+        table_fingerprint(sf_dir, "embeddings"),
+        path,
     )
-    adc_top, qpd, id_dtype = ann_index._adc_probe(
-        spark, path, panel, "embedding", "vec_id", topr=20, n_probe=6
+    hit = plan_cache.get(spark, key)
+    if hit is not None:
+        res, pins = hit
+        for df in pins:
+            persist_tracked(df)  # re-arm shared-relation caching
+        return res
+
+    panel = emb.filter(F.col("vec_id") < _ANN_RECALL_PANEL)
+    adc_k, rr_k, candidates = ann_index.probe_ivfpq_arms(
+        spark,
+        path,
+        panel,
+        "embedding",
+        "vec_id",
+        k=5,
+        rerank_src=emb,
+        rerank_r=20,
+        n_probe=6,
     )
-    if qpd is None:
+    if adc_k is None:
         return _empty_recall_hist(spark)
-    adc_top = persist_tracked(adc_top)
-    adc = adc_top.filter(F.col("rnk") <= 5).select(
+    exact = _exact_panel_top5(spark, sf_dir, emb)
+    adc = adc_k.select(
         F.col("query_id").alias("vec_id"), F.col("vec_id").alias("nbr")
     )
-    rr = ann_index._adc_rescore(
-        spark, adc_top, qpd, emb, "embedding", "vec_id", 5, id_dtype
-    ).select(F.col("query_id").alias("vec_id"), F.col("vec_id").alias("nbr"))
+    rr = rr_k.select(
+        F.col("query_id").alias("vec_id"), F.col("vec_id").alias("nbr")
+    )
 
     def hist(approx: DataFrame, arm: str) -> DataFrame:
         per = (
@@ -2760,11 +2806,13 @@ def _ivfpq_recall_arms(spark: SparkSession, emb: DataFrame, path: str) -> DataFr
             .select(F.lit(arm).alias("arm"), "recall_at_5", "n_queries")
         )
 
-    return (
+    res = (
         hist(adc, "adc")
         .unionAll(hist(rr, "rerank"))
         .orderBy("arm", "recall_at_5")
     )
+    plan_cache.put(spark, key, (res, [exact, candidates]))
+    return res
 
 
 def e_ivfpq_append_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2784,7 +2832,7 @@ def e_ivfpq_append_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _ivfpq_append_index(spark, emb, sf_dir)
     if path is None:
         return _empty_recall_hist(spark)
-    return _ivfpq_recall_arms(spark, emb, path)
+    return _ivfpq_recall_arms(spark, sf_dir, emb, path)
 
 
 def _ivfpq_recall_oracle(rerank_r: int = 20) -> str:
@@ -4621,6 +4669,16 @@ def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-20 is a TakeOrderedAndProject. Total wide work: zero exchanges
     beyond the 1-row stats broadcast and the final ordered limit.
     """
+    return _bm25_scored(spark, sf_dir)[0]
+
+
+def _bm25_scored(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(BM25 top-20 relation, the persisted per-doc tf/dl relation) —
+    shared by t_bm25_topk, t_hybrid_rrf, and t_retrieval_pipeline; the
+    second element is returned so a plan-caching caller can re-arm its
+    persist after a release_caches() cycle."""
     docs = load_table(spark, "documents", sf_dir)
     tf_cols = [
         F.expr(f"size(filter(wl, x -> x = '{t}'))").alias(f"tf_{t}")
@@ -4644,7 +4702,7 @@ def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in _BM25_TERMS
         ],
     )
-    return (
+    top = (
         d.crossJoin(F.broadcast(stats))
         .filter(F.expr(_BM25_HITS) > 0)
         .select(
@@ -4655,6 +4713,7 @@ def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+    return top, d
 
 
 def _bm25_oracle() -> str:
@@ -4900,9 +4959,10 @@ def _msim_topk_from_maxes(m: DataFrame) -> DataFrame:
 # (r11 VERDICT #2 — the k_count/compile_kernel memoization lesson applied
 # to a relational plan). Returning the SAME DataFrame keeps exprIds
 # stable, so re-executions hit the codegen cache and price execution.
-# The key folds in the source-file fingerprint so regenerated data is a
-# miss, and the applicationId drops entries from stopped sessions.
-_MSIM_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# Keys fold in the source-file fingerprint so regenerated data is a miss;
+# session identity is the WeakKeyDictionary key inside plan_cache (r12
+# ADVICE #1/#2: per-session entries, FIFO eviction, dead sessions drop).
+_MSIM_DF_CACHE = plan_cache
 
 
 def t_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4951,15 +5011,19 @@ def t_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from udlang_spark.sources.tables import table_fingerprint
 
-    key = (
-        spark.sparkContext.applicationId,
-        sf_dir,
-        table_fingerprint(sf_dir, "documents"),
-    )
-    hit = _MSIM_DF_CACHE.get(key)
+    key = ("msim_topk", sf_dir, table_fingerprint(sf_dir, "documents"))
+    hit = plan_cache.get(spark, key)
     if hit is not None:
         return hit
-    docs = load_table(spark, "documents", sf_dir)
+    res = _maxsim_topk_core(load_table(spark, "documents", sf_dir))
+    plan_cache.put(spark, key, res)
+    return res
+
+
+def _maxsim_topk_core(docs: DataFrame) -> DataFrame:
+    """t_maxsim_topk's scored-dictionary derivation over an explicit
+    documents relation — shared with the vocab-equivalence fuzz family
+    (== _maxsim_vocab_core at min_df=1 by construction)."""
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(F.expr(_WORDS))).alias("tok")
     )
@@ -4968,17 +5032,16 @@ def t_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(f"c{qi}_{j}").alias(f"m{qi}_{j}") for qi, j, _ in _msim_terms()[0]
     ]
     m = toks.join(F.broadcast(scored), "tok").groupBy("doc_id").agg(*agg_cols)
-    res = _msim_topk_from_maxes(m)
-    if len(_MSIM_DF_CACHE) >= 8:  # a handful of (session, sf) pairs max
-        _MSIM_DF_CACHE.clear()
-    _MSIM_DF_CACHE[key] = res
-    return res
+    return _msim_topk_from_maxes(m)
 
 
-def _msim_scored_vocab(vocab: DataFrame) -> DataFrame:
-    """Score a (tok) vocabulary relation: md5 integer components and the
-    full |Q·terms| cosine set, evaluated once per vocabulary entry —
-    the scored dictionary both MaxSim batch queries broadcast."""
+def _scored_token_vocab(
+    vocab: DataFrame, named_qvecs: list[tuple[str, list[int]]]
+) -> DataFrame:
+    """Score a (tok) vocabulary relation against a set of query-token
+    vectors: md5 integer components plus one round-6 cosine column per
+    (name, qvec) pair, evaluated once per vocabulary entry — the scored
+    dictionary a MaxSim consumer broadcasts."""
     comp = [
         f"(CAST(conv(substring(h, {1 + 4 * d}, 4), 16, 10)"
         f" AS BIGINT) % 2001 - 1000)"
@@ -4989,16 +5052,24 @@ def _msim_scored_vocab(vocab: DataFrame) -> DataFrame:
     ).select("tok", *[F.expr(e).alias(f"a{d}") for d, e in enumerate(comp)])
     naa = " + ".join(f"a{d} * a{d}" for d in range(_MSIM_DIMS))
     cos_cols = []
-    for qi, j, qv in _msim_terms()[0]:
+    for name, qv in named_qvecs:
         dot = " + ".join(f"a{d} * ({qv[d]})" for d in range(_MSIM_DIMS))
         nqq = sum(c * c for c in qv)
         cos_cols.append(
             F.expr(
                 f"CASE WHEN ({naa}) > 0 THEN round(({dot}) / "
                 f"(sqrt({naa}) * sqrt({nqq})), 6) ELSE 0.0 END"
-            ).alias(f"c{qi}_{j}")
+            ).alias(name)
         )
     return v.select("tok", *cos_cols)
+
+
+def _msim_scored_vocab(vocab: DataFrame) -> DataFrame:
+    """The full |Q·terms| scored dictionary both MaxSim batch queries
+    broadcast (see _scored_token_vocab)."""
+    return _scored_token_vocab(
+        vocab, [(f"c{qi}_{j}", qv) for qi, j, qv in _msim_terms()[0]]
+    )
 
 
 def _maxsim_oracle() -> str:
@@ -5065,8 +5136,17 @@ def t_maxsim_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_plans.py pins both) — followed by the same
     maxpool-shuffle + per-query top-k window as t_maxsim_topk. A doc
     whose every token is OOV leaves the result (inner join), determinism
-    as t_maxsim_topk."""
-    docs = load_table(spark, "documents", sf_dir)
+    as t_maxsim_topk. The OOV seam (all-OOV docs leave; min_df=1 makes
+    this identical to t_maxsim_topk) is differentially fuzzed against a
+    Python model in tests/test_llm_oracle.py."""
+    return _maxsim_vocab_core(load_table(spark, "documents", sf_dir))
+
+
+def _maxsim_vocab_core(
+    docs: DataFrame, min_df: int = _MSIM_VOCAB_MIN_DF
+) -> DataFrame:
+    """t_maxsim_vocab over an explicit documents relation with a
+    parameterized df threshold — the fuzz family's entry point."""
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(F.expr(_WORDS))).alias("tok")
     )
@@ -5078,7 +5158,7 @@ def t_maxsim_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= _MSIM_VOCAB_MIN_DF)
+        .filter(F.col("df") >= min_df)
         .select("tok", F.expr(f"array({', '.join(comp)})").alias("vec"))
     )
     naa = " + ".join(f"vec[{d}] * vec[{d}]" for d in range(_MSIM_DIMS))
@@ -5141,6 +5221,269 @@ FROM (
 
 
 ORACLE_T_MAXSIM_VOCAB = _maxsim_vocab_oracle()
+
+
+# ---------------------------------------------------------------------------
+# end-to-end retrieval pipeline (r12 VERDICT #4): the query a RAG-data user
+# actually serves, composed from the individually-oracled stages into ONE
+# plan — lexical BM25 arm + IVF-PQ dense arm, RRF fusion, then a chunk-level
+# MaxSim rerank of the fused candidates.
+# ---------------------------------------------------------------------------
+
+
+def t_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval serving pipeline, end-to-end in one plan:
+
+    1. LEXICAL arm — BM25 top-20 for the fixed query term set
+       (_BM25_TERMS, the t_bm25_topk scorer verbatim: scan-level tf, one
+       1-row stats broadcast, TakeOrdered 20).
+    2. DENSE arm — ADC top-20 from the PERSISTED IVF-PQ index for the
+       query embedding (vec_id 0), through the production probe path
+       (plan-time cell pruning, broadcast routing + LUT joins).
+    3. FUSE — reciprocal-rank fusion 1/(60+rank) summed across arms
+       (integer ranks, immune to score-calibration drift), top-20.
+    4. RERANK — the fused candidates are CHUNKED (t_chunks' 200-char
+       windows, stride 150), each chunk late-interaction scored against
+       the same query string (MaxSim: per query term, the max round-6
+       cosine over the chunk's distinct tokens via the broadcast scored
+       dictionary; term maxima sum in fixed order), and each doc answers
+       with its best chunk — (best_chunk_idx, maxsim) is exactly the
+       passage pointer a RAG system returns.
+
+    Output: top-10 by (maxsim DESC, rrf DESC, id) with full provenance
+    (lex_rank, vec_rank, rrf, best_chunk_idx, maxsim, rnk).
+
+    Scale: both arms are bounded top-k pipelines over the corpus (no
+    all-pairs anywhere); fusion joins two 20-row relations; the rerank
+    stage touches ONLY the fused candidates — chunking, tokenization, and
+    dictionary scoring are O(candidates), not O(corpus), which is why
+    chunk-level MaxSim is affordable as a FINAL stage at any corpus size.
+    Cross-operator plan budget (exchange count, single broadcast
+    dictionary join, zero Python eval nodes) is pinned in
+    tests/test_plans.py. The finished plan is cached per (session, corpus
+    fingerprints) — the probe's bounded driver round-trips are
+    per-corpus setup; re-execution pays both arms, the fusion, and the
+    rerank in full.
+
+    Determinism: ranks are integers; rrf and the chunk scores are
+    fixed-order IEEE sums of round-6 terms written identically in both
+    engines; all orderings tie-break on id/chunk_idx.
+    """
+    from udlang_spark.operators import ann_index
+    from udlang_spark.sources.tables import table_fingerprint
+
+    key = (
+        "retrieval_pipeline",
+        sf_dir,
+        table_fingerprint(sf_dir, "documents"),
+        table_fingerprint(sf_dir, "embeddings"),
+    )
+    hit = plan_cache.get(spark, key)
+    if hit is not None:
+        res, pins = hit
+        for df in pins:
+            persist_tracked(df)
+        return res
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+
+    lex_top, bm25_d = _bm25_scored(spark, sf_dir)
+    lex = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .alias("lex_rank"),
+    )
+
+    if ivfpq_index_ready(sf_dir) or len(emb.limit(1).collect()) > 0:
+        path = ivfpq_ensure_index(spark, sf_dir)
+        dense_raw = ann_index.probe_ivfpq_index(
+            spark,
+            path,
+            emb.where(F.col("vec_id") == 0),
+            "embedding",
+            "vec_id",
+            k=20,
+            n_probe=6,
+        )
+    else:
+        dense_raw = _empty_ivfpq_result(spark)
+    dense = dense_raw.select("vec_id", F.col("rnk").alias("vec_rank"))
+
+    fused = persist_tracked(
+        lex.join(dense, lex["doc_id"] == dense["vec_id"], "full_outer")
+        .select(
+            F.coalesce(lex["doc_id"], dense["vec_id"]).alias("id"),
+            "lex_rank",
+            "vec_rank",
+            (
+                F.coalesce(1.0 / (F.lit(60) + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(60) + F.col("vec_rank")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "id")
+        .limit(20)
+    )
+
+    cand = docs.join(
+        F.broadcast(fused.select("id")), docs["doc_id"] == F.col("id")
+    ).select("id", "text")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(150)
+    )
+    chunks = cand.select(
+        "id",
+        F.posexplode(
+            F.transform(starts, lambda s: F.substring(F.col("text"), s, F.lit(200)))
+        ).alias("chunk_idx", "chunk"),
+    )
+    toks = chunks.select(
+        "id",
+        "chunk_idx",
+        F.explode(
+            F.array_distinct(
+                F.expr("regexp_extract_all(lower(chunk), '[a-z0-9]+', 0)")
+            )
+        ).alias("tok"),
+    )
+    terms = [(f"r{j}", _msim_qvec(t)) for j, t in enumerate(_BM25_TERMS)]
+    scored = _scored_token_vocab(toks.select("tok").distinct(), terms)
+    m = (
+        toks.join(F.broadcast(scored), "tok")
+        .groupBy("id", "chunk_idx")
+        .agg(*[F.max(name).alias(f"m{j}") for j, (name, _) in enumerate(terms)])
+    )
+    msum = " + ".join(f"m{j}" for j in range(len(terms)))
+    cs = m.select("id", "chunk_idx", F.expr(msum).alias("chunk_score"))
+    bw = Window.partitionBy("id").orderBy(
+        F.col("chunk_score").desc(), "chunk_idx"
+    )
+    best = (
+        cs.withColumn("rk", F.row_number().over(bw))
+        .filter(F.col("rk") == 1)
+        .select(
+            "id",
+            F.col("chunk_idx").alias("best_chunk_idx"),
+            F.col("chunk_score").alias("maxsim"),
+        )
+    )
+    final = fused.join(best, "id", "left").select(
+        "id",
+        "lex_rank",
+        "vec_rank",
+        F.col("rrf").alias("rrf_raw"),
+        F.coalesce("best_chunk_idx", F.lit(-1)).alias("best_chunk_idx"),
+        F.coalesce("maxsim", F.lit(0.0)).alias("maxsim"),
+    )
+    res = (
+        final.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("maxsim").desc(), F.col("rrf_raw").desc(), "id"
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "id",
+            "lex_rank",
+            "vec_rank",
+            F.round("rrf_raw", 9).alias("rrf"),
+            "best_chunk_idx",
+            "maxsim",
+            "rnk",
+        )
+        .orderBy("rnk")
+    )
+    plan_cache.put(spark, key, (res, [bm25_d, fused]))
+    return res
+
+
+def _retrieval_pipeline_oracle() -> str:
+    comp = ", ".join(
+        f"CAST(CAST(concat('0x', substr(h, {1 + 4 * d}, 4))"
+        f" AS UBIGINT) % 2001 AS BIGINT) - 1000 AS a{d}"
+        for d in range(_MSIM_DIMS)
+    )
+    naa = " + ".join(f"a{d} * a{d}" for d in range(_MSIM_DIMS))
+    cos_cols, max_cols = [], []
+    for j, t in enumerate(_BM25_TERMS):
+        qv = _msim_qvec(t)
+        dot = " + ".join(f"a{d} * ({qv[d]})" for d in range(_MSIM_DIMS))
+        nqq = sum(c * c for c in qv)
+        cos_cols.append(
+            f"CASE WHEN ({naa}) > 0 THEN round(({dot}) / "
+            f"(sqrt({naa}) * sqrt({nqq})), 6) ELSE 0.0 END AS r{j}"
+        )
+        max_cols.append(f"max(r{j}) AS m{j}")
+    msum = " + ".join(f"m{j}" for j in range(len(_BM25_TERMS)))
+    return f"""
+WITH {_ivfpq_ctes(n_probe=6, panel_sql="vec_id = 0")},
+adcrank AS (
+  SELECT qid, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rk
+  FROM adcscored
+),
+dense AS (SELECT vec_id, CAST(rk AS INTEGER) AS vec_rank
+          FROM adcrank WHERE rk <= 20),
+lex0 AS ({_bm25_oracle()}),
+lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER)
+           AS lex_rank
+  FROM lex0
+),
+fused AS (
+  SELECT coalesce(l.doc_id, v.vec_id) AS id, l.lex_rank, v.vec_rank,
+         coalesce(1.0::DOUBLE / (60 + l.lex_rank), 0.0)
+           + coalesce(1.0::DOUBLE / (60 + v.vec_rank), 0.0) AS rrf
+  FROM lex l FULL OUTER JOIN dense v ON l.doc_id = v.vec_id
+  ORDER BY rrf DESC, id LIMIT 20
+),
+cdocs AS (SELECT f.id, d.text FROM fused f JOIN documents d ON d.doc_id = f.id),
+chunks AS (
+  SELECT id, CAST((i - 1) / 150 AS INTEGER) AS chunk_idx,
+         substr(text, CAST(i AS INTEGER), 200) AS chunk
+  FROM cdocs,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(text), 1), 150)) AS i) t
+),
+ct AS (
+  SELECT id, chunk_idx,
+         md5('msim:' || unnest(list_distinct(
+           regexp_extract_all(lower(chunk), '[a-z0-9]+')))) AS h
+  FROM chunks
+),
+cv AS (SELECT id, chunk_idx, {comp} FROM ct),
+cc AS (SELECT id, chunk_idx, {", ".join(cos_cols)} FROM cv),
+cm AS (SELECT id, chunk_idx, {", ".join(max_cols)} FROM cc
+       GROUP BY id, chunk_idx),
+cs AS (SELECT id, chunk_idx, ({msum}) AS chunk_score FROM cm),
+best AS (
+  SELECT id, chunk_idx, chunk_score,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY chunk_score DESC, chunk_idx) AS rk
+  FROM cs
+),
+final AS (
+  SELECT f.id, f.lex_rank, f.vec_rank, f.rrf,
+         coalesce(b.chunk_idx, -1) AS best_chunk_idx,
+         coalesce(b.chunk_score, 0.0) AS maxsim
+  FROM fused f
+  LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.id = f.id
+)
+SELECT id, lex_rank, vec_rank, round(rrf, 9) AS rrf, best_chunk_idx, maxsim,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, row_number() OVER (ORDER BY maxsim DESC, rrf DESC, id) AS rnk
+  FROM final
+) WHERE rnk <= 10
+ORDER BY rnk
+"""
+
+
+ORACLE_RETRIEVAL_PIPELINE = _retrieval_pipeline_oracle()
 
 
 def d_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5496,6 +5839,7 @@ QUERIES = {
     "t_hybrid_rrf": t_hybrid_rrf,
     "t_maxsim_topk": t_maxsim_topk,
     "t_maxsim_vocab": t_maxsim_vocab,
+    "t_retrieval_pipeline": t_retrieval_pipeline,
     "d_split_leakage": d_split_leakage,
     "t_domain_mix": t_domain_mix,
     "t_shard_plan": t_shard_plan,
@@ -5579,6 +5923,7 @@ ORACLE = {
     "t_hybrid_rrf": ORACLE_HYBRID_RRF,
     "t_maxsim_topk": ORACLE_T_MAXSIM,
     "t_maxsim_vocab": ORACLE_T_MAXSIM_VOCAB,
+    "t_retrieval_pipeline": ORACLE_RETRIEVAL_PIPELINE,
     "d_split_leakage": ORACLE_SPLIT_LEAKAGE,
     "t_domain_mix": ORACLE_DOMAIN_MIX,
     "t_shard_plan": ORACLE_SHARD_PLAN,

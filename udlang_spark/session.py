@@ -71,6 +71,49 @@ def stop_spark() -> None:
 _PERSISTED: list = []
 
 
+# ---------------------------------------------------------------------------
+# per-session analyzed-plan cache
+#
+# Some queries return the SAME DataFrame object for the same (session, input
+# fingerprint) so exprIds stay stable across bench runs and re-executions hit
+# the JVM codegen cache (the t_maxsim_topk lesson, SURVEY §9 r12). Keying is
+# on the SparkSession OBJECT via a WeakKeyDictionary (r12 ADVICE #1: an
+# applicationId key is shared by newSession() siblings with different SQL
+# confs, and entries from stopped contexts linger), so a sibling session
+# never sees another session's plans and dead sessions drop their entries
+# automatically. Eviction is FIFO of the oldest entry only (r12 ADVICE #2:
+# a full clear at the cap threw away the hot entry whose exprId stability
+# the cache exists to preserve).
+# ---------------------------------------------------------------------------
+
+
+class _PlanCache:
+    MAX_PER_SESSION = 8
+
+    def __init__(self) -> None:
+        import weakref
+
+        self._per = weakref.WeakKeyDictionary()
+
+    def get(self, spark, key):
+        return self._per.get(spark, {}).get(key)
+
+    def put(self, spark, key, df) -> None:
+        per = self._per.get(spark)
+        if per is None:
+            per = {}
+            self._per[spark] = per
+        if key not in per and len(per) >= self.MAX_PER_SESSION:
+            per.pop(next(iter(per)))  # FIFO-evict the oldest entry only
+        per[key] = df
+
+    def clear(self) -> None:
+        self._per.clear()
+
+
+plan_cache = _PlanCache()
+
+
 def persist_tracked(df, storage_level=None):
     """persist() a DataFrame and register it for later release_caches()."""
     df.persist() if storage_level is None else df.persist(storage_level)
