@@ -78,17 +78,39 @@ def bloom_build(
 def bloom_might_contain(
     key: Column, word_list: list[int], k_hashes: int
 ) -> Column:
-    """Pure-Column membership probe against the literal word array: ALL k
-    positions' bits set. No join, no shuffle, no Python — the predicate
-    rides the fact scan."""
+    """Pure-Column membership probe against a single constant BINARY
+    literal (the m/32 words big-endian-packed): ALL k positions' bits set.
+    No join, no shuffle, no Python — the predicate rides the fact scan.
+
+    Representation notes (both measured at 1024 words × 600k rows):
+    - F.lit(list) emits an ArrayType literal whose 1024-node tree costs
+      ~0.5 s of Catalyst ANALYSIS per query — pure driver overhead that
+      recurs on every plan using the filter;
+    - a hex-STRING literal analyzes fast but probes in O(position) per
+      row (UTF8String.substring counts code points from the start —
+      measured 16 s);
+    - one BinaryType literal is O(1) both ways: byte-offset substring
+      slices 4 bytes, hex+conv rebuilds the word.
+    """
     m_bits = len(word_list) * _WORD_BITS
-    # F.lit(list) emits ONE constant array literal; F.array(*lits) would
-    # build a CreateArray that codegen re-materializes PER ROW — measured
-    # multi-second cost at 1024 words × 600k rows
-    arr = F.lit([int(w) for w in word_list])
+    blob = b"".join(
+        int(w & 0xFFFFFFFF).to_bytes(4, "big") for w in word_list
+    )
+    lit = F.lit(blob)
     tests = []
     for p in _positions(key, m_bits, k_hashes):
-        word = F.element_at(arr, (p / _WORD_BITS).cast("int") + 1)
+        word = F.conv(
+            F.hex(
+                F.call_function(
+                    "substring",
+                    lit,
+                    (p / _WORD_BITS).cast("int") * 4 + 1,
+                    F.lit(4),
+                )
+            ),
+            16,
+            10,
+        ).cast("long")
         bit = F.call_function(
             "shiftleft", F.lit(1).cast("long"), (p % _WORD_BITS).cast("int")
         )

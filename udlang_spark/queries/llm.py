@@ -1027,7 +1027,12 @@ def t_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the thing you're avoiding. Probing broadcasts the tiny sketch.
     Buckets come from md5 (first 8 hex chars % w) — the LSH-plane
     convention, bit-reproducible in SQL."""
-    docs = load_table(spark, "documents", sf_dir)
+    from udlang_spark.sources.tables import fan_out
+
+    # fan_out: split + explode + per-token md5 are CPU-heavy per-row work
+    # riding a single-row-group scan (one task at bench SF); no-op at real
+    # scale where the scan already has splits (d_simhash precedent)
+    docs = fan_out(load_table(spark, "documents", sf_dir).select("text"))
     toks = docs.select(F.explode(TXT.words("text")).alias("tok"))
     sketch = _cms_cells(toks, "tok").groupBy("row", "bucket").agg(
         F.count(F.lit(1)).alias("n")

@@ -2739,7 +2739,13 @@ GROUP BY 1, 2
 """
 
 
-_BLOOM_M = 32768  # bits (1024 32-bit words; ~0.6% FP at 2129 keys, k=3)
+# 262144 bits = 8192 32-bit words (a 32 KiB constant binary literal —
+# cheap since bloom.py packs the words into ONE BinaryType literal).
+# Sized for the sf0.1 dim (~28k urgent-high-value orderkeys, k=3 →
+# ~2% FP); the old 32768 was sized for sf0.01's 2129 keys and passed 68%
+# of the fact at sf0.1 — a filter that barely filters. Production sizing
+# comes from the dim's estimated NDV the same way.
+_BLOOM_M = 262144
 _BLOOM_K = 3
 _BLOOM_DIM_PRED = "(o_orderpriority = '1-URGENT') AND (o_totalprice > 150000)"
 
@@ -2755,6 +2761,7 @@ def q67_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     every pruning decision reproducible in the oracle; zero false
     negatives is structural (the revenue equals the unpruned join's)."""
     from udlang_spark.operators import bloom
+    from udlang_spark.sources.tables import fan_out
 
     li = _t(spark, sf_dir, "lineitem")
     dim = (
@@ -2768,8 +2775,13 @@ def q67_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = bloom.bloom_build(dim, "l_orderkey", _BLOOM_M, _BLOOM_K)
     # the whole ledger in ONE fact pass: flag each row with the bloom
     # probe (evaluated once), left-join the broadcast dim for ground
-    # truth, aggregate counts + DECIMAL revenue together
-    flagged = li.select(
+    # truth, aggregate counts + DECIMAL revenue together. fan_out first:
+    # the k md5 probes are CPU-heavy per-row work that would otherwise
+    # ride the single-row-group scan as ONE task at bench SF; the
+    # production bloom_semi_join operator itself stays shuffle-free
+    # (tests/test_plans.py pins it), this ledger QUERY spreads the audit
+    # arithmetic. No-op at real scale where the scan has splits.
+    flagged = fan_out(li.select("l_orderkey", "l_extendedprice")).select(
         "l_orderkey",
         "l_extendedprice",
         bloom.bloom_might_contain(
