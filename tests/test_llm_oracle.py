@@ -1557,3 +1557,92 @@ def test_maxsim_plan_cache_identity(spark):
     c = llm.QUERIES["t_maxsim_topk"](spark, SF_DIR_CORRECTNESS)
     assert c is not a
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, c.collect()))
+
+
+def test_bloom_binary_literal_matches_python_bit_model(spark):
+    """Differential family over the Bloom probe's REPRESENTATION seam
+    (r13: the word table became one big-endian-packed BinaryType literal
+    probed via byte-offset substring+hex+conv — a silent packing or
+    offset bug would shift every probe and still 'look random'): for a
+    diverse key domain (negative/huge ints, unicode incl. astral plane
+    and combining marks, empty-ish strings) and every (m_bits, k_hashes)
+    config, bloom_build's distributed word table and bloom_might_contain's
+    per-row verdicts must equal a pure-Python md5 bit model, bit for bit
+    and row for row — zero false negatives is then a corollary, not a
+    sample."""
+    import hashlib
+    import random
+
+    from pyspark.sql import functions as F
+
+    from udlang_spark.operators import bloom
+
+    def model_positions(key: str, m_bits: int, k: int) -> list[int]:
+        h = hashlib.md5(("bloom:" + key).encode("utf-8")).hexdigest()
+        return [int(h[8 * i : 8 * i + 8], 16) % m_bits for i in range(k)]
+
+    def model_words(keys: list[str], m_bits: int, k: int) -> list[int]:
+        words = [0] * (m_bits // 32)
+        for key in keys:
+            for p in model_positions(key, m_bits, k):
+                words[p // 32] |= 1 << (p % 32)
+        return words
+
+    rng = random.Random(0xB100F)
+    int_keys = (
+        [0, 1, -1, 2**62, -(2**62)]
+        + [rng.randint(-(2**40), 2**40) for _ in range(60)]
+    )
+    str_keys = [
+        "", " ", "a", "clé", "́combining", "emoji \U0001f600 key",
+        "多字节キー", "tab\tand\nnewline", "bloom:prefix-collision",
+    ] + [f"k{rng.randint(0, 10**9)}" for _ in range(40)]
+
+    for m_bits, k in ((32, 1), (256, 2), (4096, 3), (262144, 4)):
+        # --- int keys: dim = half the keys, probe = all of them ---
+        dim_keys = int_keys[::2]
+        dim = spark.createDataFrame([(v,) for v in dim_keys], "key long")
+        words = bloom.bloom_build(dim, "key", m_bits, k)
+        assert words == model_words([str(v) for v in dim_keys], m_bits, k)
+
+        probe = spark.createDataFrame([(v,) for v in int_keys], "key long")
+        got = {
+            r["key"]: r["hit"]
+            for r in probe.select(
+                "key",
+                bloom.bloom_might_contain(
+                    F.col("key"), words, k
+                ).alias("hit"),
+            ).collect()
+        }
+        for v in int_keys:
+            expect = all(
+                (words[p // 32] >> (p % 32)) & 1
+                for p in model_positions(str(v), m_bits, k)
+            )
+            assert got[v] == expect, (m_bits, k, v)
+        for v in dim_keys:  # zero false negatives, structurally
+            assert got[v], (m_bits, k, v)
+
+        # --- unicode string keys through the same packed literal ---
+        sdim_keys = str_keys[::2]
+        sdim = spark.createDataFrame([(v,) for v in sdim_keys], "key string")
+        swords = bloom.bloom_build(sdim, "key", m_bits, k)
+        assert swords == model_words(sdim_keys, m_bits, k)
+
+        sprobe = spark.createDataFrame([(v,) for v in str_keys], "key string")
+        sgot = {
+            r["key"]: r["hit"]
+            for r in sprobe.select(
+                "key",
+                bloom.bloom_might_contain(
+                    F.col("key"), swords, k
+                ).alias("hit"),
+            ).collect()
+        }
+        for v in str_keys:
+            expect = all(
+                (swords[p // 32] >> (p % 32)) & 1
+                for p in model_positions(v, m_bits, k)
+            )
+            assert sgot[v] == expect, (m_bits, k, v)
