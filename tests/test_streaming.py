@@ -921,3 +921,64 @@ def test_shard_stream_census_equals_batch_plan(spark):
     ]
     assert got == want
     assert len(got) == 64  # every shard populated at smoke scale
+
+
+def test_stream_shuffle_scope_applies_and_restores(spark, tmp_path):
+    """Streaming executes without AQE, so runner scopes a low
+    spark.sql.shuffle.partitions to each stream's start→drain window
+    (state-store partition count is captured at stream start). Pin three
+    contract points: (1) the stream really STARTED under the low value —
+    the checkpoint offset log records the conf the query captured; (2) the
+    batch value is restored after the drain; (3) each persisted sketch
+    version is ONE file (bounded-by-construction state, coalesce(1))."""
+    import glob
+    import json
+
+    from pyspark.sql import functions as F
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    stream_cells, batch_cells = _docs_cells_replay(spark, tmp_path)
+    target = str(tmp_path / "sketch_target")
+    ckpt = str(tmp_path / "sketch_ckpt")
+    runner.run_sketch_merge_stream(spark, stream_cells, target, ckpt)
+
+    # (1) the offset log's recorded conf is the streaming value
+    with open(ckpt + "/offsets/0") as fh:
+        lines = fh.read().splitlines()
+    meta = json.loads(lines[1])  # v1 header, then the batch metadata JSON
+    assert meta["conf"]["spark.sql.shuffle.partitions"] == str(
+        runner.stream_shuffle_partitions()
+    )
+    # (2) the batch conf is back
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    # (3) one data file per sketch version
+    parts = [
+        p for p in glob.glob(target + "/part-*") if not p.endswith(".crc")
+    ]
+    assert len(parts) == 1
+    # and the merged sketch still equals the batch sketch
+    got = {
+        (r["row"], r["bucket"]): r["n"]
+        for r in spark.read.parquet(target).drop("_last_batch").collect()
+    }
+    want = {
+        (r["row"], r["bucket"]): r["n"]
+        for r in batch_cells.groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_shuffle_restores_on_error(spark):
+    """The scope must restore the batch shuffle value on the error path —
+    a leaked low value would silently deparallelize every later batch
+    query in the session."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    with pytest.raises(RuntimeError, match="boom"):
+        with runner._stream_shuffle(spark):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == str(
+                runner.stream_shuffle_partitions()
+            )
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev

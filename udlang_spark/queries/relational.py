@@ -16,6 +16,7 @@ Every query here has a DuckDB oracle. Determinism notes:
 
 from __future__ import annotations
 
+import math
 import os
 
 import pandas as pd
@@ -2880,10 +2881,20 @@ def q68_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("anc"),
         F.when(F.col("node") > 0, F.lit(1)).otherwise(F.lit(0)).alias("dist"),
     )
-    # pointer doubling: anc(node) := anc(anc(node)), dist adds — at most
-    # log2(max depth) rounds; max depth of the div-4 tree over n keys is
-    # ceil(log4 n), so 6 rounds cover n up to 4^64-ish
-    for _ in range(6):
+    # pointer doubling: anc(node) := anc(anc(node)), dist adds — the round
+    # count is SIZED FROM THE DATA, not a constant: the div-4 tree's depth
+    # over keys 0..m is ⌊log4(3m+1)⌋-ish, and doubling resolves depth d in
+    # ⌈log2 d⌉ rounds. One tiny max() job replaces blind worst-case rounds
+    # — at sf0.1 that is 3 join+checkpoint rounds instead of 6, and the
+    # bound still grows with the data (10⁹ keys → depth 15 → 4 rounds).
+    # After the sized rounds every pointer provably rests at the root, so
+    # no convergence re-check job is needed.
+    max_node = sup.agg(F.max("node")).collect()[0][0] or 0
+    depth = 0  # depth d starts at node (4^d - 1)/3
+    while (4 ** (depth + 1) - 1) // 3 <= max_node:
+        depth += 1
+    rounds = max(1, math.ceil(math.log2(depth))) if depth else 1
+    for _ in range(rounds):
         upd = state.alias("a").join(
             state.alias("b"), F.col("a.anc") == F.col("b.node")
         ).select(

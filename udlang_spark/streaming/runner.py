@@ -16,11 +16,64 @@ sources — the transformations are source-agnostic.
 
 from __future__ import annotations
 
+import os
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from udlang_spark.kernel.api import Kernel
+
+# ---------------------------------------------------------------------------
+# streaming shuffle sizing
+#
+# Structured Streaming does NOT run under AQE: a micro-batch plans with the
+# raw ``spark.sql.shuffle.partitions`` and, for stateful operators, that
+# value is CAPTURED AT STREAM START into the checkpoint as the state-store
+# partition count for the query's lifetime. The batch side of this engine
+# leaves the conf at core count and lets AQE coalesce; the streaming side
+# must size it explicitly. State partitioning should track expected STATE
+# CARDINALITY and per-batch volume, not the host's core count — every state
+# partition costs a store instance, a maintenance task, and per-batch
+# snapshot/commit files even when it holds three keys. All streaming state
+# in this engine is bounded and small (sketch cells, watermark-horizon dedup
+# keys, open sessions), so the default is deliberately low; a deployment
+# streaming at cluster scale sets SPARK_GRAFT_STREAM_SHUFFLE to match its
+# key cardinality and throughput (and must WIPE or migrate checkpoints when
+# changing it — the captured value wins on restart).
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_KEY = "spark.sql.shuffle.partitions"
+
+
+def stream_shuffle_partitions() -> int:
+    """Default 8: the in-process A/B at sf0.1 (min-of-3 per arm, warm JVM)
+    measured the stateful entries at 32/8/4 = s_url_dedup_stream
+    1.90/1.28/1.25 s and s_interval_stream 1.79/1.45/1.53 s — the win is
+    going BELOW core count at all (fewer state-store instances +
+    per-batch commit files), not squeezing the last partition; stateless
+    foreachBatch entries (s_cms_merge, s_kmv_stream) are flat across all
+    three, so the low default costs them nothing."""
+    return int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+
+
+@contextmanager
+def _stream_shuffle(spark: SparkSession):
+    """Scope the low streaming shuffle count to a stream's start→drain
+    window (the conf is read at micro-batch plan time, so it must span
+    awaitTermination, not just .start()). Restores the batch value even on
+    timeout/error paths — a leaked low value would silently deparallelize
+    every later batch query in the session."""
+    prev = spark.conf.get(_SHUFFLE_KEY, None)
+    spark.conf.set(_SHUFFLE_KEY, str(stream_shuffle_partitions()))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(_SHUFFLE_KEY)
+        else:
+            spark.conf.set(_SHUFFLE_KEY, prev)
 
 
 def kernel_stream(
@@ -232,10 +285,11 @@ def run_stream_to_parquet(
         # hive-layout sink (e.g. shard=N dirs for s_shard_stream): each
         # micro-batch appends only to the partitions it carries rows for
         w = w.partitionBy(*partition_by)
-    q = w.start()
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(f"stream did not finish in {timeout_s}s")
+    with _stream_shuffle(result.sparkSession):
+        q = w.start()
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(f"stream did not finish in {timeout_s}s")
 
 
 def run_stream_to_memory(
@@ -248,36 +302,44 @@ def run_stream_to_memory(
     """Drain a (bounded) stream into an in-memory table; returns the table.
     Test/debug harness — production sinks are writeStream.format(...).
     Stateful update-mode operators need output_mode="update"."""
-    q = (
-        result.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    # an ignored False here would silently return a PARTIAL table while the
-    # query keeps running (and holds memory-sink state for the session)
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(f"stream {query_name!r} did not finish in {timeout_s}s")
+    with _stream_shuffle(spark):
+        q = (
+            result.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        # an ignored False here would silently return a PARTIAL table while
+        # the query keeps running (and holds memory-sink state for the
+        # session)
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"stream {query_name!r} did not finish in {timeout_s}s"
+            )
     return spark.table(query_name)
 
 
 def run_windowed_stream_to_memory(
     result: DataFrame, query_name: str, spark: SparkSession, timeout_s: int = 60
 ) -> DataFrame:
-    q = (
-        result.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    # an ignored False here would silently return a PARTIAL table while the
-    # query keeps running (and holds memory-sink state for the session)
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(f"stream {query_name!r} did not finish in {timeout_s}s")
+    with _stream_shuffle(spark):
+        q = (
+            result.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # an ignored False here would silently return a PARTIAL table while
+        # the query keeps running (and holds memory-sink state for the
+        # session)
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"stream {query_name!r} did not finish in {timeout_s}s"
+            )
     return spark.table(query_name)
 
 
@@ -413,22 +475,29 @@ def run_sketch_merge_stream(
                 )
         else:
             merged = delta
+        # a sketch is bounded BY CONSTRUCTION (d·w cells / k minima /
+        # histogram buckets), so each version is one small file — without
+        # this every batch writes shuffle-partition-many near-empty
+        # parquet files that the next batch's read must list and open
         _atomic_replace(
-            merged.withColumn("_last_batch", F.lit(batch_id)),
+            merged.coalesce(1).withColumn("_last_batch", F.lit(batch_id)),
             target_path,
             batch_id,
         )
 
     _recover_swap(target_path)
-    q = (
-        cell_stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(f"sketch merge stream did not finish in {timeout_s}s")
+    with _stream_shuffle(spark):
+        q = (
+            cell_stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"sketch merge stream did not finish in {timeout_s}s"
+            )
 
 
 def run_cdc_apply_stream(
@@ -475,12 +544,15 @@ def run_cdc_apply_stream(
         _atomic_replace(merged, target_path, batch_id)
 
     _recover_swap(target_path)
-    q = (
-        stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(f"CDC apply stream did not finish in {timeout_s}s")
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"CDC apply stream did not finish in {timeout_s}s"
+            )
