@@ -49,6 +49,13 @@ if (in > 100.0) {
 }
 """
 
+# replay layout: files per replay dir / files per forced micro-batch.
+# _REPLAY_MFT = _REPLAY_FILES // 2 keeps every maxFilesPerTrigger consumer
+# at >= 2 micro-batches (the multi-batch demonstrations) while each batch
+# parses its files in parallel.
+_REPLAY_FILES = 16
+_REPLAY_MFT = _REPLAY_FILES // 2
+
 
 def _replay_dir(
     spark: SparkSession,
@@ -74,7 +81,7 @@ def _replay_dir(
     tmp = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
     marker = os.path.join(tmp, "_REPLAY_OK")
     key = (
-        f"{sf_dir}|{table}|{cols}|{select_exprs}"
+        f"{sf_dir}|{table}|{cols}|{select_exprs}|{_REPLAY_FILES}"
         f"|{table_fingerprint(sf_dir, table)}"
     )
     if os.path.exists(marker):
@@ -92,11 +99,15 @@ def _replay_dir(
     # repartition, not coalesce: coalesce cannot INCREASE the partition
     # count, so a small source could collapse the replay to one file and
     # make every run a single micro-batch — the multi-batch claims
-    # (s_cms_merge maxFilesPerTrigger=2 over 4 files → ≥2 batches) need them. All
-    # drained results are micro-batching-invariant by design, so the
-    # shuffled file assignment is immaterial.
+    # (s_cms_merge maxFilesPerTrigger=8 over 16 files → ≥2 batches) need
+    # them. 16 files (r13, was 4): a micro-batch's JSON parse runs one
+    # task per file, and the 2-task parse was the measured floor of every
+    # replay consumer (cms stream phase 1.92 → 1.47 s at 16 files);
+    # single-batch consumers get the same 16-way parse. All drained
+    # results are micro-batching-invariant by design, so the shuffled
+    # file assignment is immaterial.
     json_lift.lower_json(rel.select(*cols), cols).select("json").repartition(
-        4
+        _REPLAY_FILES
     ).write.mode("overwrite").text(tmp)
     with open(marker, "w") as fh:
         fh.write(key)
@@ -350,8 +361,8 @@ def s_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     STATELESS — each micro-batch's (row, bucket) cells are aggregated to a
     batch-local delta and folded into a persisted sketch table via
     foreachBatch (runner.run_sketch_merge_stream), the persisted table
-    being the state, exactly like the CDC apply. maxFilesPerTrigger=2
-    over the 4-file replay still forces ≥2 micro-batches per run (the
+    being the state, exactly like the CDC apply. maxFilesPerTrigger=_REPLAY_MFT
+    over the _REPLAY_FILES-file replay still forces ≥2 micro-batches per run (the
     r6 bench showed per-batch streaming overhead dominates this entry;
     deeper multi-batch accumulation is pinned in tests/test_streaming.py
     with its own forcing). Integer counts merge
@@ -369,7 +380,7 @@ def s_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
         spark.readStream.schema(json_lift.input_schema(doc_t))
         .option("mode", "FAILFAST")
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", _REPLAY_MFT)
         .json(tmp)
     )
     toks = src.select(F.explode(TXT.words("text")).alias("tok"))
@@ -415,7 +426,7 @@ def s_quantile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
         spark.readStream.schema(json_lift.input_schema(price_t))
         .option("mode", "FAILFAST")
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", _REPLAY_MFT)
         .json(tmp)
     )
     cells = src.select(
@@ -484,7 +495,7 @@ def s_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a persisted register table via the same foreachBatch delta-merge
     as s_cms_merge, in mode='max' — MAX-merge is the HLL register
     combine, so the drained table equals the batch sketch under any
-    micro-batching (maxFilesPerTrigger=2 over 4 replay files still forces ≥2 batches).
+    micro-batching (maxFilesPerTrigger=_REPLAY_MFT over the _REPLAY_FILES replay still forces ≥2 batches).
     The estimate (shared _HLL formula + precomputed linear-counting
     table) and the exact distinct witness run batch-side on the drained
     registers. Together with s_cms_merge this demonstrates both mergeable
@@ -499,7 +510,7 @@ def s_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
         spark.readStream.schema(json_lift.input_schema(doc_t))
         .option("mode", "FAILFAST")
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", _REPLAY_MFT)
         .json(tmp)
     )
     bucket, rank = _llm._hll_bucket_rank(F.col("tok"))
@@ -762,7 +773,7 @@ def s_kmv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
         spark.readStream.schema(json_lift.input_schema(doc_t))
         .option("mode", "FAILFAST")
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", _REPLAY_MFT)
         .json(tmp)
     )
     cells = src.select(F.explode(TXT.words("text")).alias("tok")).select(
@@ -817,7 +828,7 @@ def s_shard_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitionBy(shard) parquet writeStream, each micro-batch appending
     files only under the shard= directories it carries rows for (never a
     shuffle, never a global sort; a restart resumes after the last
-    committed batch). maxFilesPerTrigger=2 over the 4-file replay forces
+    committed batch). maxFilesPerTrigger=_REPLAY_MFT over the _REPLAY_FILES-file replay forces
     ≥2 micro-batches, so the multi-batch append path is what's verified.
     The checked output is the same shard_census over the drained layout —
     per-shard count, exact int64 okey sum, and the md5 witness of the
@@ -834,7 +845,7 @@ def s_shard_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
         spark.readStream.schema(json_lift.input_schema(doc_t))
         .option("mode", "FAILFAST")
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", _REPLAY_MFT)
         .json(tmp)
     )
     assign = shard_plan(src, "doc_id", n_shards=64)
@@ -862,7 +873,7 @@ def s_maxsim_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     with NO state, so the scoring runs unchanged on a readStream; the
     sink appends the reduced (doc_id, maxima) relation — the stored
     scoring artifact a retrieval service maintains as documents arrive.
-    maxFilesPerTrigger=2 over the 4-file replay forces ≥2 micro-batches.
+    maxFilesPerTrigger=_REPLAY_MFT over the _REPLAY_FILES-file replay forces ≥2 micro-batches.
     The checked output is the same per-query top-k over the drained
     relation, so this query shares ORACLE_T_MAXSIM verbatim: a green row
     proves stream scoring == batch scoring row-for-row through the real
@@ -880,7 +891,7 @@ def s_maxsim_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
         spark.readStream.schema(json_lift.input_schema(doc_t))
         .option("mode", "FAILFAST")
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", _REPLAY_MFT)
         .json(tmp)
     )
     scored = (
