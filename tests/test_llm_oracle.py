@@ -1646,3 +1646,34 @@ def test_bloom_binary_literal_matches_python_bit_model(spark):
                 for p in model_positions(v, m_bits, k)
             )
             assert sgot[v] == expect, (m_bits, k, v)
+
+
+def test_bloom_m_sizing_rule_matches_oracle_and_scales(duck):
+    """q67's filter size is DERIVED from the dim count at plan time (the
+    10x scale stress caught the frozen 262144 saturating at ~280k keys —
+    96% fill, ~88% FP). Pin (1) the integer sizing rule against DuckDB's
+    prm expression for counts spanning the floor, the r13 scales, and the
+    10x regime, and (2) the FP budget: at m = 12n bits and k = 3 the
+    expected false-positive rate stays ~1.1% at EVERY n, which is the
+    whole point of sizing from data."""
+    import math
+
+    from udlang_spark.queries.relational import (
+        _BLOOM_BITS_PER_KEY,
+        _BLOOM_MIN_M,
+        _bloom_m_for,
+    )
+
+    for n in (0, 1, 100, 341, 2129, 28000, 280000, 10**9):
+        # {n}::BIGINT mirrors the real oracle, where the multiplicand is
+        # a BIGINT count(*) (a bare int literal would overflow INT32)
+        want = duck.sql(
+            f"SELECT greatest({_BLOOM_MIN_M}, "
+            f"(({_BLOOM_BITS_PER_KEY} * {n}::BIGINT + 31) // 32) * 32)"
+        ).fetchone()[0]
+        got = _bloom_m_for(n)
+        assert got == want, (n, got, want)
+        assert got % 32 == 0
+        if got > _BLOOM_MIN_M:
+            fp = (1.0 - math.exp(-3.0 * n / got)) ** 3
+            assert fp < 0.02, (n, got, fp)

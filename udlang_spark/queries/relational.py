@@ -2742,13 +2742,25 @@ GROUP BY 1, 2
 
 # 262144 bits = 8192 32-bit words (a 32 KiB constant binary literal —
 # cheap since bloom.py packs the words into ONE BinaryType literal).
-# Sized for the sf0.1 dim (~28k urgent-high-value orderkeys, k=3 →
-# ~2% FP); the old 32768 was sized for sf0.01's 2129 keys and passed 68%
-# of the fact at sf0.1 — a filter that barely filters. Production sizing
-# comes from the dim's estimated NDV the same way.
-_BLOOM_M = 262144
+# m is DERIVED FROM THE DIM at plan time, not frozen at one scale: the
+# r13 262144 constant (sized for sf0.1's ~28k keys, ~2% FP) SATURATED at
+# the 10× scale stress — ~280k keys filled 96% of the bits, FP ≈ 88%, a
+# filter that passes nearly everything with zero correctness signal (the
+# same failure the r13 32768→262144 resize fixed one scale earlier, which
+# is the tell that any constant is wrong). The rule is pure integer
+# arithmetic so the DuckDB oracle computes the identical m from the same
+# COUNT (no float log2 whose boundary rounding could diverge):
+# 12 bits/key ≈ 1.1% FP at k=3 at every scale.
 _BLOOM_K = 3
+_BLOOM_MIN_M = 4096
+_BLOOM_BITS_PER_KEY = 12
 _BLOOM_DIM_PRED = "(o_orderpriority = '1-URGENT') AND (o_totalprice > 150000)"
+
+
+def _bloom_m_for(n_keys: int) -> int:
+    return max(
+        _BLOOM_MIN_M, ((_BLOOM_BITS_PER_KEY * n_keys + 31) // 32) * 32
+    )
 
 
 def q67_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2773,7 +2785,11 @@ def q67_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("o_orderkey").alias("l_orderkey"))
     )
-    words = bloom.bloom_build(dim, "l_orderkey", _BLOOM_M, _BLOOM_K)
+    # plan-time sizing: one count job over the (filtered, pruned) dim scan
+    # picks m — the observability ledger below is what would CATCH a
+    # mis-sized filter, the sizing rule is what prevents one
+    m_bits = _bloom_m_for(dim.count())
+    words = bloom.bloom_build(dim, "l_orderkey", m_bits, _BLOOM_K)
     # the whole ledger in ONE fact pass: flag each row with the bloom
     # probe (evaluated once), left-join the broadcast dim for ground
     # truth, aggregate counts + DECIMAL revenue together. fan_out first:
@@ -2808,7 +2824,10 @@ def q67_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bloom_oracle(m: int = _BLOOM_M, k: int = _BLOOM_K) -> str:
+def _bloom_oracle(k: int = _BLOOM_K) -> str:
+    # m is the prm CTE — the SAME integer sizing rule as _bloom_m_for,
+    # computed from the dim count inside the oracle so both engines size
+    # the filter from the data (scalar subqueries, evaluated once)
     hashes = ", ".join(str(i) for i in range(k))
     probe_tests = " AND ".join(
         f"""(wl[CAST(p{i} // 32 AS INTEGER) + 1]
@@ -2816,18 +2835,23 @@ def _bloom_oracle(m: int = _BLOOM_M, k: int = _BLOOM_K) -> str:
         for i in range(k)
     )
     probe_pos = ", ".join(
-        f"""CAST(CAST(concat('0x', substr(md5('bloom:' ||
-          CAST(l_orderkey AS VARCHAR)), {1 + 8 * i}, 8)) AS UBIGINT) % {m}
-          AS BIGINT) AS p{i}"""
+        f"""(CAST(CAST(concat('0x', substr(md5('bloom:' ||
+          CAST(l_orderkey AS VARCHAR)), {1 + 8 * i}, 8)) AS UBIGINT)
+          AS BIGINT) % (SELECT m FROM prm)) AS p{i}"""
         for i in range(k)
     )
     return f"""
 WITH dimk AS (
   SELECT o_orderkey AS kk FROM orders WHERE {_BLOOM_DIM_PRED}),
+prm AS (
+  SELECT greatest({_BLOOM_MIN_M},
+                  (({_BLOOM_BITS_PER_KEY} * count(*) + 31) // 32) * 32)
+    AS m
+  FROM dimk),
 pos AS (
-  SELECT CAST(CAST(concat('0x', substr(md5('bloom:' ||
-           CAST(kk AS VARCHAR)), 1 + 8 * i, 8)) AS UBIGINT) % {m} AS BIGINT)
-    AS pos
+  SELECT (CAST(CAST(concat('0x', substr(md5('bloom:' ||
+           CAST(kk AS VARCHAR)), 1 + 8 * i, 8)) AS UBIGINT) AS BIGINT)
+          % (SELECT m FROM prm)) AS pos
   FROM dimk, (SELECT unnest([{hashes}]) AS i) h),
 words AS (
   SELECT CAST(pos // 32 AS INTEGER) AS word,
@@ -2835,7 +2859,8 @@ words AS (
   FROM pos GROUP BY 1),
 dense AS (
   SELECT g.w AS word, coalesce(words.bits, 0::BIGINT) AS bits
-  FROM (SELECT unnest(generate_series(0, {m // 32 - 1})) AS w) g
+  FROM (SELECT unnest(generate_series(
+          0, (SELECT m FROM prm) // 32 - 1)) AS w) g
   LEFT JOIN words ON words.word = g.w),
 bloom AS (SELECT list(bits ORDER BY word) AS wl FROM dense),
 fact AS (SELECT l_orderkey, l_extendedprice, {probe_pos} FROM lineitem),
