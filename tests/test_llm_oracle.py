@@ -1559,6 +1559,54 @@ def test_maxsim_plan_cache_identity(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, c.collect()))
 
 
+def test_clf_weight_blob_matches_per_bucket_md5():
+    """r13: t_classifier_score's per-gram weight md5 moved off the row
+    path — the 4096-entry weight table is derived once driver-side and
+    shipped as one binary literal. The blob must encode EXACTLY the
+    md5("w:" + bucket) % (2W+1) - W derivation the oracle still computes
+    per gram; a packing/offset bug would shift every weight and still
+    produce plausible-looking scores."""
+    import hashlib
+
+    blob = llm._clf_weight_blob()
+    W = llm._CLF_WSCALE
+    assert len(blob) == 2 * llm._CLF_BUCKETS
+    for b in range(llm._CLF_BUCKETS):
+        want = (
+            int(hashlib.md5(f"w:{b}".encode()).hexdigest()[:8], 16)
+            % (2 * W + 1)
+            - W
+        )
+        got = int.from_bytes(blob[2 * b : 2 * b + 2], "big") - W
+        assert got == want, f"bucket {b}: blob={got} md5={want}"
+
+
+@pytest.mark.parametrize(
+    "name", ["e_ivfpq_ann", "e_ivfpq_append", "d_neardup_index"]
+)
+def test_probe_plan_cache_identity(spark, name):
+    """r13: the persisted-index probe queries plan-cache their result per
+    (session, corpus fingerprint, index path) — the t_maxsim/recall-card
+    idiom. Same (session, corpus) must return the SAME DataFrame object
+    (stable exprIds -> codegen-cache hits); clearing the cache returns a
+    fresh plan with identical results, proving the cache only amortizes
+    construction, never changes what is computed."""
+    from udlang_spark.session import plan_cache, release_caches
+
+    plan_cache.clear()
+    release_caches()
+    a = llm.QUERIES[name](spark, SF_DIR_CORRECTNESS)
+    b = llm.QUERIES[name](spark, SF_DIR_CORRECTNESS)
+    assert a is b
+    rows_a = sorted(map(tuple, a.collect()))
+    plan_cache.clear()
+    release_caches()
+    c = llm.QUERIES[name](spark, SF_DIR_CORRECTNESS)
+    assert c is not a
+    assert rows_a == sorted(map(tuple, c.collect()))
+    assert len(rows_a) > 0
+
+
 def test_bloom_binary_literal_matches_python_bit_model(spark):
     """Differential family over the Bloom probe's REPRESENTATION seam
     (r13: the word table became one big-endian-packed BinaryType literal

@@ -992,6 +992,7 @@ def probe_neardup_index(
     id_col: str,
     threshold: float = 0.8,
     max_probe_candidates: int = 10_000,
+    pins: list | None = None,
 ) -> DataFrame:
     """incremental_neardup's admission decision against a PERSISTED index:
     same candidate generation (batch bands ⋈ history bands on bkey), same
@@ -1004,13 +1005,20 @@ def probe_neardup_index(
     (doc, dpfx) above it — so verify I/O is O(candidates), not
     O(history). Value-identical to incremental_neardup
     over (indexed corpus, batch) for identical parameters
-    (tests/test_llm_oracle.py::test_neardup_index_probe_matches_inplan)."""
+    (tests/test_llm_oracle.py::test_neardup_index_probe_matches_inplan).
+
+    `pins`, when supplied, receives the persisted relations the returned
+    plan depends on (batch shingles, batch bands, candidates) so a caller
+    that plan-caches the result can re-arm their persistence on a cache
+    hit — the recall-card idiom (_ivfpq_recall_arms)."""
     sh_b = persist_tracked(shingle_sets(batch, text_col, id_col))
     bands_b = persist_tracked(
         band_keys(_signatures_from_shingles(sh_b))
         .select(F.col("doc").alias("doc_b"), "bkey")
         .withColumn("bpfx", _bpfx())
     )
+    if pins is not None:
+        pins.extend([sh_b, bands_b])
     # bounded collect: ≤ NEARDUP_IDX_PREFIXES ints, a property of the
     # layout — this is what turns the runtime filter into plan-time
     # directory pruning on the bands scan
@@ -1071,6 +1079,8 @@ def probe_neardup_index(
     # stays bounded by the cap having told us the set is large. Probe I/O
     # on shingles is O(candidate partitions) either way.
     cand = persist_tracked(cand_src.distinct())
+    if pins is not None:
+        pins.append(cand)
     hist = (
         cand.select(F.col("doc_h").alias("doc"))
         .distinct()
