@@ -1607,6 +1607,47 @@ def test_probe_plan_cache_identity(spark, name):
     assert len(rows_a) > 0
 
 
+def test_plan_cache_working_set_fits_without_eviction(spark):
+    """r13: the per-session plan cache's working set grew to 8 distinct
+    keys — flush against the old MAX_PER_SESSION=8, where one more cached
+    query would have silently FIFO-thrashed every earlier entry on each
+    full pass (rebuild cost + exprId churn, invisible to correctness).
+    Pin: after running every cache-using query, each still returns its
+    ORIGINAL DataFrame object and the entry count stays under the cap."""
+    from udlang_spark.session import plan_cache, release_caches
+
+    plan_cache.clear()
+    release_caches()
+    names = [
+        "e_ivfpq_ann",
+        "e_ivfpq_append",
+        "d_neardup_index",
+        "e_ann_recall",
+        "t_maxsim_topk",
+        "t_maxsim_vocab",
+        "e_ivfpq_recall",
+        "e_ivfpq_append_recall",
+        "t_retrieval_pipeline",
+        "t_hybrid_rrf",
+    ]
+    first = {}
+    for n in names:
+        first[n] = llm.QUERIES[n](spark, SF_DIR_CORRECTNESS)
+        release_caches()
+    n_keys = len(plan_cache._per.get(spark, {}))
+    assert n_keys < plan_cache.MAX_PER_SESSION, (
+        f"{n_keys} cache keys >= cap {plan_cache.MAX_PER_SESSION}: "
+        "the next put would FIFO-evict a live entry"
+    )
+    # identity must hold for the queries that RETURN the cached object
+    # (the others derive a fresh result from cached inner relations)
+    for n in ["e_ivfpq_ann", "e_ivfpq_append", "d_neardup_index",
+              "t_maxsim_topk", "e_ivfpq_recall", "e_ivfpq_append_recall",
+              "t_retrieval_pipeline"]:
+        assert llm.QUERIES[n](spark, SF_DIR_CORRECTNESS) is first[n], n
+        release_caches()
+
+
 def test_bloom_binary_literal_matches_python_bit_model(spark):
     """Differential family over the Bloom probe's REPRESENTATION seam
     (r13: the word table became one big-endian-packed BinaryType literal

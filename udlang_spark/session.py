@@ -88,7 +88,16 @@ _PERSISTED: list = []
 
 
 class _PlanCache:
-    MAX_PER_SESSION = 8
+    # Cap = bound on a pathological many-corpus session, NOT a working-set
+    # tuning. The r13 probe caches brought one (session, corpus) working
+    # set to EXACTLY 8 distinct keys (measured: maxsim, the shared exact
+    # arm, two recall cards, three persisted-index probes, the retrieval
+    # pipeline) — flush against the old cap of 8, where the next cache
+    # user would have silently FIFO-thrashed the whole set every bench
+    # pass. Raised to 24 for headroom; entries are a few hundred bytes of
+    # Python wrapper each, and tests pin that the full working set fits
+    # without eviction.
+    MAX_PER_SESSION = 24
 
     def __init__(self) -> None:
         import weakref
