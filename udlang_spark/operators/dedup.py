@@ -843,6 +843,7 @@ def incremental_neardup(
     text_col: str,
     id_col: str,
     threshold: float = 0.8,
+    pins: list | None = None,
 ) -> DataFrame:
     """Ingest-time NEAR-dup admission: decide, per new-batch document,
     whether the historical corpus already contains a near-duplicate
@@ -866,9 +867,15 @@ def incremental_neardup(
 
     Returns one row per batch doc WITH shingles (docs under 3 words carry
     no near-dup signal and are admitted trivially upstream):
-    (doc_id, n_hist_matches, max_jaccard — NULL when none, admitted)."""
+    (doc_id, n_hist_matches, max_jaccard — NULL when none, admitted).
+
+    `pins`, when supplied, receives the persisted relations the returned
+    plan depends on so a plan-caching caller can re-arm them on a cache
+    hit (the probe_neardup_index idiom)."""
     sh_h = persist_tracked(shingle_sets(history, text_col, id_col))
     sh_b = persist_tracked(shingle_sets(batch, text_col, id_col))
+    if pins is not None:
+        pins.extend([sh_h, sh_b])
     bands_h = band_keys(_signatures_from_shingles(sh_h)).select(
         F.col("doc").alias("doc_h"), "bkey"
     )
