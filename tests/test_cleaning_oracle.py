@@ -22,6 +22,30 @@ def test_cleaning_query_matches_oracle(spark, duck, name):
     )
 
 
+def test_wordpiece_plan_cache_identity(spark):
+    """r13: t_wordpiece plan-caches per (session, documents fingerprint) —
+    the probe-query idiom; construction is the vocab-derivation collect +
+    analysis of the greedy-match when-chain. Same (session, corpus) must
+    return the SAME DataFrame object; clearing the cache returns a fresh
+    plan with identical rows, proving the cache only amortizes
+    construction, never changes what is computed."""
+    from udlang_spark.session import plan_cache, release_caches
+
+    plan_cache.clear()
+    release_caches()
+    q = cleaning.QUERIES["t_wordpiece"]
+    a = q(spark, SF_DIR_CORRECTNESS)
+    b = q(spark, SF_DIR_CORRECTNESS)
+    assert a is b
+    rows_a = sorted(map(tuple, a.collect()))
+    plan_cache.clear()
+    release_caches()
+    c = q(spark, SF_DIR_CORRECTNESS)
+    assert c is not a
+    assert rows_a == sorted(map(tuple, c.collect()))
+    assert len(rows_a) > 0
+
+
 def test_gopher_rules_consistent(spark):
     # every failed_rule value is one of the documented rules, and
     # keep == (failed_rule IS NULL) on every row

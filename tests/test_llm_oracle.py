@@ -1583,7 +1583,13 @@ def test_clf_weight_blob_matches_per_bucket_md5():
 
 @pytest.mark.parametrize(
     "name",
-    ["e_ivfpq_ann", "e_ivfpq_append", "d_neardup_index", "d_incremental_neardup"],
+    [
+        "e_ivfpq_ann",
+        "e_ivfpq_append",
+        "d_neardup_index",
+        "d_incremental_neardup",
+        "e_hamming_topk",
+    ],
 )
 def test_probe_plan_cache_identity(spark, name):
     """r13: the persisted-index probe queries plan-cache their result per
@@ -1624,6 +1630,7 @@ def test_plan_cache_working_set_fits_without_eviction(spark):
         "e_ivfpq_append",
         "d_neardup_index",
         "d_incremental_neardup",
+        "e_hamming_topk",
         "e_ann_recall",
         "t_maxsim_topk",
         "t_maxsim_vocab",
@@ -1644,8 +1651,9 @@ def test_plan_cache_working_set_fits_without_eviction(spark):
     # identity must hold for the queries that RETURN the cached object
     # (the others derive a fresh result from cached inner relations)
     for n in ["e_ivfpq_ann", "e_ivfpq_append", "d_neardup_index",
-              "d_incremental_neardup", "t_maxsim_topk", "e_ivfpq_recall",
-              "e_ivfpq_append_recall", "t_retrieval_pipeline"]:
+              "d_incremental_neardup", "e_hamming_topk", "t_maxsim_topk",
+              "e_ivfpq_recall", "e_ivfpq_append_recall",
+              "t_retrieval_pipeline"]:
         assert llm.QUERIES[n](spark, SF_DIR_CORRECTNESS) is first[n], n
         release_caches()
 

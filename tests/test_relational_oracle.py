@@ -28,6 +28,31 @@ def test_relational_query_matches_oracle(spark, duck, name):
     )
 
 
+def test_q67_plan_cache_identity(spark):
+    """r13: q67 plan-caches per (session, orders+lineitem fingerprint) —
+    the persisted-index-probe idiom applied to the bloom ledger, whose
+    per-call construction is a dim-count sizing job + the bloom-build
+    collect + analysis of the binary-literal plan. Same (session,
+    sources) must return the SAME DataFrame object; clearing the cache
+    returns a fresh plan with identical rows, proving the cache only
+    amortizes construction, never changes what is computed."""
+    from udlang_spark.session import plan_cache, release_caches
+
+    plan_cache.clear()
+    release_caches()
+    q = relational.QUERIES["q67_bloom_prune"]
+    a = q(spark, SF_DIR_CORRECTNESS)
+    b = q(spark, SF_DIR_CORRECTNESS)
+    assert a is b
+    rows_a = sorted(map(tuple, a.collect()))
+    plan_cache.clear()
+    release_caches()
+    c = q(spark, SF_DIR_CORRECTNESS)
+    assert c is not a
+    assert rows_a == sorted(map(tuple, c.collect()))
+    assert len(rows_a) > 0
+
+
 def test_q53_sketch_error_bounds(spark):
     """The sketch forms (HLL++ distinct, approx percentile) must track
     their exact twins within tight bounds — the contract that justifies

@@ -655,12 +655,19 @@ def wordpiece_stats(
     n_vocab: int = 64,
     max_len: int = 4,
     text_col: str = "text",
+    pins: list | None = None,
 ) -> DataFrame:
     """Per-doc word/subword counts and mean subwords-per-word (fertility —
     the statistic every tokenizer-design loop monitors) under greedy
     longest-match subword tokenization with a corpus-derived vocabulary.
-    The only driver materialization is the n_vocab-row vocab collect."""
+    The only driver materialization is the n_vocab-row vocab collect.
+
+    `pins`, when supplied, receives the persisted relations the returned
+    plan depends on so a plan-caching caller can re-arm them on a cache
+    hit (the probe_neardup_index idiom)."""
     word_counts, vocab = wordpiece_vocab(docs, n_vocab, max_len, text_col)
+    if pins is not None:
+        pins.append(word_counts)
     vset = frozenset(r["gram"] for r in vocab.collect())
     tokenized = segment_words(word_counts, vset, max_len)
     words_rel = docs.select(

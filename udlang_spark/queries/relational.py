@@ -2772,9 +2772,30 @@ def q67_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     true semi-join matches, false positives) and the revenue over the
     true matches (DECIMAL money convention). md5-derived positions make
     every pruning decision reproducible in the oracle; zero false
-    negatives is structural (the revenue equals the unpruned join's)."""
+    negatives is structural (the revenue equals the unpruned join's).
+
+    r13: plan-cached per (session, source fingerprint) like the
+    persisted-index probes — a hit amortizes the per-call CONSTRUCTION
+    round-trips only (the dim-count sizing job, the bloom-build
+    aggregation + bounded m/32-word collect, Catalyst analysis of the
+    binary-literal plan); every timed run still scans the full lineitem
+    fact, evaluates the k md5 probes per row, broadcast-joins the dim
+    ground truth, and aggregates the ledger from parquet. The
+    fingerprint spans BOTH sources: orders drives the filter words,
+    and the cached plan's lineitem scan snapshots its file listing at
+    analysis time, so either table regenerating must be a cache miss."""
     from udlang_spark.operators import bloom
-    from udlang_spark.sources.tables import fan_out
+    from udlang_spark.session import plan_cache
+    from udlang_spark.sources.tables import fan_out, table_fingerprint
+
+    ckey = (
+        "q67_bloom",
+        sf_dir,
+        table_fingerprint(sf_dir, "orders", "lineitem"),
+    )
+    hit = plan_cache.get(spark, ckey)
+    if hit is not None:
+        return hit
 
     li = _t(spark, sf_dir, "lineitem")
     dim = (
@@ -2808,20 +2829,22 @@ def q67_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = flagged.join(
         F.broadcast(dim.withColumn("_m", F.lit(1))), "l_orderkey", "left"
     )
-    hit = F.col("bpass") & F.col("_m").isNotNull()
-    return enriched.agg(
+    is_true = F.col("bpass") & F.col("_m").isNotNull()
+    res = enriched.agg(
         F.count(F.lit(1)).alias("n_fact"),
         F.sum(F.col("bpass").cast("long")).alias("n_bloom_pass"),
-        F.sum(hit.cast("long")).alias("n_true_semi"),
+        F.sum(is_true.cast("long")).alias("n_true_semi"),
         (
-            F.sum(F.col("bpass").cast("long")) - F.sum(hit.cast("long"))
+            F.sum(F.col("bpass").cast("long")) - F.sum(is_true.cast("long"))
         ).alias("false_positives"),
         F.sum(
-            F.when(hit, F.col("l_extendedprice").cast("decimal(18,2)"))
+            F.when(is_true, F.col("l_extendedprice").cast("decimal(18,2)"))
         )
         .cast("double")
         .alias("true_revenue"),
     )
+    plan_cache.put(spark, ckey, res)
+    return res
 
 
 def _bloom_oracle(k: int = _BLOOM_K) -> str:
