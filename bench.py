@@ -142,6 +142,29 @@ HEADLINE = [
     "t_retrieval_pipeline",
 ]
 
+# Every plan-cached query (the serving-surface whitelist pinned by
+# tests/test_llm_oracle.py::test_plan_cache_whitelist): the bench reports a
+# per-query {construct_sec, exec_sec} split for these (r13 VERDICT #1) so
+# the amortized construction cost is visible in the artifact, the
+# ivfpq_build_sec precedent generalized. Headline rule: the headline entry
+# prices steady-state EXECUTION (the serving pattern these caches model);
+# construction is priced here, separately, on every run. The two r13
+# entries whose construction was per-run DATA work (q67_bloom_prune,
+# t_wordpiece) were EVICTED in r14 — their headline numbers above now
+# include construction on every run.
+PLAN_CACHED = [
+    "e_ivfpq_ann",
+    "e_ivfpq_append",
+    "e_ivfpq_recall",
+    "e_ivfpq_append_recall",
+    "e_ann_recall",
+    "d_neardup_index",
+    "d_incremental_neardup",
+    "e_hamming_topk",
+    "t_maxsim_topk",
+    "t_retrieval_pipeline",
+]
+
 # Rotating wall-clock coverage for the registered queries not in HEADLINE
 # (r7 VERDICT #6; ~30/round per r8 VERDICT #5): stalest-benched first.
 ROTATION = [
@@ -323,6 +346,34 @@ def _run(gate: StderrCodegenGate) -> None:
     timings, cold = run_set(HEADLINE)
     rotation, _rot_cold = run_set(ROTATION)
     total = round(sum(timings.values()), 4)
+
+    # Construct/exec split for every plan-cached query (r13 VERDICT #1):
+    # clear the plan cache, time the query FUNCTION call (construction =
+    # sizing/sidecar jobs + driver collects + Catalyst analysis — eager on
+    # DataFrame creation), then one execution of the fresh plan. exec_sec
+    # is the warm min already measured above; first_exec_sec additionally
+    # shows the fresh-exprId codegen cost a brand-new session pays once.
+    from udlang_spark.session import plan_cache
+
+    plan_cached: dict[str, dict[str, float]] = {}
+    for name in PLAN_CACHED:
+        if name not in QUERIES:
+            continue
+        gate.mark(f"{name}:construct")
+        plan_cache.clear()
+        release_caches()
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        construct = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        first_exec = round(time.perf_counter() - t0, 4)
+        release_caches()
+        plan_cached[name] = {
+            "construct_sec": construct,
+            "first_exec_sec": first_exec,
+            "exec_sec": timings.get(name, rotation.get(name)),
+        }
     # Flush JVM log buffers before scanning: stop the session so log4j's
     # console appender has written everything it will write.
     spark.stop()
@@ -344,6 +395,7 @@ def _run(gate: StderrCodegenGate) -> None:
                 "ivfpq_build_sec": ivfpq_build_sec,
                 "rotation": rotation,
                 "rotation_total_sec": round(sum(rotation.values()), 4),
+                "plan_cached": plan_cached,
                 "codegen_fallbacks": codegen_fallbacks,
                 "codegen_gate": "fail" if unexpected else "pass",
             }

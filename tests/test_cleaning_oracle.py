@@ -22,28 +22,23 @@ def test_cleaning_query_matches_oracle(spark, duck, name):
     )
 
 
-def test_wordpiece_plan_cache_identity(spark):
-    """r13: t_wordpiece plan-caches per (session, documents fingerprint) —
-    the probe-query idiom; construction is the vocab-derivation collect +
-    analysis of the greedy-match when-chain. Same (session, corpus) must
-    return the SAME DataFrame object; clearing the cache returns a fresh
-    plan with identical rows, proving the cache only amortizes
-    construction, never changes what is computed."""
-    from udlang_spark.session import plan_cache, release_caches
+def test_wordpiece_plan_cache_evicted(spark):
+    """r14: t_wordpiece's r13 plan cache was EVICTED (r13 VERDICT #1 —
+    its vocab derivation is a per-run corpus aggregation + collect).
+    Every call must construct a FRESH plan (re-deriving the vocab) and
+    produce identical rows; the shared-tokenization r14 rewrite inside
+    wordpiece_stats must not change a single value."""
+    from udlang_spark.session import release_caches
 
-    plan_cache.clear()
-    release_caches()
     q = cleaning.QUERIES["t_wordpiece"]
     a = q(spark, SF_DIR_CORRECTNESS)
-    b = q(spark, SF_DIR_CORRECTNESS)
-    assert a is b
     rows_a = sorted(map(tuple, a.collect()))
-    plan_cache.clear()
     release_caches()
-    c = q(spark, SF_DIR_CORRECTNESS)
-    assert c is not a
-    assert rows_a == sorted(map(tuple, c.collect()))
+    b = q(spark, SF_DIR_CORRECTNESS)
+    assert b is not a, "t_wordpiece must not memoise its plan across calls"
+    assert rows_a == sorted(map(tuple, b.collect()))
     assert len(rows_a) > 0
+    release_caches()
 
 
 def test_gopher_rules_consistent(spark):

@@ -1658,6 +1658,45 @@ def test_plan_cache_working_set_fits_without_eviction(spark):
         release_caches()
 
 
+def test_probe_plan_cache_invalidated_by_rebuild(spark):
+    """r13 ADVICE #2: a cached probe plan snapshots the index file listing
+    at analysis time, so an in-session force_rebuild at the SAME path must
+    be a cache MISS (the key now folds in the build marker's mtime_ns) —
+    otherwise the cached plan would scan deleted/rewritten files."""
+    from udlang_spark.session import plan_cache, release_caches
+
+    plan_cache.clear()
+    release_caches()
+    a = llm.QUERIES["e_ivfpq_ann"](spark, SF_DIR_CORRECTNESS)
+    rows_a = sorted(map(tuple, a.collect()))
+    llm.ivfpq_ensure_index(spark, SF_DIR_CORRECTNESS, force_rebuild=True)
+    b = llm.QUERIES["e_ivfpq_ann"](spark, SF_DIR_CORRECTNESS)
+    assert b is not a, (
+        "rebuild at the same path must invalidate the cached probe plan"
+    )
+    assert rows_a == sorted(map(tuple, b.collect()))
+    release_caches()
+
+
+def test_persist_tracked_deduplicates(spark):
+    """r13 ADVICE #3: plan-cache hits re-arm pins via persist_tracked on
+    every call; in a serving session that never releases, the registry
+    must not grow duplicate refs to the same DataFrame."""
+    from udlang_spark import session as S
+
+    S.release_caches()
+    df = spark.range(5)
+    assert S.persist_tracked(df) is df
+    assert S.persist_tracked(df) is df  # second arm: no duplicate
+    assert sum(1 for d in S._PERSISTED if d is df) == 1
+    S.release_caches()
+    assert S._PERSISTED == []
+    # tracking works again in the next release window
+    S.persist_tracked(df)
+    assert sum(1 for d in S._PERSISTED if d is df) == 1
+    S.release_caches()
+
+
 def test_bloom_binary_literal_matches_python_bit_model(spark):
     """Differential family over the Bloom probe's REPRESENTATION seam
     (r13: the word table became one big-endian-packed BinaryType literal

@@ -28,29 +28,22 @@ def test_relational_query_matches_oracle(spark, duck, name):
     )
 
 
-def test_q67_plan_cache_identity(spark):
-    """r13: q67 plan-caches per (session, orders+lineitem fingerprint) —
-    the persisted-index-probe idiom applied to the bloom ledger, whose
-    per-call construction is a dim-count sizing job + the bloom-build
-    collect + analysis of the binary-literal plan. Same (session,
-    sources) must return the SAME DataFrame object; clearing the cache
-    returns a fresh plan with identical rows, proving the cache only
-    amortizes construction, never changes what is computed."""
-    from udlang_spark.session import plan_cache, release_caches
+def test_q67_plan_cache_evicted(spark):
+    """r14: q67's r13 plan cache was EVICTED (r13 VERDICT #1 — its
+    construction is per-run data work: the dim-count sizing job and the
+    bloom-build aggregation + collect). Every call must construct a
+    FRESH plan (paying those jobs) and produce identical rows."""
+    from udlang_spark.session import release_caches
 
-    plan_cache.clear()
-    release_caches()
     q = relational.QUERIES["q67_bloom_prune"]
     a = q(spark, SF_DIR_CORRECTNESS)
-    b = q(spark, SF_DIR_CORRECTNESS)
-    assert a is b
     rows_a = sorted(map(tuple, a.collect()))
-    plan_cache.clear()
     release_caches()
-    c = q(spark, SF_DIR_CORRECTNESS)
-    assert c is not a
-    assert rows_a == sorted(map(tuple, c.collect()))
+    b = q(spark, SF_DIR_CORRECTNESS)
+    assert b is not a, "q67 must not memoise its plan across calls"
+    assert rows_a == sorted(map(tuple, b.collect()))
     assert len(rows_a) > 0
+    release_caches()
 
 
 def test_q53_sketch_error_bounds(spark):

@@ -586,12 +586,21 @@ def wordpiece_vocab(
     """(word_counts, vocab) — vocab = top-n_vocab character 2..max_len grams
     by corpus occurrence (gram occurrences within a word x word frequency),
     tie-broken by gram text. Computed on the DISTINCT word domain, so gram
-    extraction cost scales with |corpus vocabulary|, not corpus size.
-    word_counts is persisted: the vocab top-k collect and the segmentation
-    scan are separate consumers."""
+    extraction cost scales with |corpus vocabulary|, not corpus size."""
     words_rel = docs.select(
         "doc_id", F.explode(TXT.words(text_col)).alias("word")
     )
+    return _wordpiece_vocab_from_words(words_rel, n_vocab, max_len)
+
+
+def _wordpiece_vocab_from_words(
+    words_rel: DataFrame, n_vocab: int = 64, max_len: int = 4
+) -> tuple[DataFrame, DataFrame]:
+    """wordpiece_vocab over an explicit (doc_id, word) occurrence relation
+    so a caller that already tokenized can share the pass (r14: the
+    wordpiece_stats regex split used to run twice — once here, once for
+    the per-doc re-attach scan). word_counts is persisted: the vocab
+    top-k collect and the segmentation scan are separate consumers."""
     word_counts = persist_tracked(
         words_rel.groupBy("word").agg(F.count("*").alias("wc"))
     )
@@ -655,24 +664,25 @@ def wordpiece_stats(
     n_vocab: int = 64,
     max_len: int = 4,
     text_col: str = "text",
-    pins: list | None = None,
 ) -> DataFrame:
     """Per-doc word/subword counts and mean subwords-per-word (fertility —
     the statistic every tokenizer-design loop monitors) under greedy
     longest-match subword tokenization with a corpus-derived vocabulary.
     The only driver materialization is the n_vocab-row vocab collect.
 
-    `pins`, when supplied, receives the persisted relations the returned
-    plan depends on so a plan-caching caller can re-arm them on a cache
-    hit (the probe_neardup_index idiom)."""
-    word_counts, vocab = wordpiece_vocab(docs, n_vocab, max_len, text_col)
-    if pins is not None:
-        pins.append(word_counts)
+    r14: the word ARRAYS are persisted and both passes (the vocab
+    word-count aggregate and the per-doc re-attach scan) explode from
+    them, so the regex tokenization — the dominant per-row cost — runs
+    once per run instead of twice."""
+    toks = persist_tracked(
+        docs.select("doc_id", TXT.words(text_col).alias("_wl"))
+    )
+    words_rel = toks.select("doc_id", F.explode("_wl").alias("word"))
+    word_counts, vocab = _wordpiece_vocab_from_words(
+        words_rel, n_vocab, max_len
+    )
     vset = frozenset(r["gram"] for r in vocab.collect())
     tokenized = segment_words(word_counts, vset, max_len)
-    words_rel = docs.select(
-        "doc_id", F.explode(TXT.words(text_col)).alias("word")
-    )
     per_doc = (
         words_rel.join(tokenized, "word")
         .groupBy("doc_id")

@@ -461,32 +461,20 @@ def t_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
     Logic: operators/cleaning.wordpiece_stats (segmentation runs over the
     DISTINCT word domain only; vocab = top grams by corpus occurrence).
 
-    r13: plan-cached per (session, corpus fingerprint) — the probe-query
-    idiom. A hit amortizes the vocab-derivation job + its n_vocab-row
-    collect (a sidecar, like the IVF-PQ codebooks) and the Catalyst
-    analysis of the greedy-match when-chain (construct measured at 55%
-    of the query's cost); every run still re-executes the word explode,
-    the segmentation over the distinct word domain, and the per-doc
-    joins/aggregations from parquet."""
-    from udlang_spark.session import persist_tracked, plan_cache
-    from udlang_spark.sources.tables import table_fingerprint
-
-    key = ("wordpiece", sf_dir, table_fingerprint(sf_dir, "documents"))
-    hit = plan_cache.get(spark, key)
-    if hit is not None:
-        res, pins = hit
-        for df in pins:
-            persist_tracked(df)  # re-arm shared-relation caching
-        return res
-    pins: list = []
-    res = OPS.wordpiece_stats(
+    r14: the r13 plan cache on this query was EVICTED (r13 VERDICT
+    "what's wrong #1"): the vocab derivation is a per-run corpus
+    aggregation + collect that a fresh invocation always pays — this
+    vocab is DERIVED from the corpus per run by construction (unlike a
+    shipped fixed-vocab tokenizer), so memoising it across bench runs
+    priced a strictly smaller computation than a fresh run. The
+    legitimate share of the saving is kept execution-side inside
+    wordpiece_stats: the word arrays are tokenized once and shared by
+    the vocab job and the per-doc pass."""
+    return OPS.wordpiece_stats(
         load_table(spark, "documents", sf_dir),
         n_vocab=_WP_VOCAB,
         max_len=_WP_MAX,
-        pins=pins,
     )
-    plan_cache.put(spark, key, (res, pins))
-    return res
 
 
 def _wordpiece_oracle() -> str:

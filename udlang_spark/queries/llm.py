@@ -30,6 +30,20 @@ _WORDS = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"  # Spark (3-arg)
 _WORDS_DUCK = "regexp_extract_all(lower(text), '[a-z0-9]+')"  # DuckDB (2-arg)
 _STOPS = "['" + "','".join(TXT.STOPWORDS) + "']"
 
+
+def _idx_gen(path: str) -> int:
+    """Index-GENERATION token for plan-cache keys (r13 ADVICE #2): the
+    build marker's mtime_ns. A cached probe plan snapshots the index
+    file listing at analysis time; an in-session rebuild at the SAME
+    path (ivfpq_ensure_index(force_rebuild=True), or a deleted marker
+    re-triggering the build) rewrites those files, so the key must
+    change with the build, not just the path. -1 (no marker yet) never
+    collides with a real mtime."""
+    try:
+        return os.stat(os.path.join(path, "_BUILT")).st_mtime_ns
+    except OSError:
+        return -1
+
 # shared DuckDB CTE: distinct 3-word shingles per doc (docs with <3 words drop)
 _SHINGLES_CTE = f"""
 WITH w AS (SELECT doc_id, {_WL} AS wl FROM documents),
@@ -458,7 +472,7 @@ def d_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         with open(marker, "w") as fh:
             fh.write(key)
-    ckey = ("ndidx_probe", key, path)
+    ckey = ("ndidx_probe", key, path, _idx_gen(path))
     hit = plan_cache.get(spark, ckey)
     if hit is not None:
         res, pins = hit
@@ -2444,6 +2458,7 @@ def e_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         table_fingerprint(sf_dir, "embeddings"),
         path,
+        _idx_gen(path),
     )
     hit = plan_cache.get(spark, key)
     if hit is not None:
@@ -2560,6 +2575,7 @@ def e_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         table_fingerprint(sf_dir, "embeddings"),
         path,
+        _idx_gen(path),
     )
     hit = plan_cache.get(spark, key)
     if hit is not None:
@@ -2840,6 +2856,7 @@ def _ivfpq_recall_arms(
         sf_dir,
         table_fingerprint(sf_dir, "embeddings"),
         path,
+        _idx_gen(path),
     )
     hit = plan_cache.get(spark, key)
     if hit is not None:
@@ -5416,6 +5433,9 @@ def t_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         table_fingerprint(sf_dir, "documents"),
         table_fingerprint(sf_dir, "embeddings"),
+        # the dense arm probes the shared IVF-PQ index: an in-session
+        # rebuild at the same path must be a cache miss here too
+        _idx_gen(_ivfpq_cache(sf_dir)[1]),
     )
     hit = plan_cache.get(spark, key)
     if hit is not None:

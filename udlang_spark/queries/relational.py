@@ -2774,31 +2774,21 @@ def q67_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     every pruning decision reproducible in the oracle; zero false
     negatives is structural (the revenue equals the unpruned join's).
 
-    r13: plan-cached per (session, source fingerprint) like the
-    persisted-index probes — a hit amortizes the per-call CONSTRUCTION
-    round-trips only (the dim-count sizing job, the bloom-build
-    aggregation + bounded m/32-word collect, Catalyst analysis of the
-    binary-literal plan); every timed run still scans the full lineitem
-    fact, evaluates the k md5 probes per row, broadcast-joins the dim
-    ground truth, and aggregates the ledger from parquet. The
-    fingerprint spans BOTH sources: orders drives the filter words,
-    and the cached plan's lineitem scan snapshots its file listing at
-    analysis time, so either table regenerating must be a cache miss."""
+    r14: the r13 plan cache on this query was EVICTED (r13 VERDICT
+    "what's wrong #1"): its construction is per-run DATA work — the
+    dim-count sizing job and the bloom-build aggregation + m/32-word
+    collect over orders — that a fresh invocation always pays and that
+    production re-derives per filter build (Spark's own runtime bloom
+    joins rebuild per query). Memoising it across bench runs priced a
+    strictly smaller computation than a fresh run. The two dim jobs now
+    share one persisted dim scan instead (the legitimate half of the
+    saving: same work, one parquet scan+filter instead of two)."""
     from udlang_spark.operators import bloom
-    from udlang_spark.session import plan_cache
-    from udlang_spark.sources.tables import fan_out, table_fingerprint
-
-    ckey = (
-        "q67_bloom",
-        sf_dir,
-        table_fingerprint(sf_dir, "orders", "lineitem"),
-    )
-    hit = plan_cache.get(spark, ckey)
-    if hit is not None:
-        return hit
+    from udlang_spark.session import persist_tracked
+    from udlang_spark.sources.tables import fan_out
 
     li = _t(spark, sf_dir, "lineitem")
-    dim = (
+    dim = persist_tracked(
         _t(spark, sf_dir, "orders")
         .where(
             (F.col("o_orderpriority") == "1-URGENT")
@@ -2808,7 +2798,9 @@ def q67_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # plan-time sizing: one count job over the (filtered, pruned) dim scan
     # picks m — the observability ledger below is what would CATCH a
-    # mis-sized filter, the sizing rule is what prevents one
+    # mis-sized filter, the sizing rule is what prevents one. The dim is
+    # persisted: the count, the bloom-build aggregation, and the
+    # ground-truth broadcast below are three consumers of one small scan.
     m_bits = _bloom_m_for(dim.count())
     words = bloom.bloom_build(dim, "l_orderkey", m_bits, _BLOOM_K)
     # the whole ledger in ONE fact pass: flag each row with the bloom
@@ -2843,7 +2835,6 @@ def q67_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("true_revenue"),
     )
-    plan_cache.put(spark, ckey, res)
     return res
 
 

@@ -69,6 +69,7 @@ def stop_spark() -> None:
 # ---------------------------------------------------------------------------
 
 _PERSISTED: list = []
+_PERSISTED_IDS: set[int] = set()
 
 
 # ---------------------------------------------------------------------------
@@ -124,9 +125,19 @@ plan_cache = _PlanCache()
 
 
 def persist_tracked(df, storage_level=None):
-    """persist() a DataFrame and register it for later release_caches()."""
+    """persist() a DataFrame and register it for later release_caches().
+
+    Idempotent per DataFrame OBJECT within one release window (r13 ADVICE
+    #3): plan-cache hits re-arm their pins through here on every call, so
+    a long-lived serving session that never releases would otherwise grow
+    the registry without bound with duplicate refs. The id() key is safe
+    because the registry holds a strong reference — the object cannot be
+    collected (and its id reused) while tracked."""
+    if id(df) in _PERSISTED_IDS:
+        return df  # already persisted and tracked in this window
     df.persist() if storage_level is None else df.persist(storage_level)
     _PERSISTED.append(df)
+    _PERSISTED_IDS.add(id(df))
     return df
 
 
@@ -139,3 +150,4 @@ def release_caches() -> None:
         except Exception:  # noqa: BLE001 — session may already be stopped
             pass
     _PERSISTED = []
+    _PERSISTED_IDS.clear()
