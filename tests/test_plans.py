@@ -332,6 +332,9 @@ def test_q64_no_single_partition_sort(spark):
     plan = plan_of(relational.QUERIES["q64_global_seq"](spark, SF_DIR_CORRECTNESS))
     body = plan.split("(1) Scan parquet")[0]
     assert "rangepartitioning" in plan
+    # r14: the per-partition local index is monotonically_increasing_id
+    # bit arithmetic — the relation must not cross the Python boundary
+    assert "MapInPandas" not in plan
     # the events-side plan must never be collapsed to one partition
     # (offsets aggregate over #partitions rows may be; events rows may not)
     assert "Sort [ts" not in body or "SinglePartition" not in body

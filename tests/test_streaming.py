@@ -665,6 +665,29 @@ def test_cms_delta_merge_restart_and_redelivery(spark, tmp_path):
         for r in spark.read.parquet(target).drop("_last_batch").collect()
     }
     assert after == before
+    # r14: the applied-batch guard reads a _LAST_BATCH sidecar written
+    # atomically with each table version (no per-batch Spark job); it must
+    # agree with the _last_batch column it replaced as the fast path
+    import os
+
+    marker = os.path.join(target, "_LAST_BATCH")
+    assert os.path.exists(marker), "swap must carry the sidecar marker"
+    col_applied = (
+        spark.read.parquet(target).agg({"_last_batch": "max"}).collect()[0][0]
+    )
+    with open(marker) as fh:
+        assert int(fh.read().strip()) == col_applied
+    # (c) a pre-sidecar table (marker missing) must still be guarded via
+    # the fallback column read: delete the marker and redeliver again
+    os.remove(marker)
+    runner.run_sketch_merge_stream(
+        spark, stream_cells, target, str(tmp_path / "ckpt3")
+    )
+    after_c = {
+        (r["row"], r["bucket"]): r["n"]
+        for r in spark.read.parquet(target).drop("_last_batch").collect()
+    }
+    assert after_c == before
 
 
 def test_hll_delta_merge_equals_batch(spark, tmp_path):
@@ -968,6 +991,70 @@ def test_stream_shuffle_scope_applies_and_restores(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_restart_captured_shuffle_wins(spark, tmp_path, monkeypatch):
+    """r13 VERDICT #7: the stream-start shuffle value is CAPTURED into the
+    checkpoint, so restarting a STATEFUL stream from an existing
+    checkpoint under a DIFFERENT $SPARK_GRAFT_STREAM_SHUFFLE must keep the
+    captured value (Spark restores state-layout confs from the offset
+    log; the documented wipe/migrate rule) — state stays consistent and
+    no duplicate escapes the dedup."""
+    import glob
+    import json
+    import os as _os
+
+    rep = tmp_path / "rep"
+    rep.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(name: str, ids):
+        with open(rep / name, "w") as fh:
+            for i in ids:
+                fh.write(json.dumps({"doc_id": i}) + "\n")
+
+    def drain():
+        src = (
+            spark.readStream.schema("doc_id long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(rep))
+        )
+        with runner._stream_shuffle(spark):
+            q = (
+                src.dropDuplicates(["doc_id"])
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120)
+
+    write_file("a.json", list(range(50)) + list(range(0, 50, 2)))
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SHUFFLE", "5")
+    drain()
+    # new data arrives, operator restarts under a DIFFERENT env value
+    write_file("b.json", list(range(25, 75)))  # 25..49 are dup history
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SHUFFLE", "11")
+    drain()
+
+    # every offset-log entry (incl. post-restart batches) records the
+    # CAPTURED value — the restart did not re-layout the state store
+    offset_files = [
+        p
+        for p in glob.glob(ckpt + "/offsets/*")
+        if _os.path.basename(p).isdigit()
+    ]
+    assert len(offset_files) >= 2, "restart produced no new micro-batch"
+    for p in offset_files:
+        with open(p) as fh:
+            lines = fh.read().splitlines()
+        meta = json.loads(lines[1])
+        assert meta["conf"]["spark.sql.shuffle.partitions"] == "5", p
+    # and the state survived the restart: exactly one row per distinct id
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(75))
 
 
 def test_stream_shuffle_restores_on_error(spark):

@@ -35,7 +35,9 @@ WHITELIST: dict[str, set[str]] = {
     # Arrow-batched pandas operators: vectorized by design. Three
     # families — numpy GEMM scorers over embedding batches/buckets/cells,
     # media decode loops, and distinct-word-domain tokenization — plus
-    # the interp fallback and the per-partition row-id counter.
+    # the interp fallback. (r14: q64_global_seq's per-partition row-id
+    # counter left this list — monotonically_increasing_id bit ops
+    # replaced the Python pass.)
     "MapInPandas": {
         "k_count_interp",  # interp fallback (recursion beyond unroll)
         "t_wordpiece",  # distinct-word-domain segmentation
@@ -50,7 +52,6 @@ WHITELIST: dict[str, set[str]] = {
         "m_image_meta",  # header parse
         "m_ahash_dedup",  # pixel decode + aHash in Arrow batches
         "m_ahash_neardup",  # shares the fingerprint path
-        "q64_global_seq",  # per-partition local counter + offsets
         "e_negative_pairs",  # batch-local partial top-k prune (r8)
         "e_centroid_assign",  # broadcast-centroid GEMM
         "e_cosine_topk",  # capped exact GEMM scorer

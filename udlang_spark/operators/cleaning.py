@@ -117,10 +117,16 @@ def duplicate_span_stats(
             "doc_id", F.explode(TXT.shingles(text_col, n=k)).alias("gram")
         )
     )
+    # "appears in >= 2 DISTINCT docs" == min(doc_id) != max(doc_id): the
+    # count_distinct form expands to a two-phase distinct aggregate — an
+    # extra full gram-keyed Exchange of (gram, doc_id) rows plus two more
+    # aggregate passes — while min/max combine map-side, so the one
+    # remaining exchange carries ~one row per distinct gram per partition
+    # (guide §2.3 aggregate-before-shuffle; r14).
     dup = (
         grams.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        .where(F.col("_mn") != F.col("_mx"))
         .select("gram")
     )
     totals = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
@@ -249,13 +255,16 @@ def scrub_duplicate_spans(
             ),
         )
     )
+    # ">= 2 DISTINCT docs" == min != max (and min IS the keeper): the
+    # count_distinct form cost a second full gram-keyed Exchange plus two
+    # extra aggregate passes; min/max combine map-side (guide §2.3; r14)
     dup = (
         pos.groupBy("gram")
         .agg(
-            F.count_distinct("doc_id").alias("nd"),
             F.min("doc_id").alias("keeper"),
+            F.max("doc_id").alias("_mx"),
         )
-        .where(F.col("nd") >= 2)
+        .where(F.col("keeper") != F.col("_mx"))
         .select("gram", "keeper")
     )
     starts = (
@@ -314,13 +323,15 @@ def scrub_maximal_spans(
             ),
         )
     )
+    # ">= 2 DISTINCT docs" == min != max, min is the keeper (guide §2.3 —
+    # same rewrite as scrub_duplicate_spans; r14)
     dup = (
         pos.groupBy("gram")
         .agg(
-            F.count_distinct("doc_id").alias("nd"),
             F.min("doc_id").alias("keeper"),
+            F.max("doc_id").alias("_mx"),
         )
-        .where(F.col("nd") >= 2)
+        .where(F.col("keeper") != F.col("_mx"))
         .select("gram", "keeper")
     )
     starts = (
@@ -464,10 +475,13 @@ def bigram_familiarity(docs: DataFrame, text_col: str = "text") -> DataFrame:
     bg = persist_tracked(
         docs.select("doc_id", F.explode(TXT.shingles(text_col, n=2)).alias("bg"))
     )
+    # ">= 2 DISTINCT docs" == min(doc_id) != max(doc_id) — skips the
+    # two-phase distinct aggregate's extra bigram-keyed Exchange and its
+    # two extra aggregate passes (guide §2.3; r14)
     familiar = (
         bg.groupBy("bg")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        .where(F.col("_mn") != F.col("_mx"))
         .select("bg")
     )
     per_doc = bg.groupBy("doc_id").agg(F.count("*").alias("n_bigrams"))

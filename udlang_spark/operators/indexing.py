@@ -7,9 +7,13 @@ anti-pattern at 100 TB. The scalable rewrite here:
 
 1. repartitionByRange(order_cols) + sortWithinPartitions — one range
    shuffle; partitions are disjoint, ordered spans of the total order.
-2. mapInPandas with a per-partition running counter — the iterator API
-   sees every Arrow batch of its partition in sorted order, so a local
-   0-based index costs zero extra passes and zero extra state.
+2. monotonically_increasing_id() evaluated ABOVE the sort (same stage,
+   pipelined) packs `partition_id << 33 | local_counter` — decoding the
+   partition id and the 0-based partition-local rank is two bit ops of
+   pure codegen. (r14: this replaces a mapInPandas counter pass — the
+   whole relation used to cross JVM→Arrow→Python→JVM just to number
+   rows; guide §4 eliminate-the-Python-boundary. Values are identical:
+   both count rows per partition in sorted order from 0.)
 3. per-partition counts → cumulative offsets (a window over ≤ #partitions
    rows — trivially small at any scale) broadcast back and added map-side.
 
@@ -22,12 +26,8 @@ ids, deterministic sharding).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
 from pyspark.sql.window import Window
 
 
@@ -36,31 +36,22 @@ def global_row_number(
 ) -> DataFrame:
     """Assign contiguous 1..N ids in the total order of `order_cols`
     (which must be a total order — include a unique tiebreak column).
+
+    The 33-bit local counter caps a single range partition at 2^33 rows
+    (Spark's own monotonically_increasing_id contract); range
+    partitioning bounds partition size long before that.
     """
     ranged = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
-
-    # fresh StructType — StructType.add MUTATES the receiver, and df.schema
-    # is a cached object: appending to it in place poisons with_pid's own
-    # resolved schema.
-    schema = StructType(
-        list(with_pid.schema.fields) + [StructField("_local_idx", LongType(), False)]
+    # mid = partition_id << 33 | 0-based local counter, assigned in the
+    # partition's physical row order — which IS the sorted order here
+    # (the projection runs above the sort in the same stage)
+    indexed = ranged.withColumn("_mid", F.monotonically_increasing_id()).select(
+        *df.columns,
+        F.shiftright("_mid", 33).cast("int").alias("_pid"),
+        F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)).alias("_local_idx"),
     )
 
-    def add_local_idx(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # one counter per partition: the iterator yields this partition's
-        # batches in sortWithinPartitions order, so the index is the
-        # partition-local rank.
-        seen = 0
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["_local_idx"] = range(seen, seen + len(pdf))
-            seen += len(pdf)
-            yield pdf
-
-    indexed = with_pid.mapInPandas(add_local_idx, schema=schema)
-
-    counts = with_pid.groupBy("_pid").count()
+    counts = indexed.groupBy("_pid").count()
     offsets = counts.withColumn(
         "_offset",
         F.coalesce(
