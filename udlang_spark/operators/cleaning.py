@@ -379,88 +379,87 @@ def remove_boilerplate_lines(
     chunks — the Spark plumbing (split, positioned explode, line-key agg,
     flag join, ordered reassembly) is identical either way.
 
-    Scale shape (line-key shuffles only, never all-pairs):
-    one posexplode to (doc_id, pos, line); ONE line-key aggregate finds
-    boilerplate lines (count_distinct doc_id — partial agg map-side); one
-    join marks them (a line shared by millions of docs is the AQE
-    skew-join case); one per-doc aggregate reassembles the kept lines in
-    position order. The full text never shuffles — only the line relation
-    and per-doc collected structs move.
+    Scale shape (r14 — the d_span_scrub positions-only idiom; guide §2.3
+    shuffle keys/metadata instead of payloads, §8): the text never rides
+    ANY exchange. One persisted per-doc line-ARRAY projection feeds all
+    three passes. (1) The boiler aggregate counts doc-deduped lines —
+    array_distinct runs map-side, so "count_distinct(doc_id) >= min_docs"
+    becomes a plain count with map-side partials: ONE line-keyed Exchange
+    of (line, partial count) instead of the distinct aggregate's two.
+    (2) Boiler hits are joined (broadcast — template chrome is a bounded
+    set) to the positioned explode and reduced to per-doc POSITION sets:
+    the only other Exchange carries (doc_id, int positions), never line
+    text. (3) Counts and the cleaned-text md5 are computed map-side from
+    the persisted line array + the broadcast per-doc position sets —
+    replacing the per-doc collect_list reassembly that shuffled every
+    kept line's text.
 
     Output per doc: line counts before/after and an md5 witness of the
     reassembled cleaned text, so a differential pins every kept line."""
-    lines = persist_tracked(
+    la = persist_tracked(
         docs.select(
             "doc_id",
             TXT.words(F.coalesce(F.col(text_col), F.lit(""))).alias("wl"),
         )
         .select(
             "doc_id",
-            F.posexplode(
-                F.when(
-                    F.size("wl") > 0,
-                    F.transform(
-                        F.sequence(
-                            F.lit(0),
-                            F.ceil(F.size("wl") / F.lit(line_words)).cast(
-                                "int"
-                            )
-                            - 1,
-                        ),
-                        lambda i: F.array_join(
-                            F.slice(
-                                F.col("wl"),
-                                i * line_words + 1,
-                                line_words,
-                            ),
-                            " ",
-                        ),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("pos", "line"),
-        )
-    )
-    boiler = (
-        lines.groupBy("line")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= min_docs)
-        .select("line", F.lit(True).alias("_boiler"))
-    )
-    marked = lines.join(boiler, "line", "left")
-    per_doc = marked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.sum(F.when(F.col("_boiler").isNull(), 1).otherwise(0)).alias(
-            "n_kept"
-        ),
-        F.md5(
-            F.concat_ws(
-                " ",
+            F.when(
+                F.size("wl") > 0,
                 F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("_boiler").isNull(),
-                                F.struct("pos", "line"),
-                            )
-                        )
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size("wl") / F.lit(line_words)).cast("int")
+                        - 1,
                     ),
-                    lambda s: s["line"],
+                    lambda i: F.array_join(
+                        F.slice(
+                            F.col("wl"),
+                            i * line_words + 1,
+                            line_words,
+                        ),
+                        " ",
+                    ),
                 ),
             )
-        ).alias("cleaned_md5"),
+            .otherwise(F.array().cast("array<string>"))
+            .alias("la"),
+        )
     )
-    # empty documents produce zero line rows; restore them with 0/0/md5('')
+    # doc-deduped map-side (array_distinct), so "in >= min_docs DISTINCT
+    # docs" is a plain count with map-side partials — one Exchange, not
+    # the distinct aggregate's two
+    boiler = (
+        la.select(F.explode(F.array_distinct("la")).alias("line"))
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("line")
+    )
+    # per-doc boiler POSITION sets: the only other Exchange carries
+    # (doc_id, array<int>) — kept-line text never shuffles
+    hits = (
+        la.select("doc_id", F.posexplode("la").alias("pos", "line"))
+        .join(F.broadcast(boiler), "line")
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("bpos"))
+    )
+    # map-side reassembly from the persisted line array: filter() keeps
+    # construction (= position) order, so the md5 witness is identical to
+    # the former collect_list + array_sort reassembly
+    kept = F.filter(
+        "la",
+        lambda x, i: ~F.coalesce(F.array_contains("bpos", i), F.lit(False)),
+    )
+    n_lines = F.size("la").cast("long")
+    n_kept = F.size(kept).cast("long")
     return (
-        docs.select("doc_id")
-        .join(per_doc, "doc_id", "left")
+        la.join(F.broadcast(hits), "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            (
-                F.coalesce("n_lines", F.lit(0)) - F.coalesce("n_kept", F.lit(0))
-            ).alias("n_removed"),
-            F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
+            n_lines.alias("n_lines"),
+            n_kept.alias("n_kept"),
+            (n_lines - n_kept).alias("n_removed"),
+            F.md5(F.concat_ws(" ", kept)).alias("cleaned_md5"),
         )
     )
 
@@ -472,6 +471,13 @@ def bigram_familiarity(docs: DataFrame, text_col: str = "text") -> DataFrame:
     the familiarity ratio is the transcendental-free analogue. Band
     thresholds are fixed constants, not corpus quantiles — a corpus-wide
     ntile would serialize through one window partition."""
+    # NOTE (r14, measured and REJECTED): persisting the per-doc bigram
+    # ARRAY instead of the exploded rows (to make n_bigrams a map-side
+    # size() and drop the per-doc count aggregate) looked like a free
+    # Exchange removal — but InMemoryRelation's columnar cache builder is
+    # ~4.5× slower materializing an array<string> column than the same
+    # data exploded to flat string rows (5.99 s vs 1.32 s at sf0.1), and
+    # the whole query regressed 0.94 → 3.8 s. The exploded persist stays.
     bg = persist_tracked(
         docs.select("doc_id", F.explode(TXT.shingles(text_col, n=2)).alias("bg"))
     )

@@ -141,19 +141,25 @@ def lsh_candidate_pairs(
 
 
 def verified_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
-    """Join candidate pairs back to shingle sets; exact jaccard per pair."""
+    """Join candidate pairs back to shingle sets; exact jaccard per pair.
+
+    Build-side direction matters (guide §3.1): `pairs` is the LSH-bounded
+    candidate set (tiny), `sh` is the whole corpus — the planner's
+    estimate used to broadcast the ENTIRE shingle relation twice (once
+    per side), a guaranteed OOM at corpus scale and two full-relation
+    serializations per run locally. Broadcasting the pairs instead keeps
+    the corpus streamed: sh is scanned (from the persisted relation),
+    never shuffled, never broadcast; the second join broadcasts
+    pairs+sh_a, still bounded by the candidate count (r14)."""
     sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (inter.cast("double") / union.cast("double")).alias("jaccard"),
-        )
+    half = sa.join(F.broadcast(pairs), "doc_a")
+    return sb.join(F.broadcast(half), "doc_b").select(
+        "doc_a",
+        "doc_b",
+        (inter.cast("double") / union.cast("double")).alias("jaccard"),
     )
 
 
@@ -348,8 +354,9 @@ def banded_hamming_pairs(
         .filter(F.size("members") > 1)
     )
     pairs = buckets.select(
-        F.col("members"), F.posexplode("members").alias("i", "a")
+        "band", F.col("members"), F.posexplode("members").alias("i", "a")
     ).select(
+        "band",
         F.col("a.doc").alias("doc_a"),
         F.col("a.bl").alias("bl_a"),
         F.explode(F.slice("members", F.col("i") + 2, F.size("members"))).alias("b"),
@@ -360,11 +367,23 @@ def banded_hamming_pairs(
         )
         for i in range(1, n_bands + 1)
     ).cast("int")
+    # first-agreeing-band gate instead of dropDuplicates: a pair within
+    # max_hamming agrees on >= 1 whole band (pigeonhole), so emitting it
+    # ONLY from its lowest agreeing band yields each qualifying pair
+    # exactly once — same result set, no pair-keyed Exchange + aggregate,
+    # and the duplicate pair rows never leave their bucket's task. Zero
+    # extra bytes shuffled: bl_a / b.bl already ride for the hamming
+    # predicate (guide §2.4 remove shuffles outright; r14).
+    first_eq = F.array_position(
+        F.zip_with("bl_a", F.col("b.bl"), lambda x, y: x == y), F.lit(True)
+    )
     return (
         pairs.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
+        .filter(
+            (F.col("hamming") <= max_hamming)
+            & ((F.col("band") + 1).cast("long") == first_eq)
+        )
         .select("doc_a", F.col("b.doc").alias("doc_b"), "hamming")
-        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
