@@ -31,90 +31,79 @@ for mod in (kernels, llm, streaming, relational, cleaning):
 # FIRST 50 registry entries against their DuckDB oracles each round.
 # History: r3 relational q01-q50 (50/50). r4 kernel + oracled-LLM. r5 the
 # 38 never-checked + mid-round additions (50/50). r6 49/50 (k_tower red,
-# fixed r7). r7 50/50. r8-r12: 50/50 each; after r12 ALL 207 registered
-# queries are green at their latest check and none is staler than r8
-# (histogram r8:10, r9:48, r10:49, r11:50, r12:50).
-# Round-13 window (per r12 VERDICT #1: drain the r8-stale block first,
-# then the oldest r9 block; new queries register IN-window at land time):
-#   (a) the NEW round-13 query, registered at land time:
-#       t_retrieval_pipeline (the end-to-end hybrid retrieval serving
-#       pipeline — BM25 arm + persisted-IVF-PQ ADC arm + RRF fusion +
-#       chunk-level MaxSim rerank in ONE plan, r12 VERDICT #4);
-#   (b) the 10 r8-stale rows, 4 rounds without a driver re-check:
-#       d_url_dedup, k_pipeline, m_ahash_neardup, m_image_meta,
-#       m_payload_meta, q51_transitions, t_heavy_hitters, t_langid,
-#       t_lift_bigrams, t_span_corrupt;
-#   (c) 39 of the 48 r9-stale rows. The 9 deferred to r14, each with
-#       sibling coverage on current code: t_bm25_topk and t_hybrid_rrf
-#       (their scorer/fusion run VERBATIM inside in-window
-#       t_retrieval_pipeline - _bm25_scored is shared code and the
-#       oracle embeds _bm25_oracle(); both also ride the bench headline
-#       every round), m_frames (sibling m_video_frames in-window, shared
-#       frame-slice path), e_ann_lsh (sibling e_near_dups_lsh in-window,
-#       same in-bucket GEMM), e_label_centroids (siblings
-#       e_centroid_assign r12-green + e_kmeans in-window),
-#       k_comprehension (kernel family: 13 kernel rows green r11/r12;
-#       comprehension path fuzz-pinned), q56_nation_trade_volume (plain
-#       agg-join TPC-H shape; q57/q60/q61/q62 in-window),
-#       s_windowed_stream (sibling s_session_stream in-window; tumbling
-#       agg also driver-green via q13 r10), d_duplicate_spans (span
-#       machinery re-rowed r11 via d_span_scrub/_maximal; t_span_corrupt
-#       in-window).
-# 1 + 10 + 39 = 50.
+# fixed r7). r7 50/50. r8-r13: 50/50 each; after r13 ALL 208 registered
+# queries are green at their latest check (staleness histogram
+# r9:9, r10:49, r11:50, r12:50, r13:50).
+# Round-14 window (optimization round 2: changed code first, then the
+# stalest blocks per r13 VERDICT #8):
+#   (a) the 17 queries whose code paths this round touched — the
+#       line-dedup positions-only rewrite, the banded-hamming
+#       first-agreeing-band gate, the verified_jaccard build-side flip
+#       (d_minhash_lsh + the three minhash_dedup_corpus consumers), the
+#       inherited span/bigram min-max change, the q67/t_wordpiece cache
+#       evictions, the q64 row-id rewrite, and the delta-merge sidecar
+#       (s_kmv_stream, s_cms_merge) — so the driver re-verifies exactly
+#       what changed;
+#   (b) the 9 rows deferred from the r13 window (r9-stale):
+#       t_bm25_topk, t_hybrid_rrf, m_frames, e_ann_lsh,
+#       e_label_centroids, k_comprehension, q56_nation_trade_volume,
+#       s_windowed_stream, d_duplicate_spans (already in (a));
+#   (c) the 25 stalest remaining rows — all last checked r10.
+# 17 + 8 + 25 = 50.
 _PRIORITY: list[str] = [
-    # -- (a) new round-13 query at land time --
-    "t_retrieval_pipeline",
-    # -- (b) the r8-stale block --
-    "d_url_dedup",
-    "k_pipeline",
+    # -- (a) changed this round --
+    "d_line_dedup",
+    "d_simhash_neardup",
     "m_ahash_neardup",
-    "m_image_meta",
-    "m_payload_meta",
-    "q51_transitions",
-    "t_heavy_hitters",
-    "t_langid",
-    "t_lift_bigrams",
-    "t_span_corrupt",
-    # -- (c) the r9-stale block (39 of 48) --
+    "d_minhash_lsh",
+    "d_dedup_corpus",
     "d_dedup_keeper",
     "d_split_leakage",
-    "e_int8_quantize",
-    "e_ivf_ann",
-    "e_kmeans",
-    "e_mmr_rerank",
-    "e_near_dups_lsh",
-    "e_random_proj",
-    "k_attempt",
-    "m_features",
-    "m_real_decode",
-    "m_video_frames",
-    "q53_sketch_stats",
-    "q54_pattern_match",
-    "q55_user_ema",
-    "q57_product_profit",
-    "q58_returned_items",
-    "q59_promo_effect",
-    "q60_top_supplier",
-    "q61_large_volume_customers",
-    "q62_dominant_suppliers",
-    "q63_running_distinct",
-    "q64_global_seq",
-    "q65_snapshot_diff",
-    "q66_salted_join",
-    "s_dedup_stream",
-    "s_kernel_stream",
-    "s_neardup_stream",
-    "s_session_stream",
-    "s_stateful_totals",
-    "s_stream_join",
+    "d_span_scrub",
+    "d_span_scrub_maximal",
+    "d_duplicate_spans",
     "t_bigram_lm",
-    "t_bpe_encode",
-    "t_bpe_learn",
-    "t_dedup_words",
-    "t_domain_mix",
-    "t_gopher_rules",
-    "t_pii_scrub",
+    "t_lang_quality_bands",
     "t_wordpiece",
+    "q67_bloom_prune",
+    "q64_global_seq",
+    "s_kmv_stream",
+    "s_cms_merge",
+    # -- (b) the deferred r9-stale block --
+    "t_bm25_topk",
+    "t_hybrid_rrf",
+    "m_frames",
+    "e_ann_lsh",
+    "e_label_centroids",
+    "k_comprehension",
+    "q56_nation_trade_volume",
+    "s_windowed_stream",
+    # -- (c) the 25 stalest (r10) rows --
+    "e_hamming_topk",
+    "e_ivfpq_ann",
+    "e_pq_adc",
+    "e_pq_encode",
+    "k_generic",
+    "q01_pricing_summary",
+    "q02_forecast_revenue",
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q05_region_volume",
+    "q06_customers_without_orders",
+    "q07_custdist",
+    "q08_topk_per_group",
+    "q09_running_totals",
+    "q10_set_ops",
+    "q11_distinct_counts",
+    "q12_rollup",
+    "q13_events_tumbling",
+    "q14_events_json",
+    "q15_orders_monthly",
+    "q16_part_strings",
+    "q17_supplier_by_region",
+    "q18_asof_join",
+    "q19_cube",
+    "q20_median_udaf",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50
