@@ -354,9 +354,8 @@ def banded_hamming_pairs(
         .filter(F.size("members") > 1)
     )
     pairs = buckets.select(
-        "band", F.col("members"), F.posexplode("members").alias("i", "a")
+        F.col("members"), F.posexplode("members").alias("i", "a")
     ).select(
-        "band",
         F.col("a.doc").alias("doc_a"),
         F.col("a.bl").alias("bl_a"),
         F.explode(F.slice("members", F.col("i") + 2, F.size("members"))).alias("b"),
@@ -367,23 +366,24 @@ def banded_hamming_pairs(
         )
         for i in range(1, n_bands + 1)
     ).cast("int")
-    # first-agreeing-band gate instead of dropDuplicates: a pair within
-    # max_hamming agrees on >= 1 whole band (pigeonhole), so emitting it
-    # ONLY from its lowest agreeing band yields each qualifying pair
-    # exactly once — same result set, no pair-keyed Exchange + aggregate,
-    # and the duplicate pair rows never leave their bucket's task. Zero
-    # extra bytes shuffled: bl_a / b.bl already ride for the hamming
-    # predicate (guide §2.4 remove shuffles outright; r14).
-    first_eq = F.array_position(
-        F.zip_with("bl_a", F.col("b.bl"), lambda x, y: x == y), F.lit(True)
-    )
+    # NOTE (r14, measured and REJECTED — twice): replacing dropDuplicates
+    # with a "first-agreeing-band" filter (emit each pair only from its
+    # lowest agreeing band; exact by pigeonhole) removed the pair-keyed
+    # Exchange but LOST on the 10× stress corpus both times it was tried.
+    # (a) As zip_with+array_position the gate is a CodegenFallback
+    # expression that demoted the whole pair-expansion stage to
+    # interpreted execution: 10× time 10.4 s → 71–107 s. (b) As a pure
+    # CASE chain over element_at it codegens, but it still pays per
+    # EXPANDED candidate pair while the dropDuplicates exchange pays per
+    # RESULT pair — candidates grow with sum(bucket²), results don't, so
+    # back-to-back 10× runs read 12.2/9.5 s gated vs 9.9/6.8 s with
+    # dropDuplicates. The pair-id exchange is output-bounded and cheap at
+    # every scale; it stays.
     return (
         pairs.withColumn("hamming", hamming)
-        .filter(
-            (F.col("hamming") <= max_hamming)
-            & ((F.col("band") + 1).cast("long") == first_eq)
-        )
+        .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", F.col("b.doc").alias("doc_b"), "hamming")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 

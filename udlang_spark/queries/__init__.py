@@ -37,8 +37,10 @@ for mod in (kernels, llm, streaming, relational, cleaning):
 # Round-14 window (optimization round 2: changed code first, then the
 # stalest blocks per r13 VERDICT #8):
 #   (a) the 17 queries whose code paths this round touched — the
-#       line-dedup positions-only rewrite, the banded-hamming
-#       first-agreeing-band gate, the verified_jaccard build-side flip
+#       line-dedup positions-only rewrite, the banded-hamming gate that
+#       was landed then REVERTED after the 10× stress (d_simhash_neardup
+#       and m_ahash_neardup stay in-window to re-verify the revert), the
+#       verified_jaccard build-side flip
 #       (d_minhash_lsh + the three minhash_dedup_corpus consumers), the
 #       inherited span/bigram min-max change, the q67/t_wordpiece cache
 #       evictions, the q64 row-id rewrite, and the delta-merge sidecar
