@@ -29,6 +29,53 @@ def test_minhash_finds_planted_near_dups(spark):
     assert all(r.jaccard >= 0.8 for r in rows)
 
 
+def test_minhash_binary_min_equals_string_min(spark):
+    """r14 signature narrowing: min over unhex(md5) re-hexed must equal
+    the min over the hex strings themselves (the pre-r14 aggregation) —
+    the order-preservation claim _signatures_from_shingles now relies on,
+    checked per signature over the real corpus."""
+    from pyspark.sql import functions as F
+
+    from udlang_spark.operators import dedup
+    from udlang_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", SF_DIR_CORRECTNESS)
+    sh = dedup.shingle_sets(docs, "text", "doc_id")
+    new = dedup._signatures_from_shingles(sh)
+    ex = sh.select("doc", F.explode("sh").alias("s"))
+    old = ex.groupBy("doc").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("s")))).alias(f"sig_{h}")
+            for h in range(dedup.N_HASHES)
+        ]
+    )
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+
+
+def test_kmv_union_sketch_equals_full_union_bottom_k(spark):
+    """r14 t_kmv_jaccard restructure: the union sketch derived from the
+    two per-set sketches (union-then-truncate) must equal the bottom-k of
+    the FULL hash-set union — the KMV mergeability property the query now
+    relies on instead of re-scanning both hash relations."""
+    from udlang_spark.queries.llm import _KMV_K, _kmv_hashes
+    from udlang_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", SF_DIR_CORRECTNESS)
+    a_h, b_h = _kmv_hashes(docs, "en"), _kmv_hashes(docs, "de")
+    full = [
+        r.h
+        for r in a_h.union(b_h).distinct().orderBy("h").limit(_KMV_K).collect()
+    ]
+    a_k = a_h.orderBy("h").limit(_KMV_K)
+    b_k = b_h.orderBy("h").limit(_KMV_K)
+    merged = [
+        r.h
+        for r in a_k.union(b_k).distinct().orderBy("h").limit(_KMV_K).collect()
+    ]
+    assert merged == full
+
+
 def test_ann_recall_vs_brute_force(spark):
     exact = {
         (r.vec_id, r.nbr)

@@ -65,15 +65,31 @@ def _signatures_from_shingles(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFr
     """Signature pipeline from a (doc, sh) relation.
 
     Shape: explode shingles → n_hashes md5s per row → groupBy(doc) min.
-    Everything is codegen (Generate + HashAggregate); the min is combined
-    map-side, and exploded rows stay in their input partition, so the
-    shuffle carries ~one row per doc per partition. The HOF form
+    Everything is codegen (Generate + Sort/HashAggregate); the min is
+    combined map-side, and exploded rows stay in their input partition, so
+    the shuffle carries ~one row per doc per partition. The HOF form
     (array_min(transform(...)) per signature) evaluates the shingle array
-    expression once per signature, interpreted — ~3× slower end-to-end."""
+    expression once per signature, interpreted — ~3× slower end-to-end.
+
+    r14 (guide §2.3 narrower types): the min runs over unhex(md5) — the
+    16-BYTE digest — and the hex form is rebuilt once per doc in the
+    output projection, so the aggregation buffer and the doc-keyed
+    exchange carry half the signature bytes. Exactly order-preserving,
+    so the result is bit-identical: md5's lowercase-hex rendering maps
+    each byte to two chars through a strictly increasing char table
+    ('0'-'9' < 'a'-'f' in ASCII), hence lexicographic order over the
+    equal-length hex strings equals unsigned-lexicographic order over
+    the digest bytes, which is Spark's BinaryType ordering."""
     ex = sh.select("doc", F.explode("sh").alias("s"))
     return ex.groupBy("doc").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("s")))).alias(f"sig_{h}")
+            F.lower(
+                F.hex(
+                    F.min(
+                        F.unhex(F.md5(F.concat(F.lit(f"{h}:"), F.col("s"))))
+                    )
+                )
+            ).alias(f"sig_{h}")
             for h in range(n_hashes)
         ]
     )
@@ -120,6 +136,13 @@ def lsh_candidate_pairs(
     is sorted, so doc_a < doc_b by construction; in-bucket quadratic
     expansion is bounded by bucket size, which the LSH parameters bound."""
     bands = band_keys(sigs, n_hashes, band_rows)
+    # grouping the bucket shuffle on unhex(bkey) (16-byte digest instead
+    # of the 32-char hex rendering) was measured and REJECTED: the
+    # isolated A/B read ~+0.3 s at sf0.1 while the same session's
+    # signature narrowing (d_incremental_neardup, which shares it but
+    # not this) stayed flat — the halved key bytes don't pay for the
+    # per-row unhex at the collect_list aggregate's volume. The
+    # persisted-index paths keep hex bkeys regardless (on-disk format).
     buckets = (
         bands.groupBy("bkey")
         .agg(F.sort_array(F.collect_list("doc")).alias("ds"))

@@ -36,24 +36,37 @@ for mod in (kernels, llm, streaming, relational, cleaning):
 # r9:9, r10:49, r11:50, r12:50, r13:50).
 # Round-14 window (optimization round 2: changed code first, then the
 # stalest blocks per r13 VERDICT #8):
-#   (a) the 17 queries whose code paths this round touched — the
+#   (a) the 25 queries whose code paths this round touched — the
 #       line-dedup positions-only rewrite, the banded-hamming gate that
 #       was landed then REVERTED after the 10× stress (d_simhash_neardup
 #       and m_ahash_neardup stay in-window to re-verify the revert), the
-#       verified_jaccard build-side flip
-#       (d_minhash_lsh + the three minhash_dedup_corpus consumers), the
-#       inherited span/bigram min-max change, the q67/t_wordpiece cache
-#       evictions, the q64 row-id rewrite, and the delta-merge sidecar
-#       (s_kmv_stream, s_cms_merge) — so the driver re-verifies exactly
-#       what changed;
+#       verified_jaccard build-side flip AND the wave-3 minhash
+#       signature narrowing (d_minhash_lsh + the three
+#       minhash_dedup_corpus consumers + d_incremental_neardup +
+#       d_neardup_index), the inherited span/bigram min-max change, the
+#       q67/t_wordpiece cache evictions, the q64 row-id rewrite, the
+#       delta-merge sidecar (s_kmv_stream, s_cms_merge), and the wave-3
+#       single-pass/shared-relation restructures (t_kmv_jaccard,
+#       t_hll_distinct, t_cms_freq, t_tfidf_topk, t_rarity,
+#       q44_fuzzy_part_pairs) — so the driver re-verifies exactly what
+#       changed;
 #   (b) the 9 rows deferred from the r13 window (r9-stale):
 #       t_bm25_topk, t_hybrid_rrf, m_frames, e_ann_lsh,
 #       e_label_centroids, k_comprehension, q56_nation_trade_volume,
 #       s_windowed_stream, d_duplicate_spans (already in (a));
-#   (c) the 25 stalest remaining rows — all last checked r10.
-# 17 + 8 + 25 = 50.
+#   (c) the 17 stalest remaining rows — all last checked r10 (the 8
+#       displaced r10 rows q13–q20 move to the round-15 window).
+# 25 + 8 + 17 = 50.
 _PRIORITY: list[str] = [
     # -- (a) changed this round --
+    "t_kmv_jaccard",
+    "t_hll_distinct",
+    "t_cms_freq",
+    "t_tfidf_topk",
+    "t_rarity",
+    "q44_fuzzy_part_pairs",
+    "d_incremental_neardup",
+    "d_neardup_index",
     "d_line_dedup",
     "d_simhash_neardup",
     "m_ahash_neardup",
@@ -98,14 +111,6 @@ _PRIORITY: list[str] = [
     "q10_set_ops",
     "q11_distinct_counts",
     "q12_rollup",
-    "q13_events_tumbling",
-    "q14_events_json",
-    "q15_orders_monthly",
-    "q16_part_strings",
-    "q17_supplier_by_region",
-    "q18_asof_join",
-    "q19_cube",
-    "q20_median_udaf",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50

@@ -1086,17 +1086,29 @@ def t_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale where the scan already has splits (d_simhash precedent)
     docs = fan_out(load_table(spark, "documents", sf_dir).select("text"))
     toks = docs.select(F.explode(TXT.words("text")).alias("tok"))
-    sketch = _cms_cells(toks, "tok").groupBy("row", "bucket").agg(
-        F.count(F.lit(1)).alias("n")
+    # r14: ONE corpus pass funds the sketch AND the exact probe witness.
+    # Before, the two consumers each re-ran the tokenize+explode scan
+    # (the dominant cost). Every probe token contributes exactly one
+    # row-0 cell, so sub-grouping the level-1 cell aggregate by the
+    # probe word (row 0 only; NULL otherwise) adds ≤ |probes| groups to
+    # the ≤ d·w cell groups while keeping map-side combine — the sketch
+    # is the sum over sub-groups, the exact witness is the row-0 probe
+    # sub-groups, both read from one persisted ≤(d·w + |probes|)-row
+    # relation instead of two corpus scans.
+    pw = F.when(
+        (F.col("row") == 0) & F.col("tok").isin(*sorted(TXT.STOPWORDS)),
+        F.col("tok"),
     )
+    lvl1 = persist_tracked(
+        _cms_cells(toks, "tok", extra=("tok",))
+        .groupBy("row", "bucket", pw.alias("pw"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sketch = lvl1.groupBy("row", "bucket").agg(F.sum("c").alias("n"))
     exact = (
-        # exact counts for the PROBES only: the isin filter prunes
-        # non-probe tokens right after the explode, so this branch shuffles
-        # ≤ |probes| distinct keys — the full-vocabulary groupBy is exactly
-        # what the sketch exists to avoid
-        toks.filter(F.col("tok").isin(*sorted(TXT.STOPWORDS)))
-        .groupBy(F.col("tok").alias("word"))
-        .agg(F.count(F.lit(1)).alias("exact"))
+        lvl1.filter(F.col("pw").isNotNull())
+        .groupBy(F.col("pw").alias("word"))
+        .agg(F.sum("c").alias("exact"))
     )
     return _cms_probe_report(spark, sketch, exact)
 
@@ -1264,7 +1276,19 @@ def t_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     build + exact witness), so the pre-spread repartition of full text
     rows executes twice — 1.35 s plain vs 2.91 s fanned end-to-end, even
     though the register build ALONE is 17% faster fanned. The d_simhash
-    precedent only pays when one consumer owns the spread scan."""
+    precedent only pays when one consumer owns the spread scan.
+
+    r14: registers and the exact witness derive from ONE distinct-key
+    aggregation — max(rank) is idempotent over duplicate keys (rank is a
+    pure function of the key), so computing registers over the DISTINCT
+    (lang, kind, key) relation changes nothing; and because bucket
+    partitions the key space, countDistinct(key) per group is exactly
+    Σ_buckets(count of distinct keys in the bucket), which rides the same
+    register aggregate as a second column. Before, the two consumers each
+    re-ran the tokenize+explode scan (the dominant cost) and met in a
+    join; now one scan feeds one distinct shuffle (the exact witness
+    already paid it) and the register/witness columns come out of the
+    same row — no join, no second pass."""
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(
         "lang", F.lit("token").alias("kind"), F.explode(TXT.words("text")).alias("key")
@@ -1283,17 +1307,19 @@ def t_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("key"),
     )
     keys = toks.unionByName(bigrams)
+    uniq = keys.distinct()
     bucket, rank = _hll_bucket_rank(F.col("key"))
     regs = (
-        keys.select("lang", "kind", bucket, rank)
+        uniq.select("lang", "kind", bucket, rank)
         .groupBy("lang", "kind", "bucket")
-        .agg(F.max("rank").alias("r"))
+        .agg(F.max("rank").alias("r"), F.count(F.lit(1)).alias("nd"))
     )
     agg = regs.groupBy("lang", "kind").agg(
         F.sum(
             F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_TAIL_BITS} - r)")
         ).alias("s_ne"),
         F.count(F.lit(1)).alias("nb"),
+        F.sum("nd").alias("distinct_exact"),
     )
     s = (
         F.col("s_ne")
@@ -1301,7 +1327,9 @@ def t_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.shiftleft(F.lit(1).cast("long"), _HLL_TAIL_BITS)
     ).alias("s_scaled")
     v = (F.lit(_HLL_M) - F.col("nb")).cast("long")
-    base = agg.select("lang", "kind", s, v.alias("zero_registers"))
+    base = agg.select(
+        "lang", "kind", "distinct_exact", s, v.alias("zero_registers")
+    )
     raw = F.round(F.lit(_HLL_NUM) / F.col("s_scaled").cast("double"), 4)
     lc = F.element_at(
         F.array(*[F.lit(x) for x in _HLL_LC]),
@@ -1310,16 +1338,9 @@ def t_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = F.when(
         (raw <= F.lit(2.5 * _HLL_M)) & (F.col("zero_registers") > 0), lc
     ).otherwise(raw)
-    exact = keys.groupBy("lang", "kind").agg(
-        F.countDistinct("key").alias("distinct_exact")
-    )
-    return (
-        base.withColumn("hll_est", est)
-        .join(exact, ["lang", "kind"])
-        .select(
-            "lang", "kind", "distinct_exact", "hll_est",
-            "zero_registers", "s_scaled",
-        )
+    return base.withColumn("hll_est", est).select(
+        "lang", "kind", "distinct_exact", "hll_est",
+        "zero_registers", "s_scaled",
     )
 
 
@@ -1569,12 +1590,22 @@ def t_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort. Every post-sketch relation is ≤ k rows, so the set algebra
     (union, membership joins) is broadcast work. At 100 TB the sketches
     are the only state that moves: k hashes per (set, partition),
-    merged associatively."""
+    merged associatively.
+
+    r14: each per-set sketch is computed ONCE and persisted (k rows),
+    and the union sketch is derived from the two sketches, not from the
+    full hash relations: bottom-k(A ∪ B) ⊆ A_k ∪ B_k exactly — any
+    union hash outside its own set's bottom-k has ≥ k smaller hashes in
+    that set alone, so it cannot be in the union's bottom-k. (This is
+    the KMV mergeability property: k-min sketches compose by
+    union-then-truncate.) Before, the four final aggregates each
+    re-evaluated their full lineage — 16 parquet scans / 8
+    tokenize+distinct passes per run; now the corpus is scanned once per
+    language and everything downstream is ≤ 2k-row arithmetic."""
     docs = load_table(spark, "documents", sf_dir)
-    a_h, b_h = _kmv_hashes(docs, "en"), _kmv_hashes(docs, "de")
-    a_k = a_h.orderBy("h").limit(_KMV_K)
-    b_k = b_h.orderBy("h").limit(_KMV_K)
-    u_k = a_h.union(b_h).distinct().orderBy("h").limit(_KMV_K)
+    a_k = persist_tracked(_kmv_hashes(docs, "en").orderBy("h").limit(_KMV_K))
+    b_k = persist_tracked(_kmv_hashes(docs, "de").orderBy("h").limit(_KMV_K))
+    u_k = a_k.union(b_k).distinct().orderBy("h").limit(_KMV_K)
 
     def est(stats_n, stats_hk):
         return F.round(
@@ -4086,16 +4117,26 @@ def t_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     second agg over tf keyed by term; the tf⋈df join shuffles on term —
     vocabulary-sized, orders of magnitude below corpus size. The per-doc
     top-3 window repartitions by doc_id, the same key tf already used.
+
+    r14: df is a WINDOW count over tf (df of a term = how many tf rows
+    carry it), not a second aggregate joined back — so the tokenize +
+    explode + tf aggregation runs ONCE (before, the df-aggregate arm and
+    the scoring arm each re-ran it: two full corpus passes) and the
+    tf⋈df join disappears; the window's term-keyed exchange replaces the
+    join's. (Persisting tf instead was measured and REJECTED: the
+    InMemoryRelation build of the (doc, term, tf) rows cost 2.4× the
+    saved pass at sf0.1 — the W8 columnar-cache-build lesson again.)
     """
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(
         "doc_id", F.explode(F.expr(_WORDS)).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(dft, "term")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tf_idf",
@@ -4220,12 +4261,20 @@ def t_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: corpus counts are one vocabulary-sized agg; the token⋈vocab join
     shuffles on the term key. Per-doc re-agg shuffles on doc_id. Nothing
     holds more than (vocab + docs) keys of state.
-    """
+
+    r14: t_tokens is derived from the PERSISTED per-doc relation
+    (Σ n_tokens ≡ Σ_w n_t — both count every occurrence once; the join
+    on w matches every occurrence by construction) instead of a second
+    aggregate over uc. Before, uc's two consumers and toks' two
+    consumers re-ran the tokenize+explode three times per run; now the
+    corpus is tokenized twice (uc arm + join arm) and the totals read a
+    docs-sized cache. per_doc is the one relation here small enough to
+    persist cheaply (n_docs rows — contrast the REJECTED occurrence-
+    level persists, W8/wave-2)."""
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select("doc_id", F.explode(F.expr(_WORDS)).alias("w"))
     uc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_t"))
-    totals = uc.agg(F.sum("n_t").alias("t_tokens"))
-    per_doc = (
+    per_doc = persist_tracked(
         toks.join(uc, "w")
         .groupBy("doc_id")
         .agg(
@@ -4234,6 +4283,7 @@ def t_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_t").alias("freq_mass"),
         )
     )
+    totals = per_doc.agg(F.sum("n_tokens").alias("t_tokens"))
     return (
         per_doc.crossJoin(F.broadcast(totals))
         .select(
@@ -5302,7 +5352,16 @@ def _maxsim_vocab_core(
     docs: DataFrame, min_df: int = _MSIM_VOCAB_MIN_DF
 ) -> DataFrame:
     """t_maxsim_vocab over an explicit documents relation with a
-    parameterized df threshold — the fuzz family's entry point."""
+    parameterized df threshold — the fuzz family's entry point.
+
+    r14: persisting the per-doc distinct-token relation (to share the
+    tokenize between the vocab df-aggregate and the scoring join) was
+    measured and REJECTED — 1.8× worse at sf0.1: the InMemoryRelation
+    build of the exploded (doc_id, tok) rows costs more than the second
+    regex pass it saves (the W8 columnar-cache-build lesson). The two
+    consumers each re-derive toks; the vocab side collapses it to
+    vocabulary-sized rows immediately, so only the scoring join carries
+    occurrence rows."""
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(F.expr(_WORDS))).alias("tok")
     )

@@ -1628,8 +1628,13 @@ FROM by_year ORDER BY order_year
 #     (name) then (brand, name) — output-bound, no nested loop anywhere.
 # ---------------------------------------------------------------------------
 def q44_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udlang_spark.session import persist_tracked
+
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
-    names = part.select("p_name").distinct()
+    # persisted: both sides of the levenshtein cross join read this
+    # relation — without the persist each side re-ran the scan+distinct
+    # (r14; the relation is distinct names, far smaller than part)
+    names = persist_tracked(part.select("p_name").distinct())
     nd = (
         names.select(F.col("p_name").alias("n1"))
         .crossJoin(names.select(F.col("p_name").alias("n2")))
