@@ -48,17 +48,19 @@ for mod in (kernels, llm, streaming, relational, cleaning):
 #       delta-merge sidecar (s_kmv_stream, s_cms_merge), and the wave-3
 #       single-pass/shared-relation restructures (t_kmv_jaccard,
 #       t_hll_distinct, t_cms_freq, t_tfidf_topk, t_rarity,
-#       q44_fuzzy_part_pairs) — so the driver re-verifies exactly what
-#       changed;
+#       q44_fuzzy_part_pairs, t_dataset_card, t_lift_bigrams) — so the
+#       driver re-verifies exactly what changed;
 #   (b) the 9 rows deferred from the r13 window (r9-stale):
 #       t_bm25_topk, t_hybrid_rrf, m_frames, e_ann_lsh,
 #       e_label_centroids, k_comprehension, q56_nation_trade_volume,
 #       s_windowed_stream, d_duplicate_spans (already in (a));
-#   (c) the 17 stalest remaining rows — all last checked r10 (the 8
-#       displaced r10 rows q13–q20 move to the round-15 window).
-# 25 + 8 + 17 = 50.
+#   (c) the 15 stalest remaining rows — all last checked r10 (the 10
+#       displaced r10 rows q11–q20 move to the round-15 window).
+# 27 + 8 + 15 = 50.
 _PRIORITY: list[str] = [
     # -- (a) changed this round --
+    "t_dataset_card",
+    "t_lift_bigrams",
     "t_kmv_jaccard",
     "t_hll_distinct",
     "t_cms_freq",
@@ -109,8 +111,6 @@ _PRIORITY: list[str] = [
     "q08_topk_per_group",
     "q09_running_totals",
     "q10_set_ops",
-    "q11_distinct_counts",
-    "q12_rollup",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50

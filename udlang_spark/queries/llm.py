@@ -3402,10 +3402,20 @@ def t_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     that bounded relation — totals, distincts, shares are re-aggregations
     of ≤ |langs|·|sources| rows, so the card costs one pass at any corpus
     size. Shares are correctly-rounded divisions of exact integer counts
-    (deterministic cross-engine)."""
+    (deterministic cross-engine).
+
+    r14: grain is PERSISTED — its three consumers (the scalar totals,
+    the share totals broadcast, the per-language re-aggregation) each
+    re-ran the corpus scan+aggregate without it, so the one-pass card
+    was actually three passes. The cached relation is the bounded
+    (lang × source) grain, trivially small at any corpus size (the
+    t_rarity pattern: persist the tiny aggregate, never the occurrence
+    stream)."""
     docs = load_table(spark, "documents", sf_dir)
-    grain = docs.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars")
+    grain = persist_tracked(
+        docs.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars")
+        )
     )
     tot = grain.agg(
         F.sum("n").alias("n_docs"),
@@ -4182,7 +4192,16 @@ def t_lift_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: bigram counts partial-aggregate map-side; the two unigram joins
     shuffle on vocabulary-sized keys; totals are broadcast 1-row aggs. The
     n_xy >= 5 floor prunes the long tail BEFORE the joins.
-    """
+
+    r14: the two TYPE-level aggregates are persisted and every total
+    derives from them — uni fed three consumers (x, y, totals) and bg
+    fed two (the pair counts and the raw bigram total), so the query
+    re-ran the tokenize+explode scan FIVE times per run; now each runs
+    once, t_tokens = Σ n_w over the cached vocab, n_bigrams = Σ n_xy
+    over the cached unfiltered pair counts. Both caches are type-keyed
+    (vocabulary / distinct-bigram grain, no doc dimension), the
+    rarity/dataset-card persist rule — occurrence-level persists stay
+    rejected (W12/W13)."""
     docs = load_table(spark, "documents", sf_dir)
     d = docs.select(F.expr(_WORDS).alias("wl")).filter(F.expr("size(wl) >= 2"))
     bg = d.select(
@@ -4193,18 +4212,17 @@ def t_lift_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg")
     ).select("bg.w1", "bg.w2")
-    uni = (
+    uni = persist_tracked(
         docs.select(F.explode(F.expr(_WORDS)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_w"))
     )
     totals = uni.agg(F.sum("n_w").alias("t_tokens"))
-    n_bigrams = bg.agg(F.count(F.lit(1)).alias("n_bigrams"))
-    pairs = (
-        bg.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("n_xy"))
-        .filter(F.col("n_xy") >= 5)
+    pairs_all = persist_tracked(
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
     )
+    n_bigrams = pairs_all.agg(F.sum("n_xy").alias("n_bigrams"))
+    pairs = pairs_all.filter(F.col("n_xy") >= 5)
     x = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_x"))
     y = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_y"))
     lift = (
