@@ -47,9 +47,12 @@ for mod in (kernels, llm, streaming, relational, cleaning):
 #       q67/t_wordpiece cache evictions, the q64 row-id rewrite, the
 #       delta-merge sidecar (s_kmv_stream, s_cms_merge), and the wave-3
 #       single-pass/shared-relation restructures (t_kmv_jaccard,
-#       t_hll_distinct, t_cms_freq, t_tfidf_topk, t_rarity,
-#       q44_fuzzy_part_pairs, t_dataset_card, t_lift_bigrams) — so the
-#       driver re-verifies exactly what changed;
+#       t_hll_distinct, t_cms_freq, t_rarity, q44_fuzzy_part_pairs,
+#       t_dataset_card, t_lift_bigrams; t_tfidf_topk landed a window-df
+#       variant and REVERTED it on the hot-term window-skew analysis —
+#       it stays in-window to re-verify the revert, the
+#       d_simhash_neardup precedent) — so the driver re-verifies
+#       exactly what changed;
 #   (b) the 9 rows deferred from the r13 window (r9-stale):
 #       t_bm25_topk, t_hybrid_rrf, m_frames, e_ann_lsh,
 #       e_label_centroids, k_comprehension, q56_nation_trade_volume,

@@ -4128,25 +4128,30 @@ def t_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized, orders of magnitude below corpus size. The per-doc
     top-3 window repartitions by doc_id, the same key tf already used.
 
-    r14: df is a WINDOW count over tf (df of a term = how many tf rows
-    carry it), not a second aggregate joined back — so the tokenize +
-    explode + tf aggregation runs ONCE (before, the df-aggregate arm and
-    the scoring arm each re-ran it: two full corpus passes) and the
-    tf⋈df join disappears; the window's term-keyed exchange replaces the
-    join's. (Persisting tf instead was measured and REJECTED: the
-    InMemoryRelation build of the (doc, term, tf) rows cost 2.4× the
-    saved pass at sf0.1 — the W8 columnar-cache-build lesson again.)
+    r14, two variants measured and REJECTED — the two-pass join form
+    below is deliberate:
+    - persisting tf (share the pass, keep the join): 2.4× WORSE at
+      sf0.1 — the InMemoryRelation build of the occurrence-level
+      (doc, term, tf) rows costs more than the pass it saves (the W8
+      columnar-cache-build lesson);
+    - df as `count(*) over (partition by term)` on tf (one pass, no
+      join): 0.83× at sf0.1 but WRONG AT SCALE — a window partitions
+      ALL of a hot term's rows (df("the") ≈ n_docs at corpus scale)
+      into ONE task, and AQE skew handling applies to joins, never to
+      window functions (guide §2.5), so the attach that is
+      broadcast-able or skew-splittable as a join becomes an
+      unsplittable straggler as a window. Two map-side corpus passes
+      beat one unsplittable skewed window at 100 TB.
     """
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(
         "doc_id", F.explode(F.expr(_WORDS)).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
-        )
+        tf.join(dft, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tf_idf",
